@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale (training-data) pipelines.
+
+All operators are expressed with native Spark SQL functions (codegen'd,
+Arrow-free) and follow the same scale discipline:
+
+- **exact**: hash-groupBy on a content digest — one shuffle keyed by the
+  digest; group sizes are bounded by duplicate multiplicity, and AQE's
+  skew handling covers pathological hot digests.
+- **minhash LSH**: per-row signature (map-only) -> explode to (band,
+  bucket) -> self-join inside buckets. The shuffle is keyed by band
+  bucket, so the candidate join never materializes the O(n^2) pair space;
+  at 100 TB the band width / row count trade-off is tuned via
+  ``num_hashes``/``band_size``.
+- **simhash**: token-explode + 16 partial-aggregated bit sums (map-side
+  combine shrinks the shuffle to one row per doc), then banded
+  candidate join like minhash.
+- **n-gram Jaccard**: inverted-index join on shingles (explode distinct
+  shingles; pairs scored by shared-shingle counts) — exact, for modest
+  corpora or as the verify stage after LSH.
+
+Hashes are md5-based so a single-threaded SQL oracle (DuckDB) can
+reproduce results bit-for-bit; xxhash64 would be ~2x faster but is not
+portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased whitespace tokens (duplicates preserved)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def distinct_tokens_col(text_col: str = "text"):
+    return F.array_distinct(tokens_col(text_col))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest; keeper = min id per group."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _min_hash_expr(shingles, seed: int):
+    """min over shingles of md5(seed:shingle) — the lexicographic min of a
+    uniformly distributed hex digest is a valid minhash."""
+    prefix = f"{seed}:"
+    # NB: the lambda must take exactly one arg — F.transform treats a
+    # two-arg lambda as (element, index).
+    return F.array_min(F.transform(shingles, lambda t: F.md5(F.concat(F.lit(prefix), t))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature over the distinct word n-gram shingle set.
+
+    Shingles (not unigram token sets) keep the signature discriminative on
+    small-vocabulary corpora. Everything here is a projection — no shuffle.
+    """
+    sh = ngram_shingles_col(text_col, shingle_n)
+    sig_cols = [_min_hash_expr(sh, j).alias(f"sig_{j}") for j in range(num_hashes)]
+    return df.select(F.col(id_col), sh.alias("shingles"), *sig_cols)
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * band_size + k}") for k in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    doc_shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (the cheap verify stage).
+
+    ``doc_shingles``: (id, shingles array) — joined twice; candidate count
+    is << n^2 so these joins are small even at scale."""
+    ta = doc_shingles.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a")
+    )
+    tb = doc_shingles.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b")
+    )
+    inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    union = F.size("shingles_a") + F.size("shingles_b") - inter
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sh = sigs.select(id_col, "shingles")
+    return verify_jaccard(pairs, sh, id_col, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Simhash over token multiset: bit p = sign of sum over tokens of
+    (+1 if hex digit p of md5(token) >= '8' else -1).
+
+    Explode + partial-aggregate: the shuffle carries 16 small ints per doc.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).withColumn("h", F.md5("token"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{p}")
+            for p in range(bits)
+        ]
+    )
+    sig = F.concat(
+        *[F.when(F.col(f"s{p}") >= 0, "1").otherwise("0") for p in range(bits)]
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded simhash join: hamming <= n_bands - 1 guarantees a shared band
+    (pigeonhole), so the candidate join is keyed by (band_idx, band_bits)."""
+    width = bits // n_bands
+    bands = F.array(
+        *[F.substring("simhash", b * width + 1, width) for b in range(n_bands)]
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(bands).alias("band_idx", "band_bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), p + 1, 1)
+            != F.substring(F.col("b.simhash"), p + 1, 1),
+            1,
+        ).otherwise(0)
+        for p in range(bits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join.
+
+    shared(a,b) computed by grouping the shingle-equijoin; |A|,|B| joined
+    back from per-doc shingle counts. Shuffles are keyed by shingle then by
+    pair — never a cross join."""
+    sh = df.select(
+        F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
+    )
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything is native Column expressions over the ``documents`` table:
+language-ID (stopword-hit heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (min-hash of character shingles, winnowing-lite).
+
+Scale: all four are pure projections (map-only, no shuffle); they pipeline
+with the parquet scan and any downstream filter so a 100 TB quality-filter
+pass is a single scan-project-filter-write stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count token occurrences (duplicates included) in a stopword list."""
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*words), 1).otherwise(0),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count + char count."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).alias("n_subtokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a combined [0,1]-ish score.
+
+    Features: document length, mean token length, stopword ratio,
+    punctuation ratio — the standard cheap pre-filters for LLM corpora.
+    """
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"))
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"])
+    mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-breaking (en>de>fr)."""
+    toks = tokens_col(text_col)
+    h = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] > 0), "en")
+        .when((h["de"] >= h["fr"]) & (h["de"] > 0), "de")
+        .when(h["fr"] > 0, "fr")
+        .otherwise("unk")
+    )
+    return df.select(
+        F.col(id_col),
+        h["en"].alias("hits_en"),
+        h["de"].alias("hits_de"),
+        h["fr"].alias("hits_fr"),
+        best.alias("predicted_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Winnowing-lite rolling fingerprint: min md5 over char n-gram shingles.
+
+    A content-defined digest stable under small edits elsewhere in the doc;
+    md5 keeps it reproducible in any engine."""
+    lower = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - (n - 1), F.lit(1)))
+    shingle_hashes = F.transform(idx, lambda i: F.md5(F.substr(lower, i, F.lit(n))))
+    return df.select(
+        F.col(id_col),
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        F.size(shingle_hashes).alias("n_shingles"),
+    )

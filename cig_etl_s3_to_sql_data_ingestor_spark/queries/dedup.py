@@ -1,0 +1,203 @@
+"""Deduplication query surface over the ``documents`` table.
+
+Each query pairs the distributed operator (operators.dedup) with a
+single-threaded DuckDB oracle that reproduces the same md5-based hashing
+bit-for-bit — the LSH pipelines are therefore fully value-checked, not
+just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+N_BANDS = NUM_HASHES // BAND_SIZE
+
+
+def _sql_sigs() -> str:
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(shingles, t -> md5('{j}:' || t))) AS sig_{j}"
+        for j in range(NUM_HASHES)
+    )
+    return r"""
+    tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+            FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(tokens) - 3, 0)),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')
+             )) AS shingles
+      FROM tok
+    ),
+    sigs AS (
+      SELECT doc_id, shingles,
+             {sig_exprs}
+      FROM sh
+    )""".replace("{sig_exprs}", sig_exprs)
+
+
+def _sql_bands() -> str:
+    rows = []
+    for b in range(N_BANDS):
+        parts = " || '|' || ".join(f"sig_{b * BAND_SIZE + k}" for k in range(BAND_SIZE))
+        rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY content_hash ORDER BY keeper_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(d).select("content_hash", "keeper_id", "n_copies").orderBy(
+        "keeper_id"
+    )
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_sql_sigs()},
+    banded AS ({_sql_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+             AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    WHERE CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+          >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN substr(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(bits)
+    )
+    sig = " || ".join(f"(CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END)" for p in range(bits))
+    return f"""
+    tok AS (
+      SELECT doc_id, md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS h
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM tok GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM sums)"""
+
+
+def _sql_simhash_bands(bits: int = 16, n_bands: int = 4) -> str:
+    width = bits // n_bands
+    rows = [
+        f"SELECT doc_id, simhash, {b} AS band_idx,"
+        f" substr(simhash, {b * width + 1}, {width}) AS band_bits FROM sigs"
+        for b in range(n_bands)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+_HAMMING = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {p + 1}, 1) <> substr(b.simhash, {p + 1}, 1)"
+    " THEN 1 ELSE 0 END)"
+    for p in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_sql_simhash()},
+    banded AS ({_sql_simhash_bands()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {_HAMMING} AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    WHERE {_HAMMING} <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(d)
+    return D.simhash_near_duplicates(sigs).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(tokens) - 3, 0)),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')
+             ))) AS shingle
+      FROM tok
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.shared AS DOUBLE) / CAST(ca.n_shingles + cb.n_shingles - s.shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN counts ca ON ca.doc_id = s.id_a
+    JOIN counts cb ON cb.doc_id = s.id_b
+    WHERE CAST(s.shared AS DOUBLE) / CAST(ca.n_shingles + cb.n_shingles - s.shared AS DOUBLE) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.3).orderBy("id_a", "id_b")

@@ -1,0 +1,149 @@
+"""Text-analysis + multimodal query surface over ``documents``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import multimodal as M
+from ..operators import text as TX
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SQL_TOKENS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+SQL_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _sql_stop_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({SQL_TOKENS}, t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id, length(text) AS n_chars,
+           len({SQL_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '{SQL_BPE}')) AS n_subtokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.token_stats(d).orderBy("doc_id")
+
+
+_EN = _sql_stop_hits(TX.STOPWORDS["en"])
+_DE = _sql_stop_hits(TX.STOPWORDS["de"])
+_FR = _sql_stop_hits(TX.STOPWORDS["fr"])
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n_chars, len({SQL_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             {_EN} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+             + least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0) * 0.4
+             + (1 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10, 1.0)) * 0.2
+             AS quality_score
+    FROM s ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.quality_scores(d).orderBy("doc_id")
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_EN} AS hits_en, {_DE} AS hits_de, {_FR} AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'unk' END AS predicted_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.language_id(d).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(lower(text)) - 4, 1)),
+             i -> md5(substr(lower(text), i, 5))
+           )) AS fingerprint,
+           len(generate_series(1, greatest(length(lower(text)) - 4, 1))) AS n_shingles
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TX.fingerprints(d).orderBy("doc_id")
+
+
+# Multimodal plumbing: the Spark path runs a REAL Arrow-batched mapInPandas
+# decode (with a deterministic fake codec — see operators.multimodal); the
+# oracle reproduces the same deterministic outputs in SQL.
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(1 + n_chars % 64 AS INTEGER) AS width,
+           CAST(1 + (n_chars * 7) % 64 AS INTEGER) AS height,
+           CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
+           octet_length(encode(text)) AS decoded_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_stub(M.attach_payload(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           unnest(generate_series(0, CAST(doc_id % 8 AS INTEGER), 2)) AS frame_idx
+    FROM documents ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.frame_sample_plan(M.attach_payload(d)).orderBy("doc_id", "frame_idx")

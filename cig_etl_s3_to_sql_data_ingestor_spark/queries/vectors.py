@@ -1,0 +1,132 @@
+"""Similarity-search query surface over ``embeddings``.
+
+The oracle computes dot products with the same left-to-right fold the
+Spark operators use (list_reduce starting at element 1 == fold from 0.0,
+since 0.0 + x == x in IEEE double), so cosine scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import similarity as S
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, sqrt({_sql_dot('embedding', 'embedding')}) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.l2_norms(e).orderBy("vec_id")
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS cosine_sim
+      FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.brute_force_topk(e, queries, k=10).orderBy("query_id", "rank")
+
+
+_SQL_BUCKET = (
+    "(CASE WHEN {v}[1] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN {v}[8] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN {v}[22] >= 0 THEN '1' ELSE '0' END)"
+    " || (CASE WHEN {v}[43] >= 0 THEN '1' ELSE '0' END)"
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cand_id, embedding AS cand_vec,
+             {_SQL_BUCKET.format(v='embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec,
+             {_SQL_BUCKET.format(v='embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, c.cand_id,
+             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS cosine_sim
+      FROM c JOIN q USING (bucket) WHERE c.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.axis_lsh_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_duplicates(e, block_col="label", threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,25 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 — the same comparison shape the driver's correctness gate uses."""
+
+from __future__ import annotations
+
+import pytest
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import ORACLES, QUERIES
+
+from .oracle_harness import compare
+
+CASES = sorted(ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    n = compare(spark, sf_dir, QUERIES[name], ORACLES[name], name)
+    assert n >= 0
+
+
+def test_all_queries_have_oracles_or_are_documented():
+    missing = set(QUERIES) - set(ORACLES)
+    # Queries without oracles get the driver's weaker rows-only check;
+    # keep this list empty unless genuinely non-SQL-expressible.
+    assert missing == set(), f"queries missing oracles: {missing}"
