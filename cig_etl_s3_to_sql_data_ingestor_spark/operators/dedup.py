@@ -70,10 +70,16 @@ def minhash_signatures(
 
     Shingles (not unigram token sets) keep the signature discriminative on
     small-vocabulary corpora. Everything here is a projection — no shuffle.
+    The shingle array is materialized in a first projection so the k
+    signature expressions share it instead of rebuilding it k times.
     """
-    sh = ngram_shingles_col(text_col, shingle_n)
-    sig_cols = [_min_hash_expr(sh, j).alias(f"sig_{j}") for j in range(num_hashes)]
-    return df.select(F.col(id_col), sh.alias("shingles"), *sig_cols)
+    base = df.select(
+        F.col(id_col), ngram_shingles_col(text_col, shingle_n).alias("shingles")
+    )
+    sig_cols = [
+        _min_hash_expr(F.col("shingles"), j).alias(f"sig_{j}") for j in range(num_hashes)
+    ]
+    return base.select(F.col(id_col), F.col("shingles"), *sig_cols)
 
 
 def minhash_candidate_pairs(
@@ -155,17 +161,30 @@ def minhash_near_duplicates(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Simhash over token multiset: bit p = sign of sum over tokens of
-    (+1 if hex digit p of md5(token) >= '8' else -1).
+    """64-bit simhash over the distinct shingle set: bit p = sign of the
+    sum over shingles of (+1 if hex digit p of the shingle's digest >= '8'
+    else -1). Two salted md5s supply 64 hex digits per shingle.
 
-    Explode + partial-aggregate: the shuffle carries 16 small ints per doc.
-    """
-    tok = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
-    ).withColumn("h", F.md5("token"))
-    sums = tok.groupBy(id_col).agg(
+    Explode + partial-aggregate: the map side pre-combines, so the shuffle
+    carries 64 small ints per doc regardless of corpus size. Bit width
+    matters for the downstream banded join — 16-bit bands give ~65k
+    buckets, keeping candidate generation sub-quadratic."""
+    sh = df.select(
+        F.col(id_col), F.explode(ngram_shingles_col(text_col, shingle_n)).alias("shingle")
+    ).withColumn(
+        "h",
+        F.concat(
+            F.md5(F.concat(F.lit("a:"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("b:"), F.col("shingle"))),
+        ),
+    )
+    sums = sh.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
@@ -182,7 +201,7 @@ def simhash_signatures(
 def simhash_near_duplicates(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 64,
     n_bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:

@@ -113,26 +113,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _sql_simhash(bits: int = 16) -> str:
+SIMHASH_BITS = 64
+
+
+def _sql_simhash(bits: int = SIMHASH_BITS) -> str:
     sums = ",\n             ".join(
         f"SUM(CASE WHEN substr(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{p}"
         for p in range(bits)
     )
     sig = " || ".join(f"(CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END)" for p in range(bits))
-    return f"""
-    tok AS (
-      SELECT doc_id, md5(unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS h
-      FROM documents
+    return r"""
+    tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+            FROM documents),
+    shex AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(tokens) - 3, 0)),
+               i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')
+             ))) AS shingle
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id, md5('a:' || shingle) || md5('b:' || shingle) AS h FROM shex
     ),
     sums AS (
       SELECT doc_id,
              {sums}
-      FROM tok GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
-    sigs AS (SELECT doc_id, {sig} AS simhash FROM sums)"""
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM sums)""".replace(
+        "{sums}", sums
+    ).replace("{sig}", sig)
 
 
-def _sql_simhash_bands(bits: int = 16, n_bands: int = 4) -> str:
+def _sql_simhash_bands(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
     width = bits // n_bands
     rows = [
         f"SELECT doc_id, simhash, {b} AS band_idx,"
@@ -145,7 +159,7 @@ def _sql_simhash_bands(bits: int = 16, n_bands: int = 4) -> str:
 _HAMMING = " + ".join(
     f"(CASE WHEN substr(a.simhash, {p + 1}, 1) <> substr(b.simhash, {p + 1}, 1)"
     " THEN 1 ELSE 0 END)"
-    for p in range(16)
+    for p in range(SIMHASH_BITS)
 )
 
 
