@@ -1,0 +1,90 @@
+"""Marker ledger: the reference's exactly-once protocol
+(`CustomMarkerTable.py`, `ETL_Import_From_S3_Marker`).
+
+Schema (FIXTURES.md F4): parquet_source, target_table, environment,
+backup_date, inserted_date. Logical dedup key is the TRIPLE
+(parquet_source, environment, target_table) — backup_date is
+deliberately NOT part of it (`CustomMarkerTable.py:35-38,53-57`): a
+same-named file re-delivered on a later date counts as already ingested.
+
+Two operations, both DataFrame-shaped:
+- ``select_work``: anti-join the candidate work-list against the ledger
+  (J4). The ledger is tiny relative to the corpus → broadcast.
+- ``touch``: upsert completed work into the ledger. With a parquet
+  backend the upsert is implemented as (existing ∪ new).dropDuplicates
+  over the key — atomic-rename rewrite of a small table; with a JDBC
+  backend it would be MERGE. On Delta/Iceberg this becomes a real MERGE
+  INTO; the protocol is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MARKER_KEY = ["parquet_source", "environment", "target_table"]
+
+MARKER_SCHEMA = T.StructType(
+    [
+        T.StructField("parquet_source", T.StringType(), False),
+        T.StructField("target_table", T.StringType(), True),
+        T.StructField("environment", T.StringType(), True),
+        T.StructField("backup_date", T.DateType(), True),
+        T.StructField("inserted_date", T.TimestampType(), True),
+    ]
+)
+
+
+class ParquetMarkerLedger:
+    """Marker table persisted as a small parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(MARKER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], MARKER_SCHEMA)
+
+    def exists(self, parquet_source: str, environment: str, target_table: str) -> bool:
+        """LIMIT-1 existence probe (`CustomMarkerTable.py:47-59`)."""
+        m = self.read()
+        return not m.filter(
+            (F.col("parquet_source") == parquet_source)
+            & (F.col("environment") == environment)
+            & (F.col("target_table") == target_table)
+        ).isEmpty()
+
+    def select_work(self, files: DataFrame) -> DataFrame:
+        """J4: keep only files not yet recorded under the triple key.
+
+        ``files`` must carry file_name, environment, target_table."""
+        marker = self.read().select(
+            F.col("parquet_source").alias("file_name"),
+            "environment",
+            "target_table",
+        )
+        return files.join(
+            F.broadcast(marker), ["file_name", "environment", "target_table"], "left_anti"
+        )
+
+    def touch(self, completed: DataFrame) -> None:
+        """Upsert completed rows (keyed on the triple; latest wins)."""
+        new = completed.select(
+            F.col("file_name").alias("parquet_source"),
+            F.col("target_table"),
+            F.col("environment"),
+            F.col("backup_date").cast("date"),
+            F.current_timestamp().alias("inserted_date"),
+        )
+        merged = (
+            new.unionByName(self.read())
+            # dropDuplicates keeps the first occurrence -> new rows win,
+            # mirroring the reference's insert-or-update (:26-44).
+            .dropDuplicates(MARKER_KEY)
+            .localCheckpoint()  # cut lineage before overwriting the source
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(self.path)

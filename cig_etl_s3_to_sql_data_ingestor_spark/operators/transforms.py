@@ -78,7 +78,7 @@ def normalize_int_string(col: Column) -> Column:
     """
     return F.when(
         (col.isNull()) | (col == "None"), col
-    ).otherwise(F.try_cast(col, "double").cast("long").cast("string"))
+    ).otherwise(col.try_cast("double").cast("long").cast("string"))
 
 
 def not_nullable_scrub(col: Column) -> Column:

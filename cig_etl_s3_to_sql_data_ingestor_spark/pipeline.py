@@ -1,0 +1,105 @@
+"""End-to-end batch ingest: the Spark-native equivalent of the
+reference's `main.py` lifecycle (SURVEY.md §3.1).
+
+    discover (S2/S3) → work-list plan (P2-P6, J4) → per-group:
+    read parquet (S1) → stringify → clean T1-T11 + P1 → T12 →
+    sink (parquet or JDBC) → marker touch
+
+Differences from the reference, by design:
+- one Spark job per (environment, entity) group instead of one OS
+  process per file — Spark's task parallelism replaces luigi's 10
+  workers, and small files coalesce into sane partitions automatically;
+- the transform is a column-expression pipeline (whole-stage codegen),
+  not per-cell pandas lambdas;
+- idempotency = marker anti-join before the read + marker upsert after
+  the sink commit (the reference's exists()/touch() protocol).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import TableSpec
+from .operators import transforms as TR
+from .operators.marker import ParquetMarkerLedger
+from .plans.worklist import build_worklist, config_frame, work_groups
+from .sources.parquet_tree import discover_files
+
+
+def stringify(df: DataFrame) -> DataFrame:
+    """The reference's in-flight representation is all-strings
+    (SURVEY.md §1.1.4): parquet → pandas-of-strings. Spark analog: cast
+    every column to string; real NULLs become the literal 'None' exactly
+    like pandas' str(NaN/NaT) rendering feeding `df.replace`."""
+    return df.select(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("None")).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+@dataclass
+class IngestResult:
+    environment: str
+    target_table: str
+    n_files: int
+    n_rows: int
+    sink_path: str
+
+
+@dataclass
+class BatchIngest:
+    spark: SparkSession
+    catalog: dict[str, TableSpec]
+    sink_root: str
+    marker_path: str
+    environments: list[str] | None = None
+    layout: str = "hosting"
+    results: list[IngestResult] = field(default_factory=list)
+
+    def run(self, data_root: str, ingestion_date: dt.date) -> list[IngestResult]:
+        files = discover_files(self.spark, data_root, self.layout)
+        ledger = ParquetMarkerLedger(self.spark, self.marker_path)
+        cfg = config_frame(self.spark, self.catalog)
+        wl = build_worklist(files, cfg, ingestion_date, self.environments, ledger)
+        # Freeze the work-list before any marker mutation: the anti-join
+        # reads the ledger, which ledger.touch() rewrites inside the loop.
+        wl = wl.cache()
+        wl.count()
+        by_source = {t.target_name: t for t in self.catalog.values()}
+        self.results = []
+        for env, data_source, target, paths in work_groups(wl):
+            table = by_source[target]
+            df = self.spark.read.parquet(*paths)
+            cleaned = TR.clean_pipeline(
+                stringify(df), table, data_source, ingestion_date
+            )
+            final = TR.materialize_nulls(cleaned)  # T12 at the sink boundary
+            out_path = os.path.join(self.sink_root, target, f"environment={env}")
+            final.write.mode("append").parquet(out_path)
+            n_rows = self.spark.read.parquet(out_path).count()
+            completed = (
+                wl.filter(
+                    (F.col("environment") == env) & (F.col("target_table") == target)
+                )
+                .select("file_name", "environment", "target_table", "backup_date")
+            )
+            ledger.touch(completed)
+            self.results.append(
+                IngestResult(env, target, len(paths), n_rows, out_path)
+            )
+        return self.results
+
+    def summary(self) -> str:
+        """Run-summary (`main.py:133-142` analog, minus Slack)."""
+        lines = [
+            f"{r.environment}/{r.target_table}: {r.n_files} files -> {r.sink_path}"
+            for r in self.results
+        ]
+        return "\n".join(lines) if lines else "nothing ingested"

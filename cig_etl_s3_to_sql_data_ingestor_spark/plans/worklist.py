@@ -1,0 +1,69 @@
+"""Work-list construction — the reference's "query plan" (`main.py:32-62`):
+
+discovered files → config semi/enrich join (P5/P6) → enabled filter (P2)
+→ incremental date filter (P3) → environment membership (P4) → marker
+anti-join (J4) → per-(environment, entity) work groups (A1).
+
+All joins broadcast the config/marker side (both are tiny); the file
+corpus side never shuffles. The output is the list of files ONE batch
+ingest should read — pruning happens here, before any data bytes move,
+which is what makes the design hold at 100 TB: the expensive scan only
+ever sees surviving files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TableSpec
+from ..operators.marker import ParquetMarkerLedger
+
+
+def config_frame(spark: SparkSession, catalog: dict[str, TableSpec]) -> DataFrame:
+    """Config as a small DataFrame (source, target_table, is_enabled)."""
+    rows = [
+        (t.source, t.target_name, t.is_enabled) for t in catalog.values()
+    ]
+    return spark.createDataFrame(
+        rows, "source string, target_table string, is_enabled boolean"
+    )
+
+
+def build_worklist(
+    files: DataFrame,
+    config: DataFrame,
+    ingestion_date: dt.date,
+    environments: list[str] | None = None,
+    ledger: ParquetMarkerLedger | None = None,
+) -> DataFrame:
+    """Apply P5/P6/P2/P3/P4 and J4 to the discovered-file frame."""
+    # First-match config semantics (`main.py:83-84`).
+    cfg = config.dropDuplicates(["source"])
+    out = files.join(
+        F.broadcast(cfg), files.entity_name == cfg.source, "inner"
+    ).drop("source")
+    out = out.filter(F.col("is_enabled"))  # P2
+    out = out.filter(F.col("backup_date") >= F.lit(ingestion_date))  # P3 late-data drop
+    if environments is not None:  # P4
+        out = out.filter(F.col("environment").isin(environments))
+    if ledger is not None:  # J4
+        out = ledger.select_work(out)
+    return out
+
+
+def work_groups(worklist: DataFrame) -> list[tuple[str, str, str, list[str]]]:
+    """A1: group surviving files per (environment, data_source, target) —
+    one Spark read per group (each group shares a schema). The collect is
+    metadata-only (file paths), not data."""
+    rows = (
+        worklist.groupBy("environment", "data_source", "target_table")
+        .agg(F.collect_list("full_path").alias("paths"))
+        .collect()
+    )
+    return [
+        (r["environment"], r["data_source"], r["target_table"], sorted(r["paths"]))
+        for r in rows
+    ]

@@ -1,0 +1,68 @@
+"""JDBC source/sink helpers (reference S8/S11/S12).
+
+The reference bulk-inserts into SQL Server over ODBC
+(`ParquetFileInsertion.py:60-65`); Spark-native equivalent is
+``df.write.jdbc`` with a batched, partition-parallel writer. No JDBC
+driver jar or SQL Server exists in this container, so everything network
+is behind ``require_driver``-gated call sites — the URL/option builders
+and the plan shape are unit-tested, the socket I/O is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sqlserver_url(host: str, database: str, port: int = 1433) -> str:
+    """`main.py:64-68` builds an mssql+pyodbc DSN; the Spark analog."""
+    return f"jdbc:sqlserver://{host}:{port};databaseName={database};encrypt=false"
+
+
+def write_options(batchsize: int = 10_000, isolation: str = "READ_COMMITTED") -> dict:
+    """Sink tuning: batched inserts bound executor memory; at scale also
+    cap write parallelism with df.coalesce(n) so the DB isn't hit by
+    hundreds of concurrent connections."""
+    return {
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation,
+        "rewriteBatchedStatements": "true",
+    }
+
+
+def write_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    max_connections: int = 8,
+    batchsize: int = 10_000,
+    properties: dict | None = None,
+) -> None:
+    """Append rows to ``schema.table`` (raw.<target> in the reference).
+
+    Idempotency is NOT provided by JDBC append — callers must dedup via
+    the marker ledger (operators.marker) before writing, exactly like the
+    reference's marker-exists check (`CustomMarkerTable.py:47-59`).
+    """
+    out = df.coalesce(max_connections)
+    opts = write_options(batchsize)
+    opts.update(properties or {})
+    out.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).options(**opts).save()
+
+
+def read_query(spark: SparkSession, url: str, query: str) -> DataFrame:
+    """S11: SQL query source (`pandas.read_sql` analog)."""
+    return spark.read.format("jdbc").option("url", url).option("query", query).load()
+
+
+def reflect_columns(spark: SparkSession, url: str, table: str) -> list[str]:
+    """S12: schema reflection — column names of a remote table."""
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", f"SELECT * FROM {table} WHERE 1=0")
+        .load()
+    )
+    return df.columns

@@ -1,0 +1,133 @@
+"""End-to-end batch ingest: discovery → work-list pruning → clean →
+sink → marker idempotency (the reference's `main.py` lifecycle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.catalog import ColumnSpec, TableSpec
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.marker import ParquetMarkerLedger
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.monitor import freshness_report
+from cig_etl_s3_to_sql_data_ingestor_spark.pipeline import BatchIngest
+from cig_etl_s3_to_sql_data_ingestor_spark.sources.parquet_tree import discover_files
+
+SPEC = TableSpec(
+    target_name="HOST_CIG_Widgets",
+    source="Widgets",
+    columns=(
+        ColumnSpec("ID", "str", True),
+        ColumnSpec("Name", "str", False),
+        ColumnSpec("Environment", "str", True),
+        ColumnSpec("CIGCopyTime", "str", True),
+        ColumnSpec("CIGProcessed", "str", True),
+    ),
+)
+
+DISABLED = TableSpec(target_name="HOST_CIG_Off", source="Off", is_enabled=False,
+                     columns=SPEC.columns)
+
+
+def write_source(spark, root, env, entity, date, name, rows):
+    """Write a single plain parquet FILE (as S3 backups are), not a
+    Spark-style directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"environment={env}", entity, *date.split("/"))
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(
+        {"ID": [r[0] for r in rows], "Name": [r[1] for r in rows]}
+    )
+    pq.write_table(table, os.path.join(path, name))
+
+
+@pytest.fixture()
+def tree(spark, tmp_path):
+    root = str(tmp_path / "data")
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet",
+                 [("a", "x"), ("nan", "y")])
+    write_source(spark, root, "DE", "Widgets", "2024/01/05", "w2.parquet", [("b", "z")])
+    write_source(spark, root, "NL", "Widgets", "2024/01/04", "old.parquet", [("c", "o")])
+    write_source(spark, root, "NL", "Off", "2024/01/05", "off.parquet", [("d", "q")])
+    write_source(spark, root, "NL", "Unknown", "2024/01/05", "u.parquet", [("e", "r")])
+    return root
+
+
+def test_discovery_decodes_partitions(spark, tree):
+    files = discover_files(spark, tree, "hosting")
+    rows = {
+        (r.environment, r.entity_name, str(r.backup_date))
+        for r in files.collect()
+    }
+    assert ("NL", "Widgets", "2024-01-05") in rows
+    assert ("DE", "Widgets", "2024-01-05") in rows
+    assert ("NL", "Widgets", "2024-01-04") in rows
+    assert files.count() == 5
+
+
+def test_batch_ingest_prunes_and_is_idempotent(spark, tree, tmp_path):
+    catalog = {"Widgets": SPEC, "Off": DISABLED}
+    ingest = BatchIngest(
+        spark=spark,
+        catalog=catalog,
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+        environments=["NL"],
+    )
+    results = ingest.run(tree, dt.date(2024, 1, 5))
+    # P2 drops Off, P4 drops DE, P3 drops the 01-04 file, P5 drops Unknown
+    assert len(results) == 1
+    r = results[0]
+    assert (r.environment, r.target_table, r.n_files) == ("NL", "HOST_CIG_Widgets", 1)
+    sunk = spark.read.parquet(r.sink_path)
+    assert sunk.count() == 2
+    got = {tuple(x) for x in sunk.select("ID", "Name", "Environment", "CIGProcessed").collect()}
+    assert got == {("a", "x", "NL", "0"), (None, "y", "NL", "0")}  # T4+T12 on 'nan'
+
+    # marker recorded under the triple key
+    ledger = ParquetMarkerLedger(spark, str(tmp_path / "marker"))
+    assert ledger.exists("w1.parquet", "NL", "HOST_CIG_Widgets")
+    assert not ledger.exists("w2.parquet", "DE", "HOST_CIG_Widgets")
+
+    # re-run: marker anti-join leaves nothing to do
+    again = ingest.run(tree, dt.date(2024, 1, 5))
+    assert again == []
+    assert spark.read.parquet(r.sink_path).count() == 2
+
+    # new file arrives → only it is ingested
+    write_source(spark, tree, "NL", "Widgets", "2024/01/05", "w3.parquet", [("f", "n")])
+    third = ingest.run(tree, dt.date(2024, 1, 5))
+    assert len(third) == 1 and third[0].n_files == 1
+    assert spark.read.parquet(r.sink_path).count() == 3
+
+
+def test_mailbox_layout_environment_derivation(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mb")
+    path = os.path.join(root, "NL_Hosting_Mailbox", "Msgs", "2024", "01", "05")
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.table({"ID": ["m1"], "Name": ["s"]}), os.path.join(path, "m.parquet"))
+    files = discover_files(spark, root, "mailbox")
+    row = files.first()
+    assert row.environment == "NL"
+    assert row.data_source == "NL_Hosting_Mailbox"
+    assert row.entity_name == "Msgs"
+
+
+def test_freshness_monitor_tiers(spark, tree):
+    files = discover_files(spark, tree, "hosting")
+    ref = dt.date(2024, 1, 6)
+    # Everything is stale vs 01-06 except nothing; grant Widgets/NL a
+    # 7-day grace tier → only DE/Widgets + NL/Off + NL/Unknown reported.
+    exceptions = spark.createDataFrame(
+        [("Widgets", "NL", 7)], "entity_name string, environment string, tier_days int"
+    )
+    report = freshness_report(files, ref, exceptions)
+    got = {(r.environment, r.entity_name) for r in report.collect()}
+    assert got == {("DE", "Widgets"), ("NL", "Off"), ("NL", "Unknown")}
