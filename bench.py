@@ -53,8 +53,13 @@ def materialize(df) -> None:
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="cig-etl-bench")
-    # Warmup: boot executors + codegen on a trivial plan.
+    # Warmup: boot executors + codegen on a trivial plan, and boot the
+    # Python (Arrow) workers so pandas-UDF queries measure throughput,
+    # not interpreter fork time.
     materialize(QUERIES["distinct_keys"](spark, SF_DIR))
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 
 def tokens_col(text_col: str = "text"):
     """Lowercased whitespace tokens (duplicates preserved)."""
@@ -73,7 +75,7 @@ def minhash_signatures(
     The shingle array is materialized in a first projection so the k
     signature expressions share it instead of rebuilding it k times.
     """
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col), ngram_shingles_col(text_col, shingle_n).alias("shingles")
     )
     sig_cols = [
@@ -153,8 +155,13 @@ def minhash_near_duplicates(
     threshold: float = 0.4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
+
+    The signature frame is persisted: it feeds four plan branches (both
+    sides of the banded self-join, both sides of the verify join), and
+    without a persist each branch would recompute the full shingle +
+    k-hash pipeline from the scan."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sh = sigs.select(id_col, "shingles")
     return verify_jaccard(pairs, sh, id_col, threshold)
@@ -175,7 +182,7 @@ def simhash_signatures(
     carries 64 small ints per doc regardless of corpus size. Bit width
     matters for the downstream banded join — 16-bit bands give ~65k
     buckets, keeping candidate generation sub-quadratic."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(ngram_shingles_col(text_col, shingle_n)).alias("shingle")
     ).withColumn(
         "h",
@@ -206,24 +213,34 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Banded simhash join: hamming <= n_bands - 1 guarantees a shared band
-    (pigeonhole), so the candidate join is keyed by (band_idx, band_bits)."""
+    (pigeonhole), so the candidate join is keyed by (band_idx, band_bits).
+
+    The signature frame is persisted (it feeds both sides of the self-join
+    and the sig pipeline above it is expensive), and hamming distance is
+    computed as ``bit_count(xor)`` over the bit string packed into two
+    32-bit ints — the same integer value as comparing the 64 characters
+    one by one, at a fraction of the expression/codegen size. The packing
+    stays within 2^32, so the casts are exact under ANSI mode too."""
     width = bits // n_bands
     bands = F.array(
         *[F.substring("simhash", b * width + 1, width) for b in range(n_bands)]
     )
+    sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(bands).alias("band_idx", "band_bits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.when(
-            F.substring(F.col("a.simhash"), p + 1, 1)
-            != F.substring(F.col("b.simhash"), p + 1, 1),
-            1,
-        ).otherwise(0)
-        for p in range(bits)
+
+    def _packed(side: str, lo: int, w: int):
+        return F.conv(F.substring(F.col(f"{side}.simhash"), lo, w), 2, 10).cast("long")
+
+    half = bits // 2
+    hamming = F.bit_count(
+        _packed("a", 1, half).bitwiseXOR(_packed("b", 1, half))
+    ) + F.bit_count(
+        _packed("a", half + 1, half).bitwiseXOR(_packed("b", half + 1, half))
     )
     return (
         a.join(
@@ -263,7 +280,7 @@ def ngram_jaccard_pairs(
     shared(a,b) computed by grouping the shingle-equijoin; |A|,|B| joined
     back from per-doc shingle counts. Shuffles are keyed by shingle then by
     pair — never a cross join."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
     )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))

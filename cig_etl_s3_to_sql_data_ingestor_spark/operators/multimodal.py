@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..partitioning import fan_out
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -84,7 +86,9 @@ def decode_stub(mm: DataFrame) -> DataFrame:
                 }
             )
 
-    return mm.mapInPandas(decode_batches, DECODED_SCHEMA)
+    # Decode is the CPU-heavy stage of a multimodal pipeline — fan the
+    # batches across all cores before the Python workers see them.
+    return fan_out(mm).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
 def frame_sample_plan(mm: DataFrame, every_nth: int = 2) -> DataFrame:

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm
+from ..functions.vectors import dot, norm
+from ..partitioning import fan_out
 
 
 def brute_force_topk(
@@ -35,15 +36,34 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k of every query against the corpus."""
+    """Exact cosine top-k of every query against the corpus.
+
+    Norms are precomputed map-side on each input (one ``sqrt(dot(v,v))``
+    per VECTOR, not per pair), so the per-pair work after the broadcast
+    join is a single fold — cosine values are bit-identical to the
+    all-per-pair formulation since the norm expression is deterministic.
+    The corpus side is fanned out first: a broadcast join inherits the
+    probe side's partitioning, so an under-split corpus would otherwise
+    serialize the whole scoring stage.
+    """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
@@ -72,20 +92,26 @@ def axis_lsh_topk(
     dims: tuple[int, ...] = (1, 8, 22, 43),
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign bucket."""
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
         sign_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("cand_vec")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
@@ -106,21 +132,31 @@ def cosine_near_duplicates(
 
     The self-join is keyed by the block column — at scale the block key
     should be an LSH bucket (see sign_bucket) or a coarse cluster id so
-    block sizes stay bounded."""
+    block sizes stay bounded.
+
+    Two scale guards: norms are precomputed per vector (map-side, before
+    the pair blow-up), and the PAIR frame is fanned out before scoring —
+    the join's output parallelism is bounded by the number of distinct
+    blocks (10 labels ⇒ ≤10 busy tasks no matter the cluster size), so
+    the cosine fold must be rebalanced onto all cores."""
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
     )
     b = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
     )
+    pairs = fan_out(a.join(b, "block").filter(F.col("id_a") < F.col("id_b")))
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn(
+            "cosine_sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

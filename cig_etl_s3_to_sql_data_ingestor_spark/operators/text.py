@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
 from .dedup import tokens_col
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -102,11 +103,13 @@ def fingerprints(
     """Winnowing-lite rolling fingerprint: min md5 over char n-gram shingles.
 
     A content-defined digest stable under small edits elsewhere in the doc;
-    md5 keeps it reproducible in any engine."""
+    md5 keeps it reproducible in any engine. ~L md5 calls per document make
+    this the most CPU-heavy map in the text suite — fan_out keeps it on all
+    cores when the scan arrives under-partitioned."""
     lower = F.lower(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - (n - 1), F.lit(1)))
     shingle_hashes = F.transform(idx, lambda i: F.md5(F.substr(lower, i, F.lit(n))))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.array_min(shingle_hashes).alias("fingerprint"),
         F.size(shingle_hashes).alias("n_shingles"),

@@ -121,12 +121,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_sql_cosine('a.embedding', 'b.embedding')} AS cosine_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.9
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
     ORDER BY id_a, id_b
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.4: the synthetic embeddings are near-uniform (max
+    # within-label cosine ~0.47 at sf0.01), so a conventional 0.9 cutoff
+    # would make this a vacuous always-empty check.
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_duplicates(e, block_col="label", threshold=0.9).orderBy(
+    return S.cosine_near_duplicates(e, block_col="label", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
