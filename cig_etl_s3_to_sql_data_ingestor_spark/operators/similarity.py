@@ -121,6 +121,95 @@ def axis_lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine.
+
+    Centroids are broadcast, so assignment is one map-side pass over the
+    corpus (no corpus shuffle); the ``row_number`` ranking shuffles only
+    ``|corpus| x |centroids|`` scored rows. For very large corpora swap
+    the window for ``groupBy(id).agg(max_by(...))`` (partial-aggregating,
+    no full shuffle) or a Pandas-UDF matrix multiply per Arrow batch.
+    Ties break toward the highest centroid id (bit-reproducible because
+    the dot-product fold is deterministic).
+    """
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cell_vec"),
+        norm(F.col(vec_col)).alias("cell_norm"),
+    )
+    scored = c.crossJoin(F.broadcast(cent)).withColumn(
+        "cell_sim",
+        dot(F.col("cand_vec"), F.col("cell_vec"))
+        / (F.col("cand_norm") * F.col("cell_norm")),
+    )
+    w = W.partitionBy("cand_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell_id").desc()
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("cand_id", "cand_vec", "cand_norm", "cell_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: inverted-file cells + exact re-rank.
+
+    Index build = one pass assigning every corpus vector to its nearest
+    cell; search = score each query against the centroids, probe the
+    ``n_probe`` best cells, and exactly re-rank only those cells'
+    members. The candidate join is an equi-join on ``cell_id`` — work is
+    O(probed-cell sizes), not O(corpus), which is the IVF scale story.
+
+    Centroid "training" here is deterministic (the first ``n_cells``
+    vectors serve as centroids) so any engine can reproduce the index
+    bit-for-bit; production would plug a KMeans-sampled centroid set in
+    the same shape.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_cells)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("cand_id").alias("query_id"),
+        F.col("cand_vec").alias("query_vec"),
+        F.col("cand_norm").alias("query_norm"),
+        "cell_id",
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     block_col: str = "label",

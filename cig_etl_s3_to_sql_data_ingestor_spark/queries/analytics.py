@@ -1,0 +1,386 @@
+"""Analytical query surface: multi-way joins, set operations, rollups,
+and temporal (as-of) joins over the TPC-H-shaped synthetic tables.
+
+The reference's own query surface stops at single-table verification
+selects (`/root/reference/test_compare_sql_local_and_prod_data.py:32`);
+these queries extend the engine to the analytics a warehouse consumer of
+those ingested tables would run. Scale discipline per query:
+
+- dimension sides (region/nation/supplier/customer-after-filter) are
+  broadcast — the fact table (lineitem/orders/events) never shuffles for
+  a dimension join;
+- aggregates on doubles use decimal-exact accumulation (functions.exact)
+  so results are order-independent at any parallelism;
+- the as-of join is the union+window formulation (operators.temporal) —
+  one shuffle, no range join blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum, sql_exact_sum
+from ..io import load_table
+from ..operators.temporal import as_of_join
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+REV = "l_extendedprice * (1 - l_discount)"
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev_dec():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape: shipping priority — customer ⨝ orders ⨝ lineitem, top revenue.
+# customer is filtered then broadcast; orders⨝lineitem is the only shuffle
+# join (both sides large at 100 TB → sort-merge on orderkey; AQE picks
+# broadcast when the filtered orders side turns out small).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o_date, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: revenue per nation — 6-way join. All dimensions broadcast;
+# lineitem⨝orders is the single big shuffle; the supplier⨝customer
+# same-nation constraint applies post-join as a filter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND r.r_name IN ('AMERICA', 'ASIA')
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order-priority count gated on an EXISTS — a left-semi join of
+# orders against returned lineitems. Semi-join shuffles only the key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: top customers by returned revenue — join + agg + top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_returned_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS lost_revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_dec()).cast("double").alias("lost_revenue"))
+        .select("c_custkey", "c_name", "lost_revenue", "n_name")
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations: INTERSECT / EXCEPT / UNION over yearly customer
+# activity — Catalyst rewrites these into semi/anti joins with the same
+# shuffle shape as J1/J4.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_activity_setops",
+    oracle="""
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-12-31')
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'only_1997' AS cohort, o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'only_1998' AS cohort, o_custkey FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
+    ORDER BY cohort, o_custkey
+    """,
+)
+def customer_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+
+    def year(y: int) -> DataFrame:
+        return (
+            o.filter(
+                d.between(
+                    F.lit(f"{y}-01-01").cast("date"), F.lit(f"{y}-12-31").cast("date")
+                )
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = year(1997), year(1998)
+    both = y97.intersect(y98).select(F.lit("both").alias("cohort"), "o_custkey")
+    only97 = y97.exceptAll(y98).select(F.lit("only_1997").alias("cohort"), "o_custkey")
+    only98 = y98.exceptAll(y97).select(F.lit("only_1998").alias("cohort"), "o_custkey")
+    return both.unionByName(only97).unionByName(only98).orderBy("cohort", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP over (priority, status) — partial aggregation and
+# the grouping-set expansion both happen map-side before one shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_rollup",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+)
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase event picks up the user's most recent
+# at-or-before click (operators.temporal.as_of_join — union+window, one
+# shuffle). DuckDB verifies via its native ASOF JOIN with the same
+# greatest-event_id tie-break expressed as a window dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_matched, c.event_id AS click_event_id, c.value AS click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        payload_cols=("event_id", "value"),
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "ts_matched",
+        F.col("event_id_matched").alias("click_event_id"),
+        F.col("value_matched").alias("click_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter: parts priced above their brand average —
+# expressed as a broadcast join against the per-brand aggregate (the
+# decorrelated plan Catalyst would produce for the subquery).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_brand_average",
+    oracle=f"""
+    WITH brand_avg AS (
+      SELECT p_brand, {sql_exact_sum("p_retailprice", 2)} / COUNT(*) AS avg_price
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, b.avg_price
+    FROM part p JOIN brand_avg b ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > b.avg_price
+    ORDER BY p.p_partkey
+    """,
+)
+def above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        (exact_sum(F.col("p_retailprice"), 2) / F.count("*")).alias("avg_price")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_brand", "p_retailprice", "avg_price")
+        .orderBy("p_partkey")
+    )

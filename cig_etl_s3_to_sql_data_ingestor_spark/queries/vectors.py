@@ -115,6 +115,52 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings WHERE vec_id < 16
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.query_id, q.query_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             {_sql_cosine('p.query_vec', 'a.cand_vec')} AS cosine_sim
+      FROM assigned a JOIN probes p USING (cell_id)
+      WHERE a.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.ivf_topk(e, queries, k=5, n_cells=16, n_probe=4).orderBy("query_id", "rank")
+
+
+@register(
     "embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
