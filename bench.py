@@ -5,8 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full materialization,
-no write cost). One warmup query amortizes JVM/codegen startup so the
-numbers reflect engine throughput, not session boot.
+no write cost). Warmup queries amortize JVM/codegen/Python-worker startup,
+and each query reports the min of $SPARK_GRAFT_BENCH_RUNS (default 2)
+runs — steady-state engine throughput, not session boot or JIT noise.
 """
 
 from __future__ import annotations
@@ -26,6 +27,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "pricing_summary",
     "verification_query",
+    "shipping_priority",
+    "region_nation_revenue",
+    "top_returned_customers",
+    "customer_activity_setops",
+    "order_rollup",
+    "asof_last_click",
+    "ann_ivf_topk",
     "config_enrich_join",
     "marker_antijoin",
     "topk_per_group",
@@ -61,11 +69,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            # Drop caches persisted by a previous run of the same query —
+            # Spark's CacheManager matches by canonical plan, so without
+            # this a re-run would silently reuse the LSH signature caches
+            # and report a flattered time.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

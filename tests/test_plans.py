@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — the scale contract, not just results.
+
+Each assertion pins a plan property that matters at 100 TB: filters
+reaching the parquet scan, column-pruned ReadSchema, broadcast joins for
+dimension sides, partial (map-side) aggregation, and the absence of
+cartesian products in the LSH candidate generation. A refactor that
+keeps results but breaks one of these would regress 100x at scale while
+staying green on row-level tests — these catch that.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES
+
+
+def explain(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain(spark, sf_dir, "verification_query")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in scan"
+    # The to-date cast predicate must still convert to a pushable
+    # timestamp range — not collapse to a post-scan filter.
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = explain(spark, sf_dir, "ordered_projection")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, "no ReadSchema in plan"
+    read = schema_lines[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"):
+        assert col in read
+    # lineitem has 11 columns; the scan must not read the unused ones.
+    for col in ("l_shipdate", "l_discount", "l_tax", "l_partkey", "l_suppkey"):
+        assert col not in read, f"unpruned column {col} in {read}"
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    for name in ("config_enrich_join", "worklist_semi_join", "region_nation_revenue"):
+        plan = explain(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_marker_antijoin_is_anti(spark, sf_dir):
+    plan = explain(spark, sf_dir, "marker_antijoin")
+    assert "LeftAnti" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = explain(spark, sf_dir, "pricing_summary")
+    # Two HashAggregate nodes around one exchange = map-side combine.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"pricing_summary has {n_exchanges} exchanges"
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"]
+)
+def test_lsh_candidate_join_never_cartesian(spark, sf_dir, name):
+    plan = explain(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} degenerated to a cross join"
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    plan = explain(spark, sf_dir, "asof_last_click")
+    # The union+window formulation must not contain any join node.
+    assert not re.search(r"\(\d+\) \w*Join", plan), plan
+    assert "Window" in plan
