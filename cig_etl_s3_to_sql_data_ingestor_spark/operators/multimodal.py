@@ -91,6 +91,113 @@ def decode_stub(mm: DataFrame) -> DataFrame:
     return fan_out(mm).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(mm: DataFrame, max_side: int = 32) -> DataFrame:
+    """Arrow-batched 'resize' plumbing: aspect-preserving fit into a
+    ``max_side`` square. The pixel work is STUBBED (no PIL/ffmpeg in this
+    container): output dims/scales are computed for real from the metadata
+    struct, and 'resized_bytes' models area-proportional payload shrink —
+    deterministic, so the whole pipeline stays oracle-checkable. Swap the
+    body for a real interpolating resample in production; the schema,
+    batching, and partition behavior are what this operator pins down.
+    """
+
+    def resize_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        side = max_side  # bind into the closure (no module-level refs)
+
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int64")
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            scale = (side / w.combine(h, max)).clip(upper=1.0)
+            # floor, not round: banker's rounding differs between engines
+            # at exact .5 — floor is unambiguous on the same IEEE double.
+            out_w = _np.floor(w * scale).clip(lower=1).astype("int64")
+            out_h = _np.floor(h * scale).clip(lower=1).astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w.astype("int32"),
+                    "out_height": out_h.astype("int32"),
+                    "scale_x": (out_w / w).astype("float64"),
+                    "scale_y": (out_h / h).astype("float64"),
+                    "resized_bytes": (n_bytes * out_w * out_h // (w * h)).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return fan_out(mm).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def feature_extract_stub(mm: DataFrame) -> DataFrame:
+    """Arrow-batched 'feature extraction' over the raw payload bytes.
+
+    Computes real, deterministic byte-level features (mean byte value,
+    Shannon entropy of the byte histogram) with vectorized numpy per
+    batch — the stand-in for an embedding model forward pass. The
+    features are exactly reproducible in SQL, so the Arrow plumbing is
+    value-checked end-to-end, not just schema-checked."""
+
+    def feature_batches(batches):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        def feats(payload: bytes):
+            arr = _np.frombuffer(payload, dtype=_np.uint8)
+            if arr.size == 0:
+                return 0.0, 0.0, 0
+            counts = _np.bincount(arr, minlength=256)
+            # Sequential fold in ascending byte order — numpy's pairwise
+            # .sum() would differ from a single-threaded SQL oracle by
+            # ULPs; this order is reproducible in any engine.
+            ent_sum = 0.0
+            for c in counts[counts > 0]:
+                p = int(c) / arr.size
+                ent_sum += p * _math.log2(p)
+            mean = int(arr.sum(dtype=_np.int64)) / arr.size
+            return mean, -ent_sum, int(arr.size)
+
+        for pdf in batches:
+            rows = pdf["payload"].map(feats)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mean_byte": rows.map(lambda r: r[0]),
+                    "byte_entropy": rows.map(lambda r: r[1]),
+                    "n_bytes": rows.map(lambda r: r[2]).astype("int64"),
+                }
+            )
+
+    return fan_out(mm).mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
 def frame_sample_plan(mm: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index.
 

@@ -135,6 +135,66 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             1 + n_chars % 64 AS w,
+             1 + (n_chars * 7) % 64 AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h, nb, least(1.0, 32.0 / greatest(w, h)) AS scale FROM m
+    ), o AS (
+      SELECT doc_id, w, h, nb,
+             greatest(1, CAST(floor(w * scale) AS BIGINT)) AS out_w,
+             greatest(1, CAST(floor(h * scale) AS BIGINT)) AS out_h
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(out_w AS INTEGER) AS out_width,
+           CAST(out_h AS INTEGER) AS out_height,
+           CAST(out_w AS DOUBLE) / w AS scale_x,
+           CAST(out_h AS DOUBLE) / h AS scale_y,
+           nb * out_w * out_h // (w * h) AS resized_bytes
+    FROM o ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.resize_stub(M.attach_payload(d), max_side=32).orderBy("doc_id")
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) AS byte
+      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    ), hist AS (
+      SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY doc_id, byte
+    ), agg AS (
+      SELECT doc_id, SUM(cnt * byte) AS byte_sum, SUM(cnt) AS n,
+             list(cnt ORDER BY byte) AS counts
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(byte_sum AS DOUBLE) / n AS mean_byte,
+           -(list_reduce(
+               list_transform(counts,
+                 c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+               (a, x) -> a + x
+             )) AS byte_entropy,
+           CAST(n AS BIGINT) AS n_bytes
+    FROM agg ORDER BY doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return M.feature_extract_stub(M.attach_payload(d)).orderBy("doc_id")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
