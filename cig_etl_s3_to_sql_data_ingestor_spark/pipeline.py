@@ -61,6 +61,7 @@ class BatchIngest:
     marker_path: str
     environments: list[str] | None = None
     layout: str = "hosting"
+    jdbc_url: str | None = None  # when set, sink = JDBC append (S8)
     results: list[IngestResult] = field(default_factory=list)
 
     def run(self, data_root: str, ingestion_date: dt.date) -> list[IngestResult]:
@@ -81,9 +82,16 @@ class BatchIngest:
                 stringify(df), table, data_source, ingestion_date
             )
             final = TR.materialize_nulls(cleaned)  # T12 at the sink boundary
-            out_path = os.path.join(self.sink_root, target, f"environment={env}")
-            final.write.mode("append").parquet(out_path)
-            n_rows = self.spark.read.parquet(out_path).count()
+            if self.jdbc_url is not None:
+                from .sources.jdbc import write_table
+
+                write_table(final, self.jdbc_url, target)
+                out_path = f"{self.jdbc_url}::{target}"
+                n_rows = final.count()
+            else:
+                out_path = os.path.join(self.sink_root, target, f"environment={env}")
+                final.write.mode("append").parquet(out_path)
+                n_rows = self.spark.read.parquet(out_path).count()
             completed = (
                 wl.filter(
                     (F.col("environment") == env) & (F.col("target_table") == target)

@@ -2,10 +2,11 @@
 
 The reference bulk-inserts into SQL Server over ODBC
 (`ParquetFileInsertion.py:60-65`); Spark-native equivalent is
-``df.write.jdbc`` with a batched, partition-parallel writer. No JDBC
-driver jar or SQL Server exists in this container, so everything network
-is behind ``require_driver``-gated call sites — the URL/option builders
-and the plan shape are unit-tested, the socket I/O is not.
+``df.write.jdbc`` with a batched, partition-parallel writer. No SQL
+Server (or its driver jar) exists in this container, but Spark bundles
+embedded Derby — the integration tests run the full write/read/reflect
+path against ``jdbc:derby:memory:`` so the sink is exercised end-to-end,
+not just unit-tested for option shape.
 """
 
 from __future__ import annotations
@@ -16,6 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 def sqlserver_url(host: str, database: str, port: int = 1433) -> str:
     """`main.py:64-68` builds an mssql+pyodbc DSN; the Spark analog."""
     return f"jdbc:sqlserver://{host}:{port};databaseName={database};encrypt=false"
+
+
+def derby_memory_url(name: str) -> str:
+    """In-process Derby (bundled with Spark) — the test stand-in for the
+    SQL Server target; same code path, different dialect."""
+    return f"jdbc:derby:memory:{name};create=true"
 
 
 def write_options(batchsize: int = 10_000, isolation: str = "READ_COMMITTED") -> dict:
