@@ -104,3 +104,102 @@ def test_windowed_event_counts_streaming_memory_sink(spark, sf_dir):
         # final open window stays buffered — compare against that.
         closed = static.count()
         assert n >= closed - 24  # at most the last day's windows open
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 10 + minute // 60, minute % 60)
+
+
+def drop_events(spark, src_dir, name, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src_dir, name))
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src + "/*")
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(str(tmp_path / "out")).collect()
+        except Exception:
+            return []
+
+    # Batch 1: user 1 has two sessions separated by a >30min gap (first
+    # closes in-batch); user 2 has one open session.
+    drop_events(
+        spark,
+        src,
+        "b1.parquet",
+        [
+            (1, 1, _ts(0)),
+            (2, 1, _ts(10)),
+            (3, 1, _ts(50)),  # 40min gap -> closes session 1
+            (4, 2, _ts(5)),
+        ],
+    )
+    rows = drain()
+    closed = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 2) in closed, rows  # user 1's first session closed by gap
+    # User 2's gap deadline (10:35) is already behind the batch-1
+    # watermark (10:49), so the availableNow run's timeout batch flushes
+    # it; user 1's second session (deadline 11:20) must stay open.
+    assert (2, 1) in closed, rows
+    assert (1, 1) not in closed, rows
+
+    # Batch 2: much later events advance the watermark past the
+    # remaining open session's deadline -> state flushes via event-time
+    # timeout, across runs through the checkpoint.
+    drop_events(spark, src, "b2.parquet", [(5, 3, _ts(600))])
+    rows = drain()
+    closed = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 1) in closed, rows  # user 1's second session timed out
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "src")
+    drop_events(
+        spark,
+        src,
+        "d1.parquet",
+        [(1, 1, _ts(0)), (1, 1, _ts(0)), (2, 1, _ts(1)), (2, 1, _ts(2)), (3, 2, _ts(3))],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src + "/*")
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r[0] for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert sorted(ids) == [1, 2, 3]
