@@ -19,6 +19,7 @@ under retries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -29,3 +30,34 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    big: DataFrame,
+    medium: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the other.
+
+    For the case AQE's skew handling can't fix: a join key where a few
+    hot values dominate the big side AND the other side is too large to
+    broadcast outright. The big side gets a deterministic per-row salt
+    (hash of all columns, so retried tasks re-derive the same salt); the
+    medium side is exploded ``n_salts``-fold so every (key, salt) bucket
+    finds its match. A hot key's rows now spread over ``n_salts`` tasks
+    instead of one straggler.
+
+    Cost model: medium side is scanned/shuffled ``n_salts`` times over —
+    worth it only when the hot key's single-task time dominates the
+    stage. Result equals ``big.join(medium, on, how)`` exactly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    m = medium.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(m, [on, "_salt"], how).drop("_salt")

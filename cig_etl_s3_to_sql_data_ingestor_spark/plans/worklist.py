@@ -38,8 +38,9 @@ def build_worklist(
     ingestion_date: dt.date,
     environments: list[str] | None = None,
     ledger: ParquetMarkerLedger | None = None,
+    file_name: str | None = None,
 ) -> DataFrame:
-    """Apply P5/P6/P2/P3/P4 and J4 to the discovered-file frame."""
+    """Apply P5/P6/P2/P3/P4 (+ optional P9) and J4 to the file frame."""
     # First-match config semantics (`main.py:83-84`).
     cfg = config.dropDuplicates(["source"])
     out = files.join(
@@ -49,6 +50,8 @@ def build_worklist(
     out = out.filter(F.col("backup_date") >= F.lit(ingestion_date))  # P3 late-data drop
     if environments is not None:  # P4
         out = out.filter(F.col("environment").isin(environments))
+    if file_name is not None:  # P9: debug single-file filter (`main.py:38-39`)
+        out = out.filter(F.col("file_name") == file_name)
     if ledger is not None:  # J4
         out = ledger.select_work(out)
     return out
