@@ -36,18 +36,17 @@ MARKER_SCHEMA = T.StructType(
 )
 
 
-class ParquetMarkerLedger:
-    """Marker table persisted as a small parquet directory."""
+class MarkerLedger:
+    """Shared marker protocol: exists / select_work / touch over any
+    storage backend (subclasses provide ``read``/``_write``)."""
 
-    def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
-        self.path = path
+    spark: SparkSession
 
-    def read(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(MARKER_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], MARKER_SCHEMA)
+    def read(self) -> DataFrame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _write(self, merged: DataFrame) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def exists(self, parquet_source: str, environment: str, target_table: str) -> bool:
         """LIMIT-1 existence probe (`CustomMarkerTable.py:47-59`)."""
@@ -87,4 +86,67 @@ class ParquetMarkerLedger:
             .dropDuplicates(MARKER_KEY)
             .localCheckpoint()  # cut lineage before overwriting the source
         )
+        self._write(merged)
+
+
+class ParquetMarkerLedger(MarkerLedger):
+    """Marker table persisted as a small parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(MARKER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], MARKER_SCHEMA)
+
+    def _write(self, merged: DataFrame) -> None:
         merged.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+
+class JdbcMarkerLedger(MarkerLedger):
+    """Marker table in a SQL database over JDBC — the reference keeps its
+    `ETL_Import_From_S3_Marker` in the target SQL Server (`luigi.cfg:5`)
+    so operators can audit it with plain SQL; this backend preserves
+    that. The ledger is tiny (one row per ingested file), so the upsert
+    is a read-merge-overwrite; on a database with MERGE support the same
+    protocol maps to one MERGE statement.
+    """
+
+    def __init__(self, spark: SparkSession, url: str, table: str = "etl_marker"):
+        self.spark = spark
+        self.url = url
+        self.table = table
+
+    def read(self) -> DataFrame:
+        from ..sources.jdbc import read_query
+
+        try:
+            df = read_query(self.spark, self.url, f"SELECT * FROM {self.table}")
+        except Exception:
+            return self.spark.createDataFrame([], MARKER_SCHEMA)
+        # Normalize identifier case (Derby uppercases) + types.
+        cols = {c.lower(): c for c in df.columns}
+        return df.select(
+            *[
+                F.col(cols[f.name.lower()]).cast(f.dataType).alias(f.name)
+                for f in MARKER_SCHEMA.fields
+            ]
+        )
+
+    # The reference declares varchar(128) keys (`CustomMarkerTable.py:74-80`);
+    # declaring them here also keeps Derby on VARCHAR instead of CLOB,
+    # which would reject pushed-down equality filters.
+    COLUMN_TYPES = (
+        "parquet_source VARCHAR(128), target_table VARCHAR(128), "
+        "environment VARCHAR(128)"
+    )
+
+    def _write(self, merged: DataFrame) -> None:
+        merged.coalesce(1).write.mode("overwrite").format("jdbc").option(
+            "url", self.url
+        ).option("dbtable", self.table).option("truncate", "true").option(
+            "createTableColumnTypes", self.COLUMN_TYPES
+        ).save()

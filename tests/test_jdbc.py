@@ -92,3 +92,42 @@ def test_batch_ingest_jdbc_sink(spark, tmp_path, url):
         spark, url, "SELECT COUNT(*) AS n FROM HOST_CIG_Widgets"
     ).collect()[0][0]
     assert n == 3, "idempotency violated: rerun double-inserted rows"
+
+
+def test_jdbc_marker_ledger(spark, url):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.marker import JdbcMarkerLedger
+
+    ledger = JdbcMarkerLedger(spark, url, table="etl_marker")
+    assert ledger.read().count() == 0
+    assert not ledger.exists("f1.parquet", "NL", "T1")
+
+    completed = spark.createDataFrame(
+        [("f1.parquet", "NL", "T1", dt.date(2024, 1, 5))],
+        "file_name string, environment string, target_table string, backup_date date",
+    )
+    ledger.touch(completed)
+    assert ledger.exists("f1.parquet", "NL", "T1")
+    assert not ledger.exists("f1.parquet", "DE", "T1")
+
+    # Re-touch same key + one new: upsert keeps one row per triple.
+    completed2 = spark.createDataFrame(
+        [
+            ("f1.parquet", "NL", "T1", dt.date(2024, 1, 6)),
+            ("f2.parquet", "NL", "T1", dt.date(2024, 1, 6)),
+        ],
+        "file_name string, environment string, target_table string, backup_date date",
+    )
+    ledger.touch(completed2)
+    m = ledger.read()
+    assert m.count() == 2
+    # Latest touch wins on the re-delivered key.
+    row = m.filter(F.col("parquet_source") == "f1.parquet").first()
+    assert str(row["backup_date"]) == "2024-01-06"
+
+    # J4 work selection: only unseen files survive.
+    files = spark.createDataFrame(
+        [("f1.parquet", "NL", "T1"), ("f3.parquet", "NL", "T1")],
+        "file_name string, environment string, target_table string",
+    )
+    work = ledger.select_work(files)
+    assert [r["file_name"] for r in work.collect()] == ["f3.parquet"]
