@@ -1,0 +1,47 @@
+"""SQL front end: the ANSI oracle queries run through spark.sql against
+registered views and produce the same rows as the DataFrame queries —
+one engine, two query surfaces.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import ORACLES, QUERIES
+from cig_etl_s3_to_sql_data_ingestor_spark.sql import register_views, sql
+
+# Oracles written in portable ANSI SQL (no DuckDB-only list/lambda
+# functions) — these must run verbatim on Spark SQL too.
+PORTABLE = [
+    "pricing_summary",
+    "verification_query",
+    "distinct_keys",
+    "ordered_projection",
+    "worklist_semi_join",
+    "marker_antijoin",
+    "latest_per_group",
+    "topk_per_group",
+    "shipping_priority",
+    "region_nation_revenue",
+    "order_priority_count",
+    "top_returned_customers",
+    "customer_activity_setops",
+    "order_rollup",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_oracle_sql_runs_on_spark_sql(spark, sf_dir, name):
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(ORACLES[name])
+    via_df = QUERIES[name](spark, sf_dir)
+    assert sorted(via_sql.columns) == sorted(via_df.columns)
+    sql_rows = sorted(map(repr, (tuple(r) for r in via_sql.collect())))
+    df_rows = sorted(map(repr, (tuple(r) for r in via_df.collect())))
+    assert sql_rows == df_rows, name
+
+
+def test_sql_helper(spark, sf_dir):
+    n = sql(spark, sf_dir, "SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    assert n > 0
