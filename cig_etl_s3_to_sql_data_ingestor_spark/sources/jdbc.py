@@ -59,6 +59,68 @@ def write_table(
     ).options(**opts).save()
 
 
+def write_table_transactional(
+    df: DataFrame,
+    url: str,
+    table: str,
+    staging_suffix: str = "_staging",
+    batchsize: int = 10_000,
+) -> None:
+    """Exactly-once JDBC publish under task retries: stage, then commit.
+
+    ``df.write.jdbc(mode="append")`` is not transactional across Spark
+    task retries — a task that dies after inserting half its batch leaves
+    rows behind, and its retry double-inserts them. The reference papers
+    over this with whole-file retries + the marker check
+    (`ParquetFileInsertion.py:21`, `CustomMarkerTable.py:47-59`); the
+    robust pattern is:
+
+    1. Spark appends to a staging table (task failures may leave it
+       dirty — it is truncated first and rewritten wholesale);
+    2. one driver-side JDBC transaction atomically publishes
+       ``INSERT INTO target SELECT * FROM staging`` and drops staging —
+       target either gets the full batch once, or nothing.
+
+    The publish statement runs on a single connection via the JVM's
+    DriverManager (no extra Python DB driver needed).
+    """
+    staging = f"{table}{staging_suffix}"
+    spark = df.sparkSession
+    write_table(df, url, staging, mode="overwrite", batchsize=batchsize)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        cols = ", ".join(f'"{c}"' for c in df.columns)
+        try:
+            stmt.executeUpdate(
+                f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}'
+            )
+        except Exception:
+            # Target may not exist yet: create-as-select via Spark writer
+            # would lose the transaction; instead create empty and retry.
+            conn.rollback()
+            ddl = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                d = ddl.createStatement()
+                d.executeUpdate(
+                    f'CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA'
+                )
+            finally:
+                ddl.close()
+            stmt.executeUpdate(
+                f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}'
+            )
+        stmt.executeUpdate(f"DROP TABLE {staging}")
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
 def read_query(spark: SparkSession, url: str, query: str) -> DataFrame:
     """S11: SQL query source (`pandas.read_sql` analog)."""
     return spark.read.format("jdbc").option("url", url).option("query", query).load()

@@ -131,3 +131,23 @@ def test_jdbc_marker_ledger(spark, url):
     )
     work = ledger.select_work(files)
     assert [r["file_name"] for r in work.collect()] == ["f3.parquet"]
+
+
+def test_transactional_publish(spark, url):
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
+        write_table_transactional,
+    )
+
+    df = spark.range(4).select(F.col("id").alias("K"))
+    write_table_transactional(df, url, "t_tx")
+    n = read_query(spark, url, "SELECT COUNT(*) AS n FROM t_tx").collect()[0][0]
+    assert n == 4
+    # Staging table must be gone after the commit.
+    with pytest.raises(Exception):
+        read_query(spark, url, "SELECT COUNT(*) FROM t_tx_staging").collect()
+
+    # Second publish appends exactly once more (staging rewritten, not
+    # accumulated).
+    write_table_transactional(df, url, "t_tx")
+    n = read_query(spark, url, "SELECT COUNT(*) AS n FROM t_tx").collect()[0][0]
+    assert n == 8

@@ -77,3 +77,26 @@ def test_asof_join_is_single_window_no_join(spark, sf_dir):
     # The union+window formulation must not contain any join node.
     assert not re.search(r"\(\d+\) \w*Join", plan), plan
     assert "Window" in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned sink output must be read with partition pruning:
+    a filter on the partition column appears as PartitionFilters in the
+    scan and prunes directories before any data I/O."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_events
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_date")
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("event_date").parquet(out)
+
+    rd = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-04")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = rd._jdf.queryExecution().explainString(mode)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], plan
+    # And the pruned read returns exactly that day's rows.
+    expected = ev.filter(F.col("event_date") == "2024-01-04").count()
+    assert rd.count() == expected > 0
