@@ -407,23 +407,26 @@ def latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_suppkey
     ), exceptions AS (
       SELECT s_suppkey,
-             CASE WHEN s_suppkey % 10 = 0 THEN 400
-                  WHEN s_suppkey % 10 = 1 THEN 700 END AS tier_days
+             CASE WHEN s_suppkey % 10 = 0 THEN 3
+                  WHEN s_suppkey % 10 = 1 THEN 10 END AS tier_days
       FROM supplier WHERE s_suppkey % 10 IN (0, 1)
     )
     SELECT l.l_suppkey, l.latest_ship
     FROM latest l
-    WHERE l.latest_ship < DATE '1998-08-01'
+    WHERE l.latest_ship < DATE '2001-11-01'
       AND NOT EXISTS (
         SELECT 1 FROM exceptions e
         WHERE e.s_suppkey = l.l_suppkey
-          AND l.latest_ship >= DATE '1998-08-01' - CAST(e.tier_days AS INTEGER)
+          AND l.latest_ship >= DATE '2001-11-01' - CAST(e.tier_days AS INTEGER)
       )
     ORDER BY l.l_suppkey
     """,
 )
 def staleness_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ref_date = F.lit("1998-08-01").cast("date")
+    # Ref date sits mid-distribution of per-supplier latest-ship dates
+    # (synthetic data clusters in late Oct 2001) so the staleness filter
+    # and the grace-window anti-join both produce non-trivial results.
+    ref_date = F.lit("2001-11-01").cast("date")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     latest = l.groupBy("l_suppkey").agg(
@@ -433,7 +436,7 @@ def staleness_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("s_suppkey") % 10).isin(0, 1))
         .select(
             "s_suppkey",
-            F.when(F.col("s_suppkey") % 10 == 0, 400).otherwise(700).alias("tier_days"),
+            F.when(F.col("s_suppkey") % 10 == 0, 3).otherwise(10).alias("tier_days"),
         )
     )
     stale = latest.filter(F.col("latest_ship") < ref_date)
