@@ -27,6 +27,52 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def range_join_by_buckets(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join without an equi-key, made shuffle-friendly.
+
+    Catalyst plans a pure inequality join (``ts >= start AND ts < end``)
+    as BroadcastNestedLoopJoin — O(|events| x |intervals|) comparisons,
+    unusable at scale. The bucket trick turns it into an equi-join:
+
+    - each event keys by its time bucket ``floor(epoch/W)``;
+    - each interval explodes into the buckets it overlaps (cheap when
+      interval length ~ bucket width);
+    - equi-join on bucket, then the exact range predicate filters.
+
+    Each (event, interval) pair meets in exactly one bucket (the event's
+    own), so no dedup is needed. The shuffle is keyed by time bucket —
+    pick ``bucket_seconds`` ~ median interval length so intervals explode
+    into O(1) buckets each. End is exclusive.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    ev = events.withColumn("_bucket", b.cast("long"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast(
+                    "long"
+                ),
+                F.floor(
+                    (F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, "_bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum, sql_exact_sum
 from ..io import load_table
-from ..operators.temporal import as_of_join
+from ..operators.temporal import as_of_join, range_join_by_buckets
 
 QUERIES = {}
 ORACLES = {}
@@ -351,6 +351,54 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_matched").alias("click_event_id"),
         F.col("value_matched").alias("click_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Range join: events against a fixed grid of 2h observation windows at 7h
+# stride — no equi-key, so a naive plan is a nested-loop join; the
+# operator (operators.temporal.range_join_by_buckets) buckets time to
+# turn it into an equi-join. The oracle states the plain inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_in_windows",
+    oracle=f"""
+    WITH windows AS (
+      SELECT i AS window_id,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS w_start,
+             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR
+               + INTERVAL 2 HOUR AS w_end
+      FROM unnest(generate_series(0, 102)) AS t(i)
+    )
+    SELECT w.window_id, e.event_type,
+           COUNT(*) AS n, {sql_exact_sum('e.value', 2)} AS sum_value
+    FROM events e JOIN windows w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id, e.event_type
+    ORDER BY w.window_id, e.event_type
+    """,
+)
+def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    windows = spark.range(0, 103).select(
+        F.col("id").alias("window_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+        ).alias("w_start"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+            + F.expr("INTERVAL 2 HOURS")
+        ).alias("w_end"),
+    )
+    joined = range_join_by_buckets(e, windows, "ts", "w_start", "w_end")
+    return (
+        joined.groupBy("window_id", "event_type")
+        .agg(F.count("*").alias("n"), exact_sum(F.col("value"), 2).alias("sum_value"))
+        .orderBy("window_id", "event_type")
+    )
 
 
 # ---------------------------------------------------------------------------

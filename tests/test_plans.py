@@ -100,3 +100,9 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir, tmp_path):
     # And the pruned read returns exactly that day's rows.
     expected = ev.filter(F.col("event_date") == "2024-01-04").count()
     assert rd.count() == expected > 0
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = explain(spark, sf_dir, "events_in_windows")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
