@@ -33,6 +33,7 @@ HEADLINE = [
     "customer_activity_setops",
     "order_rollup",
     "asof_last_click",
+    "events_in_windows",
     "ann_ivf_topk",
     "config_enrich_join",
     "marker_antijoin",
@@ -51,6 +52,8 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "embedding_neardup",
     "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_features",
 ]
 
 
