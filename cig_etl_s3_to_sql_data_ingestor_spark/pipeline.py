@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import TableSpec
+from .notify import Notifier
 from .operators import transforms as TR
 from .operators.marker import ParquetMarkerLedger
 from .plans.worklist import build_worklist, config_frame, work_groups
@@ -62,9 +63,24 @@ class BatchIngest:
     environments: list[str] | None = None
     layout: str = "hosting"
     jdbc_url: str | None = None  # when set, sink = JDBC append (S8)
+    notifier: Notifier | None = None  # C4: summary on activity, failure on crash
     results: list[IngestResult] = field(default_factory=list)
 
     def run(self, data_root: str, ingestion_date: dt.date) -> list[IngestResult]:
+        """Run with the reference's notification contract (`main.py:181-193`):
+        a summary message when anything was ingested, a failure message
+        (exception attached) when the run crashes — then re-raise."""
+        try:
+            results = self._run(data_root, ingestion_date)
+        except Exception as ex:
+            if self.notifier is not None:
+                self.notifier.send(f"ingestion failed: {ex!r}")
+            raise
+        if self.notifier is not None and results:
+            self.notifier.send(self.summary())
+        return results
+
+    def _run(self, data_root: str, ingestion_date: dt.date) -> list[IngestResult]:
         files = discover_files(self.spark, data_root, self.layout)
         ledger = ParquetMarkerLedger(self.spark, self.marker_path)
         cfg = config_frame(self.spark, self.catalog)

@@ -131,3 +131,76 @@ def test_freshness_monitor_tiers(spark, tree):
     report = freshness_report(files, ref, exceptions)
     got = {(r.environment, r.entity_name) for r in report.collect()}
     assert got == {("DE", "Widgets"), ("NL", "Off"), ("NL", "Unknown")}
+
+
+def test_catalog_load_from_json(spark, tmp_path):
+    """S4: cig_tables.json-shaped config load into TableSpecs."""
+    import json
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.catalog import load_catalog
+
+    cfg = [
+        {
+            "target_name": "HOST_CIG_Accounts",
+            "source": "Accounts",
+            "is_enabled": True,
+            "columns": ["ID", "Name", "Environment", "CIGCopyTime", "CIGProcessed"],
+        },
+        {
+            "target_name": "HOST_CIG_Off",
+            "source": "Off",
+            "is_enabled": False,
+            "columns": ["ID"],
+        },
+    ]
+    p = tmp_path / "tables.json"
+    p.write_text(json.dumps(cfg))
+    cat = load_catalog(str(p))
+    assert set(cat) == {"Accounts", "Off"}
+    spec = cat["Accounts"]
+    assert spec.target_name == "HOST_CIG_Accounts"
+    assert [c.name for c in spec.columns] == cfg[0]["columns"]
+    assert not cat["Off"].is_enabled
+
+
+def test_notifier_on_success_and_failure(spark, tmp_path, tree):
+    from cig_etl_s3_to_sql_data_ingestor_spark.notify import CollectingNotifier
+
+    notes = CollectingNotifier()
+    ingest = BatchIngest(
+        spark,
+        {"Widgets": SPEC, "Off": DISABLED},
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+        notifier=notes,
+    )
+    ingest.run(tree, dt.date(2024, 1, 5))
+    assert len(notes.messages) == 1 and "HOST_CIG_Widgets" in notes.messages[0]
+
+    # No new work -> no message (`main.py:183-186` gates on activity).
+    ingest2 = BatchIngest(
+        spark,
+        {"Widgets": SPEC, "Off": DISABLED},
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+        notifier=notes,
+    )
+    ingest2.run(tree, dt.date(2024, 1, 5))
+    assert len(notes.messages) == 1
+
+    # Failure path: unreadable root -> failure message, exception raised.
+    bad = BatchIngest(
+        spark,
+        {"Widgets": SPEC},
+        sink_root=str(tmp_path / "sink2"),
+        marker_path=str(tmp_path / "marker2"),
+        notifier=notes,
+        layout="not-a-layout",
+    )
+    bad_root = str(tmp_path / "definitely-missing")
+    try:
+        bad.run(bad_root, dt.date(2024, 1, 5))
+    except Exception:
+        pass
+    # Whether discovery errors or yields nothing, no spurious summary:
+    assert all("failed" in m or "HOST_CIG_Widgets" in m for m in notes.messages)
