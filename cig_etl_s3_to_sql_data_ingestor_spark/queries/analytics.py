@@ -402,6 +402,39 @@ def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON scalar extraction: the events.props payload column — JSON parsing
+# happens in the projection (codegen'd get_json_object), so it pipelines
+# with the scan; no UDF, no shuffle beyond the aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Correlated-aggregate filter: parts priced above their brand average —
 # expressed as a broadcast join against the per-brand aggregate (the
 # decorrelated plan Catalyst would produce for the subquery).

@@ -113,6 +113,40 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprints(d).orderBy("doc_id")
 
 
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_EN} AS hits_en, {_DE} AS hits_de, {_FR} AS hits_fr
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                  WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                  WHEN hits_fr > 0 THEN 'fr'
+                  ELSE 'unk' END AS predicted_lang
+      FROM s
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-ground-truth confusion matrix: the labeled ``lang``
+    column joined against the stopword-hit prediction — the quality
+    check a corpus pipeline runs on its own language filter."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = TX.language_id(d).select("doc_id", "predicted_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
 # Multimodal plumbing: the Spark path runs a REAL Arrow-batched mapInPandas
 # decode (with a deterministic fake codec — see operators.multimodal); the
 # oracle reproduces the same deterministic outputs in SQL.
