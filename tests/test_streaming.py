@@ -203,3 +203,48 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = [r[0] for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
     assert sorted(ids) == [1, 2, 3]
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.stateful import (
+        attribute_stream,
+    )
+
+    EVENT_VAL_SCHEMA = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    spark.createDataFrame(
+        [
+            (1, 1, _ts(0), 0.0),     # click 10:00 — inside window
+            (2, 1, _ts(50), 0.0),    # click 10:50 — inside window
+            (3, 1, _ts(200), 0.0),   # click 13:20 — after purchase
+            (4, 2, _ts(0), 0.0),     # other user
+        ],
+        EVENT_VAL_SCHEMA,
+    ).coalesce(1).write.parquet(os.path.join(csrc, "c1.parquet"))
+    spark.createDataFrame(
+        [(10, 1, _ts(60), 9.99)],    # purchase 11:00, window [10:00, 11:00]
+        EVENT_VAL_SCHEMA,
+    ).coalesce(1).write.parquet(os.path.join(psrc, "p1.parquet"))
+
+    clicks = spark.readStream.schema(EVENT_VAL_SCHEMA).parquet(csrc + "/*")
+    purchases = spark.readStream.schema(EVENT_VAL_SCHEMA).parquet(psrc + "/*")
+    q = (
+        attribute_stream(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+    got = sorted((r["purchase_id"], r["click_id"]) for r in rows)
+    assert got == [(10, 1), (10, 2)], got
