@@ -30,6 +30,8 @@ HEADLINE = [
     "shipping_priority",
     "region_nation_revenue",
     "top_returned_customers",
+    "nation_trade_volume",
+    "promo_revenue_share",
     "customer_activity_setops",
     "order_rollup",
     "asof_last_click",

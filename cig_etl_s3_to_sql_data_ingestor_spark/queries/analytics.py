@@ -402,6 +402,101 @@ def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q7 shape: trade volume between two nation pairs — the join graph runs
+# supplier-side and customer-side nation lookups simultaneously; both
+# nation dims broadcast, the pair predicate filters post-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) AS order_year,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, order_year
+    ORDER BY supp_nation, cust_nation, order_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(_rev_dec()).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share — conditional aggregation over one join;
+# exact decimal sums keep the ratio bit-stable, the final division is one
+# double op.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_DEC} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_DEC}) AS DOUBLE) * 100 AS promo_share_pct,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") >= F.lit("1998-01-01").cast("date")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100
+            ).alias("promo_share_pct"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON scalar extraction: the events.props payload column — JSON parsing
 # happens in the projection (codegen'd get_json_object), so it pipelines
 # with the scan; no UDF, no shuffle beyond the aggregate.
