@@ -497,6 +497,92 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot: daily event counts, event types as columns. Spark's pivot with an
+# explicit value list stays a single partial-aggregated pass (no second
+# shuffle for value discovery); the oracle states the equivalent
+# conditional aggregation.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "daily_event_pivot",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY event_date
+    ORDER BY event_date
+    """,
+)
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("event_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based median (percentile_disc): deterministic element selection via
+# row_number over the sorted column — no interpolated float arithmetic, so
+# any engine reproduces it exactly; one shuffle for the window, one for
+# the final aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "median_order_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_lo,
+           MAX(CASE WHEN rn = n // 2 + 1 THEN o_totalprice END) AS median_hi,
+           MAX(n) AS n_orders
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    lo = F.max(
+        F.when(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"), F.col("o_totalprice"))
+    )
+    hi = F.max(
+        F.when(F.col("rn") == (F.col("n") / 2).cast("long") + 1, F.col("o_totalprice"))
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            lo.alias("median_lo"),
+            hi.alias("median_hi"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON scalar extraction: the events.props payload column — JSON parsing
 # happens in the projection (codegen'd get_json_object), so it pipelines
 # with the scan; no UDF, no shuffle beyond the aggregate.
