@@ -13,13 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, core, dedup, text, vectors
+from . import analytics, core, corpus, dedup, text, vectors
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (analytics, core, dedup, text, vectors):
+for mod in (analytics, core, corpus, dedup, text, vectors):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,157 @@
+"""Corpus-management query surface: the sampling/splitting/stats ops a
+training-data pipeline runs constantly, all engine-reproducible.
+
+Random sampling is deliberately HASH-based, not RNG-based: Spark's
+``sample()`` draws from a partition-seeded RNG that no other engine (or
+even a different partitioning of the same data) reproduces. Hashing the
+stable document id gives the same sample membership on any engine, any
+partitioning, any day — which is what makes dataset splits auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import tokens_col
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Split by md5 of the id: buckets 0-7 train, 8 val, 9 test. conv of the
+# first 6 hex chars stays far below 2^31 — exact under ANSI too.
+_BUCKET = "CAST(conv(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), 16, 10) AS BIGINT) % 10"
+_SQL_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS BIGINT) % 10"
+)
+
+
+def _bucket_col():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+
+
+@register(
+    "deterministic_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_SQL_BUCKET} < 8 THEN 'train'
+                  WHEN {_SQL_BUCKET} = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket_col()
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing — the pre-pass for length-grouped batch
+    packing; pure map + one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 50).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+    df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tok GROUP BY term),
+    nsrc AS (SELECT COUNT(DISTINCT source) AS n FROM tok),
+    scored AS (
+      SELECT tf.source, tf.term,
+             CAST(tf.tf AS DOUBLE) * (SELECT n FROM nsrc) / df.df AS score
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT source, term, score, rnk FROM (
+      SELECT source, term, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3 ORDER BY source, rnk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top terms by a log-free tf-idf (tf x N / df): integer
+    counts and one double division keep scores bit-identical across
+    engines (ln() would differ by ULPs between libm implementations).
+    Shuffles: one by (source, term) for tf, one by term for df, and the
+    df side is broadcast back — the corpus shuffles once.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens_col("text")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_src = tok.select(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("n") / F.col("df")
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "term", "score", "rnk")
+        .orderBy("source", "rnk")
+    )
