@@ -33,6 +33,7 @@ HEADLINE = [
     "nation_trade_volume",
     "promo_revenue_share",
     "customer_activity_setops",
+    "large_volume_orders",
     "order_rollup",
     "asof_last_click",
     "events_in_windows",
@@ -47,6 +48,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
     "token_count",
     "quality_score",
     "doc_fingerprint",

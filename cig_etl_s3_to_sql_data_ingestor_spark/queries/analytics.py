@@ -497,6 +497,54 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — HAVING on an aggregate, then the
+# qualifying key set (small) joins back as a broadcast semi-join against
+# the fact tables.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot: daily event counts, event types as columns. Spark's pivot with an
 # explicit value list stays a single partial-aggregated pass (no second
 # shuffle for value discovery); the oracle states the equivalent

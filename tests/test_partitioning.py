@@ -40,3 +40,34 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(big, medium, "k", how="left")
     assert out.count() == 10
     assert out.filter(F.col("v").isNull()).count() == 7
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE's skew-join handling must fire on a hot-key sort-merge join —
+    the runtime safety net the engine's 100 TB configuration relies on
+    (thresholds lowered here so the tiny test partition sizes qualify)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(7).alias("payload"),
+        )
+        other = spark.range(50_000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = big.join(other, "k")
+        rows = j.collect()  # executes j's own QueryExecution -> final AQE plan
+        assert len(rows) == 287_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
