@@ -18,3 +18,26 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Public API: the pieces a user of the reference ingestor needs to switch.
+from .catalog import ColumnSpec, TableSpec, load_catalog  # noqa: E402,F401
+from .notify import CollectingNotifier, WebhookNotifier  # noqa: E402,F401
+from .partitioning import fan_out, salted_join  # noqa: E402,F401
+from .pipeline import BatchIngest, IngestResult  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
+from .sql import register_views, sql  # noqa: E402,F401
+
+__all__ = [
+    "BatchIngest",
+    "CollectingNotifier",
+    "ColumnSpec",
+    "IngestResult",
+    "TableSpec",
+    "WebhookNotifier",
+    "fan_out",
+    "get_spark",
+    "load_catalog",
+    "register_views",
+    "salted_join",
+    "sql",
+]

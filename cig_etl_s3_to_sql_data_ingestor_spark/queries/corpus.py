@@ -104,6 +104,25 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle, deliberately: HyperLogLog++ sketches are engine-specific
+# (DuckDB's approx_count_distinct uses a different sketch), so there is no
+# cross-engine value parity — the driver records the weaker rows-only
+# check, and tests/test_sketches.py bounds the error against the exact
+# count instead. At 100 TB this is THE way to count distincts: fixed-size
+# state per group, no distinct-shuffle of the full key set.
+@register("approx_distinct_stats")
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle=r"""
