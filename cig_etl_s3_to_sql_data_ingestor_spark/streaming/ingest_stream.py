@@ -39,6 +39,7 @@ class StreamingIngest:
     checkpoint_path: str
     marker_path: str | None = None
     ingestion_date: dt.date | None = None
+    jdbc_url: str | None = None  # when set, sink = transactional JDBC publish
 
     def start(self, source_glob: str):
         """Drain all currently-available files through clean+sink, then
@@ -66,7 +67,17 @@ class StreamingIngest:
             cleaned = TR.clean_pipeline(
                 stringify(batch_df), table, env, ingestion_date
             )
-            TR.materialize_nulls(cleaned).write.mode("append").parquet(self.sink_path)
+            final = TR.materialize_nulls(cleaned)
+            if self.jdbc_url is not None:
+                # foreachBatch + staged atomic publish: the checkpoint
+                # makes the batch replay-identical, the transaction makes
+                # the publish all-or-nothing — together, exactly-once
+                # into the SQL target.
+                from ..sources.jdbc import write_table_transactional
+
+                write_table_transactional(final, self.jdbc_url, table.target_name)
+            else:
+                final.write.mode("append").parquet(self.sink_path)
             if marker_path and files:
                 ledger = ParquetMarkerLedger(spark, marker_path)
                 completed = spark.createDataFrame(

@@ -151,3 +151,52 @@ def test_transactional_publish(spark, url):
     write_table_transactional(df, url, "t_tx")
     n = read_query(spark, url, "SELECT COUNT(*) AS n FROM t_tx").collect()[0][0]
     assert n == 8
+
+
+def test_streaming_ingest_jdbc_transactional_sink(spark, tmp_path, url):
+    from pyspark.sql import types as T
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.catalog import ColumnSpec, TableSpec
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.ingest_stream import (
+        StreamingIngest,
+    )
+
+    spec = TableSpec(
+        target_name="HOST_CIG_StreamJdbc",
+        source="StreamJdbc",
+        columns=(
+            ColumnSpec("ID", "str", True),
+            ColumnSpec("Name", "str", False),
+            ColumnSpec("Environment", "str", True),
+            ColumnSpec("CIGCopyTime", "str", True),
+            ColumnSpec("CIGProcessed", "str", True),
+        ),
+    )
+    schema = T.StructType(
+        [T.StructField("ID", T.StringType()), T.StructField("Name", T.StringType())]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("a", "x"), ("b", "y")], schema).coalesce(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    ingest = StreamingIngest(
+        spark=spark,
+        table=spec,
+        schema=schema,
+        environment="NL",
+        sink_path=str(tmp_path / "unused"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        ingestion_date=dt.date(2024, 1, 5),
+        jdbc_url=url,
+    )
+    ingest.start(src + "/*").awaitTermination(120)
+    n = read_query(
+        spark, url, "SELECT COUNT(*) AS n FROM HOST_CIG_StreamJdbc"
+    ).collect()[0][0]
+    assert n == 2
+    # Re-drain with no new files: checkpoint yields no batch -> no rows.
+    ingest.start(src + "/*").awaitTermination(120)
+    n = read_query(
+        spark, url, "SELECT COUNT(*) AS n FROM HOST_CIG_StreamJdbc"
+    ).collect()[0][0]
+    assert n == 2
