@@ -204,3 +204,34 @@ def test_notifier_on_success_and_failure(spark, tmp_path, tree):
         pass
     # Whether discovery errors or yields nothing, no spurious summary:
     assert all("failed" in m or "HOST_CIG_Widgets" in m for m in notes.messages)
+
+
+def test_schema_drift_tolerated(spark, tmp_path):
+    """§1.3: drift between parquet and target is tolerated one-way —
+    missing target columns are synthesized (T5/T9), extra source columns
+    are dropped by the ordered projection (P1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "data")
+    path = os.path.join(root, "environment=NL", "Widgets", "2024", "01", "05")
+    os.makedirs(path)
+    # Missing 'Name' (non-nullable in the spec) + unexpected 'Extra'.
+    pq.write_table(
+        pa.table({"ID": ["d1", "d2"], "Extra": ["junk1", "junk2"]}),
+        os.path.join(path, "drift.parquet"),
+    )
+    ingest = BatchIngest(
+        spark,
+        {"Widgets": SPEC},
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+    )
+    results = ingest.run(root, dt.date(2024, 1, 5))
+    assert results and results[0].n_rows == 2
+    out = spark.read.parquet(results[0].sink_path)
+    # Exact contract order, no Extra column.
+    assert out.columns == ["ID", "Name", "Environment", "CIGCopyTime", "CIGProcessed"]
+    rows = {r["ID"]: r for r in out.collect()}
+    assert rows["d1"]["Name"] == ""  # T9: non-nullable default is ''
+    assert rows["d1"]["Environment"] == "NL"
