@@ -259,6 +259,61 @@ def simhash_near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (doc_id, cluster_id)
+    with cluster_id = min doc id in the component.
+
+    Min-label propagation: every vertex repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint — O(component
+    diameter) distributed rounds, each one join + one aggregate keyed by
+    vertex (LSH dedup components are shallow, so a handful of rounds).
+    ``localCheckpoint`` cuts lineage each round so plans don't grow
+    exponentially. Only vertices that appear in a pair are returned
+    (singletons aren't duplicates of anything).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def ngram_shingles_col(text_col: str = "text", n: int = 3):
     """Word n-gram shingles as strings (distinct)."""
     toks = tokens_col(text_col)

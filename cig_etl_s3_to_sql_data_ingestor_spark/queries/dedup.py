@@ -113,6 +113,51 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_sigs()},
+    banded AS ({_sql_bands()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+      WHERE CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+              / CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
+            >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: minhash-LSH pairs (Jaccard-verified)
+    grouped into connected components by min-label propagation — the
+    step that turns pairwise similarity into keep/drop decisions."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=0.4
+    )
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
 SIMHASH_BITS = 64
 
 

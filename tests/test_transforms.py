@@ -142,3 +142,21 @@ def test_t9_not_nullable_created_as_empty(spark):
     df = spark.createDataFrame([("x",)], "Opt string")
     out = TR.scrub_not_nullable(df, spec)
     assert out.select("Req").first()[0] == ""
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Components: chain 1-2-3-4 (min 1), triangle 10-11-12 (min 10),
+    # pair 20-21 (min 20).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
