@@ -285,32 +285,40 @@ def connected_components(
     labels = edges.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vertex)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # The changed flag rides along through the checkpoint so
+        # convergence detection needs no second join over the labels.
         new_labels = (
             labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
             .select(
                 "vertex",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silently split component would corrupt downstream keep/drop
+        # decisions — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget); raise "
+            "max_iterations"
+        )
     return labels.select(F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -66,6 +66,35 @@ def _sql_bands() -> str:
     return " UNION ALL ".join(rows)
 
 
+_SQL_JACCARD = (
+    "CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)"
+    " / CAST(len(sa.shingles) + len(sb.shingles)"
+    "        - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)"
+)
+
+JACCARD_THRESHOLD = 0.4
+
+
+def _sql_candidate_pairs() -> str:
+    return """
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    """
+
+
+def _sql_verified_pairs(threshold: float = JACCARD_THRESHOLD, with_score: bool = False) -> str:
+    score = f", {_SQL_JACCARD} AS jaccard" if with_score else ""
+    return f"""
+      SELECT p.id_a, p.id_b{score}
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+      WHERE {_SQL_JACCARD} >= {threshold}
+    """
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -85,31 +114,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_sql_sigs()},
     banded AS ({_sql_bands()}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    )
-    SELECT p.id_a, p.id_b,
-           CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-             / CAST(len(sa.shingles) + len(sb.shingles)
-                    - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-             AS jaccard
-    FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.id_a
-    JOIN sh sb ON sb.doc_id = p.id_b
-    WHERE CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-             / CAST(len(sa.shingles) + len(sb.shingles)
-                    - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-          >= 0.4
+    pairs AS ({_sql_candidate_pairs()})
+    {_sql_verified_pairs(with_score=True)}
     ORDER BY id_a, id_b
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_near_duplicates(
-        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=0.4
+        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=JACCARD_THRESHOLD
     ).orderBy("id_a", "id_b")
 
 
@@ -118,22 +131,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_sql_sigs()},
     banded AS ({_sql_bands()}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-      SELECT p.id_a, p.id_b
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.id_a
-      JOIN sh sb ON sb.doc_id = p.id_b
-      WHERE CAST(len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-              / CAST(len(sa.shingles) + len(sb.shingles)
-                     - len(list_filter(sa.shingles, t -> list_contains(sb.shingles, t))) AS DOUBLE)
-            >= 0.4
-    ),
+    pairs AS ({_sql_candidate_pairs()}),
+    verified AS ({_sql_verified_pairs()}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM verified
       UNION SELECT id_b, id_a FROM verified
@@ -153,7 +152,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise similarity into keep/drop decisions."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
-        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=0.4
+        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=JACCARD_THRESHOLD
     )
     return D.connected_components(pairs).orderBy("doc_id")
 
