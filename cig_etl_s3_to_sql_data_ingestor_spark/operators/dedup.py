@@ -342,10 +342,12 @@ def ngram_jaccard_pairs(
 
     shared(a,b) computed by grouping the shingle-equijoin; |A|,|B| joined
     back from per-doc shingle counts. Shuffles are keyed by shingle then by
-    pair — never a cross join."""
+    pair — never a cross join. The exploded shingle frame feeds three
+    plan branches (both join sides + the per-doc counts), so it is
+    persisted rather than recomputed from the scan per branch."""
     sh = fan_out(df).select(
         F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
-    )
+    ).persist()
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

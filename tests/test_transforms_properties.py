@@ -112,3 +112,49 @@ def test_normalize_int_string_matches_model(spark, values):
     got = run_column(spark, values, TR.normalize_int_string)
     want = [model_normalize_int(v) for v in values]
     assert got == want
+
+
+@st.composite
+def random_graphs(draw):
+    n = draw(st.integers(2, 40))
+    n_edges = draw(st.integers(1, 60))
+    edges = [
+        tuple(sorted(draw(st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)))))
+        for _ in range(n_edges)
+    ]
+    return [(a, b) for a, b in edges if a != b]
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(edges=random_graphs())
+def test_connected_components_matches_union_find(spark, edges):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
