@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import exact_sum, sql_exact_sum
+from ..functions.exact import exact_sum, sql_exact_avg, sql_exact_sum
 from ..io import load_table
 from ..operators.temporal import as_of_join, range_join_by_buckets
 
@@ -694,3 +694,195 @@ def above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_retailprice", "avg_price")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per (brand, type) with a NOT-IN
+# exclusion — COUNT(DISTINCT) forces a two-phase aggregate (partial
+# distinct map-side, exact merge after one shuffle); the exclusion list is
+# tiny and becomes a broadcast anti-join, so the fact side never shuffles
+# for it. Reference parity: generalizes the enabled-table NOT-IN filtering
+# of `main.py` worklist assembly to an aggregate query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of per-branch conjunctions spanning both join
+# sides. The OR can't be pushed through the join as-is, but its part-side
+# projection (brand IN the three branch brands) can — stated explicitly so
+# the part scan prunes to 3/25 brands before the broadcast. The residual
+# disjunction evaluates post-join inside codegen.
+# ---------------------------------------------------------------------------
+
+_Q19_BRANCHES = (
+    ("Brand#1", 1, 10, 1, 20),
+    ("Brand#2", 5, 25, 10, 30),
+    ("Brand#3", 20, 50, 20, 50),
+)
+
+
+@register(
+    "disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in _Q19_BRANCHES)}
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([b for b, *_ in _Q19_BRANCHES])
+    )
+    branch = None
+    for b, s0, s1, q0, q1 in _Q19_BRANCHES:
+        this = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        branch = this if branch is None else (branch | this)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum(_rev_dec()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar aggregate subquery (global mean balance) + anti-join
+# (customers with no recent orders). The scalar lands as a 1-row broadcast
+# cross-join; the anti-join side is pre-projected to the bare key so only
+# (o_custkey) shuffles. Mean uses the decimal-exact sum so the comparison
+# threshold is bit-identical on any engine/partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "idle_customers",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT {sql_exact_avg("c_acctbal", 2)} AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, COUNT(*) AS n_custs,
+           {sql_exact_sum("c.c_acctbal", 2)} AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2001-01-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(
+        exact_avg_2(F.col("c_acctbal")).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def exact_avg_2(col):
+    """Decimal-exact mean at scale 2 (mirrors functions.exact.sql_exact_avg)."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)
+
+
+# ---------------------------------------------------------------------------
+# Window frames: 7-day rolling revenue over the per-day aggregate. The
+# frame window is ordered but unpartitioned — safe at any fact scale
+# because its input is the daily aggregate (one row per date, a few
+# thousand rows for decades of data), produced by a normal partial-agg
+# shuffle first. Sums stay decimal inside the frame; one double cast at
+# the edge keeps oracle hash parity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY d
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS day_rev, n_orders,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+           CAST(SUM(rev) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+)
+def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("rev").cast("double").alias("day_rev"),
+        "n_orders",
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("avg_7d"),
+    ).orderBy("d")
