@@ -106,3 +106,40 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = explain(spark, sf_dir, "events_in_windows")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_dir):
+    plan = explain(spark, sf_dir, "brand_supplier_counts")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    # COUNT(DISTINCT) must still partial-aggregate before the shuffle.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_q19_brand_filter_pushed_to_part_scan(spark, sf_dir):
+    plan = explain(spark, sf_dir, "disjunctive_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "In(" in ln for ln in pushed), pushed
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_side_is_key_only(spark, sf_dir):
+    plan = explain(spark, sf_dir, "idle_customers")
+    # The orders side of the anti-join must scan only the key + the
+    # pushable date predicate — no other columns.
+    order_reads = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "o_custkey" in ln
+    ]
+    assert order_reads and all("o_totalprice" not in ln for ln in order_reads), order_reads
+    assert re.search(r"Join .*LeftAnti|BroadcastHashJoin .*LeftAnti|SortMergeJoin .*LeftAnti", plan), plan
+
+
+def test_rolling_window_input_is_preaggregated(spark, sf_dir):
+    # The unpartitioned frame window is fed by the daily HashAggregate,
+    # never the raw fact scan: Window must appear after (above) an
+    # aggregate in the tree, and exactly one global-sort Exchange
+    # (SinglePartition) is expected for it.
+    plan = explain(spark, sf_dir, "rolling_daily_revenue")
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert plan.count("SinglePartition") <= 2, plan
