@@ -59,6 +59,12 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_features",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "idle_customers",
+    "rolling_daily_revenue",
+    "price_deciles",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -374,3 +374,39 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def blocked_fuzzy_pairs(
+    df,
+    key_col: str,
+    block_col,
+    max_dist: int = 2,
+):
+    """Entity-resolution fuzzy self-join: distinct keys, equi-joined on a
+    blocking column, kept when edit distance <= max_dist.
+
+    Blocking turns the quadratic all-pairs comparison into a per-block
+    one — the join is a plain shuffle equi-join on the block key, and
+    levenshtein runs JVM-side in codegen on the surviving pairs only. At
+    scale the block key must bound block size (add a length bucket or a
+    phonetic refinement to split heavy blocks; a skewed block is the
+    same salting problem as any skewed join key — `salted_join` applies).
+
+    Generalizes the reference's exact whole-cell matching
+    (`CigEolHostingIngestionLogic.py:44-47` sentinel equality) to
+    approximate matching.
+    """
+    keys = df.select(F.col(key_col), block_col.alias("__block")).distinct()
+    a = keys.select(
+        F.col(key_col).alias("name_a"), F.col("__block").alias("__block_a")
+    )
+    b = keys.select(
+        F.col(key_col).alias("name_b"), F.col("__block").alias("__block_b")
+    )
+    return (
+        a.join(b, (F.col("__block_a") == F.col("__block_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

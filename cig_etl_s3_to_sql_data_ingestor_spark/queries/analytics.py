@@ -886,3 +886,80 @@ def rolling_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w).cast("double").alias("rev_7d"),
         (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("avg_7d"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy part-name pairs — blocked levenshtein self-join
+# (operators.dedup.blocked_fuzzy_pairs). The block key (the name's noun)
+# makes the candidate join an equi-join; edit distance evaluates in
+# codegen on candidates only, never all pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun
+               FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        p, "p_name", F.split(F.col("p_name"), " ").getItem(1), max_dist=2
+    )
+    return pairs.orderBy("name_a", "name_b")
+
+
+# ---------------------------------------------------------------------------
+# NTILE deciles per order priority: equal-frequency banding inside each
+# group; (o_totalprice, o_orderkey) ordering makes tile assignment
+# deterministic. The window partitions by priority, so each group sorts
+# independently after one shuffle. A GLOBAL ntile would serialize into a
+# single partition at 100 TB — the scale-safe form is this partitioned
+# one, or approx-quantile boundaries + a bucket join for a global band.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ranked
+    GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+)
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )

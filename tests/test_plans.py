@@ -143,3 +143,9 @@ def test_rolling_window_input_is_preaggregated(spark, sf_dir):
     assert "Window" in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
     assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_fuzzy_pairs_block_join_never_cartesian(spark, sf_dir):
+    plan = explain(spark, sf_dir, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
