@@ -65,6 +65,7 @@ HEADLINE = [
     "rolling_daily_revenue",
     "price_deciles",
     "fuzzy_name_pairs",
+    "scd2_user_state",
 ]
 
 

@@ -963,3 +963,51 @@ def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: per-user event_type state history — intervals open at each
+# change, close at the next (operators.scd.build_scd2). One shuffle: the
+# change-detection lag and the interval lead share the window partition
+# key. The reference truncates-and-reloads its targets, losing history
+# (`ParquetFileInsertion.py` marker-gated full insert); this derives the
+# warehouse-standard SCD2 view instead.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM s
+      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           LEAD(ts) OVER w2 IS NULL AS is_current,
+           event_id
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import build_scd2
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = build_scd2(
+        e,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    )
+    return hist.orderBy("user_id", "valid_from", "event_id")

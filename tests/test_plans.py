@@ -149,3 +149,13 @@ def test_fuzzy_pairs_block_join_never_cartesian(spark, sf_dir):
     plan = explain(spark, sf_dir, "fuzzy_name_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    # Lag (change detection) and lead (interval close) partition on the
+    # same key: exactly one hashpartitioning Exchange; the only other
+    # Exchange allowed is the presentation orderBy's rangepartitioning.
+    plan = explain(spark, sf_dir, "scd2_user_state")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    hash_ex = re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(hash_ex) == 1, plan
