@@ -1011,3 +1011,84 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     return hist.orderBy("user_id", "valid_from", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Integrity audit: referential (orphan) and domain checks as one result
+# frame — the post-load validation the reference leaves to its freshness
+# monitor alone (`check_bucket_latest_folders.py` checks arrival, not
+# content). Each referential check is an anti-join projected to the bare
+# key; dimension key-sets broadcast, so the fact scans are column-pruned
+# single passes with no shuffle. Counts land in one row each, unioned —
+# the union is driver-free (no collect) and each branch is independently
+# schedulable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "integrity_audit",
+    oracle="""
+    SELECT 'customer_without_nation' AS check_name, COUNT(*) AS n_violations
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'negative_balance_customers', COUNT(*)
+    FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT 'nonpositive_quantity_lineitems', COUNT(*)
+    FROM lineitem WHERE l_quantity <= 0
+    ORDER BY check_name
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+        )
+
+    nation_keys = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    order_keys = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part_keys = load_table(spark, sf_dir, "part").select("p_partkey")
+    checks = [
+        count_row(
+            "customer_without_nation",
+            c.join(
+                F.broadcast(nation_keys),
+                c.c_nationkey == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+        count_row(
+            "lineitem_without_order",
+            l.select("l_orderkey").join(
+                order_keys, l.l_orderkey == order_keys.o_orderkey, "left_anti"
+            ),
+        ),
+        count_row(
+            "lineitem_without_part",
+            l.select("l_partkey").join(
+                F.broadcast(part_keys),
+                l.l_partkey == part_keys.p_partkey,
+                "left_anti",
+            ),
+        ),
+        count_row("negative_balance_customers", c.filter(F.col("c_acctbal") < 0)),
+        count_row(
+            "nonpositive_quantity_lineitems", l.filter(F.col("l_quantity") <= 0)
+        ),
+    ]
+    out = checks[0]
+    for ck in checks[1:]:
+        out = out.unionByName(ck)
+    return out.orderBy("check_name")
