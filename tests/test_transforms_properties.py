@@ -158,3 +158,100 @@ def test_connected_components_matches_union_find(spark, edges):
         r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == _union_find_components(edges)
+
+
+@st.composite
+def change_streams(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(0, 3)),           # key
+                draw(st.integers(0, 9)),           # ts (duplicates likely)
+                i,                                  # unique tiebreak
+                draw(st.sampled_from(["a", "b", None])),  # attr (nullable)
+            )
+        )
+    return rows
+
+
+def _model_scd2(rows):
+    out = []
+    by_key = {}
+    for k, ts, tb, attr in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(k, []).append((ts, tb, attr))
+    for k, seq in by_key.items():
+        changes = []
+        prev = object()
+        for ts, tb, attr in seq:
+            if attr != prev:
+                changes.append([k, attr, ts, None, True, tb])
+            prev = attr
+        for i in range(len(changes) - 1):
+            changes[i][3] = changes[i + 1][2]
+            changes[i][4] = False
+        out.extend(tuple(c) for c in changes)
+    return sorted(out, key=lambda r: (r[0], r[2], r[5]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=change_streams())
+def test_build_scd2_matches_model(spark, rows):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.scd import build_scd2
+
+    df = spark.createDataFrame(
+        rows, "k long, ts long, tb long, attr string"
+    )
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+             r["is_current"], r["tb"])
+            for r in build_scd2(
+                df, ["k"], "ts", ["attr"], tiebreak=["tb"]
+            ).collect()
+        ),
+        key=lambda r: (r[0], r[2], r[5]),
+    )
+    assert got == _model_scd2(rows)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(names=st.lists(
+    st.text(alphabet="abcx ", min_size=3, max_size=8), min_size=1, max_size=25))
+def test_blocked_fuzzy_pairs_matches_bruteforce(spark, names):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # Block on first character — brute force applies the same blocking,
+    # so the comparison checks the join+distance logic, not recall.
+    uniq = sorted(set(names))
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if a[:1] == b[:1] and lev(a, b) <= 2
+    )
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in blocked_fuzzy_pairs(
+            df, "name", F.substring("name", 1, 1), max_dist=2
+        ).collect()
+    )
+    assert got == want
