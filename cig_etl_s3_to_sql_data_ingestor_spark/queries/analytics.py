@@ -1092,3 +1092,47 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ck in checks[1:]:
         out = out.unionByName(ck)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# CUBE + grouping_id: all four (priority, status) grouping sets in one
+# pass — like ROLLUP, the set expansion happens map-side before a single
+# shuffle. gid disambiguates real NULL keys from subtotal rows (stated as
+# GROUPING() bits in the oracle, Spark's grouping_id bit order: first
+# cube column = MSB).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_cube",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY gid, priority, status
+    """,
+)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "total",
+        )
+        .orderBy("gid", "priority", "status")
+    )
