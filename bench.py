@@ -66,6 +66,7 @@ HEADLINE = [
     "price_deciles",
     "fuzzy_name_pairs",
     "scd2_user_state",
+    "order_cube",
 ]
 
 
