@@ -637,13 +637,17 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Both engines cast the extracted string via DOUBLE then floor() before
+# summing: a direct string->BIGINT cast truncates in non-ANSI Spark but
+# rounds in DuckDB ('3.7' -> 3 vs 4), and driver DuckDB versions differ in
+# JSON numeric coercion — DOUBLE+floor is version- and ANSI-stable.
 @register(
     "json_props_stats",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           SUM(CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS sum_k,
+           MAX(CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -651,7 +655,7 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.floor(F.get_json_object("props", "$.k").cast("double")).cast("long")
     return (
         e.groupBy("event_type")
         .agg(

@@ -527,38 +527,49 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sessionization: gap > 30 min starts a new session (lag + running sum).
+#
+# All gap arithmetic is INTEGER MICROSECONDS on both engines. events.ts is
+# TIMESTAMP(NANOS) parquet: Spark floors it to µs on load (io.load_events),
+# while DuckDB's read type is version-dependent (µs in 1.0, TIMESTAMP_NS in
+# newer releases) — so the oracle derives the same µs integer explicitly via
+# epoch_ns(ts) // 1000 (floor division == Spark's `ns div 1000`), and session
+# bounds are rebuilt from integer µs with make_timestamp(). No doubles, no
+# INTERVAL arithmetic, no engine-dependent timestamp resolution anywhere.
 @register(
     "sessionize",
     oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                       > 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM base
     ), sessions AS (
-      SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      SELECT user_id, us, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           date_trunc('second', MIN(ts)) AS session_start,
-           date_trunc('second', MAX(ts)) AS session_end
+           make_timestamp((MIN(us) // 1000000) * 1000000) AS session_start,
+           make_timestamp((MAX(us) // 1000000) * 1000000) AS session_end
     FROM sessions GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
     flagged = e.withColumn(
         "new_session",
         F.when(
-            prev.isNull()
-            | (F.col("ts").cast("double") - prev.cast("double") > 1800),
+            prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000),
             1,
         ).otherwise(0),
     )
@@ -566,12 +577,24 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+    sec = 1_000_000
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.date_trunc("second", F.min("ts")).alias("session_start"),
-            F.date_trunc("second", F.max("ts")).alias("session_end"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.timestamp_micros(
+                (F.col("min_us") - F.col("min_us") % sec)
+            ).alias("session_start"),
+            F.timestamp_micros(
+                (F.col("max_us") - F.col("max_us") % sec)
+            ).alias("session_end"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -32,9 +32,20 @@ def register(name, oracle=None):
 
 # Split by md5 of the id: buckets 0-7 train, 8 val, 9 test. conv of the
 # first 6 hex chars stays far below 2^31 — exact under ANSI too.
+#
+# The oracle decodes the hex digit-by-digit (strpos over the hex alphabet)
+# instead of casting '0x…' to BIGINT: the string-literal hex cast is
+# DuckDB-version-sensitive (r01 hash mismatch in the driver environment),
+# while strpos + integer polynomial is identical everywhere.
 _BUCKET = "CAST(conv(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), 16, 10) AS BIGINT) % 10"
+_SQL_HEX = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
 _SQL_BUCKET = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS BIGINT) % 10"
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', {_SQL_HEX.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ") % 10"
 )
 
 
