@@ -86,7 +86,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_date"),
@@ -100,7 +100,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q5 shape: revenue per nation — 6-way join. All dimensions broadcast;
+# Q5 shape: revenue per nation — 6-way join. Only the BOUNDED dims
+# (nation, region) carry broadcast hints; supplier/customer scale with the
+# data, so their join strategy is left to AQE — broadcast at small sf,
+# shuffled-hash/sort-merge at cluster scale, no OOM cliff either way.
 # lineitem⨝orders is the single big shuffle; the supplier⨝customer
 # same-nation constraint applies post-join as a filter.
 # ---------------------------------------------------------------------------
@@ -136,8 +139,8 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -208,7 +211,7 @@ def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_rev_dec()).cast("double").alias("lost_revenue"))
@@ -443,8 +446,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -486,7 +489,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(16,4)")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100
@@ -530,9 +533,8 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 180)
     )
     return (
-        F.broadcast(big)
-        .join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -734,8 +736,8 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(excluded, l.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -783,7 +785,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         branch = this if branch is None else (branch | this)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
             F.sum(_rev_dec()).cast("double").alias("revenue"),
@@ -1082,7 +1084,7 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_row(
             "lineitem_without_part",
             l.select("l_partkey").join(
-                F.broadcast(part_keys),
+                part_keys,
                 l.l_partkey == part_keys.p_partkey,
                 "left_anti",
             ),

@@ -279,7 +279,9 @@ def timestamp_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Joins J1/J2/J4 (`main.py:78-85`, `CustomMarkerTable.py:53-57`). Config and
-# marker sides are small → broadcast; no shuffle of the fact table.
+# marker sides are bounded metadata → broadcast hints; the customer side of
+# the semi-join scales with the data, so it is unhinted and AQE picks
+# broadcast at small sf, shuffle join at scale.
 # ---------------------------------------------------------------------------
 
 
@@ -295,9 +297,7 @@ def worklist_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     return (
-        o.join(
-            F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi"
-        )
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )

@@ -161,8 +161,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top terms by a log-free tf-idf (tf x N / df): integer
     counts and one double division keep scores bit-identical across
     engines (ln() would differ by ULPs between libm implementations).
-    Shuffles: one by (source, term) for tf, one by term for df, and the
-    df side is broadcast back — the corpus shuffles once.
+    Shuffles: one by (source, term) for tf, one by term for df. The df
+    side is vocabulary-sized (unbounded at corpus scale), so it carries no
+    broadcast hint — AQE broadcasts it while it fits and falls back to a
+    shuffle join on a 100 TB vocabulary.
     """
     from pyspark.sql import Window as W
 
@@ -172,7 +174,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("source").alias("df"))
     n_src = tok.select(F.countDistinct("source").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_src))
         .withColumn(
             "score", F.col("tf").cast("double") * F.col("n") / F.col("df")

@@ -51,6 +51,36 @@ def test_dimension_joins_are_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "shipping_priority",
+        "worklist_semi_join",
+        "large_volume_orders",
+        "promo_revenue_share",
+    ],
+)
+def test_scaling_tables_carry_no_broadcast_hint(spark, sf_dir, name):
+    """customer/supplier/part scale with the data: a *forced* broadcast on
+    them is a 100x scale cliff (OOM once the 'dimension' is GBs). These
+    queries must carry NO broadcast hint at all — small-scale broadcast is
+    AQE's runtime decision, verified separately below."""
+    df = QUERIES[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, f"{name} still hints a join:\n{analyzed}"
+
+
+@pytest.mark.parametrize("name", ["shipping_priority", "worklist_semi_join"])
+def test_unhinted_joins_still_broadcast_at_small_scale(spark, sf_dir, name):
+    """Without hints, the small-sf broadcast must still happen — statically
+    from parquet size estimates or at runtime via AQE — so dropping the
+    hints costs nothing at test scale."""
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, f"{name} final plan:\n{final}"
+
+
 def test_marker_antijoin_is_anti(spark, sf_dir):
     plan = explain(spark, sf_dir, "marker_antijoin")
     assert "LeftAnti" in plan
