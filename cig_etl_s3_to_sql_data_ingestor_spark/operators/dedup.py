@@ -30,6 +30,34 @@ from pyspark.sql import functions as F
 
 from ..partitioning import fan_out
 
+# Strong references on purpose: the JVM-side cache outlives the Python
+# handle (a weakref would be dead by the time anyone could release it),
+# and a DataFrame handle is a few driver-side objects — the leak being
+# fixed is the cached JVM partitions, not the handles.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + registration for deferred release (``unpersist_all``)."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_all() -> None:
+    """Release every intermediate frame persisted by the dedup operators.
+
+    The operators persist intermediates (signatures, inverted indexes)
+    that feed multiple plan branches of the frame they RETURN — they
+    cannot unpersist before the caller materializes that frame, so a
+    long-lived session must call this (or ``spark.catalog.clearCache()``)
+    after consuming results; bench.py clears the cache per query."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def tokens_col(text_col: str = "text"):
     """Lowercased whitespace tokens (duplicates preserved)."""
@@ -161,7 +189,7 @@ def minhash_near_duplicates(
     sides of the banded self-join, both sides of the verify join), and
     without a persist each branch would recompute the full shingle +
     k-hash pipeline from the scan."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = _persist(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sh = sigs.select(id_col, "shingles")
     return verify_jaccard(pairs, sh, id_col, threshold)
@@ -179,9 +207,18 @@ def simhash_signatures(
     else -1). Two salted md5s supply 64 hex digits per shingle.
 
     Explode + partial-aggregate: the map side pre-combines, so the shuffle
-    carries 64 small ints per doc regardless of corpus size. Bit width
-    matters for the downstream banded join — 16-bit bands give ~65k
-    buckets, keeping candidate generation sub-quadratic."""
+    carries a handful of longs per doc regardless of corpus size. The 64
+    per-bit ±1 sums are BIT-PACKED into ``bits/4`` aggregates — each long
+    packs 4 one-counters of 16-bit width — which quarters the generated
+    aggregate-update code (the r01 bench showed first-run latency was
+    dominated by cold codegen of 64 separate sums). The per-bit sign is
+    reconstructed exactly: sign(Σ±1) = (2*ones_p >= n), identical to the
+    unpacked formulation bit for bit, so the DuckDB oracle is unchanged.
+    The 16-bit counter bounds a document at 65535 distinct shingles —
+    far above any real document (shingle count <= token count); chunk
+    upstream if that invariant can break. Bit width matters for the
+    downstream banded join — 16-bit bands give ~65k buckets, keeping
+    candidate generation sub-quadratic."""
     sh = fan_out(df).select(
         F.col(id_col), F.explode(ngram_shingles_col(text_col, shingle_n)).alias("shingle")
     ).withColumn(
@@ -191,17 +228,38 @@ def simhash_signatures(
             F.md5(F.concat(F.lit("b:"), F.col("shingle"))),
         ),
     )
-    sums = sh.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)
-            ).alias(f"s{p}")
-            for p in range(bits)
+    fields_per_long = 4
+    counter_width = 16  # bits per packed one-counter
+
+    def _packed_row_expr(group: int):
+        # Σ_k bit_{4g+k} << (16k): a 0/1 per field, summed across rows.
+        terms = [
+            F.when(
+                F.substring("h", group * fields_per_long + k + 1, 1) >= "8",
+                F.lit(1 << (counter_width * k)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for k in range(fields_per_long)
         ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    n_groups = bits // fields_per_long
+    sums = sh.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(_packed_row_expr(g)).alias(f"g{g}") for g in range(n_groups)],
     )
-    sig = F.concat(
-        *[F.when(F.col(f"s{p}") >= 0, "1").otherwise("0") for p in range(bits)]
-    )
+
+    def _bit_char(p: int):
+        g, k = p // fields_per_long, p % fields_per_long
+        ones = F.shiftright(F.col(f"g{g}"), counter_width * k).bitwiseAND(
+            F.lit((1 << counter_width) - 1)
+        )
+        # sign of Σ±1 = 2*ones - n; ties ('>= 0') map to '1' as before.
+        return F.when(ones * 2 >= F.col("n"), "1").otherwise("0")
+
+    sig = F.concat(*[_bit_char(p) for p in range(bits)])
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -225,7 +283,7 @@ def simhash_near_duplicates(
     bands = F.array(
         *[F.substring("simhash", b * width + 1, width) for b in range(n_bands)]
     )
-    sigs = sigs.persist()
+    sigs = _persist(sigs)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -337,6 +395,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join.
 
@@ -344,12 +403,34 @@ def ngram_jaccard_pairs(
     back from per-doc shingle counts. Shuffles are keyed by shingle then by
     pair — never a cross join. The exploded shingle frame feeds three
     plan branches (both join sides + the per-doc counts), so it is
-    persisted rather than recomputed from the scan per branch."""
-    sh = fan_out(df).select(
-        F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
-    ).persist()
+    persisted rather than recomputed from the scan per branch.
+
+    ``max_shingle_df`` is the stop-shingle guard that makes the operator
+    safe to call blind: the self-join cost is Σ df(shingle)², so ONE
+    shingle shared by k documents creates k² candidate rows. Shingles
+    whose document frequency exceeds the cap are dropped from the
+    inverted index (the standard stop-shingle filter — they carry no
+    discriminative signal anyway); per-doc totals |A|,|B| still count
+    them, so reported Jaccard is exact when no shingle exceeds the cap
+    and a conservative underestimate otherwise. With the default
+    ``None`` the operator is exact and should only run as the verify
+    stage after LSH."""
+    sh = _persist(
+        fan_out(df).select(
+            F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
+        )
+    )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    idx = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        idx = sh.join(hot, "shingle", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
     shared = (
         a.join(
             b,

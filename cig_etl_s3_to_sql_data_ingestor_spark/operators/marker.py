@@ -97,10 +97,19 @@ class ParquetMarkerLedger(MarkerLedger):
         self.path = path
 
     def read(self) -> DataFrame:
+        # Only "the ledger does not exist yet" maps to an empty frame. A
+        # blanket except here would be a data-loss bug: touch() merges
+        # read() with the new rows and OVERWRITES the ledger, so treating
+        # a transient/corrupt read as empty would silently truncate the
+        # ingestion history (and re-ingest everything later).
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.schema(MARKER_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], MARKER_SCHEMA)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" in str(ex):
+                return self.spark.createDataFrame([], MARKER_SCHEMA)
+            raise
 
     def _write(self, merged: DataFrame) -> None:
         merged.coalesce(1).write.mode("overwrite").parquet(self.path)
@@ -121,12 +130,16 @@ class JdbcMarkerLedger(MarkerLedger):
         self.table = table
 
     def read(self) -> DataFrame:
-        from ..sources.jdbc import read_query
+        from ..sources.jdbc import _TABLE_MISSING_STATES, _sqlstate, read_query
 
+        # Same contract as the parquet backend: only "table absent" is
+        # empty; any other failure propagates so touch() cannot truncate.
         try:
             df = read_query(self.spark, self.url, f"SELECT * FROM {self.table}")
-        except Exception:
-            return self.spark.createDataFrame([], MARKER_SCHEMA)
+        except Exception as ex:
+            if _sqlstate(ex) in _TABLE_MISSING_STATES:
+                return self.spark.createDataFrame([], MARKER_SCHEMA)
+            raise
         # Normalize identifier case (Derby uppercases) + types.
         cols = {c.lower(): c for c in df.columns}
         return df.select(

@@ -106,8 +106,11 @@ class BatchIngest:
                 n_rows = final.count()
             else:
                 out_path = os.path.join(self.sink_root, target, f"environment={env}")
+                # Count THIS run's rows before appending — re-reading the
+                # sink after the append would report the cumulative total
+                # across every historical run.
+                n_rows = final.count()
                 final.write.mode("append").parquet(out_path)
-                n_rows = self.spark.read.parquet(out_path).count()
             completed = (
                 wl.filter(
                     (F.col("environment") == env) & (F.col("target_table") == target)

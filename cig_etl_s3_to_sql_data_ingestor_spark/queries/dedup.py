@@ -242,9 +242,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 100),
+    idx AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
     )
     SELECT s.id_a, s.id_b,
@@ -258,4 +260,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, n=3, threshold=0.3).orderBy("id_a", "id_b")
+    # max_shingle_df=100 (mirrored in the oracle's `hot` CTE): a shingle
+    # shared by >100 docs would contribute >100^2 candidate rows and no
+    # discriminative signal — the stop-shingle guard keeps the operator
+    # safe to call blind.
+    return D.ngram_jaccard_pairs(
+        d, n=3, threshold=0.3, max_shingle_df=100
+    ).orderBy("id_a", "id_b")

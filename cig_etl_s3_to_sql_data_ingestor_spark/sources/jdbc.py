@@ -11,7 +11,30 @@ not just unit-tested for option shape.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Derby SQLStates for "the referenced table/schema is absent" — the only
+# failure class write_table_transactional treats as recoverable (by
+# creating the target); anything else propagates untouched.
+_TABLE_MISSING_STATES = {"42X05", "42Y07"}
+_DUPLICATE_KEY_STATE = "23505"
+
+
+def _sqlstate(exc) -> str | None:
+    """Extract the SQLState from a Py4J-wrapped SQLException (walking the
+    Java cause chain — Spark sometimes wraps the driver's exception)."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+            if state:
+                return state
+        except Exception:
+            pass
+        je = je.getCause() if hasattr(je, "getCause") else None
+    return None
 
 
 def sqlserver_url(host: str, database: str, port: int = 1433) -> str:
@@ -63,10 +86,12 @@ def write_table_transactional(
     df: DataFrame,
     url: str,
     table: str,
-    staging_suffix: str = "_staging",
+    staging_suffix: str | None = None,
     batchsize: int = 10_000,
-) -> None:
-    """Exactly-once JDBC publish under task retries: stage, then commit.
+    epoch_id: int | None = None,
+    epoch_table: str = "etl_epochs",
+) -> bool:
+    """Exactly-once JDBC publish under task retries AND driver replays.
 
     ``df.write.jdbc(mode="append")`` is not transactional across Spark
     task retries — a task that dies after inserting half its batch leaves
@@ -75,45 +100,90 @@ def write_table_transactional(
     (`ParquetFileInsertion.py:21`, `CustomMarkerTable.py:47-59`); the
     robust pattern is:
 
-    1. Spark appends to a staging table (task failures may leave it
-       dirty — it is truncated first and rewritten wholesale);
+    1. Spark writes the batch to a per-call staging table (the name
+       carries a random suffix so concurrent publishes to the same target
+       never collide; task failures may leave it dirty — it is rewritten
+       wholesale);
     2. one driver-side JDBC transaction atomically publishes
        ``INSERT INTO target SELECT * FROM staging`` and drops staging —
        target either gets the full batch once, or nothing.
 
-    The publish statement runs on a single connection via the JVM's
-    DriverManager (no extra Python DB driver needed).
+    With ``epoch_id`` set (the foreachBatch batch id), the same
+    transaction also inserts ``(table, epoch_id)`` into ``epoch_table``
+    (primary-keyed) — a driver that died between a committed publish and
+    the streaming checkpoint replays the batch, hits the duplicate key,
+    and the whole publish rolls back: returns False, target unchanged.
+    This closes the at-least-once window between sink commit and
+    checkpoint commit. Returns True when the batch was published.
+
+    Only the "target table absent" SQLState is treated as recoverable
+    (create empty, retry); every other INSERT failure — type mismatch,
+    constraint violation — propagates as-is.
     """
-    staging = f"{table}{staging_suffix}"
+    staging = (
+        f"{table}{staging_suffix}"
+        if staging_suffix is not None
+        else f"{table}_stg_{uuid.uuid4().hex[:8]}"
+    )
     spark = df.sparkSession
-    write_table(df, url, staging, mode="overwrite", batchsize=batchsize)
     jvm = spark._jvm
+
+    def _autocommit_exec(sql: str, ignore_states: set[str] = frozenset()) -> None:
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            c.createStatement().executeUpdate(sql)
+        except Exception as ex:
+            if _sqlstate(ex) not in ignore_states:
+                raise
+        finally:
+            c.close()
+
+    if epoch_id is not None:
+        # X0Y32 = object already exists — the one state to ignore here.
+        _autocommit_exec(
+            f"CREATE TABLE {epoch_table} ("
+            "target_name VARCHAR(128) NOT NULL, epoch_id BIGINT NOT NULL, "
+            "published_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP, "
+            "PRIMARY KEY (target_name, epoch_id))",
+            ignore_states={"X0Y32"},
+        )
+
+    write_table(df, url, staging, mode="overwrite", batchsize=batchsize)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
         cols = ", ".join(f'"{c}"' for c in df.columns)
+        insert_sql = f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}'
         try:
-            stmt.executeUpdate(
-                f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}'
-            )
-        except Exception:
+            stmt.executeUpdate(insert_sql)
+        except Exception as ex:
+            if _sqlstate(ex) not in _TABLE_MISSING_STATES:
+                raise
             # Target may not exist yet: create-as-select via Spark writer
             # would lose the transaction; instead create empty and retry.
             conn.rollback()
-            ddl = jvm.java.sql.DriverManager.getConnection(url)
-            try:
-                d = ddl.createStatement()
-                d.executeUpdate(
-                    f'CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA'
-                )
-            finally:
-                ddl.close()
-            stmt.executeUpdate(
-                f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}'
+            _autocommit_exec(
+                f'CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA'
             )
+            stmt.executeUpdate(insert_sql)
+        if epoch_id is not None:
+            try:
+                stmt.executeUpdate(
+                    f"INSERT INTO {epoch_table} (target_name, epoch_id) "
+                    f"VALUES ('{table}', {int(epoch_id)})"
+                )
+            except Exception as ex:
+                if _sqlstate(ex) != _DUPLICATE_KEY_STATE:
+                    raise
+                # Replayed epoch: roll the whole publish back — the rows
+                # already landed in a previous, committed transaction.
+                conn.rollback()
+                _autocommit_exec(f"DROP TABLE {staging}", ignore_states={"42Y55"})
+                return False
         stmt.executeUpdate(f"DROP TABLE {staging}")
         conn.commit()
+        return True
     except Exception:
         conn.rollback()
         raise

@@ -9,6 +9,13 @@ transactional hook where the batch is cleaned, written, and the marker
 ledger upserted — keeping the SQL-side audit trail the reference exposes
 to operators.
 
+Exactly-once OUTPUT requires the batch hook itself to be idempotent in
+``epoch_id`` (a driver can die after publishing but before the
+checkpoint commits, replaying the epoch): the JDBC path records
+(target, epoch_id) inside the publish transaction and skips epochs
+already recorded; the parquet path writes each epoch to its own
+``epoch=N`` directory with overwrite semantics.
+
 Watermark semantics: the reference *drops* late files (`main.py:46`,
 `Date < ingestion_date` skipped) — we reproduce that as an event-time
 filter inside the batch hook rather than silently ingesting stragglers.
@@ -69,15 +76,27 @@ class StreamingIngest:
             )
             final = TR.materialize_nulls(cleaned)
             if self.jdbc_url is not None:
-                # foreachBatch + staged atomic publish: the checkpoint
-                # makes the batch replay-identical, the transaction makes
-                # the publish all-or-nothing — together, exactly-once
-                # into the SQL target.
+                # foreachBatch + staged atomic publish, keyed by epoch_id:
+                # the checkpoint makes the batch replay-identical, the
+                # transaction makes the publish all-or-nothing, and the
+                # (target, epoch_id) ledger row INSIDE that transaction
+                # makes a replay of an already-published epoch a no-op —
+                # together, exactly-once into the SQL target even when
+                # the driver dies between publish and checkpoint commit.
                 from ..sources.jdbc import write_table_transactional
 
-                write_table_transactional(final, self.jdbc_url, table.target_name)
+                write_table_transactional(
+                    final, self.jdbc_url, table.target_name, epoch_id=epoch_id
+                )
             else:
-                final.write.mode("append").parquet(self.sink_path)
+                # Epoch-addressed directory + overwrite = idempotent
+                # replay: a batch re-delivered after a crash rewrites the
+                # same `epoch=N` directory instead of appending a second
+                # copy. Readers see one hive-partitioned dataset (the
+                # virtual `epoch` column is droppable).
+                final.write.mode("overwrite").parquet(
+                    f"{self.sink_path}/epoch={epoch_id}"
+                )
             if marker_path and files:
                 ledger = ParquetMarkerLedger(spark, marker_path)
                 completed = spark.createDataFrame(

@@ -1,0 +1,109 @@
+"""Operator-level tests for the dedup family: bit-packed simhash parity
+against a pure-Python model, stop-shingle-guard invariance, and persisted
+intermediate release."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = re.split(r"\s+", text.strip().lower())
+    out, seen = [], set()
+    for i in range(max(len(toks) - n, 0) + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _py_simhash(text: str, bits: int = 64) -> str:
+    shingles = _py_shingles(text)
+    ones = [0] * bits
+    for s in shingles:
+        h = (
+            hashlib.md5(f"a:{s}".encode()).hexdigest()
+            + hashlib.md5(f"b:{s}".encode()).hexdigest()
+        )
+        for p in range(bits):
+            if h[p] >= "8":
+                ones[p] += 1
+    n = len(shingles)
+    # sign of Σ±1 = 2*ones - n, ties -> '1' (matches the operator).
+    return "".join("1" if 2 * o >= n else "0" for o in ones)
+
+
+def test_packed_simhash_matches_python_model(spark, sf_dir):
+    """The bit-packed aggregate (4 one-counters per long) must produce the
+    exact signature of the naive 64-sum formulation — verified against an
+    independent Python recomputation on real fixture docs."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(src)
+    for doc_id, text in src.items():
+        assert got[doc_id] == _py_simhash(text), f"doc {doc_id} signature mismatch"
+
+
+def test_ngram_guard_is_noop_below_cap(spark, sf_dir):
+    """With the cap at (or above) the corpus' max shingle document
+    frequency, the guarded operator must return exactly the unguarded
+    result — the guard only ever removes index entries above the cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(D.ngram_shingles_col("text", 3)).alias("shingle")
+    )
+    max_df = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    exact = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    )
+    guarded = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_df=max_df
+        ).collect()
+    )
+    assert guarded == exact
+    D.unpersist_all()
+
+
+def test_ngram_guard_caps_hot_shingles(spark, sf_dir):
+    """With a tiny cap the result must be a subset of the exact pairs
+    with never-higher jaccard (dropping index entries can only reduce
+    shared counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_shingle_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+    D.unpersist_all()
+
+
+def test_unpersist_all_releases_cached_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    D.minhash_near_duplicates(docs).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    D.unpersist_all()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -153,6 +153,45 @@ def test_transactional_publish(spark, url):
     assert n == 8
 
 
+def test_transactional_publish_epoch_replay_is_noop(spark, url):
+    """A replayed epoch (driver died between publish-commit and streaming
+    checkpoint-commit) must not double-insert: the (target, epoch) row in
+    the same transaction turns the replay into a rollback."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
+        write_table_transactional,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("K"))
+    assert write_table_transactional(df, url, "t_ep", epoch_id=0) is True
+    assert write_table_transactional(df, url, "t_ep", epoch_id=0) is False
+    n = read_query(spark, url, "SELECT COUNT(*) AS n FROM t_ep").collect()[0][0]
+    assert n == 3, "replayed epoch was double-inserted"
+    assert write_table_transactional(df, url, "t_ep", epoch_id=1) is True
+    n = read_query(spark, url, "SELECT COUNT(*) AS n FROM t_ep").collect()[0][0]
+    assert n == 6
+
+
+def test_transactional_publish_does_not_mask_real_failures(spark, url):
+    """Only 'target table missing' triggers the create-and-retry path; a
+    schema mismatch against an EXISTING target must propagate, not be
+    shadowed by a confusing CREATE TABLE attempt."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
+        write_table_transactional,
+    )
+
+    # Target exists but with a different column name -> INSERT lists "K",
+    # which doesn't exist -> must raise (column-not-found), not CREATE.
+    other = spark.range(2).select(F.col("id").alias("OTHER"))
+    write_table(other, url, "t_mismatch", mode="overwrite")
+    df = spark.range(2).select(F.col("id").alias("K"))
+    with pytest.raises(Exception):
+        write_table_transactional(df, url, "t_mismatch")
+    n = read_query(
+        spark, url, 'SELECT COUNT(*) AS n FROM t_mismatch'
+    ).collect()[0][0]
+    assert n == 2, "failed publish modified the target"
+
+
 def test_streaming_ingest_jdbc_transactional_sink(spark, tmp_path, url):
     from pyspark.sql import types as T
 
