@@ -1,0 +1,139 @@
+"""Console entry points: the operational surface of the reference
+(`main.py:148-179`, `main_mailbox.py`) re-expressed over ``BatchIngest``.
+
+The reference is operated as ``python main.py
+[--ingestion_config_filename ...]`` reading an
+`ingestion_config.json`-shaped run config (data folder, table config
+file, environments/data_sources, target, ingestion date) and launching
+one luigi task per file; here the same config drives one Spark job per
+work group. Two entry points mirror the two reference executables:
+
+- ``cig-etl-ingest``          — hosting layout (`main.py`),
+  config key ``environments``;
+- ``cig-etl-ingest-mailbox``  — mailbox layout (`main_mailbox.py`),
+  config key ``data_sources`` (Environment = DataSource.split('_')[0],
+  `main_mailbox.py:56`).
+
+Recognized config keys (reference keys kept where they map 1:1):
+
+- ``data_folder``                      root of the partitioned tree
+- ``tables_to_upload_config_file``     `cig_tables.json`-shaped catalog,
+                                       resolved relative to the config
+                                       file like the reference resolves
+                                       it relative to its own folder
+                                       (`main.py:163-164`)
+- ``environments`` / ``data_sources``  which sources to ingest
+- ``ingestion_date``                   'YYYY-MM-DD', or '' = today
+                                       (`main.py:161`)
+- ``ingest_to``                        JDBC URL for a SQL sink; empty or
+                                       absent = parquet sink
+- ``sink_root``                        parquet sink root (default
+                                       ``<data_folder>/_sink``)
+- ``marker_path``                      marker-ledger location (default
+                                       ``<sink_root>/_etl_marker``)
+- ``webhook_url``                      optional incoming-webhook for the
+                                       run summary / failure message
+                                       (`SlackNotifier.py` analog)
+
+Unknown keys (``logs_folder``, ``ingest_from``, ...) are ignored so the
+reference's own config files parse unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from .catalog import load_catalog
+from .notify import Notifier, WebhookNotifier
+from .pipeline import BatchIngest, IngestResult
+
+
+def run_from_config(
+    config_path: str,
+    layout: str = "hosting",
+    spark: SparkSession | None = None,
+    notifier: Notifier | None = None,
+) -> list[IngestResult]:
+    """Execute one ingestion run described by a JSON run config."""
+    with open(config_path) as f:
+        cfg = json.load(f)
+
+    config_dir = os.path.dirname(os.path.abspath(config_path))
+    tables_file = cfg["tables_to_upload_config_file"]
+    if not os.path.isabs(tables_file):
+        tables_file = os.path.join(config_dir, tables_file)
+    catalog = load_catalog(tables_file)
+
+    data_folder = cfg["data_folder"]
+    sources_key = "environments" if layout == "hosting" else "data_sources"
+    sources = cfg.get(sources_key)
+    date_str = cfg.get("ingestion_date") or ""
+    ingestion_date = (
+        dt.datetime.strptime(date_str, "%Y-%m-%d").date()
+        if date_str
+        else dt.date.today()
+    )
+    jdbc_url = cfg.get("ingest_to") or None
+    sink_root = cfg.get("sink_root") or os.path.join(data_folder, "_sink")
+    marker_path = cfg.get("marker_path") or os.path.join(sink_root, "_etl_marker")
+    if notifier is None and cfg.get("webhook_url"):
+        notifier = WebhookNotifier(cfg["webhook_url"])
+
+    # Reuse the process' active session when one exists (embedding hosts,
+    # spark-submit, tests); create-and-own one only from a cold start.
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"cig-etl-ingest-{layout}")
+    try:
+        ingest = BatchIngest(
+            spark,
+            catalog,
+            sink_root=sink_root,
+            marker_path=marker_path,
+            environments=sources,
+            layout=layout,
+            jdbc_url=jdbc_url,
+            notifier=notifier,
+        )
+        results = ingest.run(data_folder, ingestion_date)
+        print(ingest.summary())
+        return results
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _main(layout: str, default_config: str, argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description=f"Ingest the {layout}-layout parquet tree per a JSON run config."
+    )
+    # Flag name kept verbatim from the reference (`main.py:150-152`).
+    parser.add_argument(
+        "--ingestion_config_filename",
+        default=default_config,
+        help=f'Run-config JSON path (default "{default_config}")',
+    )
+    args = parser.parse_args(argv)
+    run_from_config(args.ingestion_config_filename, layout=layout)
+    return 0
+
+
+def main_hosting(argv: list[str] | None = None) -> int:
+    return _main("hosting", "ingestion_config.json", argv)
+
+
+def main_mailbox(argv: list[str] | None = None) -> int:
+    return _main("mailbox", "ingestion_mailbox_config.json", argv)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main_hosting())

@@ -84,7 +84,14 @@ class BatchIngest:
         files = discover_files(self.spark, data_root, self.layout)
         ledger = ParquetMarkerLedger(self.spark, self.marker_path)
         cfg = config_frame(self.spark, self.catalog)
-        wl = build_worklist(files, cfg, ingestion_date, self.environments, ledger)
+        wl = build_worklist(
+            files,
+            cfg,
+            ingestion_date,
+            self.environments,
+            ledger,
+            source_col="environment" if self.layout == "hosting" else "data_source",
+        )
         # Freeze the work-list before any marker mutation: the anti-join
         # reads the ledger, which ledger.touch() rewrites inside the loop.
         wl = wl.cache()

@@ -39,8 +39,14 @@ def build_worklist(
     environments: list[str] | None = None,
     ledger: ParquetMarkerLedger | None = None,
     file_name: str | None = None,
+    source_col: str = "environment",
 ) -> DataFrame:
-    """Apply P5/P6/P2/P3/P4 (+ optional P9) and J4 to the file frame."""
+    """Apply P5/P6/P2/P3/P4 (+ optional P9) and J4 to the file frame.
+
+    ``source_col`` is the P4 membership column: ``environment`` for the
+    hosting layout (`main.py:41-43`), ``data_source`` for the mailbox
+    layout (`main_mailbox.py:41-43` filters on DataSource — e.g.
+    'NL_Hosting_Mailbox' — not on the derived environment 'NL')."""
     # First-match config semantics (`main.py:83-84`).
     cfg = config.dropDuplicates(["source"])
     out = files.join(
@@ -49,7 +55,7 @@ def build_worklist(
     out = out.filter(F.col("is_enabled"))  # P2
     out = out.filter(F.col("backup_date") >= F.lit(ingestion_date))  # P3 late-data drop
     if environments is not None:  # P4
-        out = out.filter(F.col("environment").isin(environments))
+        out = out.filter(F.col(source_col).isin(environments))
     if file_name is not None:  # P9: debug single-file filter (`main.py:38-39`)
         out = out.filter(F.col("file_name") == file_name)
     if ledger is not None:  # J4

@@ -1,0 +1,135 @@
+"""Console entry points (`cli.py`): the reference's `main.py` /
+`main_mailbox.py` operational surface — a JSON run config driving a full
+ingest, hosting and mailbox layouts, parquet and Derby JDBC sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+
+from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_hosting, main_mailbox
+from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
+    derby_memory_url,
+    read_query,
+)
+
+from .test_pipeline import write_source
+
+TABLES_CONFIG = [
+    {
+        "target_name": "HOST_CIG_Widgets",
+        "source": "Widgets",
+        "is_enabled": True,
+        # Reference shape: bare column-name list (all nullable strings).
+        "columns": ["ID", "Name", "Environment", "CIGCopyTime", "CIGProcessed"],
+    },
+    {
+        "target_name": "HOST_CIG_Off",
+        "source": "Off",
+        "is_enabled": False,
+        "columns": ["ID", "Name"],
+    },
+]
+
+
+def _write_configs(tmp_path, data_root, extra):
+    tables_path = tmp_path / "cig_tables.json"
+    tables_path.write_text(json.dumps(TABLES_CONFIG))
+    cfg = {
+        "data_folder": data_root,
+        # Relative on purpose: must resolve against the config file's
+        # directory like the reference does (`main.py:163-164`).
+        "tables_to_upload_config_file": "cig_tables.json",
+        "ingestion_date": "2024-01-05",
+        "logs_folder": "/tmp/ignored",  # reference key: must be ignored
+        "ingest_from": "some-bucket",  # reference key: must be ignored
+    }
+    cfg.update(extra)
+    cfg_path = tmp_path / "ingestion_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return str(cfg_path)
+
+
+def test_cli_hosting_parquet_sink(spark, tmp_path):
+    root = str(tmp_path / "data")
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet",
+                 [("a", "x"), ("nan", "y")])
+    write_source(spark, root, "NL", "Off", "2024/01/05", "off.parquet", [("d", "q")])
+    sink = str(tmp_path / "sink")
+    cfg = _write_configs(
+        tmp_path, root, {"environments": ["NL"], "sink_root": sink}
+    )
+    assert main_hosting(["--ingestion_config_filename", cfg]) == 0
+    out = spark.read.parquet(os.path.join(sink, "HOST_CIG_Widgets"))
+    assert out.count() == 2
+    # Disabled table must not be ingested.
+    assert not os.path.exists(os.path.join(sink, "HOST_CIG_Off"))
+    # Re-run: marker idempotency holds through the CLI path too.
+    assert main_hosting(["--ingestion_config_filename", cfg]) == 0
+    assert spark.read.parquet(os.path.join(sink, "HOST_CIG_Widgets")).count() == 2
+
+
+def test_cli_hosting_jdbc_sink(spark, tmp_path):
+    root = str(tmp_path / "data")
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet",
+                 [("a", "x"), ("b", "y"), ("c", "z")])
+    url = derby_memory_url(f"cli{uuid.uuid4().hex[:12]}")
+    cfg = _write_configs(
+        tmp_path,
+        root,
+        {
+            "environments": ["NL"],
+            "ingest_to": url,
+            "sink_root": str(tmp_path / "sink"),
+        },
+    )
+    assert main_hosting(["--ingestion_config_filename", cfg]) == 0
+    n = read_query(
+        spark, url, "SELECT COUNT(*) AS n FROM HOST_CIG_Widgets"
+    ).collect()[0][0]
+    assert n == 3
+
+
+def test_cli_mailbox_layout(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "data")
+    # Mailbox layout: <root>/<DataSource>/<Entity>/<yyyy>/<mm>/<dd>/
+    path = os.path.join(root, "NL_Hosting_Mailbox", "Widgets", "2024", "01", "05")
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"ID": ["m1"], "Name": ["mb"]}), os.path.join(path, "m.parquet")
+    )
+    sink = str(tmp_path / "sink")
+    cfg = _write_configs(
+        tmp_path,
+        root,
+        {"data_sources": ["NL_Hosting_Mailbox"], "sink_root": sink},
+    )
+    assert main_mailbox(["--ingestion_config_filename", cfg]) == 0
+    out = spark.read.parquet(os.path.join(sink, "HOST_CIG_Widgets"))
+    rows = out.collect()
+    assert len(rows) == 1
+    # Environment derives from the data source (`main_mailbox.py:56`);
+    # on the parquet sink it surfaces as the hive partition column
+    # (case-insensitive resolution folds the data column into it).
+    assert rows[0]["environment"] == "NL"
+
+
+def test_cli_missing_tables_config_raises(spark, tmp_path):
+    cfg_path = tmp_path / "bad.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "data_folder": str(tmp_path),
+                "tables_to_upload_config_file": "nope.json",
+                "environments": ["NL"],
+            }
+        )
+    )
+    with pytest.raises(FileNotFoundError):
+        main_hosting(["--ingestion_config_filename", str(cfg_path)])
