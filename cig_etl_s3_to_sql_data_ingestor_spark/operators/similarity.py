@@ -163,6 +163,76 @@ def ivf_assign(
     )
 
 
+KMEANS_QUANT = 1_000_000  # component quantization for exact mean sums
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's KMeans producing (cell_id, embedding) —
+    engine-reproducible bit-for-bit, so a single-threaded SQL oracle can
+    rebuild the identical index.
+
+    Three choices make it exactly reproducible on ANY engine and ANY
+    partitioning (ordinary KMeans is neither):
+
+    - **sorted init**: the ``n_cells`` lowest-id vectors seed the cells
+      (no RNG state to ship across engines);
+    - **quantized exact means**: the update step sums components as
+      integers (``floor(x * 1e6)``) — integer addition is associative,
+      so the per-cell mean is independent of row order/partitioning,
+      then one double division recovers the mean. A millionth-resolution
+      centroid costs ~1e-6 absolute error, noise for clustering;
+    - **fixed iteration count + deterministic tie-break** (cosine DESC,
+      cell_id DESC), not a convergence test — both engines stop at the
+      same place.
+
+    Each iteration is one broadcast-assign pass + one (cell, pos)-keyed
+    aggregate; the corpus never shuffles. At 100 TB train on a
+    deterministic hash-sample first (e.g. ``pmod(xxhash64(id), S) = 0``)
+    — the update math is already one partial-aggregating pass, so the
+    sample only bounds the assign cost.
+    """
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).cast("array<double>").alias("cell_vec"),
+    )
+    for _ in range(n_iters):
+        assigned = ivf_assign(
+            corpus,
+            cent.select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)),
+            id_col,
+            vec_col,
+            n_probe=1,
+        )
+        q = F.transform(
+            F.col("cand_vec"),
+            lambda x: F.floor(x.cast("double") * KMEANS_QUANT).cast("long"),
+        )
+        sums = (
+            assigned.select("cell_id", F.posexplode(q).alias("pos", "q"))
+            .groupBy("cell_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        )
+        cent = (
+            sums.withColumn(
+                "m", (F.col("s").cast("double") / F.col("n")) / float(KMEANS_QUANT)
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cell_vec")
+            )
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -171,6 +241,8 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells + exact re-rank.
 
@@ -180,12 +252,22 @@ def ivf_topk(
     members. The candidate join is an equi-join on ``cell_id`` — work is
     O(probed-cell sizes), not O(corpus), which is the IVF scale story.
 
-    Centroid "training" here is deterministic (the first ``n_cells``
-    vectors serve as centroids) so any engine can reproduce the index
-    bit-for-bit; production would plug a KMeans-sampled centroid set in
-    the same shape.
+    Centroids come from the deterministic ``kmeans_centroids`` training
+    (engine-reproducible: sorted init, quantized exact means, fixed
+    iterations) unless a pre-trained ``centroids`` frame —
+    (cell_id, embedding) shaped, e.g. from a larger offline run — is
+    supplied.
     """
-    centroids = corpus.filter(F.col(id_col) < n_cells)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_cells=n_cells, n_iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    # The trained centroid frame feeds both the corpus-assign and the
+    # query-probe branches; registered in the shared release pool
+    # (operators.dedup.unpersist_all / spark.catalog.clearCache).
+    from .dedup import _persist
+
+    centroids = _persist(centroids)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col("cand_id").alias("query_id"),

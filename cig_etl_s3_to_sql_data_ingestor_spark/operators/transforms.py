@@ -111,12 +111,19 @@ def add_audit_columns(df: DataFrame, environment: str, ingestion_date: date) -> 
 
 
 def replace_sentinels(df: DataFrame) -> DataFrame:
-    """T4 over every string column (the reference's frame-wide replace)."""
-    out = df
-    for f_ in df.schema.fields:
-        if f_.dataType.simpleString() == "string":
-            out = out.withColumn(f_.name, sentinel_replace(F.col(f_.name)))
-    return out
+    """T4 over every string column (the reference's frame-wide replace).
+
+    One ``withColumns`` projection, NOT a per-column ``withColumn`` loop:
+    chained withColumn stacks one Project node per column, and analyzing
+    427 stacked projections of 427 fields is quadratic in width — the
+    difference between milliseconds and minutes of planning on the
+    DivisionStatistics-shaped tables."""
+    updates = {
+        f_.name: sentinel_replace(F.col(f_.name))
+        for f_ in df.schema.fields
+        if f_.dataType.simpleString() == "string"
+    }
+    return df.withColumns(updates) if updates else df
 
 
 def default_missing_columns(df: DataFrame, table: TableSpec) -> DataFrame:
@@ -156,13 +163,16 @@ def normalize_sci_notation(df: DataFrame, table: TableSpec) -> DataFrame:
 
 
 def scrub_not_nullable(df: DataFrame, table: TableSpec) -> DataFrame:
-    """T9 for every non-nullable target column (creates missing ones as '')."""
+    """T9 for every non-nullable target column (creates missing ones as '').
+
+    Single ``withColumns`` projection — see replace_sentinels for why a
+    withColumn loop is quadratic in table width."""
     cols = [c.name for c in table.columns if not c.nullable]
-    out = df
-    for c in cols:
-        src = F.col(c) if c in out.columns else F.lit("")
-        out = out.withColumn(c, not_nullable_scrub(src))
-    return out
+    updates = {
+        c: not_nullable_scrub(F.col(c) if c in df.columns else F.lit(""))
+        for c in cols
+    }
+    return df.withColumns(updates) if updates else df
 
 
 def truncate_long_timestamps(

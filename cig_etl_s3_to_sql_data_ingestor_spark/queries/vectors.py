@@ -114,13 +114,55 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.axis_lsh_topk(e, queries, k=5).orderBy("query_id", "rank")
 
 
+def _sql_kmeans_ctes(n_cells: int = 16, n_iters: int = 2, quant: int = 1_000_000) -> str:
+    """CTE chain reproducing operators.similarity.kmeans_centroids exactly:
+    sorted init, per-iteration nearest-cell assign (cosine DESC, cell_id
+    DESC tie-break), and the quantized-integer mean update (integer sums
+    are order-independent, so both engines compute identical centroids)."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
+        f"FROM embeddings WHERE vec_id < {n_cells})"
+    ]
+    for it in range(n_iters):
+        prev, cur = f"cent{it}", f"cent{it + 1}"
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, {prev}.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', f'{prev}.cell_vec')} DESC,
+                                           {prev}.cell_id DESC) AS rn
+        FROM c CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{it} AS (
+      SELECT cell_id,
+             unnest(generate_series(1, len(cand_vec))) AS pos,
+             unnest(list_transform(generate_series(1, len(cand_vec)),
+                    i -> CAST(floor(CAST(cand_vec[i] AS DOUBLE) * {quant}) AS BIGINT))) AS q
+      FROM assign{it}
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+      SELECT cell_id,
+             list((CAST(s AS DOUBLE) / n) / {quant}.0 ORDER BY pos) AS cell_vec
+      FROM (SELECT cell_id, pos, SUM(q) AS s, COUNT(*) AS n
+            FROM sums{it} GROUP BY cell_id, pos)
+      GROUP BY cell_id
+    )"""
+        )
+    ctes.append(f"cent AS (SELECT * FROM cent{n_iters})")
+    return ",\n    ".join(ctes)
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cell_id, embedding AS cell_vec FROM embeddings WHERE vec_id < 16
-    ),
-    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes()},
     assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,

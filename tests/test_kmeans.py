@@ -1,0 +1,74 @@
+"""Deterministic KMeans (IVF centroid training): the reproducibility
+contract — identical centroids regardless of partitioning — and basic
+clustering sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+    kmeans_centroids,
+)
+
+
+def _collect_centroids(df):
+    return {
+        r["cell_id"]: tuple(r["cell_vec"]) for r in df.collect()
+    }
+
+
+def test_kmeans_is_partitioning_invariant(spark, sf_dir):
+    """The quantized-integer mean update must make training independent
+    of row order and partitioning — the property ordinary FP means lack
+    and the reason a SQL oracle can reproduce the index bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = _collect_centroids(kmeans_centroids(e, n_cells=8, n_iters=2))
+    shuffled = _collect_centroids(
+        kmeans_centroids(
+            e.repartition(13, F.col("label")).sortWithinPartitions(
+                F.col("vec_id").desc()
+            ),
+            n_cells=8,
+            n_iters=2,
+        )
+    )
+    assert base == shuffled  # bit-exact, not approximate
+
+
+def test_kmeans_improves_over_init(spark, sf_dir):
+    """Trained centroids must give a tighter clustering than the raw
+    init: mean best-cosine over the corpus should not decrease."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def mean_best_sim(centroids):
+        cent = centroids.select(
+            F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+        )
+        a = ivf_assign(e, cent, n_probe=1)
+        # ivf_assign keeps cand/cell vectors; recompute the winning sim.
+        from cig_etl_s3_to_sql_data_ingestor_spark.functions.vectors import dot, norm
+
+        joined = a.join(
+            cent.select(
+                F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("cell_vec"),
+            ),
+            "cell_id",
+        ).withColumn(
+            "sim",
+            dot(F.col("cand_vec"), F.col("cell_vec"))
+            / (F.col("cand_norm") * norm(F.col("cell_vec"))),
+        )
+        return joined.agg(F.avg("sim")).collect()[0][0]
+
+    init = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cell_vec"),
+    )
+    trained = kmeans_centroids(e, n_cells=8, n_iters=2)
+    assert mean_best_sim(trained) >= mean_best_sim(init) - 1e-9
