@@ -119,9 +119,15 @@ class JdbcMarkerLedger(MarkerLedger):
     """Marker table in a SQL database over JDBC — the reference keeps its
     `ETL_Import_From_S3_Marker` in the target SQL Server (`luigi.cfg:5`)
     so operators can audit it with plain SQL; this backend preserves
-    that. The ledger is tiny (one row per ingested file), so the upsert
-    is a read-merge-overwrite; on a database with MERGE support the same
-    protocol maps to one MERGE statement.
+    that.
+
+    ``touch`` is a real MERGE upsert (stage the new rows, one
+    transactional ``MERGE INTO`` keyed on the triple): unlike the
+    parquet backend's read-merge-overwrite, concurrent writers ingesting
+    different file sets serialize on row locks and BOTH sets survive —
+    a truncate-rewrite would let the last writer erase the other's rows.
+    Derby (>= 10.11), SQL Server, and Postgres (15+) all speak this
+    MERGE dialect.
     """
 
     def __init__(self, spark: SparkSession, url: str, table: str = "etl_marker"):
@@ -157,9 +163,81 @@ class JdbcMarkerLedger(MarkerLedger):
         "environment VARCHAR(128)"
     )
 
-    def _write(self, merged: DataFrame) -> None:
+    def _write(self, merged: DataFrame) -> None:  # pragma: no cover - unused
+        # Kept for the abstract contract; touch() below upserts via MERGE
+        # and never rewrites the whole table.
         merged.coalesce(1).write.mode("overwrite").format("jdbc").option(
             "url", self.url
         ).option("dbtable", self.table).option("truncate", "true").option(
             "createTableColumnTypes", self.COLUMN_TYPES
         ).save()
+
+    def _ensure_table(self) -> None:
+        from ..sources.jdbc import _TABLE_MISSING_STATES, _sqlstate, read_query
+
+        try:
+            # Direct probe (read() maps "missing" to an empty frame, so it
+            # cannot distinguish the create-needed case).
+            read_query(
+                self.spark, self.url, f"SELECT * FROM {self.table} WHERE 1=0"
+            )
+            return
+        except Exception as ex:
+            if _sqlstate(ex) not in _TABLE_MISSING_STATES:
+                raise
+        empty = self.spark.createDataFrame([], MARKER_SCHEMA)
+        empty.write.mode("append").format("jdbc").option("url", self.url).option(
+            "dbtable", self.table
+        ).option("createTableColumnTypes", self.COLUMN_TYPES).save()
+
+    def touch(self, completed: DataFrame) -> None:
+        """Upsert via staged MERGE — safe under concurrent writers."""
+        import uuid
+
+        new = (
+            completed.select(
+                F.col("file_name").alias("parquet_source"),
+                F.col("target_table"),
+                F.col("environment"),
+                F.col("backup_date").cast("date"),
+                F.current_timestamp().alias("inserted_date"),
+            )
+            # MERGE requires a unique source per target row; latest wins
+            # within the batch like the base protocol.
+            .dropDuplicates(MARKER_KEY)
+        )
+        self._ensure_table()
+        staging = f"{self.table}_stg_{uuid.uuid4().hex[:8]}"
+        new.coalesce(1).write.mode("overwrite").format("jdbc").option(
+            "url", self.url
+        ).option("dbtable", staging).option(
+            "createTableColumnTypes", self.COLUMN_TYPES
+        ).save()
+        # Spark's JDBC DDL quotes column names (case-preserved), so the
+        # MERGE must quote them too — Derby would otherwise uppercase.
+        q = lambda c: f'"{c}"'  # noqa: E731
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in MARKER_KEY)
+        cols = [f.name for f in MARKER_SCHEMA.fields]
+        updates = ", ".join(
+            f"{q(c)} = s.{q(c)}" for c in cols if c not in MARKER_KEY
+        )
+        insert_cols = ", ".join(q(c) for c in cols)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        merge_sql = (
+            f"MERGE INTO {self.table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {updates} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+        jvm = self.spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            conn.setAutoCommit(False)
+            stmt = conn.createStatement()
+            stmt.executeUpdate(merge_sql)
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()

@@ -133,6 +133,39 @@ def test_jdbc_marker_ledger(spark, url):
     assert [r["file_name"] for r in work.collect()] == ["f3.parquet"]
 
 
+def test_jdbc_marker_merge_concurrent_writers(spark, url):
+    """The MERGE upsert must let interleaved ingests (disjoint file sets)
+    both survive — a read-merge-overwrite would let the last writer erase
+    the other's rows."""
+    import datetime as dt
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.marker import JdbcMarkerLedger
+
+    def frame(prefix, n):
+        return spark.createDataFrame(
+            [(f"{prefix}_{i}.parquet", "NL", "T1", dt.date(2024, 1, 5)) for i in range(n)],
+            "file_name string, environment string, target_table string, backup_date date",
+        )
+
+    # Seed the table first so concurrent CREATEs don't race.
+    seed = JdbcMarkerLedger(spark, url, table="etl_marker_cc")
+    seed.touch(frame("seed", 1))
+
+    def worker(prefix):
+        ledger = JdbcMarkerLedger(spark, url, table="etl_marker_cc")
+        ledger.touch(frame(prefix, 5))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(worker, ["w1", "w2"]))
+
+    m = seed.read()
+    assert m.count() == 11, "concurrent touch lost rows"
+    # Re-delivery updates in place rather than duplicating.
+    seed.touch(frame("w1", 5))
+    assert seed.read().count() == 11
+
+
 def test_transactional_publish(spark, url):
     from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
         write_table_transactional,
