@@ -172,6 +172,7 @@ def kmeans_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's KMeans producing (cell_id, embedding) —
     engine-reproducible bit-for-bit, so a single-threaded SQL oracle can
@@ -192,18 +193,29 @@ def kmeans_centroids(
       same place.
 
     Each iteration is one broadcast-assign pass + one (cell, pos)-keyed
-    aggregate; the corpus never shuffles. At 100 TB train on a
-    deterministic hash-sample first (e.g. ``pmod(xxhash64(id), S) = 0``)
-    — the update math is already one partial-aggregating pass, so the
-    sample only bounds the assign cost.
+    aggregate; the corpus never shuffles. ``sample_mod=S`` trains on the
+    deterministic ~1/S hash-sample ``md5-bucket(id) % S == 0`` — the
+    engine-reproducible sampling (an RNG sample is partition-seeded and
+    unreproducible elsewhere) that bounds the training-assign cost; at
+    100 TB always set it. Init centroids stay the ``n_cells`` lowest ids
+    of the FULL corpus so the sample only affects the mean updates.
     """
+    train = corpus
+    if sample_mod is not None:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+            ).cast("long")
+            % sample_mod
+        )
+        train = corpus.filter(bucket == 0)
     cent = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"),
         F.col(vec_col).cast("array<double>").alias("cell_vec"),
     )
     for _ in range(n_iters):
         assigned = ivf_assign(
-            corpus,
+            train,
             cent.select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)),
             id_col,
             vec_col,
@@ -243,6 +255,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     kmeans_iters: int = 2,
+    kmeans_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells + exact re-rank.
 
@@ -260,7 +273,12 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = kmeans_centroids(
-            corpus, n_cells=n_cells, n_iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+            corpus,
+            n_cells=n_cells,
+            n_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_mod=kmeans_sample_mod,
         ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
     # The trained centroid frame feeds both the corpus-assign and the
     # query-probe branches; registered in the shared release pool

@@ -114,25 +114,49 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.axis_lsh_topk(e, queries, k=5).orderBy("query_id", "rank")
 
 
-def _sql_kmeans_ctes(n_cells: int = 16, n_iters: int = 2, quant: int = 1_000_000) -> str:
+def _sql_hash_bucket(id_expr: str, mod: int) -> str:
+    """strpos-polynomial hex decode of md5(id) — the version-stable md5
+    bucket (same construct as queries.corpus._SQL_BUCKET)."""
+    hexd = f"substr(md5(CAST({id_expr} AS VARCHAR)), {{i}}, 1)"
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', {hexd.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({poly}) % {mod})"
+
+
+def _sql_kmeans_ctes(
+    n_cells: int = 16,
+    n_iters: int = 2,
+    quant: int = 1_000_000,
+    sample_mod: int | None = None,
+) -> str:
     """CTE chain reproducing operators.similarity.kmeans_centroids exactly:
     sorted init, per-iteration nearest-cell assign (cosine DESC, cell_id
     DESC tie-break), and the quantized-integer mean update (integer sums
-    are order-independent, so both engines compute identical centroids)."""
+    are order-independent, so both engines compute identical centroids).
+    With ``sample_mod`` the mean updates see only the deterministic
+    md5-bucket sample, mirroring the operator's training sample."""
+    train = "c"
     ctes = [
         f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
         f"FROM embeddings WHERE vec_id < {n_cells})"
     ]
+    if sample_mod is not None:
+        train = "train"
+        ctes.append(
+            f"train AS (SELECT * FROM c WHERE {_sql_hash_bucket('cand_id', sample_mod)} = 0)"
+        )
     for it in range(n_iters):
         prev, cur = f"cent{it}", f"cent{it + 1}"
         ctes.append(
             f"""assign{it} AS (
       SELECT cand_id, cand_vec, cell_id FROM (
-        SELECT c.cand_id, c.cand_vec, {prev}.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY c.cand_id
-                                  ORDER BY {_sql_cosine('c.cand_vec', f'{prev}.cell_vec')} DESC,
+        SELECT {train}.cand_id, {train}.cand_vec, {prev}.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY {train}.cand_id
+                                  ORDER BY {_sql_cosine(f'{train}.cand_vec', f'{prev}.cell_vec')} DESC,
                                            {prev}.cell_id DESC) AS rn
-        FROM c CROSS JOIN {prev}
+        FROM {train} CROSS JOIN {prev}
       ) WHERE rn = 1
     )"""
         )
@@ -162,7 +186,7 @@ def _sql_kmeans_ctes(n_cells: int = 16, n_iters: int = 2, quant: int = 1_000_000
     "ann_ivf_topk",
     oracle=f"""
     WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
-    {_sql_kmeans_ctes()},
+    {_sql_kmeans_ctes(sample_mod=4)},
     assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
@@ -199,7 +223,12 @@ def _sql_kmeans_ctes(n_cells: int = 16, n_iters: int = 2, quant: int = 1_000_000
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    return S.ivf_topk(e, queries, k=5, n_cells=16, n_probe=4).orderBy("query_id", "rank")
+    # Training runs on the deterministic 1/4 md5-bucket sample (mirrored
+    # in the oracle's `train` CTE) — the 100 TB pattern where the sample,
+    # not the corpus, bounds KMeans-assign cost.
+    return S.ivf_topk(
+        e, queries, k=5, n_cells=16, n_probe=4, kmeans_sample_mod=4
+    ).orderBy("query_id", "rank")
 
 
 @register(
