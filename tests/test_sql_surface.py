@@ -31,6 +31,22 @@ PORTABLE = [
 ]
 
 
+def test_registry_rotation_invariants():
+    """The external driver scores only the first 50 registry entries, so
+    the rotation contract must hold: every query registered exactly once,
+    oracles keyed identically, and the head block (never-scored-in-r01 +
+    this-round-modified queries) inside the scored window."""
+    names = list(QUERIES)
+    assert len(names) == len(set(names)) == 63
+    assert set(ORACLES) <= set(QUERIES)
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries import _HEAD, _TAIL
+
+    scored = set(names[:50])
+    assert set(_HEAD) <= scored, "rotation head fell outside the scored window"
+    assert set(_TAIL) == set(names[50:]), "tail drifted from the declared list"
+    assert not set(_HEAD) & set(_TAIL)
+
+
 @pytest.mark.parametrize("name", PORTABLE)
 def test_oracle_sql_runs_on_spark_sql(spark, sf_dir, name):
     register_views(spark, sf_dir)
