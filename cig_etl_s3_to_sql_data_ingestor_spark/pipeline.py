@@ -128,6 +128,7 @@ class BatchIngest:
             self.results.append(
                 IngestResult(env, target, len(paths), n_rows, out_path)
             )
+        wl.unpersist()
         return self.results
 
     def summary(self) -> str:
