@@ -312,8 +312,11 @@ def simhash_near_duplicates(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # Filter BEFORE the distinct: hamming is a pure function of the
+        # pair, so the result is identical but the distinct's shuffle only
+        # carries surviving pairs.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
