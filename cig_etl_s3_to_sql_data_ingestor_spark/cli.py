@@ -34,9 +34,18 @@ Recognized config keys (reference keys kept where they map 1:1):
 - ``webhook_url``                      optional incoming-webhook for the
                                        run summary / failure message
                                        (`SlackNotifier.py` analog)
+- ``debug_file_name``                  P9: ingest only this one file
+                                       (`main.py:38-39` debug filter)
+- ``environments_to_check``            monitor entry only: which sources
+                                       the freshness check covers
 
 Unknown keys (``logs_folder``, ``ingest_from``, ...) are ignored so the
 reference's own config files parse unchanged.
+
+A third entry, ``cig-etl-monitor``, mirrors the freshness monitor
+(`check_bucket_latest_folders.py`, C6): latest backup date per
+(environment, entity), stale entities vs the reference date, summary via
+webhook when anything is stale.
 """
 
 from __future__ import annotations
@@ -103,10 +112,64 @@ def run_from_config(
             layout=layout,
             jdbc_url=jdbc_url,
             notifier=notifier,
+            file_name=cfg.get("debug_file_name") or None,
         )
         results = ingest.run(data_folder, ingestion_date)
         print(ingest.summary())
         return results
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def run_monitor_from_config(
+    config_path: str,
+    layout: str = "hosting",
+    spark: SparkSession | None = None,
+    notifier: Notifier | None = None,
+):
+    """Freshness-monitor run (C6): report entities whose latest backup
+    predates the reference date; notify when anything is stale."""
+    import datetime as dt
+
+    from .operators.monitor import freshness_report
+    from .sources.parquet_tree import discover_files
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    date_str = cfg.get("ingestion_date") or ""
+    reference_date = (
+        dt.datetime.strptime(date_str, "%Y-%m-%d").date()
+        if date_str
+        else dt.date.today()
+    )
+    envs = cfg.get("environments_to_check") or cfg.get("data_sources_to_check")
+    if notifier is None and cfg.get("webhook_url"):
+        notifier = WebhookNotifier(cfg["webhook_url"])
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="cig-etl-monitor")
+    try:
+        files = discover_files(spark, cfg["data_folder"], layout)
+        if envs:
+            from pyspark.sql import functions as F
+
+            col = "environment" if layout == "hosting" else "data_source"
+            files = files.filter(F.col(col).isin(envs))
+        stale = freshness_report(files, reference_date).collect()
+        lines = [
+            f"STALE {r['environment']}/{r['entity_name']}: latest {r['latest_date']}"
+            for r in stale
+        ]
+        report = "\n".join(lines) if lines else "all entities fresh"
+        print(report)
+        if notifier is not None and lines:
+            notifier.send(report)
+        return stale
     finally:
         if own_session:
             spark.stop()
@@ -133,6 +196,23 @@ def main_hosting(argv: list[str] | None = None) -> int:
 
 def main_mailbox(argv: list[str] | None = None) -> int:
     return _main("mailbox", "ingestion_mailbox_config.json", argv)
+
+
+def main_monitor(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Report entities whose latest backup predates the reference date."
+    )
+    parser.add_argument(
+        "--ingestion_config_filename",
+        default="ingestion_config.json",
+        help='Run-config JSON path (default "ingestion_config.json")',
+    )
+    parser.add_argument(
+        "--layout", default="hosting", choices=["hosting", "mailbox"]
+    )
+    args = parser.parse_args(argv)
+    run_monitor_from_config(args.ingestion_config_filename, layout=args.layout)
+    return 0
 
 
 if __name__ == "__main__":  # pragma: no cover

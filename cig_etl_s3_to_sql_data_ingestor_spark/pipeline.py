@@ -64,6 +64,9 @@ class BatchIngest:
     layout: str = "hosting"
     jdbc_url: str | None = None  # when set, sink = JDBC append (S8)
     notifier: Notifier | None = None  # C4: summary on activity, failure on crash
+    # P9: debug single-file filter (`main.py:38-39` keeps it as a
+    # commented-out line; here it is a first-class run parameter).
+    file_name: str | None = None
     results: list[IngestResult] = field(default_factory=list)
 
     def run(self, data_root: str, ingestion_date: dt.date) -> list[IngestResult]:
@@ -90,6 +93,7 @@ class BatchIngest:
             ingestion_date,
             self.environments,
             ledger,
+            file_name=self.file_name,
             source_col="environment" if self.layout == "hosting" else "data_source",
         )
         # Freeze the work-list before any marker mutation: the anti-join

@@ -120,6 +120,46 @@ def test_cli_mailbox_layout(spark, tmp_path):
     assert rows[0]["environment"] == "NL"
 
 
+def test_cli_debug_single_file_filter(spark, tmp_path):
+    """P9 (`main.py:38-39`): debug_file_name restricts the run to that one
+    file; everything else stays un-ingested and un-marked."""
+    root = str(tmp_path / "data")
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet", [("a", "x")])
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w2.parquet", [("b", "y")])
+    sink = str(tmp_path / "sink")
+    cfg = _write_configs(
+        tmp_path,
+        root,
+        {
+            "environments": ["NL"],
+            "sink_root": sink,
+            "debug_file_name": "w1.parquet",
+        },
+    )
+    assert main_hosting(["--ingestion_config_filename", cfg]) == 0
+    out = spark.read.parquet(os.path.join(sink, "HOST_CIG_Widgets"))
+    assert [r["ID"] for r in out.collect()] == ["a"]
+
+
+def test_cli_monitor_reports_stale_entities(spark, tmp_path, capsys):
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_monitor
+
+    root = str(tmp_path / "data")
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet", [("a", "x")])
+    write_source(spark, root, "NL", "Gadgets", "2024/01/02", "g1.parquet", [("b", "y")])
+    write_source(spark, root, "DE", "Widgets", "2024/01/01", "d1.parquet", [("c", "z")])
+    cfg = _write_configs(
+        tmp_path,
+        root,
+        {"environments_to_check": ["NL"], "ingestion_date": "2024-01-05"},
+    )
+    assert main_monitor(["--ingestion_config_filename", cfg]) == 0
+    out = capsys.readouterr().out
+    assert "STALE NL/Gadgets" in out
+    assert "DE" not in out  # environments_to_check respected
+    assert "NL/Widgets" not in out  # fresh entity not reported
+
+
 def test_cli_missing_tables_config_raises(spark, tmp_path):
     cfg_path = tmp_path / "bad.json"
     cfg_path.write_text(
