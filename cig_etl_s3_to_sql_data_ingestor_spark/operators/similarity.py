@@ -131,12 +131,14 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
     Centroids are broadcast, so assignment is one map-side pass over the
-    corpus (no corpus shuffle); the ``row_number`` ranking shuffles only
-    ``|corpus| x |centroids|`` scored rows. For very large corpora swap
-    the window for ``groupBy(id).agg(max_by(...))`` (partial-aggregating,
-    no full shuffle) or a Pandas-UDF matrix multiply per Arrow batch.
-    Ties break toward the highest centroid id (bit-reproducible because
-    the dot-product fold is deterministic).
+    corpus (no corpus shuffle). For the common ``n_probe=1`` case (index
+    build, KMeans training) the winner is a ``max_by`` over the
+    (sim, cell_id) struct — a PARTIAL-aggregating reduction whose
+    map-side combine collapses the |corpus| x |centroids| scored rows to
+    one row per vector before any shuffle; only multi-probe ranking pays
+    the ``row_number`` window. Both paths break ties toward the highest
+    centroid id (bit-reproducible because the dot-product fold is
+    deterministic), so they pick identical winners.
     """
     c = fan_out(corpus).select(
         F.col(id_col).alias("cand_id"),
@@ -153,6 +155,17 @@ def ivf_assign(
         dot(F.col("cand_vec"), F.col("cell_vec"))
         / (F.col("cand_norm") * F.col("cell_norm")),
     )
+    if n_probe == 1:
+        # max over (sim, id) structs == ORDER BY sim DESC, id DESC LIMIT 1.
+        # cand_vec/cand_norm are constant within the group (the group key
+        # is the vector's id), so any-value semantics of first() are exact.
+        return scored.groupBy("cand_id").agg(
+            F.first("cand_vec").alias("cand_vec"),
+            F.first("cand_norm").alias("cand_norm"),
+            F.max_by(
+                F.col("cell_id"), F.struct(F.col("cell_sim"), F.col("cell_id"))
+            ).alias("cell_id"),
+        )
     w = W.partitionBy("cand_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell_id").desc()
     )
