@@ -67,6 +67,13 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "scd2_user_state",
     "order_cube",
+    # round 2: LLM training-data prep surface
+    "contamination_check",
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_sample",
+    "interleave_sources",
+    "pii_redaction",
 ]
 
 
@@ -104,6 +111,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    try:  # contention transparency: loadavg BEFORE this bench's own load decays
+        load1 = round(os.getloadavg()[1], 2)
+    except OSError:  # pragma: no cover
+        load1 = None
     print(
         json.dumps(
             {
@@ -112,6 +123,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(HEADLINE),
+                "loadavg5": load1,
             }
         )
     )

@@ -1,0 +1,285 @@
+"""Training-data preparation operators: the corpus-shaping passes an LLM
+data pipeline runs between raw ingestion and tokenization — benchmark
+contamination checks, document chunking, sequence packing, stratified
+sampling, weighted source interleaving, and PII/denylist redaction.
+
+The reference engine stops at SQL-table ingestion (main.py:148-179 runs
+extract -> transform -> bulk insert); these operators extend the same
+ingestion surface to the corpus-preparation stages a 100 TB training
+pipeline needs. Every shape here is Spark-native and scale-first:
+
+- contamination is an inverted-index SEMI-join keyed by shingle with the
+  (bounded) benchmark vocabulary broadcast — the corpus never shuffles;
+- chunking/redaction are pure projections (explode + slice / regexp) that
+  stay inside whole-stage codegen;
+- packing is a window cumsum partitioned by the group key, so the only
+  serial dependency is within a group, never across the corpus;
+- interleaving computes the global mix position ARITHMETICALLY from
+  per-source row numbers (cycle-major order) instead of a global
+  row_number window, which would serialize the corpus onto one task;
+- sampling is hash-bucketed (engine/partitioning-reproducible), never
+  RNG-based.
+
+All hashing is md5-based so a single-threaded SQL oracle reproduces every
+value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..partitioning import fan_out
+from .dedup import ngram_shingles_col, tokens_col
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction of the
+    document's distinct word n-gram shingles that occur anywhere in the
+    benchmark corpus (train/test leakage detection).
+
+    The benchmark vocabulary (distinct shingles over the benchmark set) is
+    small relative to the training corpus — a benchmark is thousands of
+    documents, the corpus is billions — so it is broadcast and the
+    candidate side is probed with a SEMI join: one pass over the corpus,
+    no corpus shuffle, and the per-doc aggregate is partial (map-side
+    combined). Returns (id, n_shingles, n_overlap, overlap_frac).
+    """
+    base = fan_out(docs).select(
+        F.col(id_col),
+        ngram_shingles_col(text_col, shingle_n).alias("shingles"),
+    )
+    vocab = (
+        benchmark.select(
+            F.explode(ngram_shingles_col(text_col, shingle_n)).alias("shingle")
+        )
+        .distinct()
+    )
+    hits = (
+        base.select(F.col(id_col), F.size("shingles").alias("n_shingles"),
+                    F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(vocab), "shingle", "left_semi")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return hits.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("n_overlap"),
+        (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into token-window chunks of ``chunk_size``
+    tokens advancing by ``chunk_size - overlap`` (context-window prep for
+    embedding/training jobs).
+
+    Chunk starts are ``1, 1+stride, ...`` up to ``max(n - overlap, 1)`` so
+    the final window always covers the tail and a short document yields
+    exactly one chunk. Pure projection (split -> sequence -> posexplode ->
+    slice): no shuffle, stays in codegen, and the chunk content is carried
+    as an md5 so downstream exchanges ship 32 bytes instead of the text.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = fan_out(docs).select(
+        F.col(id_col), tokens_col(text_col).alias("tokens")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("tokens") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("tokens"), F.col("chunk_start"), chunk_size)
+    return toks.select(
+        F.col(id_col),
+        F.col("tokens"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous-fill sequence packing: within each group (deterministic
+    ``id_col`` order) documents are laid end-to-end and cut into bins of
+    ``budget`` tokens — ``bin = floor(tokens_before_doc / budget)``.
+
+    Packing is inherently order-dependent, so the serial dependency is
+    confined to a window PARTITIONED BY the group key: groups pack in
+    parallel, and at 100 TB the group key (source/shard) bounds each
+    task's window state. Returns one row per (group, bin) with document
+    and token counts — the shape a batch assembler consumes.
+    """
+    toks = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ),
+    )
+    return binned.groupBy(group_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: list[str],
+    mod: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-bucket sample (~1/mod) with per-stratum
+    accounting: membership is ``md5-bucket(id) % mod == 0`` — reproducible
+    on any engine and any partitioning, unlike RNG ``sample()`` — and the
+    result reports achieved vs nominal rate per stratum, which is the
+    audit a dataset-mixture owner actually reads.
+
+    One partial-aggregating pass; no shuffle beyond the stratum groupBy.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % mod
+    )
+    return (
+        docs.select(*strata, (bucket == 0).cast("int").alias("in_sample"))
+        .groupBy(*strata)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("in_sample").alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.col("n_sampled").cast("double") / F.col("n_total").cast("double"),
+        )
+    )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted deterministic round-robin mix of sources: each cycle emits
+    ``weight(s)`` documents from every source ``s``, so the long-run blend
+    converges to the weight ratios — the dataset-mixture schedule used to
+    oversample high-quality sources.
+
+    The global position is computed ARITHMETICALLY:
+    ``pos = cycle * K + offset(source) + rn % weight`` where ``rn`` is the
+    0-based per-source row number, ``cycle = rn div weight``, ``K`` is the
+    sum of all weights and ``offset`` the prefix sum of weights in sorted
+    source order. A naive global ``row_number`` window would serialize the
+    corpus onto one task; this keeps the only window partitioned by source
+    and the mix position a pure projection. When a source exhausts, its
+    later slots stay empty — the schedule keeps gaps rather than
+    re-balancing, so positions never depend on other sources' sizes.
+
+    Sources absent from ``weights`` are dropped (an explicit mixture is
+    the contract; silently defaulting would alias their slot ranges).
+    """
+    names = sorted(weights)
+    k = sum(weights.values())
+    w_expr, off_expr = F.lit(None).cast("int"), F.lit(None).cast("long")
+    acc = 0
+    for s in names:
+        w_expr = F.when(F.col(source_col) == s, F.lit(weights[s])).otherwise(w_expr)
+        off_expr = F.when(F.col(source_col) == s, F.lit(acc)).otherwise(off_expr)
+        acc += weights[s]
+    rn = F.row_number().over(W.partitionBy(source_col).orderBy(id_col)) - 1
+    d = docs.filter(F.col(source_col).isin(names)).select(
+        F.col(source_col),
+        F.col(id_col),
+        w_expr.alias("w"),
+        off_expr.alias("off"),
+        rn.alias("rn"),
+    )
+    return d.select(
+        source_col,
+        id_col,
+        (
+            F.floor(F.col("rn") / F.col("w")) * F.lit(k)
+            + F.col("off")
+            + (F.col("rn") % F.col("w"))
+        ).cast("long").alias("mix_pos"),
+    )
+
+
+# Conservative, RE2-and-Java-identical patterns: no backreferences, no
+# lookaround, explicit character classes only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def redact_patterns(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact every match of each named pattern with ``[NAME]`` and count
+    matches per pattern — the PII-scrub + audit pass.
+
+    Pure projection (regexp_extract_all + chained regexp_replace), fully
+    inside codegen; the scrubbed text is carried as an md5 so the audit
+    result is tiny regardless of document size. Patterns must be
+    RE2-compatible (no backreferences/lookaround) so the same regex means
+    the same thing in Spark (Java) and the SQL oracle (RE2).
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = fan_out(docs).select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    red = F.col("_t")
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.select(
+        F.col(id_col), *counts, F.md5(red).alias("redacted_hash")
+    )

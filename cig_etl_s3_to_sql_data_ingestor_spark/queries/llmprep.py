@@ -1,0 +1,228 @@
+"""LLM training-data preparation query surface: contamination checks,
+document chunking, sequence packing, stratified sampling, weighted source
+interleaving, PII/denylist redaction — each distributed operator
+(operators.corpus_prep) paired with a DuckDB oracle that reproduces the
+values bit-for-bit.
+
+Engine-parity rules applied throughout (see NOTES.md): md5-based hashing
+only, strpos-polynomial hex decode (never string-literal hex casts),
+DOUBLE division with explicit casts on both sides, RE2-and-Java-identical
+regexes, and ``regexp_replace(..., 'g')`` in DuckDB to match Spark's
+replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import corpus_prep as P
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Deterministic hash bucket of doc_id — the same construct (and the same
+# strpos-polynomial SQL mirror) as queries/corpus.py's dataset split.
+def _bucket_col(mod: int):
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def _sql_bucket(mod: int) -> str:
+    hex_digit = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', {hex_digit.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({poly}) % {mod})"
+
+
+# Tokens / shingles — identical to the dedup oracles (proven green in r01).
+_SQL_TOK = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "  generate_series(0, greatest(len(tokens) - 3, 0)),"
+    "  i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')))"
+)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOK} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM tok),
+    b AS (SELECT doc_id, {_sql_bucket(10)} AS bucket FROM documents),
+    vocab AS (
+      SELECT DISTINCT unnest(shingles) AS shingle
+      FROM sh JOIN b USING (doc_id) WHERE bucket = 9
+    ),
+    cand AS (
+      SELECT sh.doc_id, len(shingles) AS n_shingles,
+             unnest(shingles) AS shingle
+      FROM sh JOIN b USING (doc_id) WHERE bucket <= 7
+    ),
+    hits AS (
+      SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+      FROM cand JOIN vocab USING (shingle)
+      GROUP BY doc_id, n_shingles
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+    FROM hits
+    WHERE CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.2
+    ORDER BY doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: score every train-split document by the
+    fraction of its shingles found anywhere in the held-out (test-split)
+    benchmark vocabulary; report docs above the 0.2 contamination floor."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket_col(10)
+    train = docs.filter(b <= 7)
+    bench = docs.filter(b == 9)
+    return (
+        P.contamination_overlap(train, bench)
+        .filter(F.col("overlap_frac") >= 0.2)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOK} AS tokens FROM documents),
+    st AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(1, greatest(len(tokens) - 8, 1), 24)) AS chunk_start
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) / 24 AS BIGINT) AS chunk_idx,
+           chunk_start,
+           len(list_slice(tokens, chunk_start, chunk_start + 31)) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(tokens, chunk_start, chunk_start + 31), ' '))
+             AS chunk_hash
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows advancing 24 tokens
+    (8-token overlap); the chunk content travels as an md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, chunk_size=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_SQL_TOK}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t
+    )
+    SELECT source, CAST(FLOOR(prior / 256) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill packing of each source's documents into 256-token
+    bins (batch-assembly prep); one row per bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.pack_sequences(docs, budget=256, group_col="source").orderBy(
+        "source", "bin_id"
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT source, lang, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN {_sql_bucket(5)} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN {_sql_bucket(5)} = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS sample_rate
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% hash-bucket sample with per-(source, lang)
+    achieved-rate accounting — the mixture-audit view."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.stratified_sample(docs, ["source", "lang"], mod=5).orderBy(
+        "source", "lang"
+    )
+
+
+_MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1}
+
+
+@register(
+    "interleave_sources",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS w,
+             CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 4 ELSE 6 END AS off,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT source, doc_id,
+           CAST(FLOOR(rn / w) * 7 + off + (rn % w) AS BIGINT) AS mix_pos
+    FROM d ORDER BY mix_pos
+    """,
+)
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4:2:1 weighted round-robin mix of three sources;
+    the global position is arithmetic, never a global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.interleave_sources(docs, _MIX_WEIGHTS).orderBy("mix_pos")
+
+
+_PII = dict(P.PII_PATTERNS)
+_PII["term"] = r"\b(?:customer|order|part)\b"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+           len(regexp_extract_all(text, '{_PII["term"]}')) AS n_term,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII["email"]}', '[EMAIL]', 'g'),
+                 '{_PII["phone"]}', '[PHONE]', 'g'),
+                 '{_PII["term"]}', '[TERM]', 'g')) AS redacted_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/denylist scrub audit: per-doc match counts for email, phone and
+    denylisted-term patterns plus the md5 of the fully redacted text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.redact_patterns(docs, _PII).orderBy("doc_id")
