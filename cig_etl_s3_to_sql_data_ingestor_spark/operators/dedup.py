@@ -112,13 +112,17 @@ def minhash_signatures(
     return base.select(F.col(id_col), F.col("shingles"), *sig_cols)
 
 
-def minhash_candidate_pairs(
+def minhash_band_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    """(id, band_idx, band_hash) — one row per LSH band per doc.
+
+    This is the persistable signature-store shape for incremental dedup:
+    keep the corpus's band buckets materialized and equi-join each new
+    batch's buckets against them instead of re-hashing the corpus."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -130,9 +134,17 @@ def minhash_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash")
-    )
+    return sigs.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    banded = minhash_band_buckets(sigs, id_col, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -152,15 +164,18 @@ def verify_jaccard(
     doc_shingles: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    doc_shingles_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs (the cheap verify stage).
 
     ``doc_shingles``: (id, shingles array) — joined twice; candidate count
-    is << n^2 so these joins are small even at scale."""
+    is << n^2 so these joins are small even at scale. Pass
+    ``doc_shingles_b`` when the pair sides come from different frames
+    (e.g. new-batch ids in ``id_a`` vs corpus ids in ``id_b``)."""
     ta = doc_shingles.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("shingles_a")
     )
-    tb = doc_shingles.select(
+    tb = (doc_shingles_b if doc_shingles_b is not None else doc_shingles).select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("shingles_b")
     )
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
@@ -193,6 +208,91 @@ def minhash_near_duplicates(
     pairs = minhash_candidate_pairs(sigs, id_col, num_hashes, band_size)
     sh = sigs.select(id_col, "shingles")
     return verify_jaccard(pairs, sh, id_col, threshold)
+
+
+def incremental_dedup_status(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Classify each new-batch doc against an already-accepted corpus.
+
+    The crawl-increment pattern (ref: the reference re-deduplicates whole
+    snapshots; at 100 TB only the delta is affordable): the corpus's
+    minhash signatures are a persisted artifact of prior runs — pass them
+    as ``corpus_sigs`` (shape of :func:`minhash_signatures`) and only the
+    batch is shingled and hashed per increment. Returns one row per batch
+    doc: ``(id, verdict)`` with verdict in ``exact_dup`` (byte-identical
+    text exists in the corpus), ``near_dup_corpus`` (Jaccard >= threshold
+    against a corpus doc via LSH candidates), ``near_dup_batch`` (verified
+    pair with a smaller-id batch doc — min-id-wins, a deterministic single
+    pass, not transitive closure; use :func:`connected_components` on the
+    pairs when cluster-accurate pruning matters), else ``unique``.
+    Precedence: exact > near-corpus > near-batch.
+
+    Scale shape: one digest semi-join + two banded equi-joins + verify
+    joins on candidate pairs — never O(|corpus| x |batch|).
+    """
+    batch_sigs = _persist(
+        minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    corpus_sigs = _persist(corpus_sigs)
+
+    corpus_hashes = corpus.select(F.md5(text_col).alias("content_hash")).distinct()
+    exact_ids = (
+        batch.select(F.col(id_col), F.md5(text_col).alias("content_hash"))
+        .join(corpus_hashes, "content_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+    batch_sh = batch_sigs.select(id_col, "shingles")
+    corpus_sh = corpus_sigs.select(id_col, "shingles")
+
+    bb = minhash_band_buckets(batch_sigs, id_col, num_hashes, band_size).alias("b")
+    cb = minhash_band_buckets(corpus_sigs, id_col, num_hashes, band_size).alias("c")
+    cross_cand = (
+        bb.join(cb, ["band_idx", "band_hash"])
+        .select(
+            F.col(f"b.{id_col}").alias("id_a"), F.col(f"c.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    near_corpus_ids = (
+        verify_jaccard(cross_cand, batch_sh, id_col, threshold, doc_shingles_b=corpus_sh)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+
+    batch_pairs = minhash_candidate_pairs(batch_sigs, id_col, num_hashes, band_size)
+    near_batch_ids = (
+        verify_jaccard(batch_pairs, batch_sh, id_col, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    return (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("_exact", F.lit(True)), id_col, "left")
+        .join(near_corpus_ids.withColumn("_near_c", F.lit(True)), id_col, "left")
+        .join(near_batch_ids.withColumn("_near_b", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_exact"), "exact_dup")
+            .when(F.col("_near_c"), "near_dup_corpus")
+            .when(F.col("_near_b"), "near_dup_batch")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
 
 
 def simhash_signatures(

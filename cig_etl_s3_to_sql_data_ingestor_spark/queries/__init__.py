@@ -33,6 +33,7 @@ for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
 #   tail — queries untouched this round and already green in round 1.
 _HEAD = [
     # round 2: new LLM-prep surface + the retuned IVF path.
+    "dedup_incremental",
     "contamination_check",
     "chunk_documents",
     "pack_sequences",
@@ -58,10 +59,11 @@ _HEAD = [
     "json_props_stats",
     "approx_distinct_stats",
 ]
-# 69 queries, 50 scored slots -> exactly 19 tail entries, all green in
+# 70 queries, 50 scored slots -> exactly 20 tail entries, all green in
 # round 1 AND untouched since their scoring snapshot (49af9ce).
 _TAIL = [
     "above_brand_average",
+    "dedup_exact",
     "asof_last_click",
     "config_enrich_join",
     "customer_activity_setops",

@@ -33,35 +33,41 @@ BAND_SIZE = 2
 N_BANDS = NUM_HASHES // BAND_SIZE
 
 
-def _sql_sigs() -> str:
+def _sql_sigs(src: str = "documents", sfx: str = "") -> str:
+    """tok/sh/sigs CTE chain over ``src``; ``sfx`` suffixes the CTE names
+    so two chains (corpus vs batch) can coexist in one query."""
     sig_exprs = ",\n             ".join(
         f"list_min(list_transform(shingles, t -> md5('{j}:' || t))) AS sig_{j}"
         for j in range(NUM_HASHES)
     )
-    return r"""
-    tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
-            FROM documents),
-    sh AS (
+    return (
+        r"""
+    tok{sfx} AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tokens
+            FROM {src}),
+    sh{sfx} AS (
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(0, greatest(len(tokens) - 3, 0)),
                i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')
              )) AS shingles
-      FROM tok
+      FROM tok{sfx}
     ),
-    sigs AS (
+    sigs{sfx} AS (
       SELECT doc_id, shingles,
              {sig_exprs}
-      FROM sh
+      FROM sh{sfx}
     )""".replace("{sig_exprs}", sig_exprs)
+        .replace("{src}", src)
+        .replace("{sfx}", sfx)
+    )
 
 
-def _sql_bands() -> str:
+def _sql_bands(sfx: str = "") -> str:
     rows = []
     for b in range(N_BANDS):
         parts = " || '|' || ".join(f"sig_{b * BAND_SIZE + k}" for k in range(BAND_SIZE))
         rows.append(
-            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs"
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs{sfx}"
         )
     return " UNION ALL ".join(rows)
 
@@ -267,3 +273,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         d, n=3, threshold=0.3, max_shingle_df=100
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+    {_sql_sigs('corpus', '_c')},
+    {_sql_sigs('batch', '_b')},
+    banded_c AS ({_sql_bands('_c')}),
+    banded_b AS ({_sql_bands('_b')}),
+    exact_ids AS (
+      SELECT DISTINCT b.doc_id FROM batch b
+      JOIN (SELECT DISTINCT md5(text) AS h FROM corpus) c ON md5(b.text) = c.h
+    ),
+    cross_cand AS (
+      SELECT DISTINCT bb.doc_id AS id_a, cc.doc_id AS id_b
+      FROM banded_b bb JOIN banded_c cc
+        ON bb.band_idx = cc.band_idx AND bb.band_hash = cc.band_hash
+    ),
+    near_corpus AS (
+      SELECT DISTINCT p.id_a AS doc_id
+      FROM cross_cand p
+      JOIN sh_b sa ON sa.doc_id = p.id_a
+      JOIN sh_c sb ON sb.doc_id = p.id_b
+      WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+    ),
+    batch_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded_b a JOIN banded_b b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    near_batch AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM batch_cand p
+      JOIN sh_b sa ON sa.doc_id = p.id_a
+      JOIN sh_b sb ON sb.doc_id = p.id_b
+      WHERE {_SQL_JACCARD} >= {JACCARD_THRESHOLD}
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nc.doc_id IS NOT NULL THEN 'near_dup_corpus'
+                WHEN nb.doc_id IS NOT NULL THEN 'near_dup_batch'
+                ELSE 'unique' END AS verdict
+    FROM batch b
+    LEFT JOIN exact_ids e ON b.doc_id = e.doc_id
+    LEFT JOIN near_corpus nc ON b.doc_id = nc.doc_id
+    LEFT JOIN near_batch nb ON b.doc_id = nb.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-increment dedup: classify the doc_id%5==4 slice (the "new
+    batch") against the rest of `documents` (the "accepted corpus") —
+    exact digest, LSH near-dup vs corpus, min-id near-dup within batch."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    return D.incremental_dedup_status(
+        corpus,
+        batch,
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+        threshold=JACCARD_THRESHOLD,
+    ).orderBy("doc_id")

@@ -115,3 +115,67 @@ def test_unpersist_all_releases_cached_frames(spark, sf_dir):
     assert n_cached() > base
     D.unpersist_all()
     assert n_cached() == base
+
+
+def test_incremental_dedup_verdicts(spark):
+    # Handcrafted corpus/batch with one of each verdict class. Texts are
+    # >=4 tokens so the 3-gram shingle sets are discriminative.
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "completely unrelated corpus document about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # byte-identical to corpus doc 1 -> exact_dup
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # one-word edit of corpus doc 2 -> near_dup_corpus
+            (11, "pack my box with five dozen liquor jugs tonight"),
+            # novel text -> unique; 13 is its one-word edit -> near_dup_batch
+            (12, "distributed minhash banding finds similar new documents fast"),
+            (13, "distributed minhash banding finds similar new documents quickly"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in D.incremental_dedup_status(corpus, batch, threshold=0.4).collect()
+    }
+    assert got == {
+        10: "exact_dup",
+        11: "near_dup_corpus",
+        12: "unique",
+        13: "near_dup_batch",
+    }
+    D.unpersist_all()
+
+
+def test_incremental_dedup_reuses_corpus_sigs(spark):
+    # The 100 TB path: corpus signatures computed once (prior run), passed
+    # in — results identical to recomputing them from the corpus text.
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon eta"), (11, "seven eight nine ten eleven twelve")],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(corpus)
+    fresh = sorted(
+        map(tuple, D.incremental_dedup_status(corpus, batch, threshold=0.4).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            D.incremental_dedup_status(
+                corpus, batch, threshold=0.4, corpus_sigs=sigs
+            ).collect(),
+        )
+    )
+    assert fresh == reused
+    assert dict(fresh)[10] == "near_dup_corpus"
+    D.unpersist_all()
