@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
@@ -65,3 +66,60 @@ def compact_parquet(
         raise IOError(f"compaction swap-in failed for {path}")
     fs.delete(old, True)
     return n_out
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 6, sample_err: float = 0.01):
+    """Z-curve key over ``cols``: quantile-bucket each column into 2^bits
+    ranks (skew-proof, unlike min/max width buckets), then bit-interleave
+    the ranks so nearby z-values are nearby in EVERY dimension.
+
+    Laying files out by this key gives each parquet file a narrow min/max
+    envelope on all z-ordered columns at once, so row-group/file pruning
+    works for predicates on any of them — the multi-column analogue of
+    sorting, which only prunes on the leading column. ``approxQuantile``
+    is a driver-side metadata action over a sample (2^bits-1 cut points),
+    not a data collect.
+    """
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for j, c in enumerate(cols):
+        cuts = df.stat.approxQuantile(
+            c, [i / (1 << bits) for i in range(1, 1 << bits)], sample_err
+        )
+        # rank = number of distinct cut points <= value (dedup keeps the
+        # bucket count <= 2^bits when a heavy value repeats across cuts).
+        distinct_cuts = sorted(set(cuts))
+        rank = F.lit(0).cast("long")
+        for cut in distinct_cuts:
+            rank = rank + (F.col(c) > F.lit(cut)).cast("long")
+        # Scale low-cardinality ranks across the full 2^bits domain —
+        # otherwise a column with < 2^bits distinct values never sets the
+        # high interleave bits and drops out of the file-level clustering.
+        n_buckets = len(distinct_cuts) + 1
+        if n_buckets < (1 << bits):
+            rank = F.floor(rank * (1 << bits) / F.lit(n_buckets)).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 6,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered along the
+    z-curve of ``cols``: range-partition on the z-value (contiguous,
+    balanced z-slices per file — sampling-based, no full sort) and sort
+    within each file so row groups inherit the clustering too."""
+    (
+        df.withColumn("_z", zorder_value(df, cols, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,4 +1,4 @@
-"""Small-file compaction: fewer files, identical rows, safe swap."""
+"""Small-file compaction and z-order layout maintenance."""
 
 from __future__ import annotations
 
@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
     compact_parquet,
     directory_stats,
+    zorder_write,
 )
 
 
@@ -33,3 +34,66 @@ def test_compaction_noop_when_already_compact(spark, tmp_path):
     path = str(tmp_path / "t2")
     spark.range(100).coalesce(1).write.parquet(path)
     assert compact_parquet(spark, path) == 0
+
+
+def _file_envelopes(path, cols):
+    """Per-parquet-file (min, max) of each column from footer statistics —
+    exactly the metadata a scan uses to skip files/row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = {c: [] for c in cols}
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for i, name in enumerate(schema_names):
+                if name in cols:
+                    st = md.row_group(rg).column(i).statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+        for c in cols:
+            out[c].append((lo[c], hi[c]))
+    return out
+
+
+def _coverage(envelopes):
+    """Mean fraction of the global value range a single file spans —
+    1.0 = every file covers everything (no pruning possible)."""
+    glo = min(lo for lo, _ in envelopes)
+    ghi = max(hi for _, hi in envelopes)
+    span = max(ghi - glo, 1)
+    return sum(hi - lo for lo, hi in envelopes) / (len(envelopes) * span)
+
+
+def test_zorder_layout_narrows_file_envelopes(spark, sf_dir, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    # Independent dimensions (l_suppkey is a deterministic function of
+    # l_partkey in TPC-H, so that pair cannot mutually cluster).
+    cols = ["l_partkey", "l_quantity"]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", *cols)
+
+    naive = str(tmp_path / "naive")
+    li.repartition(4).write.mode("overwrite").parquet(naive)
+    zordered = str(tmp_path / "zorder")
+    zorder_write(li, zordered, cols, n_files=4, bits=6)
+
+    # Same rows either way.
+    assert (
+        spark.read.parquet(zordered).count()
+        == spark.read.parquet(naive).count()
+        == li.count()
+    )
+
+    for c in cols:
+        naive_cov = _coverage(_file_envelopes(naive, [c])[c])
+        z_cov = _coverage(_file_envelopes(zordered, [c])[c])
+        # Round-robin files each span ~the full key range; 4 z-curve
+        # quadrants span ~half of each dimension.
+        assert naive_cov > 0.85, f"{c}: naive layout unexpectedly clustered"
+        assert z_cov < 0.7, f"{c}: z-order did not narrow file envelopes ({z_cov})"
+        assert z_cov < naive_cov

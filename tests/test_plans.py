@@ -189,3 +189,45 @@ def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
     hash_ex = re.findall(r"Arguments: hashpartitioning", plan)
     assert len(hash_ex) == 1, plan
+
+
+def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
+    """The 100 TB runtime-filter path: a selective dimension filter should
+    inject a bloom filter that pre-prunes the fact-side scan before the
+    shuffle join. Default thresholds only engage on >=10GB probe scans, so
+    this pins that the plumbing works by lowering them — at real scale the
+    defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "bloom_filter_agg" in plan, "no bloom filter built from the dim side"
+        assert "might_contain" in plan, "probe side does not apply the bloom filter"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
