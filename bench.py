@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "tfidf_top_terms",
     "token_count",
     "quality_score",

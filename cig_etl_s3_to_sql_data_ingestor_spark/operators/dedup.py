@@ -211,7 +211,7 @@ def minhash_near_duplicates(
 
 
 def incremental_dedup_status(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -220,6 +220,7 @@ def incremental_dedup_status(
     threshold: float = 0.4,
     shingle_n: int = 3,
     corpus_sigs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Classify each new-batch doc against an already-accepted corpus.
 
@@ -238,7 +239,16 @@ def incremental_dedup_status(
 
     Scale shape: one digest semi-join + two banded equi-joins + verify
     joins on candidate pairs — never O(|corpus| x |batch|).
+
+    ``corpus`` may be None when BOTH ``corpus_sigs`` and ``corpus_hashes``
+    (a ``content_hash`` column of md5(text) digests) are supplied — the
+    text-free store shape a streaming ingest gate persists.
     """
+    if corpus is None and (corpus_sigs is None or corpus_hashes is None):
+        raise ValueError(
+            "incremental_dedup_status: pass corpus, or both corpus_sigs "
+            "and corpus_hashes"
+        )
     batch_sigs = _persist(
         minhash_signatures(batch, id_col, text_col, num_hashes, shingle_n)
     )
@@ -246,7 +256,10 @@ def incremental_dedup_status(
         corpus_sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
     corpus_sigs = _persist(corpus_sigs)
 
-    corpus_hashes = corpus.select(F.md5(text_col).alias("content_hash")).distinct()
+    if corpus_hashes is None:
+        corpus_hashes = corpus.select(F.md5(text_col).alias("content_hash")).distinct()
+    else:
+        corpus_hashes = corpus_hashes.select("content_hash").distinct()
     exact_ids = (
         batch.select(F.col(id_col), F.md5(text_col).alias("content_hash"))
         .join(corpus_hashes, "content_hash", "left_semi")

@@ -1,0 +1,135 @@
+"""Streaming dedup-at-ingest: gate every arriving micro-batch of
+documents against a persisted corpus signature store, admit only unique
+docs, and grow the store with the survivors.
+
+This is the crawl-ingest pattern at 100 TB: the accepted corpus is never
+re-read or re-hashed — its minhash signatures and content digests (tens
+of bytes per doc, text-free) are the durable artifact. Each batch:
+
+1. reads the store (signatures + digests),
+2. classifies the batch via ``incremental_dedup_status`` (exact digest
+   semi-join, LSH band join vs the store, min-id dedup within batch),
+3. appends only ``unique`` docs to the sink,
+4. appends the survivors' signature rows to the store, so every later
+   batch — in this run or the next — dedups against them too.
+
+Idempotency mirrors ``ingest_stream``: sink and store writes are both
+epoch-addressed directories with overwrite semantics, so a replayed
+epoch (driver death between write and checkpoint commit) rewrites the
+same ``epoch=N`` dirs instead of duplicating rows. The store read sees
+either none or all of an epoch's signatures — both safe, since the
+classification that produced them is replay-identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import dedup as D
+
+
+def _store_schema(num_hashes: int, id_col: str = "doc_id") -> T.StructType:
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("shingles", T.ArrayType(T.StringType())),
+    ] + [T.StructField(f"sig_{j}", T.StringType()) for j in range(num_hashes)]
+    fields.append(T.StructField("content_hash", T.StringType()))
+    return T.StructType(fields)
+
+
+def read_signature_store(
+    spark: SparkSession, path: str, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """The store, or an empty frame when it does not exist yet. Only the
+    missing-path case maps to empty — any other read error must propagate
+    (an empty-on-error fallback would silently re-admit duplicates)."""
+    from pyspark.errors import AnalysisException
+
+    schema = _store_schema(num_hashes, id_col)
+    cols = [f.name for f in schema.fields]
+    try:
+        # select() drops the virtual `epoch` partition column so the
+        # store frame's schema is identical whether it exists or not.
+        return spark.read.schema(schema).parquet(path).select(cols)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+@dataclass
+class DedupIngest:
+    """availableNow-drained streaming ingest with an LSH dedup gate."""
+
+    spark: SparkSession
+    store_path: str
+    sink_path: str
+    checkpoint_path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    num_hashes: int = 8
+    band_size: int = 2
+    threshold: float = 0.4
+    shingle_n: int = 3
+
+    def _classify(self, batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(status, survivors) for one batch against the current store."""
+        store = read_signature_store(
+            self.spark, self.store_path, self.num_hashes, self.id_col
+        )
+        status = D.incremental_dedup_status(
+            None,
+            batch_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_hashes=self.num_hashes,
+            band_size=self.band_size,
+            threshold=self.threshold,
+            shingle_n=self.shingle_n,
+            corpus_sigs=store,
+            corpus_hashes=store.select("content_hash"),
+        )
+        survivors = batch_df.join(
+            status.filter(F.col("verdict") == "unique").select(self.id_col),
+            self.id_col,
+            "left_semi",
+        )
+        return status, survivors
+
+    def start(self, source_glob: str, schema: T.StructType):
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            _, survivors = self._classify(batch_df)
+            survivors.write.mode("overwrite").parquet(
+                f"{self.sink_path}/epoch={epoch_id}"
+            )
+            # minhash_signatures projects down to (id, shingles, sig_*);
+            # re-attach the content digest with a batch-sized join.
+            new_sigs = D.minhash_signatures(
+                survivors, self.id_col, self.text_col, self.num_hashes, self.shingle_n
+            ).join(
+                survivors.select(
+                    self.id_col, F.md5(F.col(self.text_col)).alias("content_hash")
+                ),
+                self.id_col,
+            )
+            # Column order must match the store schema read.
+            new_sigs.select(
+                [f.name for f in _store_schema(self.num_hashes, self.id_col).fields]
+            ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
+            D.unpersist_all()
+
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(source_glob)
+        )
+        return (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )

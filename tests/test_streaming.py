@@ -248,3 +248,59 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     rows = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
     got = sorted((r["purchase_id"], r["click_id"]) for r in rows)
     assert got == [(10, 1), (10, 2)], got
+
+
+def test_dedup_ingest_gate_across_batches(spark, tmp_path):
+    """Streaming LSH dedup gate: batch 2's exact and near duplicates of
+    batch 1 docs are rejected via the persisted signature store; the
+    checkpoint makes the second drain see only new files."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+        read_signature_store,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            # in-batch near-dup of doc 2 -> rejected within the batch
+            (3, "pack my box with five dozen liquor jugs tonight"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2]
+
+    batch2 = spark.createDataFrame(
+        [
+            # exact duplicate of accepted doc 1 -> rejected via digest
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # near-dup of accepted doc 2 -> rejected via the LSH store
+            (11, "pack my box with five dozen liquor jugs yesterday"),
+            (12, "a genuinely novel document about streaming ingest gates"),
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 12]
+    # The store grew by exactly the admitted docs and dedups future runs.
+    store = read_signature_store(spark, str(tmp_path / "store"))
+    assert sorted(r.doc_id for r in store.select("doc_id").collect()) == [1, 2, 12]
