@@ -215,5 +215,52 @@ def main_monitor(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_optimize(argv: list[str] | None = None) -> int:
+    """Table-maintenance entry: compact a parquet directory to target-size
+    files, optionally z-order clustering it on the given columns so file
+    and row-group min/max pruning works on each of them."""
+    parser = argparse.ArgumentParser(
+        description="Compact (and optionally z-order) a parquet directory in place."
+    )
+    parser.add_argument("path", help="Parquet directory to rewrite")
+    parser.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="Target output file size in MiB (default 128)",
+    )
+    parser.add_argument(
+        "--zorder",
+        default="",
+        help="Comma-separated columns to z-order cluster by (default: plain compaction)",
+    )
+    args = parser.parse_args(argv)
+
+    from .operators.maintenance import compact_parquet, zorder_compact
+
+    spark = SparkSession.getActiveSession()
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="cig-etl-optimize")
+    try:
+        target = args.target_file_mb * 1024 * 1024
+        cols = [c for c in args.zorder.split(",") if c]
+        if cols:
+            n = zorder_compact(spark, args.path, cols, target_file_bytes=target)
+            print(f"z-ordered {args.path} on ({', '.join(cols)}) into {n} files")
+        else:
+            n = compact_parquet(spark, args.path, target_file_bytes=target)
+            if n:
+                print(f"compacted {args.path} into {n} files")
+            else:
+                print(f"{args.path} already compact; nothing done")
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(main_hosting())

@@ -58,13 +58,39 @@ def compact_parquet(
     staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compacting")
     df = spark.read.parquet(path)
     df.repartition(n_out).write.mode("overwrite").parquet(staging.toString())
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._precompact")
+    _swap_in(fs, jvm, path, hpath, staging)
+    return n_out
+
+
+def _swap_in(fs, jvm, path: str, hpath, staging) -> None:
+    """Swap ``staging`` into ``path`` with FS renames (atomic on
+    HDFS/posix), rolling back on failure."""
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._prerewrite")
     if not fs.rename(hpath, old):
-        raise IOError(f"compaction swap failed for {path}")
+        raise IOError(f"layout swap failed for {path}")
     if not fs.rename(staging, hpath):
         fs.rename(old, hpath)  # roll back
-        raise IOError(f"compaction swap-in failed for {path}")
+        raise IOError(f"layout swap-in failed for {path}")
     fs.delete(old, True)
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 6,
+) -> int:
+    """Rewrite ``path`` in place clustered along the z-curve of ``cols``,
+    sized to ~target-size files; returns the new file count. The swap is
+    the same rename dance as :func:`compact_parquet` — readers see the
+    old or the new layout, never a mix."""
+    _, total = directory_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    fs, hpath, jvm = _fs(spark, path)
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._zordering")
+    zorder_write(spark.read.parquet(path), staging.toString(), cols, n_out, bits)
+    _swap_in(fs, jvm, path, hpath, staging)
     return n_out
 
 

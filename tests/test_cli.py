@@ -173,3 +173,27 @@ def test_cli_missing_tables_config_raises(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         main_hosting(["--ingestion_config_filename", str(cfg_path)])
+
+
+def test_cli_optimize_compacts_and_zorders(spark, tmp_path, capsys):
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_optimize
+
+    path = str(tmp_path / "t")
+    spark.range(0, 5000).selectExpr(
+        "id", "cast(id % 97 as long) as a", "cast(id % 31 as long) as b"
+    ).repartition(16).write.parquet(path)
+
+    rc = main_optimize([path, "--target-file-mb", "1024"])
+    assert rc == 0
+    assert "compacted" in capsys.readouterr().out
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 5000
+
+    rc = main_optimize([path, "--target-file-mb", "1024", "--zorder", "a,b"])
+    assert rc == 0
+    assert "z-ordered" in capsys.readouterr().out
+    got = spark.read.parquet(path)
+    assert got.count() == 5000
+    assert set(got.columns) == {"id", "a", "b"}
