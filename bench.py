@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "profile_table",
     "tfidf_top_terms",
     "token_count",
     "quality_score",

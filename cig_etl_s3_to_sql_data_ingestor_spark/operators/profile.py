@@ -1,0 +1,57 @@
+"""Single-pass column profiling: per-column null count, distinct count,
+and min/max — the pre/post-ingest validation report the reference keeps
+in ad-hoc verification queries (ref: main.py verification pass,
+cig_tables.json column contracts), generalized to any frame.
+
+One ``agg`` computes every statistic in a single scan; the long-form
+result is produced by exploding an in-row struct array (a projection),
+not by re-scanning per column. With ``approx=True`` the distinct counts
+use HyperLogLog (`approx_count_distinct`) — the 100 TB path, since exact
+multi-column COUNT(DISTINCT) expands the input once per counted column
+(Spark's Expand operator: one shuffle pass carrying ``n_cols`` copies);
+exact mode is for bounded frames and oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value) per
+    profiled column; min/max rendered as strings so heterogeneous column
+    types share one schema."""
+    cols = cols or df.columns
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            (F.col("__total") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return (
+        row.select(
+            F.col("__total").alias("n_rows"),
+            F.explode(F.array(*entries)).alias("p"),
+        )
+        .select(
+            "p.col_name", "n_rows", "p.n_nulls", "p.n_distinct",
+            "p.min_value", "p.max_value",
+        )
+    )

@@ -34,6 +34,7 @@ for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
 _HEAD = [
     # round 2: new LLM-prep surface + the retuned IVF path.
     "dedup_incremental",
+    "profile_table",
     "contamination_check",
     "chunk_documents",
     "pack_sequences",
@@ -59,11 +60,12 @@ _HEAD = [
     "json_props_stats",
     "approx_distinct_stats",
 ]
-# 70 queries, 50 scored slots -> exactly 20 tail entries, all green in
+# 71 queries, 50 scored slots -> exactly 21 tail entries, all green in
 # round 1 AND untouched since their scoring snapshot (49af9ce).
 _TAIL = [
     "above_brand_average",
     "dedup_exact",
+    "timestamp_truncation",
     "asof_last_click",
     "config_enrich_join",
     "customer_activity_setops",

@@ -598,3 +598,33 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+_PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _sql_profile_leg(c: str) -> str:
+    return f"""
+      SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({c}) AS n_nulls,
+             COUNT(DISTINCT {c}) AS n_distinct,
+             CAST(MIN({c}) AS VARCHAR) AS min_value,
+             CAST(MAX({c}) AS VARCHAR) AS max_value
+      FROM lineitem"""
+
+
+@register(
+    "profile_table",
+    oracle=" UNION ALL ".join(_sql_profile_leg(c) for c in _PROFILE_COLS)
+    + " ORDER BY col_name",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of lineitem (null/distinct/min/max per
+    column) — the generalized form of the reference's post-load
+    verification queries (main.py verification pass). Exact distincts
+    here for oracle parity; `profile_columns(approx=True)` is the
+    HLL-based 100 TB path."""
+    from ..operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
