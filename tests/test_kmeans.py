@@ -72,3 +72,24 @@ def test_kmeans_improves_over_init(spark, sf_dir):
     )
     trained = kmeans_centroids(e, n_cells=8, n_iters=2)
     assert mean_best_sim(trained) >= mean_best_sim(init) - 1e-9
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF with 4-of-16 probes must recover most of the true top-5 —
+    everything is deterministic (sorted init, fixed iterations), so a
+    hard recall floor is a stable assertion, not a flaky one."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in S.brute_force_topk(e, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in S.ivf_topk(e, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall@5 collapsed: {recall:.2f}"

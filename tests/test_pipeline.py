@@ -235,3 +235,27 @@ def test_schema_drift_tolerated(spark, tmp_path):
     rows = {r["ID"]: r for r in out.collect()}
     assert rows["d1"]["Name"] == ""  # T9: non-nullable default is ''
     assert rows["d1"]["Environment"] == "NL"
+
+
+def test_dynamic_partition_overwrite_replaces_only_present_days(spark, tmp_path):
+    """Replaying one day's ingest must replace exactly that day: day1
+    untouched, day2 replaced (not appended), day3 added."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.partitioned_sink import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "lake")
+    first = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d2")], ["id", "day"]
+    )
+    overwrite_partitions(first, path, ["day"])
+
+    replay = spark.createDataFrame(
+        [(30, "d2"), (5, "d3")], ["id", "day"]
+    )
+    overwrite_partitions(replay, path, ["day"])
+
+    got = {
+        (r.day, r.id) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d3", 5)}
