@@ -17,14 +17,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 
 def profile_columns(
     df: DataFrame, cols: list[str] | None = None, approx: bool = False
 ) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value) per
     profiled column; min/max rendered as strings so heterogeneous column
-    types share one schema."""
+    types share one schema.
+
+    fan_out first: exact mode Expands the input once per counted column
+    before the partial aggregate, so an under-partitioned scan (one small
+    parquet file) would otherwise serialize the whole multiplied load on
+    a single task."""
     cols = cols or df.columns
+    df = fan_out(df.select(*cols))
     distinct = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
