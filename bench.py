@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "dedup_canonical",
+    "budget_select",
     "profile_table",
     "tfidf_top_terms",
     "token_count",

@@ -283,3 +283,57 @@ def redact_patterns(
     return out.select(
         F.col(id_col), *counts, F.md5(red).alias("redacted_hash")
     )
+
+
+def budget_select(
+    doc_stats: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget selection: rank docs by quality (score DESC,
+    id ASC) and keep the prefix whose cumulative token count stays within
+    ``budget`` — "take the best docs until the training budget is full".
+
+    A naive global running sum is an unpartitioned window = every row on
+    one task. Instead, the classic distributed prefix sum: range-partition
+    by the rank order, accumulate locally per partition, collect the tiny
+    per-partition totals (one row per partition — metadata, not data) to
+    compute offsets, then broadcast the offsets back. Each doc's
+    cumulative value = local running sum + its partition's offset, and
+    since the cumulative token count of a doc is a sum over a fixed SET of
+    better-ranked docs (integer addition, order-independent), the result
+    is partitioning-invariant and oracle-exact.
+    """
+    spark = doc_stats.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = doc_stats.repartitionByRange(
+        n_parts, F.col(score_col).desc(), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        W.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn("_local_cum", F.sum(weight_col).over(local_w))
+    # One row per partition: (pid, partition_total) — driver-side prefix.
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid").agg(F.max("_local_cum").alias("_t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off = spark.createDataFrame(offsets, ["_pid", "_offset"]) if offsets else None
+    if off is None:
+        return doc_stats.select(
+            id_col, weight_col, F.lit(0).cast("long").alias("cum_" + weight_col)
+        ).limit(0)
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn("cum_" + weight_col, F.col("_local_cum") + F.col("_offset"))
+        .filter(F.col("cum_" + weight_col) <= budget)
+        .drop("_pid", "_local_cum", "_offset")
+    )

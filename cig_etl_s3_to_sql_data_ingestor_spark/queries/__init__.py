@@ -34,6 +34,8 @@ for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
 _HEAD = [
     # round 2: new LLM-prep surface + the retuned IVF path.
     "dedup_incremental",
+    "dedup_canonical",
+    "budget_select",
     "profile_table",
     "contamination_check",
     "chunk_documents",
@@ -60,12 +62,14 @@ _HEAD = [
     "json_props_stats",
     "approx_distinct_stats",
 ]
-# 71 queries, 50 scored slots -> exactly 21 tail entries, all green in
+# 73 queries, 50 scored slots -> exactly 23 tail entries, all green in
 # round 1 AND untouched since their scoring snapshot (49af9ce).
 _TAIL = [
     "above_brand_average",
     "dedup_exact",
     "timestamp_truncation",
+    "fuzzy_name_pairs",
+    "scd2_user_state",
     "asof_last_click",
     "config_enrich_join",
     "customer_activity_setops",

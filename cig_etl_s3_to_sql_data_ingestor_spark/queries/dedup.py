@@ -339,3 +339,80 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=BAND_SIZE,
         threshold=JACCARD_THRESHOLD,
     ).orderBy("doc_id")
+
+
+def _sql_quality() -> str:
+    """The quality-score expression, kept formula-identical to
+    queries.text.quality_score so canonical selection and the standalone
+    score stay consistent."""
+    from . import text as TQ
+
+    toks = TQ.SQL_TOKENS
+    stop = TQ._EN
+    return (
+        f"least(CAST(len({toks}) AS DOUBLE) / 64.0, 1.0) * 0.4"
+        f" + least(CAST({stop} AS DOUBLE) / CAST(len({toks}) AS DOUBLE) * 4, 1.0) * 0.4"
+        f" + (1 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        f" / CAST(length(text) AS DOUBLE) * 10, 1.0)) * 0.2"
+    )
+
+
+def _dedup_canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_sql_sigs()},
+    banded AS ({_sql_bands()}),
+    pairs AS ({_sql_candidate_pairs()}),
+    verified AS ({_sql_verified_pairs()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    q AS (SELECT doc_id, {_sql_quality()} AS quality_score FROM documents)
+    SELECT cluster_id, doc_id AS canonical_id, n_members FROM (
+      SELECT c.cluster_id, c.doc_id,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM clusters c JOIN q USING (doc_id)
+    ) WHERE rn = 1 ORDER BY cluster_id
+    """
+
+
+@register("dedup_canonical", oracle=_dedup_canonical_oracle())
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each near-duplicate cluster
+    keep the HIGHEST-QUALITY member (not the smallest id) — the keep/drop
+    policy an LLM corpus actually wants. Clusters come from the
+    LSH-verified pair graph; quality is the shared heuristic score, and
+    the tie-break is deterministic (score DESC, doc_id ASC). Scores are
+    bit-identical across engines (pure projection arithmetic), so the
+    argmax is oracle-exact."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        d, num_hashes=NUM_HASHES, band_size=BAND_SIZE, threshold=JACCARD_THRESHOLD
+    )
+    clusters = D.connected_components(pairs)
+    q = quality_scores(d).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    per_cluster = W.partitionBy("cluster_id")
+    ranked = per_cluster.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("n_members", F.count("*").over(per_cluster))
+        .withColumn("rn", F.row_number().over(ranked))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_members")
+        .orderBy("cluster_id")
+    )

@@ -226,3 +226,45 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     denylisted-term patterns plus the md5 of the fully redacted text."""
     docs = load_table(spark, sf_dir, "documents")
     return P.redact_patterns(docs, _PII).orderBy("doc_id")
+
+
+@register(
+    "budget_select",
+    oracle=None,  # assigned below once the text-module expressions load
+)
+def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: the best-quality docs whose running
+    token total fits a 10k budget, via the distributed prefix-sum (no
+    global window)."""
+    from ..operators.corpus_prep import budget_select as BS
+    from ..operators.text import quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = quality_scores(d).select("doc_id", "n_tokens", "quality_score")
+    return (
+        BS(stats, budget=10_000)
+        .select("doc_id", "n_tokens", "cum_n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _budget_select_oracle() -> str:
+    from .dedup import _sql_quality
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, len({_SQL_TOK}) AS n_tokens, {_sql_quality()} AS quality_score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_n_tokens
+      FROM s
+    )
+    SELECT doc_id, n_tokens, cum_n_tokens FROM r
+    WHERE cum_n_tokens <= 10000 ORDER BY doc_id
+    """
+
+
+ORACLES["budget_select"] = _budget_select_oracle()

@@ -177,3 +177,31 @@ def test_llmprep_queries_registered():
         "pii_redaction",
     ):
         assert name in QUERIES
+
+
+def test_budget_select_prefix_and_boundary(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    stats = spark.createDataFrame(
+        [(1, 40, 0.9), (2, 30, 0.8), (3, 50, 0.7), (4, 10, 0.6)],
+        ["doc_id", "n_tokens", "quality_score"],
+    )
+    # Rank order 1,2,3,4; cumulative 40,70,120,130. Budget 120 keeps the
+    # boundary doc (cum == budget) and drops everything after.
+    got = {
+        r.doc_id: r.cum_n_tokens
+        for r in budget_select(stats, budget=120).collect()
+    }
+    assert got == {1: 40, 2: 70, 3: 120}
+    # Budget below the first doc selects nothing.
+    assert budget_select(stats, budget=39).count() == 0
+    # Ties on score break by doc_id: same scores, smaller id first.
+    tied = spark.createDataFrame(
+        [(7, 60, 0.5), (5, 60, 0.5), (6, 60, 0.5)],
+        ["doc_id", "n_tokens", "quality_score"],
+    )
+    assert sorted(
+        r.doc_id for r in budget_select(tied, budget=120).collect()
+    ) == [5, 6]
