@@ -179,3 +179,84 @@ def test_incremental_dedup_reuses_corpus_sigs(spark):
     assert fresh == reused
     assert dict(fresh)[10] == "near_dup_corpus"
     D.unpersist_all()
+
+
+def _py_minhash_verdicts(corpus, batch, num_hashes=8, band_size=2, threshold=0.4):
+    """Bit-exact Python model of incremental_dedup_status (md5 minhash,
+    banded LSH, Jaccard verify, min-id-wins within batch)."""
+
+    def sigs(text):
+        sh = _py_shingles(text)
+        return sh, [
+            min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sh)
+            for j in range(num_hashes)
+        ]
+
+    def bands(sig):
+        n = num_hashes // band_size
+        return {
+            (b, hashlib.md5(
+                "|".join(sig[b * band_size + k] for k in range(band_size)).encode()
+            ).hexdigest())
+            for b in range(n)
+        }
+
+    def jac(a, b):
+        sa, sb = set(a), set(b)
+        return len(sa & sb) / len(sa | sb)
+
+    cs = {i: sigs(t) for i, t in corpus.items()}
+    bs = {i: sigs(t) for i, t in batch.items()}
+    chashes = {hashlib.md5(t.encode()).hexdigest() for t in corpus.values()}
+    out = {}
+    for i, t in batch.items():
+        if hashlib.md5(t.encode()).hexdigest() in chashes:
+            out[i] = "exact_dup"
+            continue
+        bb = bands(bs[i][1])
+        if any(
+            bands(cs[j][1]) & bb and jac(bs[i][0], cs[j][0]) >= threshold
+            for j in cs
+        ):
+            out[i] = "near_dup_corpus"
+            continue
+        if any(
+            j < i and bands(bs[j][1]) & bb and jac(bs[i][0], bs[j][0]) >= threshold
+            for j in bs
+        ):
+            out[i] = "near_dup_batch"
+            continue
+        out[i] = "unique"
+    return out
+
+
+def test_incremental_dedup_matches_python_model(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        corpus_texts=st.lists(doc, min_size=1, max_size=5),
+        batch_texts=st.lists(doc, min_size=1, max_size=5),
+    )
+    def run(corpus_texts, batch_texts):
+        corpus = {i: t for i, t in enumerate(corpus_texts)}
+        batch = {100 + i: t for i, t in enumerate(batch_texts)}
+        expected = _py_minhash_verdicts(corpus, batch)
+        cdf = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+        bdf = spark.createDataFrame(list(batch.items()), ["doc_id", "text"])
+        got = {
+            r.doc_id: r.verdict
+            for r in D.incremental_dedup_status(cdf, bdf, threshold=0.4).collect()
+        }
+        D.unpersist_all()
+        assert got == expected
+
+    run()
