@@ -100,7 +100,17 @@ class DedupIngest:
         )
         return status, survivors
 
-    def start(self, source_glob: str, schema: T.StructType):
+    def start(
+        self,
+        source_glob: str,
+        schema: T.StructType,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Drain available files through the gate. ``max_files_per_trigger``
+        bounds each micro-batch (backpressure at scale: a 10k-file backlog
+        becomes many bounded batches, and each batch's admissions are in
+        the store before the next batch classifies — foreachBatch runs
+        epochs sequentially)."""
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             _, survivors = self._classify(batch_df)
             survivors.write.mode("overwrite").parquet(
@@ -122,11 +132,12 @@ class DedupIngest:
             ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
             D.unpersist_all()
 
-        stream = (
-            self.spark.readStream.schema(schema)
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(source_glob)
+        reader = self.spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_glob)
         return (
             stream.writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", self.checkpoint_path)

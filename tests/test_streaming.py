@@ -304,3 +304,46 @@ def test_dedup_ingest_gate_across_batches(spark, tmp_path):
     # The store grew by exactly the admitted docs and dedups future runs.
     store = read_signature_store(spark, str(tmp_path / "store"))
     assert sorted(r.doc_id for r in store.select("doc_id").collect()) == [1, 2, 12]
+
+
+def test_dedup_ingest_sequential_batches_within_one_drain(spark, tmp_path):
+    """With maxFilesPerTrigger=1 a single drain runs multiple sequential
+    epochs; a later batch must dedup against docs the EARLIER batch in
+    the same drain just admitted to the store."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # Two files present BEFORE the drain; file order follows path order.
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    ).coalesce(1).write.parquet(str(src / "a_first"))
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "an entirely different second document here"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b_second"))
+
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    ingest.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(120)
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    got = sorted(r.doc_id for r in accepted.collect())
+    # Doc 10 (exact dup of doc 1, admitted one epoch earlier) rejected.
+    assert got == [1, 11]
+    # Two epochs really ran.
+    import glob
+
+    assert len(glob.glob(f"{tmp_path}/accepted/epoch=*")) == 2
