@@ -95,7 +95,7 @@ def test_aggregation_is_partial_then_final(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard"]
+    "name", ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_incremental", "dedup_canonical"]
 )
 def test_lsh_candidate_join_never_cartesian(spark, sf_dir, name):
     plan = explain(spark, sf_dir, name)
@@ -231,3 +231,21 @@ def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_budget_select_has_no_unpartitioned_window(spark, sf_dir):
+    """The running total must come from per-partition windows + offsets,
+    never a global (unpartitioned) window that serializes the corpus."""
+    plan = explain(spark, sf_dir, "budget_select")
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "_pid" in line, f"global window in budget_select: {line.strip()}"
+
+
+def test_profile_aggregate_is_partial_then_final(spark, sf_dir):
+    """The multi-distinct profile must keep map-side partial aggregation
+    (Expand feeds partial HashAggregates before the exchange)."""
+    plan = explain(spark, sf_dir, "profile_table")
+    assert "Expand" in plan  # exact multi-column distinct rewrites via Expand
+    # Sort- or hash-based depending on the agg buffer types; both fine.
+    assert plan.count("Aggregate (") >= 2
