@@ -50,6 +50,9 @@ class CorpusPrepConfig:
     chunk_overlap: int = 8
     id_col: str = "doc_id"
     text_col: str = "text"
+    # Keep each near-dup cluster's best-scored member instead of the
+    # smallest id (the keep/drop policy a training corpus usually wants).
+    canonical_by_quality: bool = False
 
 
 def _exact_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
@@ -68,13 +71,30 @@ def _exact_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
 
 def _neardup_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
     """ids of near-duplicate cluster members that are not the canonical
-    (minimum) id — cluster_id IS the canonical id by construction."""
+    doc. Default canonical = minimum id (cluster_id by construction);
+    with ``canonical_by_quality`` the canonical is the best-scored member
+    (score DESC, id ASC tie-break — same rule as Q:`dedup_canonical`)."""
     pairs = dd.minhash_near_duplicates(
         docs, cfg.id_col, cfg.text_col, threshold=cfg.minhash_threshold
     )
     comps = dd.connected_components(pairs)
+    if not cfg.canonical_by_quality:
+        return (
+            comps.filter(F.col(cfg.id_col) != F.col("cluster_id"))
+            .select(cfg.id_col)
+        )
+    from pyspark.sql import Window as W
+
+    q = tx.quality_scores(docs, cfg.id_col, cfg.text_col).select(
+        cfg.id_col, "quality_score"
+    )
+    ranked = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(cfg.id_col)
+    )
     return (
-        comps.filter(F.col(cfg.id_col) != F.col("cluster_id"))
+        comps.join(q, cfg.id_col)
+        .withColumn("_rn", F.row_number().over(ranked))
+        .filter(F.col("_rn") > 1)
         .select(cfg.id_col)
     )
 

@@ -82,3 +82,32 @@ def test_pipeline_runs_on_testdata(spark, sf_dir):
         assert stats["chunks"] >= stats["after_decontamination"]
     finally:
         unpersist_all()
+
+
+def test_pipeline_canonical_by_quality_keeps_best_member(spark):
+    """With canonical_by_quality the near-dup survivor is the best-scored
+    doc, not the smallest id: doc 2 repeats a near-identical text but has
+    heavy punctuation noise, so quality favors its higher-id twin."""
+    core = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            # Jaccard(1,2)=0.857 (verified pair); the pure-punctuation
+            # tail tanks doc 1's punct factor: scores 0.41 vs 0.61.
+            (1, core + " !!!!!!!!!!!!"),
+            (2, core + " peacefully"),
+            (3, "a completely separate document about sequence packing budgets"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = CorpusPrepConfig(quality_floor=0.0, chunk_size=8, chunk_overlap=2)
+    chunks_min, _ = prepare_corpus(docs, cfg=base)
+    survivors_min = {r.doc_id for r in chunks_min.select("doc_id").distinct().collect()}
+    unpersist_all()
+    by_q = CorpusPrepConfig(
+        quality_floor=0.0, chunk_size=8, chunk_overlap=2, canonical_by_quality=True
+    )
+    chunks_q, _ = prepare_corpus(docs, cfg=by_q)
+    survivors_q = {r.doc_id for r in chunks_q.select("doc_id").distinct().collect()}
+    unpersist_all()
+    assert survivors_min == {1, 3}  # min-id keeps the noisy doc
+    assert survivors_q == {2, 3}  # quality rule keeps the clean twin
