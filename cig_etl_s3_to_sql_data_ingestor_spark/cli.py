@@ -246,7 +246,7 @@ def main_optimize(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="cig-etl-optimize")
     try:
         target = args.target_file_mb * 1024 * 1024
-        cols = [c for c in args.zorder.split(",") if c]
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
         if cols:
             n = zorder_compact(spark, args.path, cols, target_file_bytes=target)
             print(f"z-ordered {args.path} on ({', '.join(cols)}) into {n} files")

@@ -306,6 +306,8 @@ def budget_select(
     better-ranked docs (integer addition, order-independent), the result
     is partitioning-invariant and oracle-exact.
     """
+    from .dedup import _persist
+
     spark = doc_stats.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranked = doc_stats.repartitionByRange(
@@ -316,7 +318,11 @@ def budget_select(
         .orderBy(F.col(score_col).desc(), F.col(id_col))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    local = ranked.withColumn("_local_cum", F.sum(weight_col).over(local_w))
+    # Persisted: the totals collect below executes the full upstream
+    # lineage (scan + score + range shuffle + window), and the returned
+    # frame would otherwise recompute all of it. Released by
+    # operators.dedup.unpersist_all() like every other cached stage.
+    local = _persist(ranked.withColumn("_local_cum", F.sum(weight_col).over(local_w)))
     # One row per partition: (pid, partition_total) — driver-side prefix.
     totals = {
         r["_pid"]: r["_t"]
@@ -326,11 +332,7 @@ def budget_select(
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += totals[pid]
-    off = spark.createDataFrame(offsets, ["_pid", "_offset"]) if offsets else None
-    if off is None:
-        return doc_stats.select(
-            id_col, weight_col, F.lit(0).cast("long").alias("cum_" + weight_col)
-        ).limit(0)
+    off = spark.createDataFrame(offsets, "_pid int, _offset bigint")
     return (
         local.join(F.broadcast(off), "_pid")
         .withColumn("cum_" + weight_col, F.col("_local_cum") + F.col("_offset"))

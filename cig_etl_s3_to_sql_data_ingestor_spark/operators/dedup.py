@@ -159,6 +159,15 @@ def minhash_candidate_pairs(
     )
 
 
+def shingle_digests_col(shingles):
+    """12-hex-char md5 digests of each shingle: set cardinalities (and so
+    Jaccard) are preserved up to negligible collision odds, the text is
+    not reconstructable, and the array is ~3x smaller than raw word
+    3-grams — the representation a persisted signature store should
+    hold."""
+    return F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 12))
+
+
 def verify_jaccard(
     pairs: DataFrame,
     doc_shingles: DataFrame,
@@ -221,6 +230,7 @@ def incremental_dedup_status(
     shingle_n: int = 3,
     corpus_sigs: DataFrame | None = None,
     corpus_hashes: DataFrame | None = None,
+    corpus_shingles_hashed: bool = False,
 ) -> DataFrame:
     """Classify each new-batch doc against an already-accepted corpus.
 
@@ -242,7 +252,11 @@ def incremental_dedup_status(
 
     ``corpus`` may be None when BOTH ``corpus_sigs`` and ``corpus_hashes``
     (a ``content_hash`` column of md5(text) digests) are supplied — the
-    text-free store shape a streaming ingest gate persists.
+    text-free store shape a streaming ingest gate persists. With
+    ``corpus_shingles_hashed`` the supplied ``corpus_sigs.shingles`` hold
+    :func:`shingle_digests_col` values (the store never keeps raw text or
+    raw shingles); the batch side is hashed on the fly to match, and
+    Jaccard over digest sets equals Jaccard over shingle sets.
     """
     if corpus is None and (corpus_sigs is None or corpus_hashes is None):
         raise ValueError(
@@ -267,8 +281,12 @@ def incremental_dedup_status(
         .distinct()
     )
 
-    batch_sh = batch_sigs.select(id_col, "shingles")
+    cross_batch_sh = batch_sh = batch_sigs.select(id_col, "shingles")
     corpus_sh = corpus_sigs.select(id_col, "shingles")
+    if corpus_shingles_hashed:
+        cross_batch_sh = batch_sigs.select(
+            id_col, shingle_digests_col(F.col("shingles")).alias("shingles")
+        )
 
     bb = minhash_band_buckets(batch_sigs, id_col, num_hashes, band_size).alias("b")
     cb = minhash_band_buckets(corpus_sigs, id_col, num_hashes, band_size).alias("c")
@@ -280,7 +298,9 @@ def incremental_dedup_status(
         .distinct()
     )
     near_corpus_ids = (
-        verify_jaccard(cross_cand, batch_sh, id_col, threshold, doc_shingles_b=corpus_sh)
+        verify_jaccard(
+            cross_cand, cross_batch_sh, id_col, threshold, doc_shingles_b=corpus_sh
+        )
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )

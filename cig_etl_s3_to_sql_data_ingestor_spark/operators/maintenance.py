@@ -84,14 +84,39 @@ def zorder_compact(
     """Rewrite ``path`` in place clustered along the z-curve of ``cols``,
     sized to ~target-size files; returns the new file count. The swap is
     the same rename dance as :func:`compact_parquet` — readers see the
-    old or the new layout, never a mix."""
-    _, total = directory_stats(spark, path)
+    old or the new layout, never a mix. Returns 0 (no-op) on an empty
+    directory."""
+    n_files, total = directory_stats(spark, path)
+    if n_files == 0 or total == 0:
+        return 0
     n_out = max(1, math.ceil(total / target_file_bytes))
     fs, hpath, jvm = _fs(spark, path)
     staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._zordering")
     zorder_write(spark.read.parquet(path), staging.toString(), cols, n_out, bits)
     _swap_in(fs, jvm, path, hpath, staging)
     return n_out
+
+
+def _zorder_numeric(df: DataFrame, c: str):
+    """Order-preserving numeric view of column ``c`` for quantile
+    bucketing (approxQuantile is numeric-only). Dates/timestamps map to
+    epoch days/micros; unsupported types fail fast with a clear message
+    instead of mid-rewrite."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[c].dataType
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(F.col(c)).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ needs a cast first; the session-TZ shift is irrelevant
+        # because any fixed offset preserves order.
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dtype, T.NumericType):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"zorder column {c!r} has unsupported type {dtype.simpleString()}; "
+        "z-ordering needs a numeric, date, or timestamp column"
+    )
 
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = 6, sample_err: float = 0.01):
@@ -103,21 +128,25 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 6, sample_err: floa
     envelope on all z-ordered columns at once, so row-group/file pruning
     works for predicates on any of them — the multi-column analogue of
     sorting, which only prunes on the leading column. ``approxQuantile``
-    is a driver-side metadata action over a sample (2^bits-1 cut points),
-    not a data collect.
+    is a driver-side metadata action over a sample (2^bits-1 cut points
+    for ALL columns in one pass), not a data collect.
     """
+    numeric = {c: _zorder_numeric(df, c) for c in cols}
+    probe = df.select(*[expr.alias(f"_z_{j}") for j, expr in enumerate(numeric.values())])
+    all_cuts = probe.stat.approxQuantile(
+        [f"_z_{j}" for j in range(len(cols))],
+        [i / (1 << bits) for i in range(1, 1 << bits)],
+        sample_err,
+    )
     z = F.lit(0).cast("long")
     n = len(cols)
     for j, c in enumerate(cols):
-        cuts = df.stat.approxQuantile(
-            c, [i / (1 << bits) for i in range(1, 1 << bits)], sample_err
-        )
         # rank = number of distinct cut points <= value (dedup keeps the
         # bucket count <= 2^bits when a heavy value repeats across cuts).
-        distinct_cuts = sorted(set(cuts))
+        distinct_cuts = sorted(set(all_cuts[j]))
         rank = F.lit(0).cast("long")
         for cut in distinct_cuts:
-            rank = rank + (F.col(c) > F.lit(cut)).cast("long")
+            rank = rank + (numeric[c] > F.lit(cut)).cast("long")
         # Scale low-cardinality ranks across the full 2^bits domain —
         # otherwise a column with < 2^bits distinct values never sets the
         # high interleave bits and drops out of the file-level clustering.

@@ -3,22 +3,25 @@ documents against a persisted corpus signature store, admit only unique
 docs, and grow the store with the survivors.
 
 This is the crawl-ingest pattern at 100 TB: the accepted corpus is never
-re-read or re-hashed — its minhash signatures and content digests (tens
-of bytes per doc, text-free) are the durable artifact. Each batch:
+re-read or re-hashed — its durable artifact is text-free: minhash
+signatures, per-doc content digests, and 12-hex shingle digests (no raw
+text or raw shingles anywhere in the store; ~12 bytes per shingle, a
+fraction of the documents themselves). Each batch:
 
 1. reads the store (signatures + digests),
 2. classifies the batch via ``incremental_dedup_status`` (exact digest
-   semi-join, LSH band join vs the store, min-id dedup within batch),
+   semi-join, LSH band join vs the store, digest-set Jaccard verify,
+   min-id dedup within batch),
 3. appends only ``unique`` docs to the sink,
 4. appends the survivors' signature rows to the store, so every later
    batch — in this run or the next — dedups against them too.
 
 Idempotency mirrors ``ingest_stream``: sink and store writes are both
-epoch-addressed directories with overwrite semantics, so a replayed
-epoch (driver death between write and checkpoint commit) rewrites the
-same ``epoch=N`` dirs instead of duplicating rows. The store read sees
-either none or all of an epoch's signatures — both safe, since the
-classification that produced them is replay-identical.
+epoch-addressed directories with overwrite semantics, and classification
+always reads the store WITH THE CURRENT EPOCH EXCLUDED — so a replayed
+epoch (driver death between the store write and the checkpoint commit)
+sees exactly the store state the first attempt saw and rewrites the same
+``epoch=N`` dirs with identical content.
 """
 
 from __future__ import annotations
@@ -42,19 +45,35 @@ def _store_schema(num_hashes: int, id_col: str = "doc_id") -> T.StructType:
 
 
 def read_signature_store(
-    spark: SparkSession, path: str, num_hashes: int = 8, id_col: str = "doc_id"
+    spark: SparkSession,
+    path: str,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """The store, or an empty frame when it does not exist yet. Only the
     missing-path case maps to empty — any other read error must propagate
-    (an empty-on-error fallback would silently re-admit duplicates)."""
+    (an empty-on-error fallback would silently re-admit duplicates).
+
+    ``exclude_epoch`` drops one epoch's rows from the view. The gate MUST
+    pass the epoch it is currently processing: if a prior attempt of the
+    same epoch crashed after writing the store but before the checkpoint
+    commit, the replay would otherwise see its own admitted docs in the
+    store, classify them all as exact duplicates, and overwrite the sink
+    and store epoch dirs with empty frames — silently losing the batch."""
     from pyspark.errors import AnalysisException
 
     schema = _store_schema(num_hashes, id_col)
     cols = [f.name for f in schema.fields]
     try:
-        # select() drops the virtual `epoch` partition column so the
-        # store frame's schema is identical whether it exists or not.
-        return spark.read.schema(schema).parquet(path).select(cols)
+        df = spark.read.schema(schema).parquet(path)
+        if exclude_epoch is not None:
+            # `epoch` is the virtual hive-partition column of the store
+            # layout; pruning on it never scans the excluded epoch.
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        # select() drops the partition column so the store frame's schema
+        # is identical whether the store exists or not.
+        return df.select(cols)
     except AnalysisException as ex:
         if "PATH_NOT_FOUND" in str(ex):
             return spark.createDataFrame([], schema)
@@ -76,10 +95,16 @@ class DedupIngest:
     threshold: float = 0.4
     shingle_n: int = 3
 
-    def _classify(self, batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _classify(
+        self, batch_df: DataFrame, exclude_epoch: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
         """(status, survivors) for one batch against the current store."""
         store = read_signature_store(
-            self.spark, self.store_path, self.num_hashes, self.id_col
+            self.spark,
+            self.store_path,
+            self.num_hashes,
+            self.id_col,
+            exclude_epoch=exclude_epoch,
         )
         status = D.incremental_dedup_status(
             None,
@@ -92,6 +117,7 @@ class DedupIngest:
             shingle_n=self.shingle_n,
             corpus_sigs=store,
             corpus_hashes=store.select("content_hash"),
+            corpus_shingles_hashed=True,
         )
         survivors = batch_df.join(
             status.filter(F.col("verdict") == "unique").select(self.id_col),
@@ -112,19 +138,28 @@ class DedupIngest:
         the store before the next batch classifies — foreachBatch runs
         epochs sequentially)."""
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            _, survivors = self._classify(batch_df)
+            # Excluding the current epoch makes a crash-replay of this
+            # epoch classify against exactly the store state the first
+            # attempt saw — replay-identical, so the epoch-dir overwrites
+            # are true no-ops instead of data loss.
+            _, survivors = self._classify(batch_df, exclude_epoch=epoch_id)
             survivors.write.mode("overwrite").parquet(
                 f"{self.sink_path}/epoch={epoch_id}"
             )
             # minhash_signatures projects down to (id, shingles, sig_*);
+            # keep only shingle DIGESTS (the store holds no raw text) and
             # re-attach the content digest with a batch-sized join.
-            new_sigs = D.minhash_signatures(
-                survivors, self.id_col, self.text_col, self.num_hashes, self.shingle_n
-            ).join(
-                survivors.select(
-                    self.id_col, F.md5(F.col(self.text_col)).alias("content_hash")
-                ),
-                self.id_col,
+            new_sigs = (
+                D.minhash_signatures(
+                    survivors, self.id_col, self.text_col, self.num_hashes, self.shingle_n
+                )
+                .withColumn("shingles", D.shingle_digests_col(F.col("shingles")))
+                .join(
+                    survivors.select(
+                        self.id_col, F.md5(F.col(self.text_col)).alias("content_hash")
+                    ),
+                    self.id_col,
+                )
             )
             # Column order must match the store schema read.
             new_sigs.select(

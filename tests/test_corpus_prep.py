@@ -205,3 +205,17 @@ def test_budget_select_prefix_and_boundary(spark):
     assert sorted(
         r.doc_id for r in budget_select(tied, budget=120).collect()
     ) == [5, 6]
+
+
+def test_budget_select_empty_input_keeps_schema(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, n_tokens bigint, quality_score double"
+    )
+    out = budget_select(empty, budget=100)
+    assert out.count() == 0
+    # Same columns as the non-empty path: passthroughs plus the cum col.
+    assert set(out.columns) == {"doc_id", "n_tokens", "quality_score", "cum_n_tokens"}

@@ -97,3 +97,32 @@ def test_zorder_layout_narrows_file_envelopes(spark, sf_dir, tmp_path):
         assert naive_cov > 0.85, f"{c}: naive layout unexpectedly clustered"
         assert z_cov < 0.7, f"{c}: z-order did not narrow file envelopes ({z_cov})"
         assert z_cov < naive_cov
+
+
+def test_zorder_handles_dates_and_rejects_strings(spark, sf_dir, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        zorder_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_partkey", "l_returnflag"
+    )
+    out = str(tmp_path / "zdate")
+    zorder_write(li, out, ["l_shipdate", "l_partkey"], n_files=2)
+    assert spark.read.parquet(out).count() == li.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="l_returnflag"):
+        zorder_write(li, str(tmp_path / "zbad"), ["l_returnflag"], n_files=2)
+
+
+def test_zorder_compact_noop_on_empty_dir(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        zorder_compact,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert zorder_compact(spark, str(empty), ["a"]) == 0

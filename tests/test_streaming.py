@@ -347,3 +347,47 @@ def test_dedup_ingest_sequential_batches_within_one_drain(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{tmp_path}/accepted/epoch=*")) == 2
+
+
+def test_dedup_ingest_replay_excludes_own_epoch(spark, tmp_path):
+    """Crash-replay safety: when an epoch's store write survived a crash
+    but the checkpoint commit did not, reclassifying that epoch must
+    EXCLUDE its own store rows — otherwise its docs match their own
+    digests and the replay overwrites the epoch dirs with empty frames."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    )
+    # Simulate the crash window: materialize what epoch 0 wrote to the
+    # store before the checkpoint commit was lost.
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+
+    sigs = (
+        D.minhash_signatures(batch)
+        .withColumn("shingles", D.shingle_digests_col(F.col("shingles")))
+        .join(batch.select("doc_id", F.md5(F.col("text")).alias("content_hash")), "doc_id")
+    )
+    sigs.write.mode("overwrite").parquet(str(tmp_path / "store" / "epoch=0"))
+    D.unpersist_all()
+
+    # Replay of epoch 0: its own rows must not count as corpus.
+    status_replay, survivors_replay = ingest._classify(batch, exclude_epoch=0)
+    assert [r.verdict for r in status_replay.collect()] == ["unique"]
+    assert survivors_replay.count() == 1
+    D.unpersist_all()
+    # A LATER epoch classifying the same text must see it as exact_dup.
+    status_next, _ = ingest._classify(batch, exclude_epoch=1)
+    assert [r.verdict for r in status_next.collect()] == ["exact_dup"]
+    D.unpersist_all()
