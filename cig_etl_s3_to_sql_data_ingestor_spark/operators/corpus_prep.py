@@ -309,6 +309,10 @@ def budget_select(
     from .dedup import _persist
 
     spark = doc_stats.sparkSession
+    # Null weights cannot participate in a token budget (a null running
+    # sum would poison every later row's cumulative value and the
+    # driver-side offsets); unscorable docs are excluded up front.
+    doc_stats = doc_stats.filter(F.col(weight_col).isNotNull())
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranked = doc_stats.repartitionByRange(
         n_parts, F.col(score_col).desc(), F.col(id_col)

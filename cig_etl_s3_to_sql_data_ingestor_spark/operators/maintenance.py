@@ -107,10 +107,13 @@ def _zorder_numeric(df: DataFrame, c: str):
     dtype = df.schema[c].dataType
     if isinstance(dtype, T.DateType):
         return F.unix_date(F.col(c)).cast("double")
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        # NTZ needs a cast first; the session-TZ shift is irrelevant
-        # because any fixed offset preserves order.
-        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(c)).cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        # Interpret the wall time as UTC explicitly: a session-TZ cast
+        # is NOT monotone across DST gaps (02:30 and 03:00 on a
+        # spring-forward day can swap), while UTC has no gaps.
+        return F.unix_micros(F.to_utc_timestamp(F.col(c), "UTC")).cast("double")
     if isinstance(dtype, T.NumericType):
         return F.col(c).cast("double")
     raise ValueError(

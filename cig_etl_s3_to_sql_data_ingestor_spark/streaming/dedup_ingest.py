@@ -22,6 +22,15 @@ always reads the store WITH THE CURRENT EPOCH EXCLUDED — so a replayed
 epoch (driver death between the store write and the checkpoint commit)
 sees exactly the store state the first attempt saw and rewrites the same
 ``epoch=N`` dirs with identical content.
+
+Lifecycle invariant (shared by every epoch-addressed scheme, including
+``ingest_stream``'s sink): the checkpoint, the store, and the sink are
+ONE unit. Deleting the checkpoint while keeping the store/sink restarts
+epoch ids at 0, which both defeats the current-epoch exclusion and
+overwrites historical ``epoch=N`` dirs — wipe or archive all three
+together. Stores written by a pre-digest version of this module (raw
+shingles) are incompatible with the digest comparison and must be
+rebuilt.
 """
 
 from __future__ import annotations
@@ -67,9 +76,12 @@ def read_signature_store(
     cols = [f.name for f in schema.fields]
     try:
         df = spark.read.schema(schema).parquet(path)
-        if exclude_epoch is not None:
-            # `epoch` is the virtual hive-partition column of the store
-            # layout; pruning on it never scans the excluded epoch.
+        # `epoch` is the virtual hive-partition column of the store
+        # layout; pruning on it never scans the excluded epoch. It is
+        # absent when the path exists but no epoch dir ever committed a
+        # part file (crashed first write, pre-created dir) — nothing to
+        # exclude then, and filtering would crash the recovery path.
+        if exclude_epoch is not None and "epoch" in df.columns:
             df = df.filter(F.col("epoch") != exclude_epoch)
         # select() drops the partition column so the store frame's schema
         # is identical whether the store exists or not.

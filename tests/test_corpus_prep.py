@@ -219,3 +219,17 @@ def test_budget_select_empty_input_keeps_schema(spark):
     assert out.count() == 0
     # Same columns as the non-empty path: passthroughs plus the cum col.
     assert set(out.columns) == {"doc_id", "n_tokens", "quality_score", "cum_n_tokens"}
+
+
+def test_budget_select_drops_null_weights(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.corpus_prep import (
+        budget_select,
+    )
+
+    stats = spark.createDataFrame(
+        [(1, 40, 0.9), (2, None, 0.85), (3, 30, 0.8)],
+        "doc_id bigint, n_tokens bigint, quality_score double",
+    )
+    got = {r.doc_id: r.cum_n_tokens for r in budget_select(stats, budget=100).collect()}
+    # Doc 2 (unknown token count) is excluded; the running total skips it.
+    assert got == {1: 40, 3: 70}

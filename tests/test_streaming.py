@@ -391,3 +391,17 @@ def test_dedup_ingest_replay_excludes_own_epoch(spark, tmp_path):
     status_next, _ = ingest._classify(batch, exclude_epoch=1)
     assert [r.verdict for r in status_next.collect()] == ["exact_dup"]
     D.unpersist_all()
+
+
+def test_signature_store_read_survives_partitionless_dir(spark, tmp_path):
+    """A store path that exists but holds no committed epoch partitions
+    (crashed first write, pre-created dir) must read as empty even with
+    an exclude_epoch — not crash on the missing partition column."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        read_signature_store,
+    )
+
+    store = tmp_path / "store"
+    store.mkdir()
+    got = read_signature_store(spark, str(store), exclude_epoch=0)
+    assert got.count() == 0
