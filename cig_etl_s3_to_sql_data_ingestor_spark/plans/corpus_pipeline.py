@@ -53,6 +53,9 @@ class CorpusPrepConfig:
     # Keep each near-dup cluster's best-scored member instead of the
     # smallest id (the keep/drop policy a training corpus usually wants).
     canonical_by_quality: bool = False
+    # Optional final cap: keep the best-scored survivors until their
+    # cumulative token count reaches this budget (None = no cap).
+    token_budget: int | None = None
 
 
 def _exact_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
@@ -165,8 +168,20 @@ def prepare_corpus(
         if with_stats:
             stats["after_decontamination"] = stage4.count()
 
+    stage5 = stage4
+    if cfg.token_budget is not None:
+        doc_stats = tx.quality_scores(stage4, cfg.id_col, cfg.text_col).select(
+            cfg.id_col, "n_tokens", "quality_score"
+        )
+        kept = cp.budget_select(doc_stats, cfg.token_budget, id_col=cfg.id_col).select(
+            cfg.id_col
+        )
+        stage5 = stage4.join(kept, cfg.id_col, "left_semi")
+        if with_stats:
+            stats["after_budget"] = stage5.count()
+
     chunks = cp.chunk_documents(
-        stage4, cfg.id_col, cfg.text_col, cfg.chunk_size, cfg.chunk_overlap
+        stage5, cfg.id_col, cfg.text_col, cfg.chunk_size, cfg.chunk_overlap
     )
     if with_stats:
         stats["chunks"] = chunks.count()

@@ -111,3 +111,19 @@ def test_pipeline_canonical_by_quality_keeps_best_member(spark):
     unpersist_all()
     assert survivors_min == {1, 3}  # min-id keeps the noisy doc
     assert survivors_q == {2, 3}  # quality rule keeps the clean twin
+
+
+def test_pipeline_token_budget_caps_survivors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped, _ = prepare_corpus(docs, cfg=CorpusPrepConfig(quality_floor=0.0))
+    n_uncapped = uncapped.select("doc_id").distinct().count()
+    unpersist_all()
+    capped, stats = prepare_corpus(
+        docs,
+        cfg=CorpusPrepConfig(quality_floor=0.0, token_budget=3000),
+        with_stats=True,
+    )
+    n_capped = capped.select("doc_id").distinct().count()
+    unpersist_all()
+    assert 0 < n_capped < n_uncapped
+    assert stats["after_budget"] == n_capped
