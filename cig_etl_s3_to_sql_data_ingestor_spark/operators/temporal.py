@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..io import epoch_seconds
+
 
 def range_join_by_buckets(
     events: DataFrame,
@@ -51,17 +53,17 @@ def range_join_by_buckets(
     pick ``bucket_seconds`` ~ median interval length so intervals explode
     into O(1) buckets each. End is exclusive.
     """
-    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+    b = F.floor(epoch_seconds(events, ts_col) / bucket_seconds)
     ev = events.withColumn("_bucket", b.cast("long"))
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds).cast(
+                F.floor(epoch_seconds(intervals, start_col) / bucket_seconds).cast(
                     "long"
                 ),
                 F.floor(
-                    (F.unix_timestamp(F.col(end_col)) - 1) / bucket_seconds
+                    (epoch_seconds(intervals, end_col) - 1) / bucket_seconds
                 ).cast("long"),
             )
         ),

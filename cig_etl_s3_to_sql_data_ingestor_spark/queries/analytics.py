@@ -648,7 +648,7 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

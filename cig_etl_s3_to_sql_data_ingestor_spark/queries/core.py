@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum, sql_exact_sum
-from ..io import load_table
+from ..io import epoch_micros, load_table, micros_to_ntz
 from ..operators import transforms as TR
 
 QUERIES = {}
@@ -549,8 +549,8 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     ), sessions AS (
       SELECT user_id, us, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -561,9 +561,8 @@ def windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "us", F.unix_micros("ts")
-    )
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("us", epoch_micros(e, "ts"))
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     prev = F.lag("us").over(w)
     flagged = e.withColumn(
@@ -589,11 +588,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "session_id",
             "n_events",
-            F.timestamp_micros(
-                (F.col("min_us") - F.col("min_us") % sec)
+            micros_to_ntz(
+                F.col("min_us") - F.col("min_us") % sec
             ).alias("session_start"),
-            F.timestamp_micros(
-                (F.col("max_us") - F.col("max_us") % sec)
+            micros_to_ntz(
+                F.col("max_us") - F.col("max_us") % sec
             ).alias("session_end"),
         )
         .orderBy("user_id", "session_id")

@@ -67,7 +67,7 @@ def _bucket_col():
                   ELSE 'test' END AS split
       FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM b GROUP BY split ORDER BY split
     """,

@@ -258,8 +258,8 @@ def _budget_select_oracle() -> str:
     ),
     r AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_n_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_tokens
       FROM s
     )
     SELECT doc_id, n_tokens, cum_n_tokens FROM r
