@@ -122,7 +122,7 @@ def _zorder_numeric(df: DataFrame, c: str):
     )
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = 6, sample_err: float = 0.01):
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 6, sample_err: float = 0.001):
     """Z-curve key over ``cols``: quantile-bucket each column into 2^bits
     ranks (skew-proof, unlike min/max width buckets), then bit-interleave
     the ranks so nearby z-values are nearby in EVERY dimension.
