@@ -78,6 +78,11 @@ HEADLINE = [
     "stratified_sample",
     "interleave_sources",
     "pii_redaction",
+    # round 3: repetition/LM quality signals, cluster summary, mixture plan
+    "repetition_stats",
+    "char_lm_surprisal",
+    "embedding_clusters",
+    "source_mixture_plan",
 ]
 
 

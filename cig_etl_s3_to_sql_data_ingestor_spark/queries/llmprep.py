@@ -203,6 +203,51 @@ def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.interleave_sources(docs, _MIX_WEIGHTS).orderBy("mix_pos")
 
 
+# Exact binary fractions (0.5/0.25/0.125) keep the literal target shares
+# bit-identical across engines without depending on decimal parsing.
+_PLAN_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_PLAN_BUDGET = 2000
+
+
+@register(
+    "source_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per
+    ), shared AS (
+      SELECT per.*, total,
+             CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                         ELSE CAST(0.125 AS DOUBLE) END AS target_share
+      FROM per, tot
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS current_share,
+           target_share,
+           least(CAST(1.0 AS DOUBLE),
+                 target_share * CAST({_PLAN_BUDGET} AS DOUBLE)
+                   / CAST(n_tokens AS DOUBLE)) AS sampling_rate,
+           CAST(FLOOR(least(CAST(1.0 AS DOUBLE),
+                            target_share * CAST({_PLAN_BUDGET} AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE))
+                      * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS expected_tokens
+    FROM shared ORDER BY source
+    """,
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan: per-source token inventory, current vs target
+    share, and the sampling rate realizing a 4:2:1:1 blend inside a
+    2000-token budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.mixture_plan(docs, _PLAN_WEIGHTS, _PLAN_BUDGET)
+
+
 _PII = dict(P.PII_PATTERNS)
 _PII["term"] = r"\b(?:customer|order|part)\b"
 

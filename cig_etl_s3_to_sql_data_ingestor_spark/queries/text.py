@@ -114,6 +114,83 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS dup_token_frac,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
+             AS top_token_frac,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+             AS dup_bigram_frac,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(bg),
+                    u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE) / len(bg) END
+             AS top_bigram_frac
+    FROM b ORDER BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-token
+    fraction, top-token mass, duplicate/top bigram fractions."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(d).orderBy("doc_id")
+
+
+_SQL_CHARS = "regexp_extract_all(lower(text), '.')"
+
+
+@register(
+    "char_lm_surprisal",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest({_SQL_CHARS}) AS c FROM documents
+    ), model AS (
+      SELECT c AS ch, COUNT(*) AS n_occ FROM ch GROUP BY c
+    ), tot AS (
+      SELECT CAST(SUM(n_occ) AS BIGINT) AS total FROM model
+    ), q AS (
+      SELECT ch,
+             CAST(floor(ln(CAST(n_occ AS DOUBLE) / CAST(total AS DOUBLE))
+                        * {TX.LM_QUANT}) AS BIGINT) AS qlogp
+      FROM model, tot
+    ), per AS (
+      SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c
+    ), agg AS (
+      SELECT per.doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_chars_scored,
+             CAST(-SUM(cnt * qlogp) AS BIGINT) AS surprisal_q
+      FROM per JOIN q ON per.c = q.ch GROUP BY per.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_chars_scored, 0) AS n_chars_scored,
+           COALESCE(a.surprisal_q, 0) AS surprisal_q,
+           CAST(COALESCE(a.surprisal_q, 0) AS DOUBLE)
+             / COALESCE(a.n_chars_scored, 0) AS mean_surprisal
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def char_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram LM surprisal per document (perplexity-bucket
+    stand-in): train integer-quantized log-probs on the corpus, then
+    score every document with a zero-shuffle map-literal fold."""
+    d = load_table(spark, sf_dir, "documents")
+    model = TX.char_lm_model(d)
+    return TX.char_lm_score(d, model).orderBy("doc_id")
+
+
+@register(
     "lang_id_confusion",
     oracle=f"""
     WITH s AS (

@@ -232,6 +232,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_clusters",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=2)},
+    assigned AS (
+      SELECT cand_id, cell_id FROM (
+        SELECT c.cand_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT a.cell_id, e.label, COUNT(*) AS cnt
+      FROM assigned a JOIN embeddings e ON a.cand_id = e.vec_id
+      GROUP BY a.cell_id, e.label
+    ),
+    agg AS (
+      SELECT cell_id, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+             COUNT(*) AS n_labels, MAX(cnt) AS majority_cnt
+      FROM counts GROUP BY cell_id
+    ),
+    maj AS (
+      SELECT cell_id, label AS majority_label FROM (
+        SELECT cell_id, label,
+               ROW_NUMBER() OVER (PARTITION BY cell_id
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT cell_id, n_vecs, n_labels, majority_label, majority_cnt
+    FROM agg JOIN maj USING (cell_id) ORDER BY cell_id
+    """,
+)
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering summary (the SemDeDup/cluster-curation view):
+    deterministic KMeans trained on the 1/2 md5-bucket sample, every
+    vector assigned to its nearest centroid map-side, then per-cluster
+    size, label diversity, and majority ground-truth label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = S.kmeans_centroids(e, n_cells=16, n_iters=2, sample_mod=2).select(
+        F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+    )
+    assigned = S.ivf_assign(e, cent, n_probe=1).select("cand_id", "cell_id")
+    counts = (
+        assigned.join(e.select(F.col("vec_id").alias("cand_id"), "label"), "cand_id")
+        .groupBy("cell_id", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.groupBy("cell_id")
+        .agg(
+            F.sum("cnt").alias("n_vecs"),
+            F.count("*").alias("n_labels"),
+            F.max_by(F.col("label"), F.struct(F.col("cnt"), -F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.max("cnt").alias("majority_cnt"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@register(
     "embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

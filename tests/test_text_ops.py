@@ -1,0 +1,126 @@
+"""Unit + plan tests for the round-3 text/corpus operators: repetition
+signals, the char-unigram LM scorer, and the domain-mixture planner.
+
+Value-level parity with DuckDB is covered by tests/test_queries_oracle.py;
+these pin edge-case semantics (single-token docs, OOV chars, pinned
+sampling rates) and the physical-plan properties the oracles can't see.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.operators import corpus_prep as P
+from cig_etl_s3_to_sql_data_ingestor_spark.operators import text as TX
+
+from .test_plans import explain
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# -- repetition signals -----------------------------------------------------
+
+
+def test_repetition_all_same_tokens(spark):
+    d = _docs(spark, [(1, "s", "a a a a")])
+    r = TX.repetition_stats(d).collect()[0]
+    assert r.n_tokens == 4
+    assert r.dup_token_frac == 0.75  # 4 tokens, 1 distinct
+    assert r.top_token_frac == 1.0
+    assert r.dup_bigram_frac == 2 / 3  # 3 bigrams "a a", 1 distinct
+    assert r.top_bigram_frac == 1.0
+
+
+def test_repetition_all_distinct_tokens(spark):
+    d = _docs(spark, [(1, "s", "a b c d")])
+    r = TX.repetition_stats(d).collect()[0]
+    assert r.dup_token_frac == 0.0
+    assert r.top_token_frac == 0.25
+    assert r.dup_bigram_frac == 0.0
+
+
+def test_repetition_single_token_has_null_bigram_fracs(spark):
+    d = _docs(spark, [(1, "s", "solo")])
+    r = TX.repetition_stats(d).collect()[0]
+    assert r.n_tokens == 1
+    assert r.dup_token_frac == 0.0
+    assert r.dup_bigram_frac is None and r.top_bigram_frac is None
+
+
+# -- char-unigram LM --------------------------------------------------------
+
+
+def test_char_lm_model_quantized_logprobs(spark):
+    d = _docs(spark, [(1, "s", "aab")])
+    m = {r.ch: r for r in TX.char_lm_model(d).collect()}
+    assert m["a"].n_occ == 2 and m["b"].n_occ == 1
+    assert m["a"].qlogp == math.floor(math.log(2 / 3) * TX.LM_QUANT)
+    assert m["b"].qlogp == math.floor(math.log(1 / 3) * TX.LM_QUANT)
+
+
+def test_char_lm_score_exact_integer_sum(spark):
+    d = _docs(spark, [(1, "s", "aab")])
+    model = TX.char_lm_model(d)
+    r = TX.char_lm_score(d, model).collect()[0]
+    qa = math.floor(math.log(2 / 3) * TX.LM_QUANT)
+    qb = math.floor(math.log(1 / 3) * TX.LM_QUANT)
+    assert r.n_chars_scored == 3
+    assert r.surprisal_q == -(2 * qa + qb)
+    assert r.mean_surprisal == r.surprisal_q / 3
+
+
+def test_char_lm_oov_chars_cost_one_extra_nat(spark):
+    train = _docs(spark, [(1, "s", "aab")])
+    model = TX.char_lm_model(train)
+    score = _docs(spark, [(2, "s", "zz")])
+    r = TX.char_lm_score(score, model).collect()[0]
+    oov = math.floor(math.log(1 / 3) * TX.LM_QUANT) - TX.LM_QUANT
+    assert r.surprisal_q == -2 * oov
+
+
+def test_char_lm_scoring_is_shuffle_free(spark, sf_dir):
+    plan = explain(spark, sf_dir, "char_lm_surprisal")
+    # The document side folds over a broadcast map literal: the only
+    # exchanges belong to the tiny model aggregation, so no shuffle may
+    # carry doc_id (no per-document exchange, no sort-merge join).
+    assert "SortMergeJoin" not in plan
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert not doc_exchanges, doc_exchanges
+
+
+# -- mixture planning -------------------------------------------------------
+
+
+def test_mixture_plan_rates_and_expected_tokens(spark):
+    d = _docs(
+        spark,
+        [(i, "big", "t " * 10) for i in range(8)]  # 80 tokens
+        + [(100 + i, "small", "t " * 10) for i in range(2)],  # 20 tokens
+    )
+    rows = {
+        r.source: r
+        for r in P.mixture_plan(
+            d, {"big": 1.0, "small": 1.0}, token_budget=40
+        ).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert big.n_tokens == 80 and small.n_tokens == 20
+    assert big.current_share == 0.8 and small.current_share == 0.2
+    assert big.target_share == small.target_share == 0.5
+    # big: 0.5*40/80 = 0.25 of its tokens; small wants 20 but only has 20.
+    assert big.sampling_rate == 0.25 and big.expected_tokens == 20
+    assert small.sampling_rate == 1.0 and small.expected_tokens == 20
+
+
+def test_mixture_plan_drops_unweighted_sources(spark):
+    d = _docs(spark, [(1, "a", "x y"), (2, "b", "x y")])
+    out = P.mixture_plan(d, {"a": 1.0}, token_budget=10)
+    assert [r.source for r in out.collect()] == ["a"]
