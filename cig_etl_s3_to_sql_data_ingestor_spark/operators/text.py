@@ -105,38 +105,89 @@ def repetition_stats(
     fractions. High values flag boilerplate, keyword stuffing, and
     degenerate generations — standard pre-training quality filters.
 
-    Pure projection (map-only, pipelines with the scan); the top-count
-    scan is O(distinct x length) per document, bounded by natural-language
-    vocabulary growth, and never leaves the row. Single-token documents
-    have no bigrams: the bigram fractions are NULL there, not 0 — a
-    "no evidence" outcome, distinct from "no repetition".
+    Pure projection (map-only, pipelines with the scan). Single-token
+    documents have no bigrams: the bigram fractions are NULL there, not
+    0 — a "no evidence" outcome, distinct from "no repetition".
+
+    Two plan decisions keep the per-row cost O(L log L) in document
+    length L instead of O(L^2):
+
+    - the token/bigram arrays are materialized as projected columns
+      BEFORE any lambda touches them — expressions inside higher-order
+      functions get no common-subexpression elimination, so an inline
+      ``split()`` would re-tokenize the document once per distinct token
+      (measured 10x slower at sf0.1);
+    - distinct and top-count come from ONE run-length fold over the
+      sorted array (``_run_stats``) rather than a per-distinct-element
+      ``filter`` rescan, which is quadratic exactly when it hurts —
+      bigrams are mostly unique (measured another ~2x on the full query).
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    dist = F.array_distinct(toks)
-    top = F.array_max(
-        F.transform(dist, lambda u: F.size(F.filter(toks, lambda x: x == u)))
-    )
-    m = F.greatest(n - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    n = F.col("_n")
+    toks = F.col("_toks")
+    bigrams = F.col("_bg")
     nb = F.size(bigrams)
-    bdist = F.array_distinct(bigrams)
-    topb = F.array_max(
-        F.transform(bdist, lambda u: F.size(F.filter(bigrams, lambda x: x == u)))
+    tstats = F.col("_tstats")
+    bstats = F.col("_bstats")
+    staged = (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .withColumn("_n", F.size(toks))
+        .withColumn(
+            "_bg",
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .withColumn("_tstats", _run_stats(toks))
+        .withColumn("_bstats", _run_stats(bigrams))
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        ((n - F.size(dist)).cast("double") / n).alias("dup_token_frac"),
-        (top.cast("double") / n).alias("top_token_frac"),
-        F.when(nb > 0, (nb - F.size(bdist)).cast("double") / nb).alias(
+        ((n - tstats["n_distinct"]).cast("double") / n).alias("dup_token_frac"),
+        (tstats["top_count"].cast("double") / n).alias("top_token_frac"),
+        F.when(nb > 0, (nb - bstats["n_distinct"]).cast("double") / nb).alias(
             "dup_bigram_frac"
         ),
-        F.when(nb > 0, topb.cast("double") / nb).alias("top_bigram_frac"),
+        F.when(nb > 0, bstats["top_count"].cast("double") / nb).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def _run_stats(arr: Column) -> Column:
+    """``struct(top_count, n_distinct)`` of a string array via one fold
+    over its sorted copy: equal values are adjacent after the sort, so the
+    longest run is the modal count and the number of runs is the distinct
+    count — O(L log L) total, vs O(L x distinct) for the naive
+    per-element ``filter`` rescan."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("runs"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["runs"] + F.when(same, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("runs"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best"].alias("top_count"), acc["runs"].alias("n_distinct")
+        ),
     )
 
 
