@@ -82,18 +82,16 @@ def test_char_lm_oov_chars_cost_one_extra_nat(spark):
     assert r.surprisal_q == -2 * oov
 
 
-def test_char_lm_scoring_is_shuffle_free(spark, sf_dir):
+def test_char_lm_scoring_shuffles_counts_not_text(spark, sf_dir):
+    import re
+
     plan = explain(spark, sf_dir, "char_lm_surprisal")
-    # The document side folds over a broadcast map literal: the only
-    # exchanges belong to the tiny model aggregation, so no shuffle may
-    # carry doc_id (no per-document exchange, no sort-merge join).
+    # The model joins broadcast (it is |alphabet| rows) — never sort-merge.
     assert "SortMergeJoin" not in plan
-    doc_exchanges = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln and "doc_id" in ln
-    ]
-    assert not doc_exchanges, doc_exchanges
+    assert "BroadcastHashJoin" in plan
+    # Per-(doc, char) counts must partial-aggregate BEFORE their exchange,
+    # so the shuffle carries at most |alphabet| rows per document.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan
 
 
 # -- mixture planning -------------------------------------------------------
