@@ -122,3 +122,83 @@ def test_mixture_plan_drops_unweighted_sources(spark):
     d = _docs(spark, [(1, "a", "x y"), (2, "b", "x y")])
     out = P.mixture_plan(d, {"a": 1.0}, token_budget=10)
     assert [r.source for r in out.collect()] == ["a"]
+
+
+# -- property tests vs bit-exact Python models ------------------------------
+
+
+import math as _math  # noqa: E402
+
+import pytest  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_token = st.sampled_from(["a", "b", "ab", "ba", "x1", "zz"])
+_doc_texts = st.lists(_token, min_size=1, max_size=12).map(" ".join)
+_corpora = st.lists(_doc_texts, min_size=1, max_size=8)
+
+
+def _py_repetition(text):
+    toks = text.lower().strip().split()
+    n = len(toks)
+    bg = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    nb = len(bg)
+
+    def top(xs):
+        return max(xs.count(u) for u in set(xs)) if xs else None
+
+    return {
+        "n_tokens": n,
+        "dup_token_frac": (n - len(set(toks))) / n,
+        "top_token_frac": top(toks) / n,
+        "dup_bigram_frac": (nb - len(set(bg))) / nb if nb else None,
+        "top_bigram_frac": top(bg) / nb if nb else None,
+    }
+
+
+@pytest.mark.slow
+@_SETTINGS
+@given(_corpora)
+def test_repetition_matches_python_model(spark, corpus):
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    rows = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    for i, text in enumerate(corpus):
+        want = _py_repetition(text)
+        got = rows[i]
+        for k, v in want.items():
+            assert getattr(got, k) == v, (k, text)
+
+
+def _py_char_lm(corpus):
+    chars = [c for t in corpus for c in t.lower()]
+    total = len(chars)
+    counts = {}
+    for c in chars:
+        counts[c] = counts.get(c, 0) + 1
+    q = {
+        c: _math.floor(_math.log(n / total) * TX.LM_QUANT)
+        for c, n in counts.items()
+    }
+    out = []
+    for i, t in enumerate(corpus):
+        s = -sum(q[c] for c in t.lower())
+        out.append((i, len(t), s))
+    return out
+
+
+@pytest.mark.slow
+@_SETTINGS
+@given(_corpora)
+def test_char_lm_matches_python_model(spark, corpus):
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    model = TX.char_lm_model(df)
+    rows = {r.doc_id: r for r in TX.char_lm_score(df, model).collect()}
+    for i, n, s in _py_char_lm(corpus):
+        assert rows[i].n_chars_scored == n
+        assert rows[i].surprisal_q == s
