@@ -48,11 +48,18 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a combined [0,1]-ish score.
 
     Features: document length, mean token length, stopword ratio,
     punctuation ratio — the standard cheap pre-filters for LLM corpora.
+    ``keep`` carries extra passthrough columns (e.g. event time + source
+    for the streaming quality monitor).
     """
     toks = tokens_col(text_col)
     n_chars = F.length(text_col)
@@ -69,6 +76,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),

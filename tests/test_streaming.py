@@ -405,3 +405,64 @@ def test_signature_store_read_survives_partitionless_dir(spark, tmp_path):
     store.mkdir()
     got = read_signature_store(spark, str(store), exclude_epoch=0)
     assert got.count() == 0
+
+
+def test_quality_monitor_stream(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.quality_monitor import (
+        quality_monitor_stream,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills"
+    bad = "$$$ !!! ###"
+    ts0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, good, "crawlA", ts0),
+        (2, good, "crawlA", ts0 + dt.timedelta(minutes=1)),
+        (3, bad, "crawlB", ts0 + dt.timedelta(minutes=2)),
+        (4, good, "crawlB", ts0 + dt.timedelta(minutes=3)),
+        # late window-closer: pushes the watermark past the first window.
+        (5, good, "crawlA", ts0 + dt.timedelta(hours=2)),
+    ]
+    batch = spark.createDataFrame(rows, doc_schema)
+
+    # Batch parity: same operator on a static frame.
+    static = {
+        (r.source, r.window_start.hour): r
+        for r in quality_monitor_stream(batch).collect()
+    }
+    a = static[("crawlA", 10)]
+    b = static[("crawlB", 10)]
+    assert a.n_docs == 2 and a.n_below_floor == 0
+    assert b.n_docs == 2 and b.n_below_floor == 1
+    assert b.below_floor_frac == 0.5
+
+    src = str(tmp_path / "docs")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    q = (
+        quality_monitor_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qmon")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r.source, r.window_start.hour): r
+        for r in spark.sql("SELECT * FROM qmon").collect()
+    }
+    # The two 10:00 windows are closed by the 12:00 watermark and emitted
+    # with values identical to the batch run.
+    for key in (("crawlA", 10), ("crawlB", 10)):
+        assert out[key].n_docs == static[key].n_docs
+        assert out[key].n_below_floor == static[key].n_below_floor
+        assert out[key].mean_quality == static[key].mean_quality
