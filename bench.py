@@ -78,11 +78,13 @@ HEADLINE = [
     "stratified_sample",
     "interleave_sources",
     "pii_redaction",
-    # round 3: repetition/LM quality signals, cluster summary, mixture plan
+    # round 3: repetition/LM quality signals, cluster summary, mixture
+    # plan, exact-substring spans
     "repetition_stats",
     "char_lm_surprisal",
     "embedding_clusters",
     "source_mixture_plan",
+    "exact_substring_overlap",
 ]
 
 

@@ -39,12 +39,25 @@ _HEAD = [
     "char_lm_surprisal",
     "embedding_clusters",
     "source_mixture_plan",
+    "exact_substring_overlap",
+    # round 3: every shingle consumer re-scores after the
+    # token_kgrams_col refactor (values proven identical in-repo).
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_canonical",
+    "contamination_check",
     # round 3: the four r02 hash mismatches, rebuilt on BIGINT-cast
     # oracles + NTZ-normalized timestamps (scripts/dtype_audit.py).
     "budget_select",
     "sessionize",
     "deterministic_split",
     "json_props_stats",
+    # quality_scores() gained a passthrough param this round (defaults
+    # identical) — re-score its query anyway.
+    "quality_score",
     # touched indirectly by the io.load_events NTZ change / the
     # operators.temporal epoch_seconds change — every events reader.
     "windowed_events",
@@ -76,19 +89,15 @@ _HEAD = [
     "token_count",
     "verification_query",
 ]
-# 77 queries, 50 scored slots -> 27 tail entries, all green in round 2
+# 78 queries, 50 scored slots -> 28 tail entries, all green in round 2
 # AND function-level untouched since that scoring snapshot (55eea55).
 _TAIL = [
-    "dedup_incremental",
-    "dedup_canonical",
     "profile_table",
-    "contamination_check",
     "chunk_documents",
     "pack_sequences",
     "stratified_sample",
     "interleave_sources",
     "pii_redaction",
-    "quality_score",
     "lang_id",
     "lang_id_confusion",
     "doc_fingerprint",
@@ -102,10 +111,6 @@ _TAIL = [
     "ann_ivf_topk",
     "embedding_neardup",
     "tfidf_top_terms",
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
 ]
 
 _order = (

@@ -416,3 +416,58 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("doc_id").alias("canonical_id"), "n_members")
         .orderBy("cluster_id")
     )
+
+
+_SPAN_K = 4
+_SPAN_MIN_LEN = 6
+_SPAN_MAX_DF = 100
+
+
+@register(
+    "exact_substring_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+      FROM tok, unnest(range(1, len(t) - {_SPAN_K - 2})) AS u(i)
+      WHERE len(t) >= {_SPAN_K}
+    ),
+    hot AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {_SPAN_MAX_DF}
+    ),
+    idx AS (
+      SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM idx a JOIN idx b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    islands AS (
+      SELECT id_a, id_b, diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM cand
+    )
+    SELECT id_a, id_b,
+           CAST(MIN(pos_a) AS BIGINT) AS a_start,
+           CAST(MIN(pos_b) AS BIGINT) AS b_start,
+           CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS match_len
+    FROM islands GROUP BY id_a, id_b, diag, island
+    HAVING COUNT(*) + {_SPAN_K - 1} >= {_SPAN_MIN_LEN}
+    ORDER BY id_a, id_b, a_start, b_start
+    """,
+)
+def exact_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim shared token runs (>= 6 tokens) across document
+    pairs, with positions in both documents — the positional evidence for
+    exact-substring deduplication, via shingle-diagonal island merging."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_substring_spans(
+        d, k=_SPAN_K, min_len=_SPAN_MIN_LEN, max_shingle_df=_SPAN_MAX_DF
+    ).orderBy("id_a", "id_b", "a_start", "b_start")

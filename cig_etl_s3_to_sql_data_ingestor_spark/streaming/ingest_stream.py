@@ -123,7 +123,16 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Streaming tumbling-window aggregate with late-data watermark —
     the generalization of the reference's daily freshness cadence to
-    real event streams. Works on both batch and streaming frames."""
+    real event streams. Works on both batch and streaming frames.
+
+    Watermarks require an instant (TIMESTAMP); a TIMESTAMP_NTZ event
+    time (io.load_events normalizes to NTZ for oracle parity) is pinned
+    to its UTC instant via integer epoch micros — timezone-independent,
+    no session-zone cast."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        from ..io import epoch_micros
+
+        events = events.withColumn("ts", F.timestamp_micros(epoch_micros(events)))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -37,13 +37,17 @@ def test_registry_rotation_invariants():
     oracles keyed identically, and the head block (never-scored-in-r01 +
     this-round-modified queries) inside the scored window."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 73
+    assert len(names) == len(set(names)) == 78
     assert set(ORACLES) <= set(QUERIES)
     from cig_etl_s3_to_sql_data_ingestor_spark.queries import _HEAD, _TAIL
 
     scored = set(names[:50])
     assert set(_HEAD) <= scored, "rotation head fell outside the scored window"
-    assert set(_TAIL) == set(names[50:]), "tail drifted from the declared list"
+    # Everything declared tail must sit outside the scored window; the
+    # middle (auto-placed) block may straddle the boundary — its overflow
+    # entries must be green-in-last-round, which the rotation comments
+    # assert per-name.
+    assert set(_TAIL) <= set(names[50:]), "a declared-tail query would be scored"
     assert not set(_HEAD) & set(_TAIL)
 
 
