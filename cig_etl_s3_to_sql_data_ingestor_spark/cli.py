@@ -264,3 +264,59 @@ def main_optimize(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(main_hosting())
+
+
+def main_corpus(argv: list[str] | None = None) -> int:
+    """Corpus-preparation entry: run the composed training-data pipeline
+    (exact dedup -> near dedup -> quality floor -> decontamination ->
+    optional token budget -> chunking) over a parquet corpus and publish
+    the chunked output atomically via the manifest sink."""
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        description="Prepare a document corpus for training per a JSON run config."
+    )
+    parser.add_argument(
+        "--corpus_config_filename",
+        default="corpus_config.json",
+        help='Run-config JSON path (default "corpus_config.json")',
+    )
+    args = parser.parse_args(argv)
+    with open(args.corpus_config_filename) as fh:
+        cfg_json = _json.load(fh)
+
+    from .plans.corpus_pipeline import CorpusPrepConfig, prepare_corpus
+    from .session import get_spark
+    from .sources.manifest_sink import write_snapshot
+
+    spark = get_spark(app_name="cig-etl-corpus")
+    docs = spark.read.parquet(cfg_json["input"])
+    benchmark = (
+        spark.read.parquet(cfg_json["benchmark"])
+        if cfg_json.get("benchmark")
+        else None
+    )
+    knobs = {
+        k: cfg_json[k]
+        for k in (
+            "minhash_threshold",
+            "quality_floor",
+            "contamination_max",
+            "chunk_size",
+            "chunk_overlap",
+            "id_col",
+            "text_col",
+            "canonical_by_quality",
+            "token_budget",
+        )
+        if k in cfg_json
+    }
+    chunks, stats = prepare_corpus(
+        docs,
+        benchmark=benchmark,
+        cfg=CorpusPrepConfig(**knobs),
+        with_stats=bool(cfg_json.get("stats", True)),
+    )
+    version = write_snapshot(chunks, cfg_json["output"], mode="append")
+    print(_json.dumps({"output_version": version, "stats": stats}))
+    return 0

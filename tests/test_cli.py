@@ -197,3 +197,38 @@ def test_cli_optimize_compacts_and_zorders(spark, tmp_path, capsys):
     got = spark.read.parquet(path)
     assert got.count() == 5000
     assert set(got.columns) == {"id", "a", "b"}
+
+
+def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
+    import json
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_corpus
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.manifest_sink import (
+        read_snapshot,
+    )
+
+    out = str(tmp_path / "prepared")
+    cfg = {
+        "input": f"{sf_dir}/documents.parquet",
+        "output": out,
+        "quality_floor": 0.2,
+        "chunk_size": 32,
+        "chunk_overlap": 8,
+        "stats": True,
+    }
+    cfg_path = tmp_path / "corpus_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main_corpus(["--corpus_config_filename", str(cfg_path)])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["output_version"] == 1
+    assert report["stats"]["chunks"] > 0
+    chunks = read_snapshot(spark, out)
+    assert chunks.count() == report["stats"]["chunks"]
+    assert {"doc_id", "chunk_idx", "chunk_hash"} <= set(chunks.columns)
