@@ -85,6 +85,9 @@ HEADLINE = [
     "embedding_clusters",
     "source_mixture_plan",
     "exact_substring_overlap",
+    "sole_return_supplier",
+    "dominant_part_suppliers",
+    "weekly_range_revenue",
 ]
 
 

@@ -40,6 +40,9 @@ _HEAD = [
     "embedding_clusters",
     "source_mixture_plan",
     "exact_substring_overlap",
+    "sole_return_supplier",
+    "dominant_part_suppliers",
+    "weekly_range_revenue",
     # round 3: every shingle consumer re-scores after the
     # token_kgrams_col refactor (values proven identical in-repo).
     "dedup_minhash",
@@ -89,7 +92,7 @@ _HEAD = [
     "token_count",
     "verification_query",
 ]
-# 78 queries, 50 scored slots -> 28 tail entries, all green in round 2
+# 81 queries, 50 scored slots; declared tail entries, all green in round 2
 # AND function-level untouched since that scoring snapshot (55eea55).
 _TAIL = [
     "profile_table",

@@ -1142,3 +1142,175 @@ def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "priority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style double-correlated existence chain: suppliers who were the ONLY
+# returning supplier inside finished multi-supplier orders. The two
+# correlated subqueries become a semi-join and an anti-join against the
+# same derived "other suppliers of the order" frame — no row explosion,
+# aggregates partial. (TPC-H Q21's receipt/commit lateness is adapted to
+# l_returnflag: this dataset carries no receipt dates.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sole_return_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("other_supp"),
+        "l_returnflag",
+    )
+    with_other = l1.join(
+        others,
+        (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.other_supp),
+        "left_semi",
+    )
+    other_returns = others.filter(F.col("l_returnflag") == "R")
+    sole = with_other.join(
+        other_returns,
+        (with_other.l_orderkey == other_returns.o_key)
+        & (with_other.l_suppkey != other_returns.other_supp),
+        "left_anti",
+    )
+    return (
+        sole.join(supplier, sole.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style correlated-aggregate semi-join: suppliers that shipped more
+# than half of some part's total 1995 volume. The correlated "50% of the
+# part's total" subquery becomes one (part) aggregate joined to the
+# (part, supplier) aggregate — two partial-agg passes over the filtered
+# fact, a broadcast-able ratio filter, then a semi-join to suppliers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             {sql_exact_sum('l_quantity', 2)} AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), p AS (
+      SELECT l_partkey, {sql_exact_sum('l_quantity', 2)} AS part_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      GROUP BY l_partkey
+    ), dom AS (
+      SELECT ps.l_suppkey, COUNT(*) AS n_dominated
+      FROM ps JOIN p USING (l_partkey)
+      WHERE ps.supp_qty > 0.5 * p.part_qty
+      GROUP BY ps.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, d.n_dominated
+    FROM supplier s JOIN dom d ON d.l_suppkey = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        exact_sum(F.col("l_quantity"), 2).alias("supp_qty")
+    )
+    p = li.groupBy("l_partkey").agg(
+        exact_sum(F.col("l_quantity"), 2).alias("part_qty")
+    )
+    dom = (
+        ps.join(p, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame over calendar days: unlike rolling_daily_revenue's ROWS
+# frame (which silently spans gaps — 7 *rows*, not 7 *days*), the RANGE
+# frame bounds the window by VALUE distance on integer epoch days, so
+# missing days shrink the window. Both engines order by the same integer,
+# making the frames identical by construction. Unpartitioned window is
+# safe: input is the bounded per-day aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_range_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dnum,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT d, n_orders,
+           CAST(rev AS DOUBLE) AS day_rev,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS days_present_7d
+    FROM daily
+    WINDOW w AS (ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+)
+def weekly_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    ).withColumn("dnum", F.unix_date("d"))
+    w = W.orderBy("dnum").rangeBetween(-6, 0)
+    return daily.select(
+        "d",
+        "n_orders",
+        F.col("rev").cast("double").alias("day_rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.count("*").over(w).alias("days_present_7d"),
+    ).orderBy("d")

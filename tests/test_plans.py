@@ -95,7 +95,15 @@ def test_aggregation_is_partial_then_final(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_incremental", "dedup_canonical"]
+    "name",
+    [
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
+        "dedup_canonical",
+        "exact_substring_overlap",
+    ],
 )
 def test_lsh_candidate_join_never_cartesian(spark, sf_dir, name):
     plan = explain(spark, sf_dir, name)

@@ -37,7 +37,7 @@ def test_registry_rotation_invariants():
     oracles keyed identically, and the head block (never-scored-in-r01 +
     this-round-modified queries) inside the scored window."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 78
+    assert len(names) == len(set(names)) == 81
     assert set(ORACLES) <= set(QUERIES)
     from cig_etl_s3_to_sql_data_ingestor_spark.queries import _HEAD, _TAIL
 

@@ -202,3 +202,15 @@ def test_char_lm_matches_python_model(spark, corpus):
     for i, n, s in _py_char_lm(corpus):
         assert rows[i].n_chars_scored == n
         assert rows[i].surprisal_q == s
+
+
+def test_repetition_stats_is_projection_only(spark, sf_dir):
+    import re
+
+    plan = explain(spark, sf_dir, "repetition_stats")
+    # Map-only signal extraction: no join, no aggregate; the only
+    # exchange is the final presentation sort.
+    assert not re.search(r"\(\d+\) \w*Join", plan), plan
+    assert not re.search(r"\(\d+\) \w*HashAggregate", plan), plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1, plan
