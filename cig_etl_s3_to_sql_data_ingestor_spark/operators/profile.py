@@ -5,11 +5,13 @@ cig_tables.json column contracts), generalized to any frame.
 
 One ``agg`` computes every statistic in a single scan; the long-form
 result is produced by exploding an in-row struct array (a projection),
-not by re-scanning per column. With ``approx=True`` the distinct counts
-use HyperLogLog (`approx_count_distinct`) — the 100 TB path, since exact
-multi-column COUNT(DISTINCT) expands the input once per counted column
-(Spark's Expand operator: one shuffle pass carrying ``n_cols`` copies);
-exact mode is for bounded frames and oracle parity.
+not by re-scanning per column. The DEFAULT distinct counts use
+HyperLogLog (`approx_count_distinct`, rsd 0.02) — the 100 TB path,
+since exact multi-column COUNT(DISTINCT) expands the input once per
+counted column (Spark's Expand operator: one shuffle pass carrying
+``n_cols`` copies of the scan). Exact mode is opt-in
+(``approx=False``) for bounded frames and oracle parity; the default
+plan is asserted Expand-free in tests/test_plans.py.
 """
 
 from __future__ import annotations
@@ -20,8 +22,11 @@ from pyspark.sql import functions as F
 from ..partitioning import fan_out
 
 
+HLL_RSD = 0.02
+
+
 def profile_columns(
-    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+    df: DataFrame, cols: list[str] | None = None, approx: bool = True
 ) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_value, max_value) per
     profiled column; min/max rendered as strings so heterogeneous column
@@ -33,7 +38,10 @@ def profile_columns(
     a single task."""
     cols = cols or df.columns
     df = fan_out(df.select(*cols))
-    distinct = F.approx_count_distinct if approx else F.count_distinct
+    if approx:
+        distinct = lambda c: F.approx_count_distinct(c, HLL_RSD)  # noqa: E731
+    else:
+        distinct = F.count_distinct
     aggs = []
     for c in cols:
         aggs += [

@@ -620,10 +620,15 @@ def _sql_profile_leg(c: str) -> str:
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-scan column profile of lineitem (null/distinct/min/max per
     column) — the generalized form of the reference's post-load
-    verification queries (main.py verification pass). Exact distincts
-    here for oracle parity; `profile_columns(approx=True)` is the
-    HLL-based 100 TB path."""
+    verification queries (main.py verification pass).
+
+    This validation form OPTS INTO exact distincts (``approx=False``)
+    because a cross-engine oracle can only match exact values; the
+    operator's DEFAULT is the HLL mode (Expand-free plan asserted in
+    tests/test_plans.py, accuracy bounded in tests/test_sketches.py,
+    timed as the bench's profile entry) — the path a 100 TB profile
+    actually runs."""
     from ..operators.profile import profile_columns
 
     li = load_table(spark, sf_dir, "lineitem")
-    return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
+    return profile_columns(li, _PROFILE_COLS, approx=False).orderBy("col_name")

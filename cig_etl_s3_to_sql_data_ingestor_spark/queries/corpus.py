@@ -115,23 +115,47 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle, deliberately: HyperLogLog++ sketches are engine-specific
-# (DuckDB's approx_count_distinct uses a different sketch), so there is no
-# cross-engine value parity — the driver records the weaker rows-only
-# check, and tests/test_sketches.py bounds the error against the exact
-# count instead. At 100 TB this is THE way to count distincts: fixed-size
-# state per group, no distinct-shuffle of the full key set.
-@register("approx_distinct_stats")
+# HLL sketch values are engine-specific (DuckDB's approx_count_distinct
+# uses a different sketch), so raw estimates can never hash-match a
+# cross-engine oracle. The hard signal instead: emit the EXACT distinct
+# count (oracle-matchable) plus a deterministic boolean asserting the HLL
+# estimate landed within the documented relative-error envelope — the
+# sketch stays in the plan and its accuracy is value-checked every round.
+# rsd=0.02 → the 0.05 envelope is 2.5σ; tests/test_sketches.py bounds the
+# same error in-repo. At 100 TB the production form drops the exact
+# column (fixed-size sketch state per group, no distinct-shuffle of the
+# full key set); this validation form is what you run on a sample to
+# qualify the sketch before trusting it at scale.
+HLL_RSD = 0.02
+HLL_REL_ERROR_ENVELOPE = 0.05  # 2.5 x rsd
+
+
+@register(
+    "approx_distinct_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           COUNT(*) AS n_events,
+           TRUE AS hll_within_rel_error
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("approx_users"),
+        F.count("*").alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * HLL_REL_ERROR_ENVELOPE
+        ).alias("hll_within_rel_error"),
+    ).orderBy("event_type")
 
 
 @register(

@@ -251,9 +251,31 @@ def test_budget_select_has_no_unpartitioned_window(spark, sf_dir):
 
 
 def test_profile_aggregate_is_partial_then_final(spark, sf_dir):
-    """The multi-distinct profile must keep map-side partial aggregation
-    (Expand feeds partial HashAggregates before the exchange)."""
+    """The exact (opt-in) multi-distinct profile must keep map-side
+    partial aggregation (Expand feeds partial HashAggregates before the
+    exchange)."""
     plan = explain(spark, sf_dir, "profile_table")
     assert "Expand" in plan  # exact multi-column distinct rewrites via Expand
     # Sort- or hash-based depending on the agg buffer types; both fine.
     assert plan.count("Aggregate (") >= 2
+
+
+def test_profile_default_mode_is_expand_free(spark, sf_dir):
+    """The DEFAULT profile mode uses HLL sketches: the plan must carry NO
+    Expand (exact multi-distinct multiplies the scan once per counted
+    column — the thing a naive 100 TB profile must not hit) and still
+    aggregate partial-then-final."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"]
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Expand" not in plan, "default profile mode must not Expand the scan"
+    # partial + final (Sort- not Hash-aggregate: HLL buffers are not
+    # mutable-buffer types, so Spark picks SortAggregate — still
+    # map-side-combined).
+    assert plan.count("Aggregate (") >= 2 and "partial_approx_count_distinct" in plan

@@ -18,10 +18,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert n >= 0
 
 
-# Genuinely non-cross-engine-expressible queries (documented per entry);
-# the driver records a rows-only check for these, and dedicated tests
-# bound their error instead (tests/test_sketches.py).
-NO_ORACLE_ALLOWED = {"approx_distinct_stats"}
+# Every query now carries a DuckDB oracle — sketch queries emit exact
+# anchors plus deterministic in-envelope booleans instead of raw
+# engine-specific estimates (see queries/corpus.py approx_distinct_stats).
+NO_ORACLE_ALLOWED: set[str] = set()
 
 
 def test_all_queries_have_oracles_or_are_documented():

