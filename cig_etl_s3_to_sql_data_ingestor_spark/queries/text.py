@@ -184,7 +184,9 @@ _SQL_CHARS = "regexp_extract_all(lower(text), '.')"
 def char_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-unigram LM surprisal per document (perplexity-bucket
     stand-in): train integer-quantized log-probs on the corpus, then
-    score every document with a zero-shuffle map-literal fold."""
+    score via per-(doc, char) partial aggregation plus a broadcast join
+    against the quantized model (the map-literal fold was measured
+    slower and rejected — see operators/text.py)."""
     d = load_table(spark, sf_dir, "documents")
     model = TX.char_lm_model(d)
     return TX.char_lm_score(d, model).orderBy("doc_id")
@@ -224,97 +226,133 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multimodal plumbing: the Spark path runs a REAL Arrow-batched mapInPandas
-# decode (with a deterministic fake codec — see operators.multimodal); the
-# oracle reproduces the same deterministic outputs in SQL.
+# Multimodal: the Spark path generates REAL PNG bytes (zlib IDAT, CRCs,
+# per-row filters) and decodes them with a genuine pure-Python codec
+# inside Arrow-batched mapInPandas (operators.multimodal). The oracles
+# recompute every statistic from the generative pixel formula
+# pixel(x, y) = (doc_id*31 + 7x + 13y) mod 256 — a decoder bug anywhere
+# in the chunk/inflate/unfilter chain is a value mismatch.
+_SQL_MM_DIMS = """
+      SELECT doc_id, 1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h
+      FROM documents
+"""
+
+
 @register(
     "multimodal_meta",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
-           CAST(1 + n_chars % 64 AS INTEGER) AS width,
-           CAST(1 + (n_chars * 7) % 64 AS INTEGER) AS height,
-           CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
-           octet_length(encode(text)) AS decoded_bytes
-    FROM documents ORDER BY doc_id
+    oracle=f"""
+    WITH m AS ({_SQL_MM_DIMS}
+    ), px AS (
+      SELECT m.doc_id,
+             CAST(SUM((m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256) AS BIGINT)
+               AS pixel_sum
+      FROM m,
+           unnest(generate_series(0, m.w - 1)) AS t(x),
+           unnest(generate_series(0, m.h - 1)) AS u(y)
+      GROUP BY m.doc_id
+    )
+    SELECT m.doc_id, 'png' AS format,
+           CAST(m.w AS INTEGER) AS width,
+           CAST(m.h AS INTEGER) AS height,
+           CAST(1 + m.doc_id % 8 AS INTEGER) AS n_frames,
+           CAST(m.w * m.h AS BIGINT) AS decoded_bytes,
+           px.pixel_sum,
+           CAST(px.pixel_sum AS DOUBLE) / (m.w * m.h) AS mean_pixel
+    FROM m JOIN px ON m.doc_id = px.doc_id
+    ORDER BY m.doc_id
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return M.decode_stub(M.attach_payload(d)).orderBy("doc_id")
+    return M.decode_image(M.attach_png(d)).orderBy("doc_id")
 
 
 @register(
     "multimodal_resize",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             1 + n_chars % 64 AS w,
-             1 + (n_chars * 7) % 64 AS h,
-             octet_length(encode(text)) AS nb
-      FROM documents
-    ), s AS (
-      SELECT doc_id, w, h, nb, least(1.0, 32.0 / greatest(w, h)) AS scale FROM m
+    oracle=f"""
+    WITH m AS ({_SQL_MM_DIMS}
     ), o AS (
-      SELECT doc_id, w, h, nb,
-             greatest(1, CAST(floor(w * scale) AS BIGINT)) AS out_w,
-             greatest(1, CAST(floor(h * scale) AS BIGINT)) AS out_h
-      FROM s
+      SELECT doc_id, w, h,
+             greatest(1, CAST(floor(w * least(1.0, 32.0 / greatest(w, h)))
+                              AS BIGINT)) AS out_w,
+             greatest(1, CAST(floor(h * least(1.0, 32.0 / greatest(w, h)))
+                              AS BIGINT)) AS out_h
+      FROM m
+    ), px AS (
+      SELECT o.doc_id,
+             CAST(SUM((o.doc_id * 31 + 7 * ((t.x * o.w) // o.out_w)
+                       + 13 * ((u.y * o.h) // o.out_h)) % 256) AS BIGINT)
+               AS rps
+      FROM o,
+           unnest(generate_series(0, o.out_w - 1)) AS t(x),
+           unnest(generate_series(0, o.out_h - 1)) AS u(y)
+      GROUP BY o.doc_id
     )
-    SELECT doc_id,
-           CAST(out_w AS INTEGER) AS out_width,
-           CAST(out_h AS INTEGER) AS out_height,
-           CAST(out_w AS DOUBLE) / w AS scale_x,
-           CAST(out_h AS DOUBLE) / h AS scale_y,
-           nb * out_w * out_h // (w * h) AS resized_bytes
-    FROM o ORDER BY doc_id
+    SELECT o.doc_id,
+           CAST(o.out_w AS INTEGER) AS out_width,
+           CAST(o.out_h AS INTEGER) AS out_height,
+           CAST(o.out_w AS DOUBLE) / o.w AS scale_x,
+           CAST(o.out_h AS DOUBLE) / o.h AS scale_y,
+           CAST(o.out_w * o.out_h AS BIGINT) AS resized_bytes,
+           px.rps AS resized_pixel_sum
+    FROM o JOIN px ON o.doc_id = px.doc_id
+    ORDER BY o.doc_id
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return M.resize_stub(M.attach_payload(d), max_side=32).orderBy("doc_id")
+    return M.resize_image(M.attach_png(d), max_side=32).orderBy("doc_id")
 
 
 @register(
     "multimodal_features",
-    oracle="""
-    WITH b AS (
-      SELECT doc_id, ascii(substr(text, i, 1)) AS byte
-      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
-    ), hist AS (
-      SELECT doc_id, byte, COUNT(*) AS cnt FROM b GROUP BY doc_id, byte
+    oracle=f"""
+    WITH m AS ({_SQL_MM_DIMS}
+    ), px AS (
+      SELECT m.doc_id,
+             (m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256 AS v
+      FROM m,
+           unnest(generate_series(0, m.w - 1)) AS t(x),
+           unnest(generate_series(0, m.h - 1)) AS u(y)
     ), agg AS (
-      SELECT doc_id, SUM(cnt * byte) AS byte_sum, SUM(cnt) AS n,
-             list(cnt ORDER BY byte) AS counts
-      FROM hist GROUP BY doc_id
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pixels,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(MIN(v) AS INTEGER) AS min_pixel,
+             CAST(MAX(v) AS INTEGER) AS max_pixel,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_pixels
+      FROM px GROUP BY doc_id
+    ), grad AS (
+      SELECT m.doc_id,
+             CAST(SUM(abs(
+               (m.doc_id * 31 + 7 * (t.x + 1) + 13 * u.y) % 256
+               - (m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256)) AS BIGINT) AS g
+      FROM m,
+           unnest(generate_series(0, m.w - 2)) AS t(x),
+           unnest(generate_series(0, m.h - 1)) AS u(y)
+      GROUP BY m.doc_id
     )
-    SELECT doc_id,
-           CAST(byte_sum AS DOUBLE) / n AS mean_byte,
-           -(list_reduce(
-               list_transform(counts,
-                 c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
-               (a, x) -> a + x
-             )) AS byte_entropy,
-           CAST(n AS BIGINT) AS n_bytes
-    FROM agg ORDER BY doc_id
+    SELECT a.doc_id, a.n_pixels,
+           CAST(a.s AS DOUBLE) / a.n_pixels AS mean_pixel,
+           a.min_pixel, a.max_pixel, a.n_distinct_pixels,
+           COALESCE(g.g, 0) AS grad_sum
+    FROM agg a LEFT JOIN grad g ON a.doc_id = g.doc_id
+    ORDER BY a.doc_id
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return M.feature_extract_stub(M.attach_payload(d)).orderBy("doc_id")
+    return M.image_features(M.attach_png(d)).orderBy("doc_id")
 
 
 @register(
     "multimodal_frame_sample",
     oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+    SELECT doc_id, 'png' AS format,
            unnest(generate_series(0, CAST(doc_id % 8 AS INTEGER), 2)) AS frame_idx
     FROM documents ORDER BY doc_id, frame_idx
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return M.frame_sample_plan(M.attach_payload(d)).orderBy("doc_id", "frame_idx")
+    return M.frame_sample_plan(M.attach_png(d)).orderBy("doc_id", "frame_idx")
