@@ -73,12 +73,29 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec_col, dims: tuple[int, ...] = (1, 8, 22, 43)) -> F.Column:
+def band_dims(bands: int, band_bits: int) -> list[tuple[int, ...]]:
+    """Band i covers consecutive 1-based dims [i*band_bits+1 ..]."""
+    return [
+        tuple(range(i * band_bits + 1, (i + 1) * band_bits + 1)) for i in range(bands)
+    ]
+
+
+def sign_bucket(vec_col, dims: tuple[int, ...]) -> F.Column:
     """Deterministic LSH signature: sign bits at fixed (1-based) dims."""
     return F.concat(
         *[
             F.when(F.element_at(vec_col, d) >= 0, "1").otherwise("0")
             for d in dims
+        ]
+    )
+
+
+def sign_band_buckets(vec_col, bands: int, band_bits: int) -> F.Column:
+    """Array of per-band bucket keys ("<band_idx>:<sign bits>")."""
+    return F.array(
+        *[
+            F.concat(F.lit(f"{i}:"), sign_bucket(vec_col, dims))
+            for i, dims in enumerate(band_dims(bands, band_bits))
         ]
     )
 
@@ -89,24 +106,51 @@ def axis_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: tuple[int, ...] = (1, 8, 22, 43),
+    bands: int = 21,
+    band_bits: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket."""
+    """Approximate top-k via BANDED sign-LSH (OR-amplification): a
+    candidate is scored if it shares ANY band's sign bucket with the
+    query, exactly the banding scheme MinHash-LSH dedup uses.
+
+    A single b-bit bucket has miss probability (1 - p^b) for a pair
+    whose per-dim sign-agreement is p — far too high for top-k recall
+    (the one-band form measured recall@10 = 0.12 on the fixture
+    embeddings). With L bands the miss probability drops to
+    (1 - p^b)^L: the default (L=21, b=3, covering 63 of 64 dims)
+    measures recall@10 = 0.99 against the brute-force ground truth
+    (tests/test_ann_recall.py pins the floor and records the
+    trade-off).
+
+    Scale shape: candidates come from ``bands`` equi-joins (one explode,
+    one join on the band key), so per-band work is O(bucket size) =
+    O(n / 2^b) and the pair set is deduplicated BEFORE scoring. At
+    corpus scale grow ``band_bits`` with log2(n) (keeping bucket sizes
+    bounded) and add bands to recover recall — the same knobs as any
+    production LSH index; the corpus side never shuffles (the dedup
+    shuffle carries only candidate pairs)."""
     c = fan_out(corpus).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cand_norm"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.explode(sign_band_buckets(F.col(vec_col), bands, band_bits)).alias(
+            "bucket"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         norm(F.col(vec_col)).alias("query_norm"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.explode(sign_band_buckets(F.col(vec_col), bands, band_bits)).alias(
+            "bucket"
+        ),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
+        # A pair colliding in several bands must score once: dedup on the
+        # pair key (vec/norm columns are functionally identical per pair).
+        .dropDuplicates(["query_id", "cand_id"])
         .withColumn(
             "cosine_sim",
             dot(F.col("query_vec"), F.col("cand_vec"))
@@ -263,7 +307,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -277,6 +321,15 @@ def ivf_topk(
     ``n_probe`` best cells, and exactly re-rank only those cells'
     members. The candidate join is an equi-join on ``cell_id`` — work is
     O(probed-cell sizes), not O(corpus), which is the IVF scale story.
+
+    ``n_probe`` is the recall/cost dial: measured on the fixture
+    embeddings against brute-force ground truth, recall@10 is 0.56 at
+    n_probe=4, 0.79 at 8, 0.88 at 10 and 0.93 at the default 12 (of 16
+    cells — tests/test_ann_recall.py records the curve and pins the
+    floor). Probing 12/16 cells is honest for 16 COARSE cells over
+    10 weakly-separated clusters; at corpus scale grow ``n_cells``
+    toward sqrt(n) so the probed fraction shrinks while per-cell work
+    stays bounded.
 
     Centroids come from the deterministic ``kmeans_centroids`` training
     (engine-reproducible: sorted init, quantized exact means, fixed

@@ -74,31 +74,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e, queries, k=10).orderBy("query_id", "rank")
 
 
-_SQL_BUCKET = (
-    "(CASE WHEN {v}[1] >= 0 THEN '1' ELSE '0' END)"
-    " || (CASE WHEN {v}[8] >= 0 THEN '1' ELSE '0' END)"
-    " || (CASE WHEN {v}[22] >= 0 THEN '1' ELSE '0' END)"
-    " || (CASE WHEN {v}[43] >= 0 THEN '1' ELSE '0' END)"
-)
+def _sql_band_sig(v: str, dims: tuple[int, ...], idx: int) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {v}[{d}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+    return f"('{idx}:' || {bits})"
+
+
+def _sql_band_buckets(v: str, bands: int = 21, band_bits: int = 3) -> str:
+    """List of per-band bucket keys mirroring similarity.sign_band_buckets."""
+    from ..operators.similarity import band_dims
+
+    sigs = ", ".join(
+        _sql_band_sig(v, dims, i) for i, dims in enumerate(band_dims(bands, band_bits))
+    )
+    return f"[{sigs}]"
 
 
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-    WITH c AS (
-      SELECT vec_id AS cand_id, embedding AS cand_vec,
-             {_SQL_BUCKET.format(v='embedding')} AS bucket
+    WITH cb AS (
+      SELECT vec_id AS cand_id,
+             unnest({_sql_band_buckets('embedding')}) AS bucket
       FROM embeddings
     ),
-    q AS (
-      SELECT vec_id AS query_id, embedding AS query_vec,
-             {_SQL_BUCKET.format(v='embedding')} AS bucket
+    qb AS (
+      SELECT vec_id AS query_id,
+             unnest({_sql_band_buckets('embedding')}) AS bucket
       FROM embeddings WHERE vec_id < 8
     ),
+    pairs AS (
+      SELECT DISTINCT qb.query_id, cb.cand_id
+      FROM cb JOIN qb USING (bucket) WHERE cb.cand_id <> qb.query_id
+    ),
     scored AS (
-      SELECT q.query_id, c.cand_id,
-             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS cosine_sim
-      FROM c JOIN q USING (bucket) WHERE c.cand_id <> q.query_id
+      SELECT p.query_id, p.cand_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cosine_sim
+      FROM pairs p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = p.cand_id
     )
     SELECT query_id, cand_id, cosine_sim, rank FROM (
       SELECT query_id, cand_id, cosine_sim,
@@ -109,6 +124,10 @@ _SQL_BUCKET = (
     """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH top-k (OR-amplified: candidate = shares ANY of 21
+    3-bit sign bands with the query). The one-band form measured
+    recall@10 = 0.12; the banded default measures 0.99
+    (tests/test_ann_recall.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return S.axis_lsh_topk(e, queries, k=5).orderBy("query_id", "rank")
@@ -204,7 +223,7 @@ def _sql_kmeans_ctes(
                                   ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
                                            cent.cell_id DESC) AS rn
         FROM q CROSS JOIN cent
-      ) WHERE rn <= 4
+      ) WHERE rn <= 12
     ),
     scored AS (
       SELECT p.query_id, a.cand_id,
@@ -221,13 +240,16 @@ def _sql_kmeans_ctes(
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k at the measured-recall default n_probe=12/16
+    (recall@10 = 0.93 vs brute force; 4 probes measured 0.56 — curve in
+    tests/test_ann_recall.py and the operator docstring)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     # Training runs on the deterministic 1/4 md5-bucket sample (mirrored
     # in the oracle's `train` CTE) — the 100 TB pattern where the sample,
     # not the corpus, bounds KMeans-assign cost.
     return S.ivf_topk(
-        e, queries, k=5, n_cells=16, n_probe=4, kmeans_sample_mod=4
+        e, queries, k=5, n_cells=16, n_probe=12, kmeans_sample_mod=4
     ).orderBy("query_id", "rank")
 
 

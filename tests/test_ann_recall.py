@@ -1,0 +1,82 @@
+"""ANN recall@k against brute-force ground truth.
+
+Oracle parity for the ANN queries proves both engines run the SAME
+algorithm — it says nothing about whether the algorithm finds the true
+neighbors. This harness measures recall@k against `brute_force_topk`
+(the exact baseline), pins floors for the DEFAULT operating points, and
+records the probes/recall trade-off so the dials are documented with
+measured numbers, not guesses.
+
+Everything here is deterministic (hash-based sampling, sorted KMeans
+init, axis-aligned LSH), so recall on a fixed fixture is a constant —
+the floors are tight assertions, not flaky statistics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+K = 10
+N_QUERIES = 32
+
+
+@pytest.fixture(scope="module")
+def ground_truth(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    gt = (
+        S.brute_force_topk(e, q, k=K)
+        .select("query_id", "cand_id")
+        .cache()
+    )
+    gt.count()
+    return e, q, gt
+
+
+def _recall(gt, approx) -> float:
+    total = gt.count()
+    hits = gt.join(approx.select("query_id", "cand_id"), ["query_id", "cand_id"]).count()
+    return hits / total
+
+
+def test_banded_lsh_default_recall_floor(ground_truth):
+    e, q, gt = ground_truth
+    recall = _recall(gt, S.axis_lsh_topk(e, q, k=K))
+    assert recall >= 0.95, f"banded-LSH default recall@{K} fell to {recall:.3f}"
+
+
+def test_banded_lsh_banding_tradeoff(ground_truth):
+    """Fewer bands must cost recall (the OR-amplification story): the
+    single-band form is the documented recall cliff."""
+    e, q, gt = ground_truth
+    one_band = _recall(gt, S.axis_lsh_topk(e, q, k=K, bands=1, band_bits=4))
+    default = _recall(gt, S.axis_lsh_topk(e, q, k=K))
+    assert one_band < 0.5, f"one-band LSH unexpectedly strong ({one_band:.3f})"
+    assert default > one_band + 0.3
+
+
+def test_ivf_default_recall_floor(ground_truth):
+    e, q, gt = ground_truth
+    recall = _recall(
+        gt, S.ivf_topk(e, q, k=K, n_cells=16, kmeans_sample_mod=4)
+    )
+    assert recall >= 0.90, f"IVF default recall@{K} fell to {recall:.3f}"
+
+
+def test_ivf_probe_recall_curve(ground_truth):
+    """recall@k must be monotone in n_probe and reach 1.0 when every
+    cell is probed (probing all cells IS brute force)."""
+    e, q, gt = ground_truth
+    curve = {
+        n: _recall(
+            gt, S.ivf_topk(e, q, k=K, n_cells=16, n_probe=n, kmeans_sample_mod=4)
+        )
+        for n in (4, 12, 16)
+    }
+    assert curve[4] <= curve[12] <= curve[16]
+    assert curve[16] == pytest.approx(1.0), curve
+    assert curve[4] < 0.8, f"probe curve lost its trade-off shape: {curve}"
