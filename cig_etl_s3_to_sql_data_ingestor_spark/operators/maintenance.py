@@ -97,6 +97,53 @@ def zorder_compact(
     return n_out
 
 
+def zorder_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 6,
+) -> int:
+    """Cluster a MANIFEST table's latest snapshot along the z-curve of
+    ``cols`` and publish the rewrite as a new overwrite version; returns
+    the new version number (0 = empty table, nothing done).
+
+    This is the object-store-safe clustering rewrite: the z-ordered copy
+    lands in a fresh immutable batch directory and becomes visible via
+    one manifest commit — no renames anywhere (``zorder_compact``'s
+    rename swap is atomic only on HDFS/posix), concurrent readers keep a
+    consistent snapshot throughout, and the pre-rewrite version stays
+    time-travelable until vacuumed."""
+    import math as _math
+
+    from ..sources.manifest_sink import (
+        _fs,
+        _latest_committed,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    fs, jvm = _fs(spark, table_path)
+    _, manifest = _latest_committed(fs, jvm, table_path.rstrip("/"))
+    if manifest is None:
+        return 0
+    total = 0
+    for b in manifest["batches"]:
+        _, nbytes = directory_stats(spark, f"{table_path.rstrip('/')}/{b}")
+        total += nbytes
+    if total == 0:
+        return 0
+    n_out = max(1, _math.ceil(total / target_file_bytes))
+    df = read_snapshot(spark, table_path)
+    z = (
+        df.withColumn("_z", zorder_value(df, cols, bits))
+        .repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return write_snapshot(z, table_path, mode="overwrite")
+
+
 def _zorder_numeric(df: DataFrame, c: str):
     """Order-preserving numeric view of column ``c`` for quantile
     bucketing (approxQuantile is numeric-only). Dates/timestamps map to

@@ -26,16 +26,33 @@ Protocol (minimal Delta-log shape):
 
 Readers (:func:`read_snapshot`) load the union of listed batch dirs —
 a consistent snapshot regardless of concurrent publishes.
+
+Recovery story (crashed or in-flight commits): a writer that wins the
+``create`` claim but dies before writing/closing the manifest leaves a
+claimed-but-unparsable ``v{N}.json``. Such a version is UNCOMMITTED:
+readers skip back to the newest parsable manifest, and the next writer
+claims above it (``max claimed + 1``) after a short re-poll grace (an
+IN-FLIGHT commit closes its manifest in milliseconds; one that stays
+unparsable past the grace is dead). The dead claim's data batch is an
+orphan like any other and is reclaimed by ``vacuum`` once older than
+the retention window. ``vacuum`` must therefore never run with a
+retention shorter than the longest expected write duration — a batch
+directory younger than retention is kept even when unreferenced,
+because its writer may not have committed yet.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
+# Seconds an unparsable NEWEST manifest is re-polled before a writer
+# treats the claim as dead and commits above it.
+CLAIM_GRACE_SECONDS = 2.0
 
 
 def _fs(spark: SparkSession, path: str):
@@ -62,21 +79,45 @@ def _read_manifest(fs, jvm, table_path: str, version: int) -> dict:
         stream.close()
 
 
-def current_version(spark: SparkSession, table_path: str) -> int:
-    """Latest committed manifest version, or 0 when the table is empty."""
-    fs, jvm = _fs(spark, table_path)
+def _claimed_versions(fs, jvm, table_path: str) -> list[int]:
+    """Every version number with a ``v{N}.json`` file, descending —
+    parsable or not (a claim is a claim)."""
     d = jvm.org.apache.hadoop.fs.Path(f"{table_path.rstrip('/')}/{MANIFEST_DIR}")
     if not fs.exists(d):
-        return 0
-    best = 0
+        return []
+    out = []
     for st in fs.listStatus(d):
         name = st.getPath().getName()
         if name.startswith("v") and name.endswith(".json"):
             try:
-                best = max(best, int(name[1:-5]))
+                out.append(int(name[1:-5]))
             except ValueError:
                 continue
-    return best
+    return sorted(out, reverse=True)
+
+
+def _latest_committed(fs, jvm, table_path: str) -> tuple[int, dict | None]:
+    """(version, manifest) of the newest PARSABLE manifest, scanning down
+    over claimed-but-unparsable ones (crashed writers' dead claims) —
+    (0, None) when nothing is committed. An unparsable manifest is
+    uncommitted by definition: the claim create and the content write
+    are separate operations, so a crash between them must not wedge the
+    table."""
+    for v in _claimed_versions(fs, jvm, table_path):
+        try:
+            m = _read_manifest(fs, jvm, table_path, v)
+            if isinstance(m, dict) and "batches" in m:
+                return v, m
+        except (ValueError, KeyError):  # json parse failure / empty file
+            continue
+    return 0, None
+
+
+def current_version(spark: SparkSession, table_path: str) -> int:
+    """Latest COMMITTED (parsable) manifest version, or 0 when the table
+    has none; dead claims are skipped."""
+    fs, jvm = _fs(spark, table_path)
+    return _latest_committed(fs, jvm, table_path)[0]
 
 
 def write_snapshot(
@@ -98,32 +139,52 @@ def write_snapshot(
     batch = f"data/batch-{uuid.uuid4().hex}"
     df.write.parquet(f"{table_path}/{batch}")
     fs, jvm = _fs(spark, table_path)
+    last_exc: Exception | None = None
     for _ in range(max_retries):
-        latest = current_version(spark, table_path)
+        committed_v, manifest = _latest_committed(fs, jvm, table_path)
+        claimed = _claimed_versions(fs, jvm, table_path)
+        max_claimed = claimed[0] if claimed else 0
+        if max_claimed > committed_v:
+            # The newest claim is unparsable — usually a writer BETWEEN
+            # its create and close (milliseconds). Give it a short grace
+            # before declaring it dead and committing above it.
+            deadline = time.monotonic() + CLAIM_GRACE_SECONDS
+            while time.monotonic() < deadline:
+                committed_v, manifest = _latest_committed(fs, jvm, table_path)
+                if committed_v >= max_claimed:
+                    break
+                time.sleep(0.05)
         batches = [batch]
-        if mode == "append" and latest > 0:
-            batches = _read_manifest(fs, jvm, table_path, latest)["batches"] + [batch]
-        target = _manifest_path(jvm, table_path, latest + 1)
+        if mode == "append" and manifest is not None:
+            batches = manifest["batches"] + [batch]
+        target_v = max(max_claimed, committed_v) + 1
+        target = _manifest_path(jvm, table_path, target_v)
         try:
             # create(path, overwrite=false): the atomic claim. On object
             # stores this maps to a conditional PUT where supported; the
             # worst case (no conditional support) is last-writer-wins on
             # ONE version file — data files are never mutated either way.
             out = fs.create(target, False)
-        except Exception:  # claim lost — rebase on the new latest, retry
+        except Exception as exc:
+            # Only a lost claim (file already exists) warrants a rebase
+            # retry; anything else (permissions, bad path, network) is a
+            # real fault and must surface immediately.
+            if "exist" not in str(exc).lower():
+                raise
+            last_exc = exc
             continue
         try:
             out.write(
                 json.dumps(
-                    {"version": latest + 1, "mode": mode, "batches": batches}
+                    {"version": target_v, "mode": mode, "batches": batches}
                 ).encode("utf-8")
             )
         finally:
             out.close()
-        return latest + 1
+        return target_v
     raise RuntimeError(
         f"lost the manifest claim {max_retries} times for {table_path}"
-    )
+    ) from last_exc
 
 
 def read_snapshot(
@@ -134,31 +195,42 @@ def read_snapshot(
     batches are invisible."""
     table_path = table_path.rstrip("/")
     fs, jvm = _fs(spark, table_path)
-    v = current_version(spark, table_path) if version is None else version
-    if v == 0:
-        raise FileNotFoundError(f"no committed snapshot in {table_path}")
-    m = _read_manifest(fs, jvm, table_path, v)
+    if version is None:
+        v, m = _latest_committed(fs, jvm, table_path)
+        if v == 0:
+            raise FileNotFoundError(f"no committed snapshot in {table_path}")
+    else:
+        v, m = version, _read_manifest(fs, jvm, table_path, version)
     return spark.read.parquet(*[f"{table_path}/{b}" for b in m["batches"]])
 
 
-def vacuum(spark: SparkSession, table_path: str) -> int:
-    """Delete batch directories not referenced by the LATEST manifest
-    (crashed writers' orphans, overwritten history); returns the number
-    removed. Run it only when no reader needs time travel to older
-    versions."""
+def vacuum(
+    spark: SparkSession, table_path: str, retention_seconds: float = 24 * 3600.0
+) -> int:
+    """Delete batch directories not referenced by the latest COMMITTED
+    manifest (crashed writers' orphans, overwritten history) once they
+    are older than ``retention_seconds``; returns the number removed.
+
+    The retention grace is the concurrent-writer guard (same design as
+    Delta's vacuum retention): a writer publishes data FIRST and commits
+    its manifest SECOND, so an unreferenced batch younger than the
+    longest plausible write duration may belong to an in-flight commit —
+    deleting it would let that writer commit a manifest pointing at
+    missing files. Never run with a retention shorter than your longest
+    write; the default (24 h) is safe for batch pipelines. Time travel
+    to overwritten versions also stops working for vacuumed history."""
     table_path = table_path.rstrip("/")
     fs, jvm = _fs(spark, table_path)
-    v = current_version(spark, table_path)
-    live = set()
-    if v > 0:
-        live = set(_read_manifest(fs, jvm, table_path, v)["batches"])
+    _, manifest = _latest_committed(fs, jvm, table_path)
+    live = set(manifest["batches"]) if manifest else set()
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/data")
     if not fs.exists(data_dir):
         return 0
+    cutoff_ms = (time.time() - retention_seconds) * 1000.0
     removed = 0
     for st in fs.listStatus(data_dir):
         rel = f"data/{st.getPath().getName()}"
-        if rel not in live:
+        if rel not in live and st.getModificationTime() < cutoff_ms:
             fs.delete(st.getPath(), True)
             removed += 1
     return removed

@@ -131,3 +131,57 @@ def test_zorder_compact_noop_on_empty_dir(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert zorder_compact(spark, str(empty), ["a"]) == 0
+
+
+def test_zorder_snapshot_clusters_manifest_table_rename_free(spark, sf_dir, tmp_path):
+    """The object-store path: a clustering rewrite lands as a fresh batch
+    + one manifest commit. Rows survive, file envelopes narrow, the
+    pre-rewrite version stays time-travelable, and no rename ever moves
+    the live data directory."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        zorder_snapshot,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources import manifest_sink as M
+
+    cols = ["l_partkey", "l_quantity"]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", *cols)
+    t = str(tmp_path / "ztbl")
+    # Two appends -> round-robin-ish multi-batch layout.
+    half = li.filter(F.col("l_orderkey") % 2 == 0)
+    other = li.filter(F.col("l_orderkey") % 2 == 1)
+    M.write_snapshot(half.repartition(2), t, mode="append")
+    M.write_snapshot(other.repartition(2), t, mode="append")
+    n_rows = li.count()
+    assert M.read_snapshot(spark, t).count() == n_rows
+
+    _, total_bytes = directory_stats(spark, f"{t}/data")
+    v = zorder_snapshot(spark, t, cols, target_file_bytes=total_bytes // 4 + 1)
+    assert v == 3
+    assert M.read_snapshot(spark, t).count() == n_rows
+    # Pre-rewrite snapshot still readable (time travel, no renames).
+    assert M.read_snapshot(spark, t, version=2).count() == n_rows
+
+    # The new version's batch is z-clustered: envelopes narrow vs the
+    # union of the old batches.
+    import json
+
+    mdir = tmp_path / "ztbl" / "_manifests"
+    new_batches = json.loads((mdir / "v3.json").read_text())["batches"]
+    old_batches = json.loads((mdir / "v2.json").read_text())["batches"]
+    assert len(new_batches) == 1 and new_batches[0] not in old_batches
+    for c in cols:
+        old_env = []
+        for b in old_batches:
+            old_env += _file_envelopes(f"{t}/{b}", [c])[c]
+        new_env = _file_envelopes(f"{t}/{new_batches[0]}", [c])[c]
+        assert len(new_env) >= 2
+        assert _coverage(new_env) < 0.9 * _coverage(old_env), c
+
+
+def test_zorder_snapshot_noop_on_empty_table(spark, tmp_path):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        zorder_snapshot,
+    )
+
+    assert zorder_snapshot(spark, str(tmp_path / "none"), ["a"]) == 0

@@ -33,7 +33,12 @@ def test_orphan_batch_is_invisible_and_vacuumed(spark, tmp_path):
     orphan = tmp_path / "tbl" / "data" / "batch-deadbeef"
     spark.range(100, 200).write.parquet(str(orphan))
     assert M.read_snapshot(spark, t).count() == 10  # invisible
-    assert M.vacuum(spark, t) == 1
+    # Younger than retention -> an in-flight writer may still own it:
+    # the default-retention vacuum must keep it.
+    assert M.vacuum(spark, t) == 0
+    assert orphan.exists()
+    # Past retention it is reclaimable.
+    assert M.vacuum(spark, t, retention_seconds=-1.0) == 1
     assert not orphan.exists()
     assert M.read_snapshot(spark, t).count() == 10
 
@@ -65,5 +70,67 @@ def test_vacuum_after_overwrite_reclaims_history(spark, tmp_path):
     t = str(tmp_path / "tbl")
     M.write_snapshot(spark.range(0, 10), t, mode="append")
     M.write_snapshot(spark.range(0, 3), t, mode="overwrite")
-    assert M.vacuum(spark, t) == 1  # version-1 batch reclaimed
+    # version-1 batch reclaimed (negative retention: everything is old)
+    assert M.vacuum(spark, t, retention_seconds=-1.0) == 1
     assert M.read_snapshot(spark, t).count() == 3
+
+
+def test_dead_claim_is_skipped_and_committed_above(spark, tmp_path, monkeypatch):
+    """A writer that wins the create claim but dies before writing the
+    manifest must not wedge the table: readers skip the unparsable
+    version, and the next writer commits above it after the grace."""
+    monkeypatch.setattr(M, "CLAIM_GRACE_SECONDS", 0.2)
+    t = str(tmp_path / "tbl")
+    M.write_snapshot(spark.range(0, 5), t)
+    mdir = tmp_path / "tbl" / "_manifests"
+    (mdir / "v2.json").write_text("")  # claimed, never written
+    # Readers: v2 is uncommitted; latest committed snapshot still reads.
+    assert M.current_version(spark, t) == 1
+    assert M.read_snapshot(spark, t).count() == 5
+    # Writers: claim above the dead v2, rebasing on v1's batches.
+    v = M.write_snapshot(spark.range(5, 9), t, mode="append")
+    assert v == 3
+    assert M.read_snapshot(spark, t).count() == 9
+    # The dead claim stays dead; history is still consistent.
+    assert M.current_version(spark, t) == 3
+
+
+def test_lost_claim_error_chains_the_cause(spark, tmp_path, monkeypatch):
+    """Exhausting max_retries must surface the underlying claim failure
+    as the exception cause, not a bare 'lost the claim' message."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    M.write_snapshot(spark.range(0, 5), t)
+    real = M._manifest_path
+    # Every claim attempt collides with the existing v1 manifest.
+    monkeypatch.setattr(M, "_manifest_path", lambda jvm, tp, v: real(jvm, tp, 1))
+    with pytest.raises(RuntimeError, match="lost the manifest claim") as ei:
+        M.write_snapshot(spark.range(5, 9), t, mode="append", max_retries=2)
+    assert ei.value.__cause__ is not None
+    assert "exist" in str(ei.value.__cause__).lower()
+
+
+def test_nonexists_create_failure_raises_immediately(spark, tmp_path, monkeypatch):
+    """A create failure that is NOT already-exists (here: the manifest
+    'directory' is actually a file, so mkdirs fails) must surface
+    immediately instead of being retried into a misleading lost-claim
+    error."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    M.write_snapshot(spark.range(0, 5), t)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("i am a file, not a directory")
+
+    real = M._manifest_path
+    jvm_path = lambda jvm, p: jvm.org.apache.hadoop.fs.Path(p)  # noqa: E731
+    monkeypatch.setattr(
+        M,
+        "_manifest_path",
+        lambda jvm, tp, v: jvm_path(jvm, f"{blocker}/sub/v{v}.json"),
+    )
+    with pytest.raises(Exception) as ei:
+        M.write_snapshot(spark.range(5, 9), t, mode="append", max_retries=3)
+    assert "lost the manifest claim" not in str(ei.value)
+    monkeypatch.setattr(M, "_manifest_path", real)
