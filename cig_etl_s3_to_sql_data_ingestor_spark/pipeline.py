@@ -29,7 +29,7 @@ from .notify import Notifier
 from .operators import transforms as TR
 from .operators.marker import ParquetMarkerLedger
 from .plans.worklist import build_worklist, config_frame, work_groups
-from .sources.parquet_tree import discover_files
+from .sources.parquet_tree import discover_files, group_day_dirs, norm_path
 
 
 def stringify(df: DataFrame) -> DataFrame:
@@ -102,9 +102,45 @@ class BatchIngest:
         wl.count()
         by_source = {t.target_name: t for t in self.catalog.values()}
         self.results = []
-        for env, data_source, target, paths in work_groups(wl):
+        for g in work_groups(wl):
+            env, data_source, target = g.environment, g.data_source, g.target_table
             table = by_source[target]
-            df = self.spark.read.parquet(*paths)
+            # Read-path push-down: the group descriptor bounds the scan to
+            # its date-ranged day directories (O(days) driver metadata,
+            # never a per-file path list), then the file-level survivors
+            # (marker anti-join J4, debug filter P9) are enforced by a
+            # DISTRIBUTED semi-join on input_file_name — the work-list
+            # stays a DataFrame end-to-end, so a 10M-file tree never
+            # materializes on the driver. AQE broadcasts the survivor
+            # side while it is small and falls back to a shuffle join
+            # when it isn't.
+            day_dirs = group_day_dirs(
+                self.spark,
+                data_root,
+                self.layout,
+                data_source if self.layout != "hosting" else env,
+                g.entity_name,
+                g.min_date,
+                g.max_date,
+            )
+            survivors = (
+                wl.filter(
+                    (F.col("environment") == env)
+                    & (F.col("data_source") == data_source)
+                    & (F.col("target_table") == target)
+                )
+                .select(norm_path(F.col("full_path")).alias("_wl_path"))
+            )
+            df = (
+                self.spark.read.parquet(*day_dirs)
+                .withColumn("_src_path", norm_path(F.input_file_name()))
+                .join(
+                    survivors,
+                    F.col("_src_path") == F.col("_wl_path"),
+                    "left_semi",
+                )
+                .drop("_src_path")
+            )
             cleaned = TR.clean_pipeline(
                 stringify(df), table, data_source, ingestion_date
             )
@@ -130,7 +166,7 @@ class BatchIngest:
             )
             ledger.touch(completed)
             self.results.append(
-                IngestResult(env, target, len(paths), n_rows, out_path)
+                IngestResult(env, target, g.n_files, n_rows, out_path)
             )
         wl.unpersist()
         return self.results

@@ -14,6 +14,7 @@ ever sees surviving files.
 from __future__ import annotations
 
 import datetime as dt
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,16 +64,50 @@ def build_worklist(
     return out
 
 
-def work_groups(worklist: DataFrame) -> list[tuple[str, str, str, list[str]]]:
-    """A1: group surviving files per (environment, data_source, target) —
-    one Spark read per group (each group shares a schema). The collect is
-    metadata-only (file paths), not data."""
+@dataclass(frozen=True)
+class WorkGroup:
+    """Bounded descriptor of one ingest group — O(1) per group no matter
+    how many files survive. The file PATHS never reach the driver: the
+    reader resolves the group's date-ranged directories and the
+    file-level survivors are enforced by a distributed semi-join against
+    the work-list frame (see pipeline.BatchIngest)."""
+
+    environment: str
+    data_source: str
+    entity_name: str
+    target_table: str
+    n_files: int
+    min_date: dt.date
+    max_date: dt.date
+
+
+def work_groups(worklist: DataFrame) -> list[WorkGroup]:
+    """A1: group surviving files per (environment, data_source, entity,
+    target) — one Spark read per group (each group shares a schema).
+
+    Returns BOUNDED group descriptors only (counts + date range), never
+    the per-file path list: a 10M-file tree must not materialize on the
+    driver. The collect here is one row per group — bounded by
+    |environments| x |configured tables|, the same cardinality the
+    reference iterates (`main.py:41-48`)."""
     rows = (
-        worklist.groupBy("environment", "data_source", "target_table")
-        .agg(F.collect_list("full_path").alias("paths"))
+        worklist.groupBy(
+            "environment", "data_source", "entity_name", "target_table"
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min("backup_date").alias("min_date"),
+            F.max("backup_date").alias("max_date"),
+        )
         .collect()
     )
-    return [
-        (r["environment"], r["data_source"], r["target_table"], sorted(r["paths"]))
-        for r in rows
-    ]
+    return sorted(
+        (
+            WorkGroup(
+                r["environment"], r["data_source"], r["entity_name"],
+                r["target_table"], r["n_files"], r["min_date"], r["max_date"],
+            )
+            for r in rows
+        ),
+        key=lambda g: (g.environment, g.data_source, g.target_table),
+    )

@@ -17,6 +17,8 @@ are NOT opened here — pruning happens on the work-list before any read
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,8 +26,10 @@ HOSTING_GLOB = "environment=*/*/*/*/*/*.parquet"
 MAILBOX_GLOB = "*/*/*/*/*/*.parquet"
 
 
-def _hadoop_glob(spark: SparkSession, pattern: str) -> list[str]:
-    """List matching file paths via the JVM Hadoop FileSystem (driver-side
+def _hadoop_glob(
+    spark: SparkSession, pattern: str, files_only: bool = True
+) -> list[str]:
+    """List matching paths via the JVM Hadoop FileSystem (driver-side
     metadata call; scales to object stores where os.walk cannot go)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -34,7 +38,53 @@ def _hadoop_glob(spark: SparkSession, pattern: str) -> list[str]:
     statuses = fs.globStatus(path)
     if statuses is None:
         return []
-    return [s.getPath().toString() for s in statuses if s.isFile()]
+    return [
+        s.getPath().toString()
+        for s in statuses
+        if (s.isFile() if files_only else True)
+    ]
+
+
+def norm_path(col: F.Column) -> F.Column:
+    """Scheme-normalized path for equality joins: Hadoop listings render
+    'file:/root/x', Spark's ``input_file_name()`` 'file:///root/x' —
+    strip '<scheme>:/+' from both so the same file compares equal."""
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+
+
+def group_day_dirs(
+    spark: SparkSession,
+    root: str,
+    layout: str,
+    source: str,
+    entity: str,
+    min_date,
+    max_date,
+) -> list[str]:
+    """Existing day DIRECTORIES for one work group within [min_date,
+    max_date] — the bounded read-path push-down for a group descriptor.
+
+    This is a driver metadata call over directory listings (one glob),
+    bounded by calendar days with data present — never by file count, so
+    it stays O(days) on a tree with millions of files per day. File-level
+    survivor filtering (marker anti-join, debug single-file) happens
+    distributed, via a semi-join on ``input_file_name()`` (see
+    pipeline.BatchIngest)."""
+    prefix = (
+        f"{root.rstrip('/')}/environment={source}"
+        if layout == "hosting"
+        else f"{root.rstrip('/')}/{source}"
+    )
+    out = []
+    for d in _hadoop_glob(spark, f"{prefix}/{entity}/*/*/*", files_only=False):
+        y, m, dd = d.rstrip("/").split("/")[-3:]
+        try:
+            day = dt.date(int(y), int(m), int(dd))
+        except ValueError:
+            continue
+        if min_date <= day <= max_date:
+            out.append(d)
+    return sorted(out)
 
 
 def discover_files(

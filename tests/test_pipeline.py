@@ -105,6 +105,45 @@ def test_batch_ingest_prunes_and_is_idempotent(spark, tree, tmp_path):
     assert spark.read.parquet(r.sink_path).count() == 3
 
 
+def test_work_groups_are_bounded_descriptors(spark, tree):
+    """The driver must never hold per-file path lists: a work group is a
+    fixed-size descriptor (counts + date range), and the group's day
+    directories resolve as a bounded metadata call."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.plans.worklist import (
+        WorkGroup,
+        build_worklist,
+        config_frame,
+        work_groups,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.parquet_tree import (
+        group_day_dirs,
+    )
+
+    files = discover_files(spark, tree, "hosting")
+    cfg = config_frame(spark, {"Widgets": SPEC, "Off": DISABLED})
+    wl = build_worklist(files, cfg, dt.date(2024, 1, 4))
+    groups = work_groups(wl)
+    assert all(isinstance(g, WorkGroup) for g in groups)
+    nl = next(g for g in groups if g.environment == "NL")
+    assert nl.n_files == 2  # 01-04 and 01-05 files both >= ingestion date
+    assert (str(nl.min_date), str(nl.max_date)) == ("2024-01-04", "2024-01-05")
+    # No per-file payload on the descriptor — counts and dates only.
+    assert not hasattr(nl, "paths")
+
+    days = group_day_dirs(
+        spark, tree, "hosting", "NL", "Widgets", nl.min_date, nl.max_date
+    )
+    assert [d.rsplit("/", 3)[1:] for d in sorted(days)] == [
+        ["2024", "01", "04"],
+        ["2024", "01", "05"],
+    ]
+    # Date-range push-down prunes directories outside the range.
+    only_new = group_day_dirs(
+        spark, tree, "hosting", "NL", "Widgets", dt.date(2024, 1, 5), dt.date(2024, 1, 5)
+    )
+    assert len(only_new) == 1 and only_new[0].endswith("05")
+
+
 def test_mailbox_layout_environment_derivation(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
