@@ -138,6 +138,41 @@ class DedupIngest:
         )
         return status, survivors
 
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One epoch: classify → write sink epoch dir → grow the store.
+
+        A method (not a closure) so recovery tests can wrap it with fault
+        injection at the exact crash window the design targets — after
+        both writes, before the checkpoint commit."""
+        # Excluding the current epoch makes a crash-replay of this
+        # epoch classify against exactly the store state the first
+        # attempt saw — replay-identical, so the epoch-dir overwrites
+        # are true no-ops instead of data loss.
+        _, survivors = self._classify(batch_df, exclude_epoch=epoch_id)
+        survivors.write.mode("overwrite").parquet(
+            f"{self.sink_path}/epoch={epoch_id}"
+        )
+        # minhash_signatures projects down to (id, shingles, sig_*);
+        # keep only shingle DIGESTS (the store holds no raw text) and
+        # re-attach the content digest with a batch-sized join.
+        new_sigs = (
+            D.minhash_signatures(
+                survivors, self.id_col, self.text_col, self.num_hashes, self.shingle_n
+            )
+            .withColumn("shingles", D.shingle_digests_col(F.col("shingles")))
+            .join(
+                survivors.select(
+                    self.id_col, F.md5(F.col(self.text_col)).alias("content_hash")
+                ),
+                self.id_col,
+            )
+        )
+        # Column order must match the store schema read.
+        new_sigs.select(
+            [f.name for f in _store_schema(self.num_hashes, self.id_col).fields]
+        ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
+        D.unpersist_all()
+
     def start(
         self,
         source_glob: str,
@@ -149,36 +184,6 @@ class DedupIngest:
         becomes many bounded batches, and each batch's admissions are in
         the store before the next batch classifies — foreachBatch runs
         epochs sequentially)."""
-        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            # Excluding the current epoch makes a crash-replay of this
-            # epoch classify against exactly the store state the first
-            # attempt saw — replay-identical, so the epoch-dir overwrites
-            # are true no-ops instead of data loss.
-            _, survivors = self._classify(batch_df, exclude_epoch=epoch_id)
-            survivors.write.mode("overwrite").parquet(
-                f"{self.sink_path}/epoch={epoch_id}"
-            )
-            # minhash_signatures projects down to (id, shingles, sig_*);
-            # keep only shingle DIGESTS (the store holds no raw text) and
-            # re-attach the content digest with a batch-sized join.
-            new_sigs = (
-                D.minhash_signatures(
-                    survivors, self.id_col, self.text_col, self.num_hashes, self.shingle_n
-                )
-                .withColumn("shingles", D.shingle_digests_col(F.col("shingles")))
-                .join(
-                    survivors.select(
-                        self.id_col, F.md5(F.col(self.text_col)).alias("content_hash")
-                    ),
-                    self.id_col,
-                )
-            )
-            # Column order must match the store schema read.
-            new_sigs.select(
-                [f.name for f in _store_schema(self.num_hashes, self.id_col).fields]
-            ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
-            D.unpersist_all()
-
         reader = self.spark.readStream.schema(schema).option(
             "pathGlobFilter", "*.parquet"
         )
@@ -186,7 +191,7 @@ class DedupIngest:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(source_glob)
         return (
-            stream.writeStream.foreachBatch(process_batch)
+            stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint_path)
             .trigger(availableNow=True)
             .start()

@@ -393,6 +393,103 @@ def test_dedup_ingest_replay_excludes_own_epoch(spark, tmp_path):
     D.unpersist_all()
 
 
+def test_dedup_ingest_soak_with_midstream_crash_recovery(spark, tmp_path):
+    """Soak + crash drill: six micro-batches through the gate, with a
+    REAL driver-death simulation at epoch 3 — the exact failure the
+    epoch-idempotence design targets (crash AFTER the sink and store
+    writes, BEFORE the checkpoint commit). The restarted stream must
+    replay epoch 3 identically and continue, with no lost or duplicate
+    admissions, and the signature store must grow by exactly the
+    admitted docs each epoch."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+        read_signature_store,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # Six files -> six sequential epochs (maxFilesPerTrigger=1). Every
+    # even batch introduces one novel doc + one dup of an earlier epoch's
+    # doc; odd batches are all-novel.
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "pack my box with five dozen liquor jugs today",
+        3: "sphinx of black quartz judge my vow tonight",
+        4: "how vexingly quick daft zebras jump around",
+        5: "bright vixens jump while dozy fowl quack loudly",
+        6: "jackdaws love my big sphinx of quartz forever",
+    }
+    batches = [
+        [(1, texts[1])],
+        [(2, texts[2]), (10, texts[1])],  # 10 = exact dup of epoch-0's doc
+        [(3, texts[3])],
+        [(4, texts[4]), (11, texts[2])],  # 11 = dup of epoch 1's doc
+        [(5, texts[5])],
+        [(6, texts[6]), (12, texts[3])],  # 12 = dup of epoch 2's doc
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    class CrashAfterWrites(DedupIngest):
+        """Injects the targeted fault once: epoch 3 completes both epoch-
+        dir writes, then the 'driver' dies before the commit."""
+
+        def _process_batch(self, batch_df, epoch_id):
+            super()._process_batch(batch_df, epoch_id)
+            if epoch_id == 3:
+                raise RuntimeError("injected driver death before checkpoint commit")
+
+    paths = dict(
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    crashing = CrashAfterWrites(spark, **paths)
+    q = crashing.start(f"{src}/*", schema, max_files_per_trigger=1)
+    died = None
+    try:
+        q.awaitTermination(240)
+    except Exception as ex:  # StreamingQueryException wrapping the fault
+        died = ex
+    assert died is not None and "injected driver death" in str(died)
+
+    # The crash window is real: epoch 3's writes landed, no commit after.
+    assert (tmp_path / "accepted" / "epoch=3").exists()
+    store_after_crash = read_signature_store(spark, paths["store_path"])
+    # Epochs 0-2 committed one admission each (dup 10/11 rejected), and
+    # epoch 3's UNCOMMITTED store write (doc 4) is also on disk.
+    assert sorted(
+        r.doc_id for r in store_after_crash.select("doc_id").collect()
+    ) == [1, 2, 3, 4]
+
+    # Restart with a fresh (non-crashing) instance on the same
+    # checkpoint+store+sink unit: epoch 3 replays, 4 and 5 follow.
+    recovered = DedupIngest(spark, **paths)
+    recovered.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3, 4, 5, 6]
+    assert len(glob.glob(f"{tmp_path}/accepted/epoch=*")) == 6
+    # Store grew by exactly the admissions, one epoch dir per batch,
+    # and dedups the whole history (every dup doc 10/11/12 rejected).
+    store = read_signature_store(spark, paths["store_path"])
+    assert sorted(r.doc_id for r in store.select("doc_id").collect()) == [
+        1, 2, 3, 4, 5, 6,
+    ]
+    per_epoch = {
+        int(p.rsplit("=", 1)[1]): spark.read.parquet(p).count()
+        for p in glob.glob(f"{tmp_path}/store/epoch=*")
+    }
+    assert per_epoch == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
 def test_signature_store_read_survives_partitionless_dir(spark, tmp_path):
     """A store path that exists but holds no committed epoch partitions
     (crashed first write, pre-created dir) must read as empty even with
