@@ -34,38 +34,80 @@ for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # round 3: new operators.
+    # ---- round 4 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py). Lead: the 31 queries whose last green
+    # row is from round 2 (the judge's rotation debt), starting with the
+    # six SURVEY-§2-proving ones; then every query round 4 touched; then
+    # r3-green entries re-scored to keep evidence fresh.
+    # -- §2-proving rotation debt (r2-green, unscored in r3):
+    "pricing_summary",
+    "sentinel_cleaning",
+    "worklist_semi_join",
+    "marker_antijoin",
+    "latest_per_group",
+    "staleness_tiered",
+    # -- remaining r2-green rotation debt:
+    "promo_revenue_share",
+    "large_volume_orders",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "integrity_audit",
+    "order_cube",
+    "profile_table",          # also touched r4: exact mode now opt-in
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_sample",
+    "interleave_sources",
+    "pii_redaction",
+    "lang_id",
+    "lang_id_confusion",
+    "doc_fingerprint",
+    "multimodal_meta",        # also touched r4: real PNG decode
+    "multimodal_resize",      # also touched r4: real NN resample
+    "multimodal_features",    # also touched r4: real pixel features
+    "multimodal_frame_sample",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",       # also touched r4: banded LSH
+    "ann_ivf_topk",           # also touched r4: n_probe=12 default
+    "embedding_neardup",
+    "tfidf_top_terms",
+    # -- r3-green queries touched (or module-touched) in round 4:
+    "approx_distinct_stats",  # rewritten: exact anchor + HLL envelope
+    "config_enrich_join",     # plans/worklist.py reworked
+    "partition_prune_counts", # sources/parquet_tree.py extended
+    "char_lm_surprisal",      # docstring-only change; re-score anyway
+    "embedding_clusters",     # operators/similarity.py module touched
+    # -- r3-green, untouched; re-scored to keep evidence at most one
+    #    round old (the four r2 hash repairs + the r3 new operators):
+    "budget_select",
+    "sessionize",
+    "deterministic_split",
+    "json_props_stats",
     "repetition_stats",
-    "char_lm_surprisal",
-    "embedding_clusters",
     "source_mixture_plan",
     "exact_substring_overlap",
     "sole_return_supplier",
     "dominant_part_suppliers",
     "weekly_range_revenue",
-    # round 3: every shingle consumer re-scores after the
-    # token_kgrams_col refactor (values proven identical in-repo).
+    "dedup_exact",
     "dedup_minhash",
+    "token_count",
+    "quality_score",
+]
+# 81 queries, 50 scored slots. The 31 declared-tail entries are ALL
+# r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
+# untouched in round 4; tests/test_sql_surface.py asserts the unscored
+# set is EXACTLY this list, so any change to what goes unscored fails
+# loudly.
+_TAIL = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_incremental",
     "dedup_canonical",
     "contamination_check",
-    # round 3: the four r02 hash mismatches, rebuilt on BIGINT-cast
-    # oracles + NTZ-normalized timestamps (scripts/dtype_audit.py).
-    "budget_select",
-    "sessionize",
-    "deterministic_split",
-    "json_props_stats",
-    # quality_scores() gained a passthrough param this round (defaults
-    # identical) — re-score its query anyway.
-    "quality_score",
-    # touched indirectly by the io.load_events NTZ change / the
-    # operators.temporal epoch_seconds change — every events reader.
     "windowed_events",
-    "partition_prune_counts",
-    "approx_distinct_stats",
     "timestamp_truncation",
     "topk_per_group",
     "median_order_value",
@@ -73,12 +115,8 @@ _HEAD = [
     "events_in_windows",
     "scd2_user_state",
     "daily_event_pivot",
-    # unscored in round 2 (rotation tail); green in round 1, untouched
-    # since except where listed above.
     "above_brand_average",
-    "dedup_exact",
     "fuzzy_name_pairs",
-    "config_enrich_join",
     "customer_activity_setops",
     "distinct_keys",
     "env_derivation",
@@ -89,31 +127,11 @@ _HEAD = [
     "ordered_projection",
     "price_deciles",
     "rolling_daily_revenue",
-    "token_count",
     "verification_query",
-]
-# 81 queries, 50 scored slots; declared tail entries, all green in round 2
-# AND function-level untouched since that scoring snapshot (55eea55).
-_TAIL = [
-    "profile_table",
-    "chunk_documents",
-    "pack_sequences",
-    "stratified_sample",
-    "interleave_sources",
-    "pii_redaction",
-    "lang_id",
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "embedding_norms",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    "tfidf_top_terms",
+    "shipping_priority",
+    "region_nation_revenue",
+    "top_returned_customers",
+    "nation_trade_volume",
 ]
 
 _order = (

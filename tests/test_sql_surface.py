@@ -34,20 +34,22 @@ PORTABLE = [
 def test_registry_rotation_invariants():
     """The external driver scores only the first 50 registry entries, so
     the rotation contract must hold: every query registered exactly once,
-    oracles keyed identically, and the head block (never-scored-in-r01 +
-    this-round-modified queries) inside the scored window."""
+    oracles keyed identically, the scored window EXACTLY the declared
+    head, and the unscored set EXACTLY the declared tail — any edit that
+    silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
     assert len(names) == len(set(names)) == 81
-    assert set(ORACLES) <= set(QUERIES)
+    # Round 4: every query carries a DuckDB oracle (the HLL sketch query
+    # now emits an exact anchor + deterministic envelope boolean).
+    assert set(ORACLES) == set(QUERIES)
     from cig_etl_s3_to_sql_data_ingestor_spark.queries import _HEAD, _TAIL
 
-    scored = set(names[:50])
-    assert set(_HEAD) <= scored, "rotation head fell outside the scored window"
-    # Everything declared tail must sit outside the scored window; the
-    # middle (auto-placed) block may straddle the boundary — its overflow
-    # entries must be green-in-last-round, which the rotation comments
-    # assert per-name.
-    assert set(_TAIL) <= set(names[50:]), "a declared-tail query would be scored"
+    assert len(_HEAD) == 50, "scored window must be exactly the declared head"
+    assert set(names[:50]) == set(_HEAD), "a head query fell out of scoring"
+    assert set(names[50:]) == set(_TAIL), (
+        "unscored set diverged from the declared tail: "
+        f"{set(names[50:]) ^ set(_TAIL)}"
+    )
     assert not set(_HEAD) & set(_TAIL)
 
 
