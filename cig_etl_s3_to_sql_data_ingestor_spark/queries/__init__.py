@@ -13,14 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, core, corpus, dedup, llmprep, text, vectors
+from . import analytics, core, corpus, dedup, llmprep, mining, text, vectors
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _merged_queries: dict[str, QueryFn] = {}
 _merged_oracles: dict[str, str] = {}
 
-for mod in (analytics, core, corpus, dedup, llmprep, text, vectors):
+for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
     _merged_queries.update(mod.QUERIES)
     _merged_oracles.update(mod.ORACLES)
 
@@ -78,8 +78,33 @@ _HEAD = [
     "partition_prune_counts", # sources/parquet_tree.py extended
     "char_lm_surprisal",      # docstring-only change; re-score anyway
     "embedding_clusters",     # operators/similarity.py module touched
-    # -- r3-green, untouched; re-scored to keep evidence at most one
-    #    round old (the four r2 hash repairs + the r3 new operators):
+    # -- NEW in round 4 (never scored — must take head slots):
+    #    corpus-mining surface (queries/mining.py):
+    "cross_source_overlap",
+    "ngram_diversity",
+    "text_normalize_stats",
+    "boilerplate_prefix_groups",
+    "vocab_stats",
+    #    analytics surface (queries/analytics.py additions):
+    "customer_order_distribution",
+    "quarterly_top_supplier",
+    "nation_quarterly_growth",
+    "cheapest_supplier_per_part",
+    "fulfillment_lag_quantiles",
+    # -- r3-green, untouched; re-scored to keep evidence fresh:
+    "dedup_exact",
+    "dedup_minhash",
+    "token_count",
+    "quality_score",
+]
+# 91 queries, 50 scored slots. The 41 declared-tail entries are ALL
+# r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
+# untouched in round 4; tests/test_sql_surface.py asserts the unscored
+# set is EXACTLY this list, so any change to what goes unscored fails
+# loudly.
+_TAIL = [
+    # r3-green freshness re-scores displaced from the head by the 10 new
+    # round-4 queries (all function-level untouched since their r3 row):
     "budget_select",
     "sessionize",
     "deterministic_split",
@@ -90,17 +115,6 @@ _HEAD = [
     "sole_return_supplier",
     "dominant_part_suppliers",
     "weekly_range_revenue",
-    "dedup_exact",
-    "dedup_minhash",
-    "token_count",
-    "quality_score",
-]
-# 81 queries, 50 scored slots. The 31 declared-tail entries are ALL
-# r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
-# untouched in round 4; tests/test_sql_surface.py asserts the unscored
-# set is EXACTLY this list, so any change to what goes unscored fails
-# loudly.
-_TAIL = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",

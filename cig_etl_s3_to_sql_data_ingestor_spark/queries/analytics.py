@@ -1314,3 +1314,320 @@ def weekly_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(w).cast("double").alias("rev_7d"),
         F.count("*").over(w).alias("days_present_7d"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — LEFT OUTER join with an
+# ON-clause filter (the filter must NOT drop order-less customers, so it
+# lives in the join condition, not a WHERE), then a two-level aggregation.
+# At scale: customer⨝orders shuffles on custkey with map-side partial
+# counts; the second group-by runs over at most max(n_orders)+1 keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-customer order counts, keeping zero-order
+    customers via the outer join (the priority filter is part of the
+    join condition so it cannot turn the join inner)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by windowed revenue, ties preserved. The max
+# over the per-supplier aggregate is itself a tiny aggregate broadcast back
+# — no unpartitioned window over the (sf-scaling) supplier set. Decimal
+# -exact sums make the equality join on the max deterministic on any
+# engine/parallelism.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quarterly_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV_DEC}) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def quarterly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with maximal 1997-Q1 revenue (ties kept, Q15-style).
+
+    The scalar max is computed as a 1-row aggregate of the per-supplier
+    aggregate and broadcast — never a global window."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_rev_dec()).cast("double").alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth: LAG(4) over per-(nation, quarter) revenue. The
+# window partitions by nation and the frame is bounded by the calendar
+# (years x 4 rows per nation), so the sort inside each partition never
+# scales with row volume — the same justification as rolling_daily_revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_quarterly_growth",
+    oracle=f"""
+    WITH q AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o.o_orderdate) AS INTEGER) AS qtr,
+             {sql_exact_sum("o.o_totalprice", 2)} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, yr, qtr
+    ), lagged AS (
+      SELECT n_name, yr, qtr, revenue,
+             LAG(revenue, 4) OVER (PARTITION BY n_name ORDER BY yr, qtr)
+               AS prev_year_rev
+      FROM q
+    )
+    SELECT n_name, yr, qtr, revenue, prev_year_rev,
+           CASE WHEN prev_year_rev IS NOT NULL AND prev_year_rev <> 0
+                THEN (revenue - prev_year_rev) / prev_year_rev
+           END AS yoy_growth
+    FROM lagged
+    ORDER BY n_name, yr, qtr
+    """,
+)
+def nation_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation quarterly revenue with LAG(4) year-over-year growth.
+
+    orders⨝customer shuffles on custkey; nation is a broadcast dim; the
+    quarterly aggregate is partial-agg'd map-side. The growth division
+    runs on two identically-derived doubles, so it is bit-stable."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    q = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(exact_sum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy("yr", "qtr")
+    lagged = q.withColumn("prev_year_rev", F.lag("revenue", 4).over(w))
+    return lagged.select(
+        "n_name",
+        "yr",
+        "qtr",
+        "revenue",
+        "prev_year_rev",
+        F.when(
+            F.col("prev_year_rev").isNotNull() & (F.col("prev_year_rev") != 0),
+            (F.col("revenue") - F.col("prev_year_rev")) / F.col("prev_year_rev"),
+        ).alias("yoy_growth"),
+    ).orderBy("n_name", "yr", "qtr")
+
+
+# ---------------------------------------------------------------------------
+# Q2 flavor: cheapest supplier per part. The per-(part, supplier) metric
+# uses MIN (exactly associative — no float fold-order hazard, unlike AVG),
+# and the per-part winner is a ROW_NUMBER window over the aggregate with a
+# total-order tie-break. Keyed by partkey throughout — partitions scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS min_unit
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, min_unit,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey ORDER BY min_unit, l_suppkey
+             ) AS rn
+      FROM unit
+    )
+    SELECT r.l_partkey AS partkey, p.p_name, r.l_suppkey AS suppkey,
+           s.s_name, r.min_unit AS best_unit_price
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    ORDER BY partkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the supplier with the lowest observed unit price.
+
+    The per-row division is deterministic; MIN and the (min_unit,
+    suppkey) tie-break give one bit-stable winner per part. part and
+    supplier scale with sf, so no broadcast hints — AQE decides."""
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    w = W.partitionBy("l_partkey").orderBy("min_unit", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("min_unit").alias("best_unit_price"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles by key: per order priority, the discrete
+# p50/p90 of fulfillment lag (days from order date to last shipment).
+# ROW_NUMBER + COUNT over the per-priority partition pick the k-th value
+# exactly — integer outputs, no interpolation ULP hazard, and the window
+# is keyed (never global). Both engines evaluate floor((n-1)*q) in IEEE
+# doubles, so the picked index is identical by construction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fulfillment_lag_quantiles",
+    oracle="""
+    WITH lag_t AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(MAX(l.l_shipdate) AS DATE)) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), ranked AS (
+      SELECT o_orderpriority, lag_days,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY lag_days, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lag_t
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1
+                         THEN lag_days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN rn = CAST(floor((n-1) * 0.9) AS BIGINT) + 1
+                         THEN lag_days END) AS BIGINT) AS p90_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def fulfillment_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/max of order-fulfillment lag per priority.
+
+    Two shuffles: orders⨝lineitem on orderkey (with a map-side partial
+    MAX on shipdate), then one window pass partitioned by priority. The
+    quantile index floor((n-1)*q)+1 is picked via ROW_NUMBER with a
+    total-order tie-break — exact, integer-valued, engine-stable."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_t = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.datediff(
+                F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("lag_days"),
+        )
+    )
+    wp = W.partitionBy("o_orderpriority")
+    ranked = lag_t.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(wp.orderBy("lag_days", "o_orderkey")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    idx50 = (F.floor((F.col("n") - 1) * F.lit(0.5)) + 1).cast("long")
+    idx90 = (F.floor((F.col("n") - 1) * F.lit(0.9)) + 1).cast("long")
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max(F.when(F.col("rn") == idx50, F.col("lag_days")))
+            .cast("long")
+            .alias("p50_days"),
+            F.max(F.when(F.col("rn") == idx90, F.col("lag_days")))
+            .cast("long")
+            .alias("p90_days"),
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

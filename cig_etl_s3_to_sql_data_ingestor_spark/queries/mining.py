@@ -1,0 +1,379 @@
+"""Corpus-mining query surface: cross-source contamination/overlap
+analytics, n-gram diversity, normalization fingerprints, boilerplate
+detection, and vocabulary (Zipf) statistics over the ``documents`` table.
+
+These extend the dedup/corpus-prep operators with the *measurement*
+queries a training-data curation pipeline runs before deciding what to
+keep: how much sources overlap, how repetitive each source is, which
+prefixes are boilerplate, and what the token distribution looks like.
+
+Engine-parity rules as everywhere else (NOTES.md): md5-only hashing,
+integer counts with one final double division, DuckDB ``list_*``
+mirrors of the Spark ``token_kgrams_col`` doubling chain, and total
+-order tie-breaks under every window/limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import ngram_shingles_col, token_kgrams_col, tokens_col
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name, oracle=None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB mirrors of the shared Spark token/shingle helpers (identical to
+# the proven dedup-oracle spellings).
+_SQL_TOK = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+_SQL_SHINGLES3 = (
+    "list_distinct(list_transform("
+    "  generate_series(0, greatest(len(tokens) - 3, 0)),"
+    "  i -> array_to_string(list_slice(tokens, i + 1, i + 3), ' ')))"
+)
+
+
+def _sql_kgrams(k: int) -> str:
+    """Full (non-padded) k-grams: empty list when the doc has < k tokens
+    — the SQL mirror of ``token_kgrams_col``'s exact-length semantics."""
+    if k == 1:
+        return "tokens"
+    return (
+        f"CASE WHEN len(tokens) >= {k} THEN list_transform("
+        f"  generate_series(0, len(tokens) - {k}),"
+        f"  i -> array_to_string(list_slice(tokens, i + 1, i + {k}), ' '))"
+        f" ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap: pairwise shingle-set Jaccard between sources —
+# the "how much does source A duplicate source B" matrix that decides
+# cross-source dedup ordering. Distinct (source, shingle) pairs are the
+# unit of work: one shuffle to build them, one shingle-keyed equi-join
+# for intersections (never all-pairs of documents), and the per-source
+# set sizes are a tiny aggregate broadcast back onto the pair frame.
+# Fan-out per shingle is bounded by #sources², not by corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT source, {_SQL_TOK} AS tokens FROM documents),
+    sh AS (SELECT source, {_SQL_SHINGLES3} AS shingles FROM tok),
+    ss AS (
+      SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n_shingles AS BIGINT) AS n_a,
+           CAST(sb.n_shingles AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle Jaccard between document sources."""
+    d = load_table(spark, sf_dir, "documents")
+    ss = (
+        d.select("source", F.explode(ngram_shingles_col("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity (type-token ratio) per source for n in {1,2,3} — the
+# self-repetition profile (RefinedWeb/Gopher-style) that flags sources
+# whose text is template spam. One exploded frame per n, unioned, then a
+# single (source, n) aggregation with count + count-distinct; everything
+# stays keyed by (source, n-gram) — no global state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_diversity",
+    oracle=f"""
+    WITH tok AS (SELECT source, {_SQL_TOK} AS tokens FROM documents),
+    grams AS (
+      SELECT source, 1 AS n, unnest({_sql_kgrams(1)}) AS gram FROM tok
+      UNION ALL
+      SELECT source, 2 AS n, unnest({_sql_kgrams(2)}) AS gram FROM tok
+      UNION ALL
+      SELECT source, 3 AS n, unnest({_sql_kgrams(3)}) AS gram FROM tok
+    )
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS ttr
+    FROM grams
+    GROUP BY source, n
+    ORDER BY source, n
+    """,
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct/total n-gram ratio per (source, n) for n = 1, 2, 3."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", tokens_col("text").alias("toks")
+    )
+    d = d.withColumn("n_toks", F.size("toks"))
+
+    def grams_for(n: int) -> DataFrame:
+        if n == 1:
+            g = F.col("toks")
+        else:
+            g = F.when(
+                F.col("n_toks") >= n,
+                token_kgrams_col(F.col("toks"), F.col("n_toks"), n),
+            ).otherwise(F.array().cast("array<string>"))
+        return d.select(
+            "source", F.lit(n).alias("n"), F.explode(g).alias("gram")
+        )
+
+    grams = grams_for(1).unionByName(grams_for(2)).unionByName(grams_for(3))
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+            ).alias("ttr"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization fingerprints: the canonical-text pass (trim, lowercase,
+# collapse whitespace runs) every exact-dedup stage should run first, with
+# a deterministic md5 fingerprint of the normalized form. Pure codegen
+# projection — zero shuffles; the fingerprint doubles as the join key for
+# normalized exact dedup downstream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize_stats",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, source, text,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           CAST(length(norm_text) AS BIGINT) AS norm_len,
+           CAST(len(regexp_split_to_array(norm_text, ' ')) AS BIGINT)
+             AS n_tokens,
+           md5(norm_text) AS norm_fingerprint
+    FROM norm
+    ORDER BY doc_id
+    """,
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-collapsed lowercase canonicalization + md5 fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("orig_len"),
+            norm.alias("norm_text"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "orig_len",
+            F.length("norm_text").cast("long").alias("norm_len"),
+            F.size(F.split(F.col("norm_text"), " ")).cast("long").alias("n_tokens"),
+            F.md5(F.col("norm_text")).alias("norm_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefixes: groups of documents sharing their first-k tokens —
+# the crawl-pipeline signal for shared headers/templates that whole-doc
+# exact dedup misses when bodies diverge. Hash-keyed group-by on the
+# prefix digest (one shuffle); the HAVING > 1 filter runs post-partial-agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_prefix_groups",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, {_SQL_TOK} AS tokens FROM documents),
+    pre AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(tokens, 1, 4), ' ') AS prefix
+      FROM tok
+    )
+    SELECT md5(prefix) AS prefix_hash, prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM pre
+    GROUP BY prefix
+    HAVING COUNT(*) > 1
+    ORDER BY n_docs DESC, prefix
+    """,
+)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing their first-4-token prefix (template detection)."""
+    d = load_table(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(tokens_col("text"), 1, 4)).alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5("prefix").alias("prefix_hash"),
+            "prefix",
+            "n_docs",
+            "n_sources",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / Zipf statistics: corpus-wide top-25 tokens with rank and
+# cumulative frequency share. The top-k is taken with a distributed
+# orderBy().limit() (TakeOrdered — no global window over the vocabulary);
+# rank and the running share are then computed on the 25 surviving rows,
+# where an unpartitioned window is bounded by construction. Integer
+# counts with one final double division keep the shares bit-stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOK}) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    total AS (SELECT SUM(freq) AS n_total FROM counts),
+    top AS (
+      SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 25
+    )
+    SELECT t.token, CAST(t.freq AS BIGINT) AS freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.freq DESC, t.token) AS BIGINT)
+             AS rank,
+           CAST(t.freq AS DOUBLE) / tt.n_total AS share,
+           CAST(SUM(t.freq) OVER (ORDER BY t.freq DESC, t.token
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tt.n_total AS cum_share
+    FROM top t, total tt
+    ORDER BY rank
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus tokens with rank, share, and cumulative share."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("n_total"))
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(25)
+    w = W.orderBy(F.col("freq").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            F.row_number().over(w).cast("long").alias("rank"),
+            (F.col("freq").cast("double") / F.col("n_total")).alias("share"),
+            (
+                F.sum("freq")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("double")
+                / F.col("n_total")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
