@@ -88,6 +88,17 @@ HEADLINE = [
     "sole_return_supplier",
     "dominant_part_suppliers",
     "weekly_range_revenue",
+    # round 4 additions — corpus mining + analytic quantiles
+    "cross_source_overlap",
+    "ngram_diversity",
+    "text_normalize_stats",
+    "boilerplate_prefix_groups",
+    "vocab_stats",
+    "customer_order_distribution",
+    "quarterly_top_supplier",
+    "nation_quarterly_growth",
+    "cheapest_supplier_per_part",
+    "fulfillment_lag_quantiles",
 ]
 
 

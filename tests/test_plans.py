@@ -279,3 +279,54 @@ def test_profile_default_mode_is_expand_free(spark, sf_dir):
     # mutable-buffer types, so Spark picks SortAggregate — still
     # map-side-combined).
     assert plan.count("Aggregate (") >= 2 and "partial_approx_count_distinct" in plan
+
+
+# ---- round-4 additions: corpus mining + analytic quantiles ----------------
+
+
+def test_order_distribution_join_stays_outer(spark, sf_dir):
+    """The ON-clause priority filter must not let the optimizer turn the
+    outer join inner — zero-order customers are the point of Q13."""
+    plan = explain(spark, sf_dir, "customer_order_distribution")
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_max_is_aggregate_not_window(spark, sf_dir):
+    """The Q15 tie-preserving max must come from a 1-row aggregate joined
+    back, never a global window over the (sf-scaling) supplier set."""
+    plan = explain(spark, sf_dir, "quarterly_top_supplier")
+    assert "Window" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cross_source_overlap",
+        "cheapest_supplier_per_part",
+        "fulfillment_lag_quantiles",
+        "boilerplate_prefix_groups",
+    ],
+)
+def test_round4_queries_never_cartesian(spark, sf_dir, name):
+    plan = explain(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_vocab_topk_is_distributed_take_ordered(spark, sf_dir):
+    """The top-25 must be TakeOrdered (per-partition heads merged on the
+    driver), and any window must run AFTER the limit — a global sort or
+    pre-limit global window over the vocabulary would not scale."""
+    plan = explain(spark, sf_dir, "vocab_stats")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantile_windows_are_keyed(spark, sf_dir):
+    """Both window passes partition by o_orderpriority — no 'No Partition
+    Defined' global window in the quantile computation."""
+    df = QUERIES["fulfillment_lag_quantiles"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", analyzed):
+        assert "o_orderpriority" in m.group(1), analyzed
