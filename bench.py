@@ -88,6 +88,9 @@ HEADLINE = [
     "sole_return_supplier",
     "dominant_part_suppliers",
     "weekly_range_revenue",
+    # round 4 additions — real multimodal decode paths
+    "multimodal_frame_sample",
+    "audio_features",
     # round 4 additions — corpus mining + analytic quantiles
     "cross_source_overlap",
     "ngram_diversity",

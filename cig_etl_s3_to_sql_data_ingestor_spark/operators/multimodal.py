@@ -14,11 +14,16 @@ The image path is REAL: a pure-stdlib (zlib/struct) + numpy PNG codec —
 8-bit grayscale, filters 0–4 (None/Sub/Up/Average/Paeth), per-chunk CRC
 validation — decodes actual pixel data inside the batch functions, and
 every downstream statistic (pixel sums, nearest-neighbor resize,
-gradient energy) is computed from the decoded pixels. Audio/video
-codecs (ffmpeg/librosa) are NOT in this container: non-PNG payloads
-fail the signature check with a clear error, and frame sampling stays a
-plan-level operator (`frame_sample_plan`) — the decode of each sampled
-frame would be one more mapInPandas of the same shape.
+gradient energy) is computed from the decoded pixels.
+
+Video-ish payloads are REAL APNG (animated PNG: acTL/fcTL/fdAT chunks):
+each frame is an independently-compressed PNG stream, so the frame
+sampler (`sample_frames`) walks the chunk list cheaply and inflates
+ONLY the frames it keeps — the property that matters when sampling 1-in
+-N frames of a 100 TB video corpus. Audio payloads are REAL RIFF/WAVE
+PCM16 parsed with struct (`make_wav_codec`). ffmpeg/librosa-class
+codecs (JPEG, H.264, MP3) are not in this container: payloads that are
+not PNG/APNG/WAV fail their signature check with a clear error.
 
 Every batch function is closure-self-contained (the codec is built by a
 factory and captured by value): cloudpickle serializes module-level
@@ -187,6 +192,176 @@ def make_png_codec():
     return encode_png, decode_png
 
 
+def make_apng_codec():
+    """(encode_apng, decode_apng_frames) — REAL APNG (animated PNG,
+    acTL/fcTL/fdAT per the W3C spec), built BY VALUE on the single-frame
+    codec so worker closures stay import-free.
+
+    Every frame is an independently-compressed zlib stream (frame 0 in
+    IDAT, later frames in fdAT with their 4-byte sequence prefix), which
+    is what lets ``decode_apng_frames(data, wanted=[...])`` inflate and
+    unfilter ONLY the wanted frames: the chunk walk is O(container
+    bytes) of CRC checks, the expensive inflate+unfilter is O(sampled
+    frames). A plain single-frame PNG decodes as a 1-frame animation.
+    """
+    encode_png, decode_png = make_png_codec()
+
+    def _chunk(tag, data):
+        import struct
+        import zlib
+
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def encode_apng(frames):
+        """frames: list of same-shape 2-D uint8 arrays → APNG bytes."""
+        import struct
+
+        def idat_payload(png_bytes):
+            pos, out = 8, bytearray()
+            while pos + 12 <= len(png_bytes):
+                (length,) = struct.unpack(">I", png_bytes[pos : pos + 4])
+                if png_bytes[pos + 4 : pos + 8] == b"IDAT":
+                    out += png_bytes[pos + 8 : pos + 8 + length]
+                pos += 12 + length
+            return bytes(out)
+
+        height, width = frames[0].shape
+        out = bytearray(b"\x89PNG\r\n\x1a\n")
+        out += _chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+        seq = 0
+        for k, fr in enumerate(frames):
+            if fr.shape != (height, width):
+                raise ValueError("APNG frames must share one full-frame shape")
+            # fcTL: seq, w, h, x_off, y_off, delay 1/10 s, dispose 0, blend 0
+            out += _chunk(
+                b"fcTL",
+                struct.pack(">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0),
+            )
+            seq += 1
+            stream = idat_payload(encode_png(fr))
+            if k == 0:
+                out += _chunk(b"IDAT", stream)
+            else:
+                out += _chunk(b"fdAT", struct.pack(">I", seq) + stream)
+                seq += 1
+        out += _chunk(b"IEND", b"")
+        return bytes(out)
+
+    def decode_apng_frames(data, wanted=None):
+        """APNG/PNG bytes → ({frame_idx: 2-D uint8 array}, w, h, n_frames).
+
+        ``wanted=None`` decodes every frame; a list decodes only those
+        indices (out-of-range entries ignored); ``[]`` is the metadata
+        probe — full CRC-validated chunk walk, zero inflates."""
+        import struct
+        import zlib
+
+        if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG/APNG: bad signature")
+        pos, width, ihdr, n_frames = 8, None, None, None
+        height = None
+        streams = []
+        while pos + 12 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = bytes(data[pos + 4 : pos + 8])
+            payload = bytes(data[pos + 8 : pos + 8 + length])
+            (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                raise ValueError(f"chunk {tag!r} CRC mismatch")
+            if tag == b"IHDR":
+                ihdr = payload
+                width, height = struct.unpack(">II", payload[:8])
+            elif tag == b"acTL":
+                (n_frames,) = struct.unpack(">I", payload[:4])
+            elif tag == b"fcTL":
+                streams.append(bytearray())
+            elif tag == b"IDAT":
+                if not streams:  # plain PNG without animation chunks
+                    streams.append(bytearray())
+                streams[-1] += payload
+            elif tag == b"fdAT":
+                streams[-1] += payload[4:]  # strip the sequence number
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None:
+            raise ValueError("missing IHDR")
+        n = n_frames if n_frames is not None else len(streams)
+        if len(streams) != n:
+            raise ValueError(f"acTL declares {n} frames, found {len(streams)}")
+        idxs = range(n) if wanted is None else [i for i in wanted if 0 <= i < n]
+
+        def one(stream):
+            mini = (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", bytes(stream))
+                + _chunk(b"IEND", b"")
+            )
+            return decode_png(mini)
+
+        return {i: one(streams[i]) for i in idxs}, width, height, n
+
+    return encode_apng, decode_apng_frames
+
+
+def make_wav_codec():
+    """(encode_wav, decode_wav) — REAL RIFF/WAVE, PCM16 mono subset.
+
+    The decoder parses the RIFF chunk list with word alignment, reads
+    the fmt block (rejecting non-PCM16-mono loudly), and returns the
+    int16 sample array — so audio statistics downstream come from actual
+    decoded PCM, not metadata."""
+
+    def encode_wav(samples, rate=8000):
+        import struct
+
+        data = samples.astype("<i2").tobytes()
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    def decode_wav(data):
+        import struct
+
+        import numpy as np
+
+        if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, rate, pcm = 12, None, None
+        while pos + 8 <= len(data):
+            tag = bytes(data[pos : pos + 4])
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = bytes(data[pos + 8 : pos + 8 + length])
+            if tag == b"fmt ":
+                fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
+                    "<HHIIHH", payload[:16]
+                )
+                if (fmt_code, channels, bits) != (1, 1, 16):
+                    raise NotImplementedError("codec supports PCM16 mono only")
+            elif tag == b"data":
+                pcm = payload
+            pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
+        if rate is None or pcm is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        return np.frombuffer(pcm, dtype="<i2"), rate
+
+    return encode_wav, decode_wav
+
+
 MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -207,40 +382,50 @@ MM_SCHEMA = T.StructType(
 
 
 def attach_png(df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars") -> DataFrame:
-    """Multimodal fixture frame from documents: REAL PNG payloads.
+    """Multimodal fixture frame from documents: REAL PNG/APNG payloads.
 
-    Each doc gets a deterministic grayscale image — dims derived from
-    ``n_chars`` (w = 1 + n_chars % 64, h = 1 + 7*n_chars % 64), pixel
-    (x, y) = (doc_id*31 + 7x + 13y) mod 256 — encoded to genuine PNG
-    bytes (zlib IDAT, CRCs, filters cycling None/Sub/Up). Downstream
-    operators must actually parse and unfilter these bytes; the DuckDB
-    oracles recompute the expected statistics from the generative
-    formula, so a decoder bug is a value mismatch, not a silent pass.
-    (In production the payload column arrives from object storage via
-    ``binaryFile`` or a parquet binary column; this generator stands in
-    for that source.)
+    Each doc gets a deterministic grayscale animation — dims derived
+    from ``n_chars`` (w = 1 + n_chars % 64, h = 1 + 7*n_chars % 64),
+    1 + doc_id % 8 frames, pixel (x, y, frame f) = (doc_id*31 + 7x +
+    13y + 17f) mod 256 — encoded to genuine bytes (zlib streams, CRCs,
+    filters cycling None/Sub/Up; single-frame docs are plain PNG,
+    multi-frame docs are spec-shaped APNG). The metadata struct's
+    ``n_frames`` matches the container's acTL — it is real, not
+    decorative. Downstream operators must actually parse and unfilter
+    these bytes; the DuckDB oracles recompute the expected statistics
+    from the generative formula, so a decoder bug is a value mismatch,
+    not a silent pass. (In production the payload column arrives from
+    object storage via ``binaryFile`` or a parquet binary column; this
+    generator stands in for that source.)
     """
     codec = make_png_codec()
+    apng_codec = make_apng_codec()
 
     def gen_batches(batches):
         import numpy as np
         import pandas as pd
 
         encode_png, _ = codec
+        encode_apng, _ = apng_codec
 
         for pdf in batches:
             payloads, metas = [], []
             for did, nc in zip(pdf[id_col], pdf[size_col]):
                 did, nc = int(did), int(nc)
                 w, h = 1 + nc % 64, 1 + (nc * 7) % 64
+                n_frames = 1 + did % 8
                 xs = np.arange(w, dtype=np.int64)
                 ys = np.arange(h, dtype=np.int64)
-                px = ((did * 31 + 7 * xs[None, :] + 13 * ys[:, None]) % 256).astype(
-                    np.uint8
+                base = did * 31 + 7 * xs[None, :] + 13 * ys[:, None]
+                frames = [
+                    ((base + 17 * f) % 256).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(
+                    encode_png(frames[0]) if n_frames == 1 else encode_apng(frames)
                 )
-                payloads.append(encode_png(px))
                 metas.append(
-                    {"format": "png", "width": w, "height": h, "n_frames": 1 + did % 8}
+                    {"format": "png", "width": w, "height": h, "n_frames": n_frames}
                 )
             yield pd.DataFrame(
                 {
@@ -446,4 +631,163 @@ def frame_sample_plan(mm: DataFrame, every_nth: int = 2) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames(mm: DataFrame, every_nth: int = 2) -> DataFrame:
+    """REAL frame sampling: one output row per kept frame, with stats
+    computed from that frame's decoded pixels.
+
+    Two passes over each payload's chunk list: a zero-inflate metadata
+    probe to learn n_frames, then a decode of ONLY the sampled indices —
+    APNG's independently-compressed frame streams mean the skipped
+    frames never hit zlib. The whole thing is one Arrow-batched
+    ``mapInPandas``; payloads stay on the executor that read them."""
+    codec = make_apng_codec()
+    nth = int(every_nth)
+
+    def frame_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, decode_frames = codec
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, n = decode_frames(payload, wanted=[])
+                idxs = list(range(0, n, nth))
+                frames, w, h, _ = decode_frames(payload, wanted=idxs)
+                for i in idxs:
+                    ps = int(frames[i].astype(np.int64).sum())
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(ps)
+                    out["mean_pixel"].append(ps / (w * h))
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_samples", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_wav(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars", rate: int = 8000
+) -> DataFrame:
+    """Audio fixture frame from documents: REAL RIFF/WAVE PCM16 payloads.
+
+    Deterministic mono clips — n_samples = 256 + (n_chars*13) % 512,
+    sample(i) = ((doc_id*7919 + i*2654435761) mod 65536) − 32768 — so
+    the DuckDB oracles can recompute every statistic from the formula
+    while the operator must genuinely parse RIFF chunks and PCM bytes."""
+    codec = make_wav_codec()
+
+    def gen_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        encode_wav, _ = codec
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, nc in zip(pdf[id_col], pdf[size_col]):
+                did, nc = int(did), int(nc)
+                n = 256 + (nc * 13) % 512
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 7919 + i * 2654435761) % 65536) - 32768
+                payloads.append(encode_wav(samples.astype(np.int16), rate=rate))
+                metas.append(
+                    {"format": "wav", "sample_rate": rate, "n_samples": n}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return fan_out(df.select(id_col, size_col)).mapInPandas(gen_batches, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(aw: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: parse the RIFF container and
+    compute clip statistics from the PCM samples. Integer accumulators
+    (sum of squares, peak, sign-change count) keep every value exactly
+    engine-reproducible; ``rms`` is one final sqrt of an exact ratio."""
+    codec = make_wav_codec()
+
+    def feature_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, decode_wav = codec
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(payload)
+                s = samples.astype(np.int64)
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["sum_sq"].append(sum_sq)
+                out["rms"].append(float(np.sqrt(sum_sq / n)) if n else 0.0)
+                out["zero_crossings"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return aw.select("doc_id", "payload").mapInPandas(
+        feature_batches, AUDIO_FEATURES_SCHEMA
     )

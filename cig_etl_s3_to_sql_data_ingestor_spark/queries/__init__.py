@@ -91,20 +91,22 @@ _HEAD = [
     "nation_quarterly_growth",
     "cheapest_supplier_per_part",
     "fulfillment_lag_quantiles",
+    #    real audio modality (queries/text.py, operators/multimodal.py):
+    "audio_features",
     # -- r3-green, untouched; re-scored to keep evidence fresh:
     "dedup_exact",
     "dedup_minhash",
     "token_count",
-    "quality_score",
 ]
-# 91 queries, 50 scored slots. The 41 declared-tail entries are ALL
+# 92 queries, 50 scored slots. The 42 declared-tail entries are ALL
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4; tests/test_sql_surface.py asserts the unscored
 # set is EXACTLY this list, so any change to what goes unscored fails
 # loudly.
 _TAIL = [
-    # r3-green freshness re-scores displaced from the head by the 10 new
+    # r3-green freshness re-scores displaced from the head by the new
     # round-4 queries (all function-level untouched since their r3 row):
+    "quality_score",
     "budget_select",
     "sessionize",
     "deterministic_split",

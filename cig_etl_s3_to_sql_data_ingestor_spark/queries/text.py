@@ -347,12 +347,79 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle="""
-    SELECT doc_id, 'png' AS format,
-           unnest(generate_series(0, CAST(doc_id % 8 AS INTEGER), 2)) AS frame_idx
-    FROM documents ORDER BY doc_id, frame_idx
+    oracle=f"""
+    WITH m AS ({_SQL_MM_DIMS}
+    ), fr AS (
+      SELECT m.doc_id, m.w, m.h,
+             CAST(1 + m.doc_id % 8 AS INTEGER) AS n_frames,
+             unnest(generate_series(0, CAST(m.doc_id % 8 AS INTEGER), 2))
+               AS frame_idx
+      FROM m
+    ), px AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             CAST(SUM((fr.doc_id * 31 + 7 * t.x + 13 * u.y
+                       + 17 * fr.frame_idx) % 256) AS BIGINT) AS pixel_sum
+      FROM fr,
+           unnest(generate_series(0, fr.w - 1)) AS t(x),
+           unnest(generate_series(0, fr.h - 1)) AS u(y)
+      GROUP BY fr.doc_id, fr.frame_idx
+    )
+    SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
+           fr.n_frames,
+           CAST(fr.w AS INTEGER) AS width, CAST(fr.h AS INTEGER) AS height,
+           px.pixel_sum,
+           CAST(px.pixel_sum AS DOUBLE) / (fr.w * fr.h) AS mean_pixel
+    FROM fr JOIN px ON fr.doc_id = px.doc_id AND fr.frame_idx = px.frame_idx
+    ORDER BY fr.doc_id, fr.frame_idx
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 1-in-2 frame sampling over APNG payloads: per kept frame,
+    stats computed from that frame's decoded (inflated + unfiltered)
+    pixels — skipped frames never hit zlib. The oracle recomputes each
+    frame's pixel sum from the generative formula (+17 per frame)."""
     d = load_table(spark, sf_dir, "documents")
-    return M.frame_sample_plan(M.attach_png(d)).orderBy("doc_id", "frame_idx")
+    return M.sample_frames(M.attach_png(d), every_nth=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
+    "audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n FROM documents
+    ), s AS (
+      SELECT m.doc_id, m.n, t.i,
+             ((m.doc_id * 7919 + t.i * 2654435761) % 65536) - 32768 AS v
+      FROM m, unnest(generate_series(0, m.n - 1)) AS t(i)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             CAST(MAX(abs(v)) AS BIGINT) AS peak
+      FROM s GROUP BY doc_id
+    ), zc AS (
+      SELECT a.doc_id, CAST(COUNT(*) FILTER (WHERE a.v * b.v < 0) AS BIGINT)
+               AS zero_crossings
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    )
+    SELECT m.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST((m.n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           agg.peak, agg.sum_sq,
+           sqrt(CAST(agg.sum_sq AS DOUBLE) / m.n) AS rms,
+           zc.zero_crossings
+    FROM m
+    JOIN agg ON agg.doc_id = m.doc_id
+    JOIN zc ON zc.doc_id = m.doc_id
+    ORDER BY m.doc_id
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM16 payloads parsed chunk-by-chunk,
+    clip statistics from the decoded samples (integer accumulators; one
+    final sqrt). The oracle recomputes everything from the generative
+    sample formula — a parser bug is a value mismatch."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.audio_features(M.attach_wav(d)).orderBy("doc_id")

@@ -145,3 +145,166 @@ def test_image_features_integer_exact(spark, sf_dir):
         assert got.n_distinct_pixels == int(np.unique(px).size)
         expect_grad = int(np.abs(np.diff(px, axis=1)).sum()) if w > 1 else 0
         assert got.grad_sum == expect_grad
+
+
+# ---- APNG (multi-frame) codec -------------------------------------------
+
+
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (  # noqa: E402
+    attach_wav,
+    audio_features,
+    make_apng_codec,
+    make_wav_codec,
+    sample_frames,
+)
+
+encode_apng, decode_apng_frames = make_apng_codec()
+encode_wav, decode_wav = make_wav_codec()
+
+
+def _frames(w, h, n, seed=11):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n)]
+
+
+def test_apng_roundtrip_all_frames():
+    frames = _frames(19, 7, 6)
+    out, w, h, n = decode_apng_frames(encode_apng(frames))
+    assert (w, h, n) == (19, 7, 6)
+    for i, fr in enumerate(frames):
+        assert np.array_equal(out[i], fr), f"frame {i}"
+
+
+def test_apng_metadata_probe_inflates_nothing():
+    """wanted=[] must do the CRC-validated chunk walk but never inflate —
+    proven by poisoning every frame's compressed stream: the probe still
+    succeeds (streams aren't touched) while a full decode fails."""
+    frames = _frames(9, 5, 4)
+    data = bytearray(encode_apng(frames))
+    # corrupt one byte inside each fdAT/IDAT payload AND fix up its CRC,
+    # so the chunk walk passes but zlib inflation cannot.
+    import struct
+    import zlib
+
+    pos = 8
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        if tag in (b"IDAT", b"fdAT") and length > 8:
+            data[pos + 8 + length - 1] ^= 0xFF
+            payload = bytes(data[pos + 8 : pos + 8 + length])
+            data[pos + 8 + length : pos + 12 + length] = struct.pack(
+                ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+            )
+        pos += 12 + length
+    probe, w, h, n = decode_apng_frames(bytes(data), wanted=[])
+    assert probe == {} and (w, h, n) == (9, 5, 4)
+    with pytest.raises(Exception):
+        decode_apng_frames(bytes(data))
+
+
+def test_apng_partial_decode_selects_indices():
+    frames = _frames(12, 12, 7)
+    out, _, _, n = decode_apng_frames(encode_apng(frames), wanted=[0, 3, 6, 99])
+    assert sorted(out) == [0, 3, 6]  # out-of-range ignored
+    assert np.array_equal(out[3], frames[3])
+
+
+def test_apng_decoder_accepts_plain_png():
+    px = _pixels(10, 4)
+    out, w, h, n = decode_apng_frames(encode_png(px))
+    assert n == 1 and np.array_equal(out[0], px)
+
+
+def test_apng_frame0_readable_by_plain_png_decoder():
+    """Downstream single-frame consumers (decode_image etc.) must read
+    frame 0 of an APNG through the ordinary PNG path."""
+    frames = _frames(8, 8, 3)
+    assert np.array_equal(decode_png(encode_apng(frames)), frames[0])
+
+
+def test_apng_rejects_frame_count_mismatch():
+    frames = _frames(6, 6, 3)
+    data = bytearray(encode_apng(frames))
+    import struct
+    import zlib
+
+    at = bytes(data).index(b"acTL") + 4
+    data[at : at + 4] = struct.pack(">I", 5)  # lie about the frame count
+    payload = bytes(data[at : at + 8])
+    data[at + 8 : at + 12] = struct.pack(
+        ">I", zlib.crc32(b"acTL" + payload) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="declares"):
+        decode_apng_frames(bytes(data), wanted=[])
+
+
+# ---- WAV codec -----------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    s = ((np.arange(1000, dtype=np.int64) * 2654435761) % 65536 - 32768).astype(
+        np.int16
+    )
+    out, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(out, s)
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_wav_rejects_stereo_float():
+    import struct
+
+    data = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 8000, 64000, 8, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="PCM16 mono"):
+        decode_wav(data)
+
+
+# ---- Spark-side operators ------------------------------------------------
+
+
+def test_sample_frames_matches_formula(spark, sf_dir):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    rows = (
+        sample_frames(attach_png(d), every_nth=3)
+        .orderBy("doc_id", "frame_idx")
+        .collect()
+    )
+    assert rows
+    for r in rows[:50]:
+        assert r.frame_idx % 3 == 0 and r.frame_idx < r.n_frames
+        w, h = r.width, r.height
+        xs = np.arange(w, dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        expect = int(
+            (
+                (r.doc_id * 31 + 7 * xs[None, :] + 13 * ys[:, None]
+                 + 17 * r.frame_idx) % 256
+            ).sum()
+        )
+        assert r.pixel_sum == expect, (r.doc_id, r.frame_idx)
+
+
+def test_audio_features_match_formula(spark, sf_dir):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    rows = audio_features(attach_wav(d)).orderBy("doc_id").collect()
+    assert rows
+    for r in rows[:50]:
+        i = np.arange(r.n_samples, dtype=np.int64)
+        s = (r.doc_id * 7919 + i * 2654435761) % 65536 - 32768
+        assert r.sum_sq == int((s * s).sum())
+        assert r.peak == int(np.abs(s).max())
+        assert r.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
