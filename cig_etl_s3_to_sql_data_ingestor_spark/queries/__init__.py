@@ -93,12 +93,13 @@ _HEAD = [
     "fulfillment_lag_quantiles",
     #    real audio modality (queries/text.py, operators/multimodal.py):
     "audio_features",
+    #    second wave: corpus health + Q8 market share:
+    "source_quality_funnel",
+    "market_share_by_year",
     # -- r3-green, untouched; re-scored to keep evidence fresh:
-    "dedup_exact",
-    "dedup_minhash",
     "token_count",
 ]
-# 92 queries, 50 scored slots. The 42 declared-tail entries are ALL
+# 94 queries, 50 scored slots. The 44 declared-tail entries are ALL
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4; tests/test_sql_surface.py asserts the unscored
 # set is EXACTLY this list, so any change to what goes unscored fails
@@ -107,6 +108,8 @@ _TAIL = [
     # r3-green freshness re-scores displaced from the head by the new
     # round-4 queries (all function-level untouched since their r3 row):
     "quality_score",
+    "dedup_exact",
+    "dedup_minhash",
     "budget_select",
     "sessionize",
     "deterministic_split",

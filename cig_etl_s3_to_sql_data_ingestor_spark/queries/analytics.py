@@ -1631,3 +1631,75 @@ def fulfillment_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share by year — the share of a region's revenue whose
+# SUPPLIER sits in one focus nation, per order year. A conditional
+# decimal sum over the joined fact gives numerator and denominator in
+# ONE aggregation pass; the share division runs on two identically
+# -derived doubles. nation/region broadcast; customer/supplier unhinted.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           CAST(SUM(CASE WHEN ns.n_name = 'CANADA' THEN {_REV_DEC}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS nation_rev,
+           CAST(SUM({_REV_DEC}) AS DOUBLE) AS region_rev,
+           CAST(SUM(CASE WHEN ns.n_name = 'CANADA' THEN {_REV_DEC}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV_DEC}) AS DOUBLE) AS market_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region r ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of AMERICA-region revenue supplied from CANADA, per year
+    (Q8 shape: conditional aggregate ratio in one pass)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nc = n.select(
+        F.col("n_nationkey").alias("nck"), F.col("n_regionkey").alias("nrk")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("nsk"), F.col("n_name").alias("supp_nation")
+    )
+    rr = r.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    dec0 = F.lit(0).cast("decimal(18,4)")
+    rev = _rev_dec().cast("decimal(18,4)")
+    nat = F.when(F.col("supp_nation") == "CANADA", rev).otherwise(dec0)
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nck"))
+        .join(F.broadcast(rr), F.col("nrk") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("nsk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(nat).cast("double").alias("nation_rev"),
+            F.sum(rev).cast("double").alias("region_rev"),
+            (F.sum(nat).cast("double") / F.sum(rev).cast("double")).alias(
+                "market_share"
+            ),
+        )
+        .orderBy("yr")
+    )

@@ -377,3 +377,71 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality funnel — the batch analog of the streaming quality
+# monitor: doc counts, exact-decimal mean quality, below-floor fraction,
+# mean length per source. The per-doc score is the same deterministic
+# double as quality_score; aggregation casts it to DECIMAL(18,9) so the
+# mean is order-independent at any parallelism (functions/exact.py rule).
+# One keyed shuffle on source with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from .text import _EN, SQL_TOKENS  # same proven stopword/token SQL
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             len({SQL_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             {_EN} AS stop_hits
+      FROM documents
+    ), q AS (
+      SELECT source, n_chars,
+             least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+               + least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4,
+                       1.0) * 0.4
+               + (1 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                            * 10, 1.0)) * 0.2
+               AS score
+      FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS mean_quality,
+           CAST(COUNT(*) FILTER (WHERE score < 0.5) AS DOUBLE) / COUNT(*)
+             AS frac_below_floor,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM q
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("source_quality_funnel", oracle=_funnel_oracle())
+def source_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-health summary from the quality heuristics."""
+    from ..operators.text import quality_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_scores(d, keep=("source",))
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("mean_quality"),
+            (
+                F.count(F.when(F.col("quality_score") < 0.5, 1)).cast("double")
+                / F.count("*")
+            ).alias("frac_below_floor"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
