@@ -102,6 +102,8 @@ HEADLINE = [
     "nation_quarterly_growth",
     "cheapest_supplier_per_part",
     "fulfillment_lag_quantiles",
+    "source_quality_funnel",
+    "market_share_by_year",
 ]
 
 
