@@ -104,6 +104,7 @@ HEADLINE = [
     "fulfillment_lag_quantiles",
     "source_quality_funnel",
     "market_share_by_year",
+    "ann_incremental",
 ]
 
 

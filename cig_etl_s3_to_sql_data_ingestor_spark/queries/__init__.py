@@ -93,13 +93,12 @@ _HEAD = [
     "fulfillment_lag_quantiles",
     #    real audio modality (queries/text.py, operators/multimodal.py):
     "audio_features",
-    #    second wave: corpus health + Q8 market share:
+    #    second wave: corpus health + Q8 market share + incremental ANN:
     "source_quality_funnel",
     "market_share_by_year",
-    # -- r3-green, untouched; re-scored to keep evidence fresh:
-    "token_count",
+    "ann_incremental",
 ]
-# 94 queries, 50 scored slots. The 44 declared-tail entries are ALL
+# 95 queries, 50 scored slots. The 45 declared-tail entries are ALL
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4; tests/test_sql_surface.py asserts the unscored
 # set is EXACTLY this list, so any change to what goes unscored fails
@@ -108,6 +107,7 @@ _TAIL = [
     # r3-green freshness re-scores displaced from the head by the new
     # round-4 queries (all function-level untouched since their r3 row):
     "quality_score",
+    "token_count",
     "dedup_exact",
     "dedup_minhash",
     "budget_select",

@@ -149,17 +149,22 @@ def _sql_kmeans_ctes(
     n_iters: int = 2,
     quant: int = 1_000_000,
     sample_mod: int | None = None,
+    init_from: str = "embeddings",
 ) -> str:
     """CTE chain reproducing operators.similarity.kmeans_centroids exactly:
     sorted init, per-iteration nearest-cell assign (cosine DESC, cell_id
     DESC tie-break), and the quantized-integer mean update (integer sums
     are order-independent, so both engines compute identical centroids).
     With ``sample_mod`` the mean updates see only the deterministic
-    md5-bucket sample, mirroring the operator's training sample."""
+    md5-bucket sample, mirroring the operator's training sample.
+    ``init_from`` overrides the init source (a table or parenthesized
+    subquery) when the corpus is a subset of ``embeddings`` — the
+    operator seeds from the CORPUS's lowest ids, so the mirror must
+    too."""
     train = "c"
     ctes = [
         f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
-        f"FROM embeddings WHERE vec_id < {n_cells})"
+        f"FROM {init_from} WHERE vec_id < {n_cells})"
     ]
     if sample_mod is not None:
         train = "train"
@@ -337,3 +342,75 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_duplicates(e, block_col="label", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+_B5 = _sql_hash_bucket("vec_id", 5)
+
+
+@register(
+    "ann_incremental",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding, {_B5} AS b FROM embeddings),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec
+          FROM base WHERE b <> 0),
+    {_sql_kmeans_ctes(sample_mod=2, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM base WHERE b = 0),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.query_id, q.query_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 12
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             {_sql_cosine('p.query_vec', 'a.cand_vec')} AS cosine_sim
+      FROM assigned a JOIN probes p USING (cell_id)
+      WHERE a.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: a new crawl batch (the ~1/5
+    md5-bucket of embeddings) is ANN-joined against the EXISTING corpus
+    using centroids trained on that corpus alone — no retraining on
+    arrival, no corpus reshuffle (the mirror of dedup_incremental's
+    signature-store pattern, for vectors).
+
+    At 100 TB this is the steady-state ingest path: centroids live in a
+    persisted index table (here retrained deterministically because the
+    fixture has no cross-run storage), each arriving batch is assigned
+    map-side against the broadcast centroids, probed against its
+    n_probe best cells, and only those cells' members are re-ranked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 5
+    )
+    corpus = e.filter(bucket != 0)
+    batch = e.filter(bucket == 0)
+    cent = S.kmeans_centroids(corpus, n_cells=16, n_iters=2, sample_mod=2).select(
+        F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+    )
+    return S.ivf_topk(
+        corpus, batch, k=5, n_cells=16, n_probe=12, centroids=cent
+    ).orderBy("query_id", "rank")
