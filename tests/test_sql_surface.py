@@ -32,6 +32,7 @@ PORTABLE = [
     "quarterly_top_supplier",
     "nation_quarterly_growth",
     "cheapest_supplier_per_part",
+    "market_share_by_year",
 ]
 
 
