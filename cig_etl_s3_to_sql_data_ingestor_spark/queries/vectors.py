@@ -344,16 +344,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_B5 = _sql_hash_bucket("vec_id", 5)
+_B16 = _sql_hash_bucket("vec_id", 16)
 
 
 @register(
     "ann_incremental",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding, {_B5} AS b FROM embeddings),
+    WITH base AS (SELECT vec_id, embedding, {_B16} AS b FROM embeddings),
     c AS (SELECT vec_id AS cand_id, embedding AS cand_vec
           FROM base WHERE b <> 0),
-    {_sql_kmeans_ctes(sample_mod=2, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
+    {_sql_kmeans_ctes(sample_mod=4, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
     assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
@@ -389,7 +389,7 @@ _B5 = _sql_hash_bucket("vec_id", 5)
     """,
 )
 def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental index maintenance: a new crawl batch (the ~1/5
+    """Incremental index maintenance: a new crawl batch (the ~1/16
     md5-bucket of embeddings) is ANN-joined against the EXISTING corpus
     using centroids trained on that corpus alone — no retraining on
     arrival, no corpus reshuffle (the mirror of dedup_incremental's
@@ -404,11 +404,11 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
         .cast("long")
-        % 5
+        % 16
     )
     corpus = e.filter(bucket != 0)
     batch = e.filter(bucket == 0)
-    cent = S.kmeans_centroids(corpus, n_cells=16, n_iters=2, sample_mod=2).select(
+    cent = S.kmeans_centroids(corpus, n_cells=16, n_iters=2, sample_mod=4).select(
         F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
     )
     return S.ivf_topk(
