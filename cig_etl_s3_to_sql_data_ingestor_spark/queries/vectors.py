@@ -159,8 +159,9 @@ def _sql_kmeans_ctes(
     md5-bucket sample, mirroring the operator's training sample.
     ``init_from`` overrides the init source (a table or parenthesized
     subquery) when the corpus is a subset of ``embeddings`` — the
-    operator seeds from the CORPUS's lowest ids, so the mirror must
-    too."""
+    operator seeds with the corpus rows satisfying ``vec_id < n_cells``
+    (which can be FEWER than n_cells seeds on a subset corpus), so the
+    mirror must apply the identical predicate to the identical subset."""
     train = "c"
     ctes = [
         f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
@@ -206,12 +207,13 @@ def _sql_kmeans_ctes(
     return ",\n    ".join(ctes)
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
-    {_sql_kmeans_ctes(sample_mod=4)},
-    assigned AS (
+def _sql_ivf_search(n_probe: int = 12, k: int = 5) -> str:
+    """IVF search tail shared by every IVF-family oracle: nearest-cell
+    corpus assignment, n_probe query probes, probed-cell scoring, and the
+    (cosine DESC, cand_id) top-k rank — one spelling of the tie-breaks
+    and constants, so the mirrors cannot diverge. Expects CTEs ``c``
+    (cand_id, cand_vec), ``q`` (query_id, query_vec) and ``cent``."""
+    return f"""assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
                ROW_NUMBER() OVER (PARTITION BY c.cand_id
@@ -220,7 +222,6 @@ def _sql_kmeans_ctes(
         FROM c CROSS JOIN cent
       ) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
     probes AS (
       SELECT query_id, query_vec, cell_id FROM (
         SELECT q.query_id, q.query_vec, cent.cell_id,
@@ -228,7 +229,7 @@ def _sql_kmeans_ctes(
                                   ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
                                            cent.cell_id DESC) AS rn
         FROM q CROSS JOIN cent
-      ) WHERE rn <= 12
+      ) WHERE rn <= {n_probe}
     ),
     scored AS (
       SELECT p.query_id, a.cand_id,
@@ -241,7 +242,16 @@ def _sql_kmeans_ctes(
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cosine_sim DESC, cand_id) AS rank
       FROM scored
-    ) WHERE rank <= 5 ORDER BY query_id, rank
+    ) WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+    {_sql_ivf_search(n_probe=12, k=5)}
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,38 +364,9 @@ _B16 = _sql_hash_bucket("vec_id", 16)
     c AS (SELECT vec_id AS cand_id, embedding AS cand_vec
           FROM base WHERE b <> 0),
     {_sql_kmeans_ctes(sample_mod=4, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
-    assigned AS (
-      SELECT cand_id, cand_vec, cell_id FROM (
-        SELECT c.cand_id, c.cand_vec, cent.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY c.cand_id
-                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
-                                           cent.cell_id DESC) AS rn
-        FROM c CROSS JOIN cent
-      ) WHERE rn = 1
-    ),
     q AS (SELECT vec_id AS query_id, embedding AS query_vec
           FROM base WHERE b = 0),
-    probes AS (
-      SELECT query_id, query_vec, cell_id FROM (
-        SELECT q.query_id, q.query_vec, cent.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
-                                           cent.cell_id DESC) AS rn
-        FROM q CROSS JOIN cent
-      ) WHERE rn <= 12
-    ),
-    scored AS (
-      SELECT p.query_id, a.cand_id,
-             {_sql_cosine('p.query_vec', 'a.cand_vec')} AS cosine_sim
-      FROM assigned a JOIN probes p USING (cell_id)
-      WHERE a.cand_id <> p.query_id
-    )
-    SELECT query_id, cand_id, cosine_sim, rank FROM (
-      SELECT query_id, cand_id, cosine_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, cand_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5 ORDER BY query_id, rank
+    {_sql_ivf_search(n_probe=12, k=5)}
     """,
 )
 def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,12 +381,10 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no cross-run storage), each arriving batch is assigned
     map-side against the broadcast centroids, probed against its
     n_probe best cells, and only those cells' members are re-ranked."""
+    from ..functions.hashing import md5_bucket
+
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 16
-    )
+    bucket = md5_bucket(F.col("vec_id"), 16)
     corpus = e.filter(bucket != 0)
     batch = e.filter(bucket == 0)
     cent = S.kmeans_centroids(corpus, n_cells=16, n_iters=2, sample_mod=4).select(

@@ -32,11 +32,18 @@ CASES = [
 def _rows(spark, sf_dir, name, partitions):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    # Queries that persist intermediates (e.g. dedup_minhash's signature
+    # frame) would otherwise have the SECOND run's plan silently rewritten
+    # to reuse the FIRST partitioning's InMemoryRelation — the stage under
+    # test would never re-execute. Clear before each run and after, so no
+    # cached fragment leaks into this comparison or into later tests.
+    spark.catalog.clearCache()
     try:
         df = QUERIES[name](spark, sf_dir)
         return sorted(map(repr, (tuple(r) for r in df.collect())))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", CASES)
