@@ -105,6 +105,10 @@ HEADLINE = [
     "source_quality_funnel",
     "market_share_by_year",
     "ann_incremental",
+    # round 4, late session — Q6/Q17 gap fill + skew diagnostics
+    "discount_band_revenue",
+    "small_quantity_revenue",
+    "heavy_hitter_keys",
 ]
 
 

@@ -71,3 +71,55 @@ def profile_columns(
             "p.min_value", "p.max_value",
         )
     )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/partition-skew diagnostic for a key column: the top-``top_k``
+    heaviest keys with their share and cumulative share of all rows, plus
+    the corpus-wide context (row count, key count, mean rows/key, and the
+    max/mean skew factor) repeated on every row.
+
+    This is the measurement that decides whether a 100 TB join on
+    ``key_col`` needs salting (`partitioning.salted_join`) or AQE skew
+    splitting: a skew_factor near 1 means uniform keys; a heavy head in
+    ``cum_share_pct`` means the top keys dominate and the shuffle will
+    straggle without mitigation.
+
+    Cost shape: ONE shuffle (the per-key partial aggregate); the top-k is
+    a distributed TakeOrdered (sort + limit, never a global sort), the
+    context stats are a 1-row aggregate OF the per-key aggregate, and the
+    rank/cumulative window runs only over the ``top_k`` surviving rows.
+    """
+    from pyspark.sql import Window as W
+
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_rows"))
+    ctx = per_key.agg(
+        F.sum("key_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").alias("max_key_rows"),
+    )
+    top = per_key.orderBy(F.col("key_rows").desc(), F.col(key_col)).limit(top_k)
+    w = W.orderBy(F.col("key_rows").desc(), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(ctx))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_rows",
+            F.sum("key_rows").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select(
+            "rank",
+            F.col(key_col).alias("key"),
+            "key_rows",
+            (F.col("key_rows") * 100.0 / F.col("total_rows")).alias("share_pct"),
+            (F.col("cum_rows") * 100.0 / F.col("total_rows")).alias(
+                "cum_share_pct"
+            ),
+            "total_rows",
+            "n_keys",
+            (
+                F.col("max_key_rows") * F.col("n_keys") / F.col("total_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy("rank")
+    )

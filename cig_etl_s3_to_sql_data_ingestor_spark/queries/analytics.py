@@ -1703,3 +1703,135 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast-revenue-change — a pure filter + global aggregate,
+# grouped here by the discount band so the answer shows *which* discount
+# level carries the revenue. Everything pushes into the scan (shipdate
+# year, discount band, quantity cap are all PushedFilters); the aggregate
+# is map-side partial over at most 3 groups. At 100 TB this is the
+# cheapest query shape the engine runs: no join, no wide shuffle — the
+# shuffle moves 3 rows per task.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "discount_band_revenue",
+    oracle="""
+    SELECT l_discount,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS discount_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    GROUP BY l_discount
+    ORDER BY l_discount
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue the 1996 discount band 5-7% gave away on small-quantity
+    lines (Q6 flavor), per discount level.
+
+    Parity notes: the band compares the raw stored doubles against
+    literal doubles (identical bits in both engines); the revenue term is
+    decimal x decimal so accumulation order cannot change the sum.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy("l_discount")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc_rev).cast("double").alias("discount_revenue"),
+        )
+        .orderBy("l_discount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue. The correlated "quantity below
+# half of this part's average" is decorrelated into a per-part aggregate
+# joined back to lineitem — both shuffles key on partkey, so AQE can plan
+# them into one exchange reuse. The 0.5 x avg comparison is rewritten in
+# ALL-INTEGER arithmetic (2*qty*cnt < sum_qty) so no engine's float
+# division can flip a boundary row: quantities are integer-valued, and
+# the rewrite is exactly equivalent to qty < 0.5 * sum/cnt. (TPC-H uses
+# 0.2 x avg; with this fixture's uniform 1-50 quantities that keeps ~0
+# rows at small sf, so the audit uses the half-average band.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH bparts AS (
+      SELECT p_partkey, p_brand FROM part
+      WHERE p_brand IN ('Brand#4', 'Brand#12', 'Brand#13', 'Brand#23') AND p_size <= 25
+    ),
+    qstats AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem JOIN bparts ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT b.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           {sql_exact_sum("l.l_extendedprice", 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN bparts b ON l.l_partkey = b.p_partkey
+    JOIN qstats q ON l.l_partkey = q.l_partkey
+    WHERE 2 * CAST(l.l_quantity AS BIGINT) * q.cnt < q.sum_qty
+    GROUP BY b.p_brand
+    ORDER BY b.p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue lost to small-quantity orders of four brands'
+    small parts (Q17 flavor), per brand.
+
+    bparts is a filtered dimension -> broadcast to both lineitem passes;
+    the per-part quantity stats and the probe join both shuffle lineitem
+    on l_partkey only. The sub-average predicate is integer-exact."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#4", "Brand#12", "Brand#13", "Brand#23")
+            & (F.col("p_size") <= 25)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    qstats = lb.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    small = lb.join(qstats, "l_partkey").filter(
+        F.lit(2) * F.col("l_quantity").cast("bigint") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            (exact_sum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
+        )
+        .orderBy("p_brand")
+    )

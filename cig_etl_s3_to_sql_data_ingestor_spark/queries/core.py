@@ -632,3 +632,47 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_columns(li, _PROFILE_COLS, approx=False).orderBy("col_name")
+
+
+@register(
+    "heavy_hitter_keys",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS key_rows FROM events GROUP BY user_id
+    ),
+    ctx AS (
+      SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(key_rows) AS BIGINT) AS max_key_rows
+      FROM per_key
+    ),
+    top AS (
+      SELECT user_id, CAST(key_rows AS BIGINT) AS key_rows
+      FROM per_key ORDER BY key_rows DESC, user_id LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, user_id) AS INTEGER)
+             AS rank,
+           user_id AS key,
+           key_rows,
+           CAST(key_rows AS DOUBLE) * 100.0 / total_rows AS share_pct,
+           CAST(SUM(key_rows) OVER (ORDER BY key_rows DESC, user_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+             * 100.0 / total_rows AS cum_share_pct,
+           total_rows,
+           n_keys,
+           CAST(max_key_rows * n_keys AS DOUBLE) / total_rows AS skew_factor
+    FROM top CROSS JOIN ctx
+    ORDER BY rank
+    """,
+)
+def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest event keys + skew factor (operators.profile.skew_report):
+    the diagnostic that decides whether a join on ``user_id`` needs
+    salting or AQE skew splitting before it runs at scale. One shuffle
+    (per-key partial agg); top-k via TakeOrdered; windows only over the
+    10 surviving rows."""
+    from ..operators.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10)

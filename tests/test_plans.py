@@ -330,3 +330,33 @@ def test_quantile_windows_are_keyed(spark, sf_dir):
 
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", analyzed):
         assert "o_orderpriority" in m.group(1), analyzed
+
+
+def test_discount_band_filters_push_to_scan(spark, sf_dir):
+    """Q6-flavor: every predicate (shipdate range, discount band,
+    quantity cap) must reach the lineitem scan as PushedFilters, and the
+    3-group aggregate must be map-side partial."""
+    plan = explain(spark, sf_dir, "discount_band_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in discount_band_revenue scan"
+    joined = " ".join(pushed)
+    for col in ("l_discount", "l_quantity", "l_shipdate"):
+        assert col in joined, f"{col} not pushed: {joined}"
+    assert plan.count("HashAggregate") >= 2, "aggregate not partial+final"
+
+
+def test_small_quantity_part_dim_is_broadcast(spark, sf_dir):
+    """Q17-flavor: the filtered part dimension must broadcast to BOTH
+    lineitem passes — the fact table shuffles only on l_partkey for the
+    decorrelated average, never for the dimension."""
+    plan = explain(spark, sf_dir, "small_quantity_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_topk_is_take_ordered(spark, sf_dir):
+    """Skew report: the top-k must be a distributed TakeOrdered, and the
+    only unbounded window runs over the 10 post-limit rows."""
+    plan = explain(spark, sf_dir, "heavy_hitter_keys")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan  # ctx broadcast is 1 row
