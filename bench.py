@@ -109,6 +109,8 @@ HEADLINE = [
     "discount_band_revenue",
     "small_quantity_revenue",
     "heavy_hitter_keys",
+    "bpe_merge_steps",
+    "bpe_corpus_compression",
 ]
 
 

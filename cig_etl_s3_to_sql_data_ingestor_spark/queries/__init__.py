@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 98 queries, 50 scored slots. The declared-tail entries are either
+# 100 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -160,6 +160,8 @@ _TAIL = [
     "discount_band_revenue",
     "small_quantity_revenue",
     "heavy_hitter_keys",
+    "bpe_merge_steps",
+    "bpe_corpus_compression",
 ]
 
 _order = (

@@ -445,3 +445,134 @@ def source_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword induction (operators/bpe.py): the tokenizer-construction
+# step of a training-data pipeline, with the full greedy merge loop
+# mirrored in unrolled DuckDB CTEs — the same deterministic algorithm in
+# three independent implementations (Python trainer, in-plan DataFrame
+# loop, SQL oracle). Merge application is leftmost non-overlapping
+# replacement of " L R " in a space-padded symbol string, which Spark's,
+# DuckDB's and Python's literal `replace` all share; ties break on the
+# ascending pair string.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 8
+
+
+def _sql_bpe_ctes(n_steps: int) -> str:
+    """w0/s0 + (p_k, b_k, s_k, r_k) per unrolled greedy step: pair
+    counts, 1-row argmax, merge application, step report."""
+    ctes = [
+        f"w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"  SELECT unnest({_SQL_TOK}) AS word FROM documents) GROUP BY word)",
+        "s0 AS (SELECT word, n,"
+        " ' ' || array_to_string(list_transform("
+        "   generate_series(1, length(word)), i -> substring(word, i, 1)), ' ')"
+        " || ' ' AS syms FROM w0)",
+    ]
+    for k in range(1, n_steps + 1):
+        prev = f"s{k - 1}"
+        ctes += [
+            f"""p{k} AS (
+      SELECT pair, SUM(n) AS merge_count FROM (
+        SELECT n, unnest(CASE WHEN len(tk) >= 2 THEN list_transform(
+            generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+          ELSE [] END) AS pair
+        FROM (SELECT n, string_split(trim(syms), ' ') AS tk FROM {prev})
+      ) GROUP BY pair)""",
+            f"""b{k} AS (SELECT pair, merge_count FROM p{k}
+      ORDER BY merge_count DESC, pair LIMIT 1)""",
+            f"""s{k} AS (
+      SELECT w.word, w.n,
+             replace(w.syms, ' ' || b.pair || ' ',
+                     ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+      FROM {prev} w CROSS JOIN b{k} b)""",
+            f"""r{k} AS (
+      SELECT CAST({k} AS INTEGER) AS step,
+             split_part(b.pair, ' ', 1) AS left_sym,
+             split_part(b.pair, ' ', 2) AS right_sym,
+             CAST(b.merge_count AS BIGINT) AS merge_count,
+             (SELECT CAST(SUM(n * len(string_split(trim(syms), ' '))) AS BIGINT)
+              FROM s{k}) AS corpus_tokens_after
+      FROM b{k} b)""",
+        ]
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "bpe_merge_steps",
+    oracle=f"""
+    WITH {_sql_bpe_ctes(_BPE_STEPS)}
+    SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM r{k}" for k in range(1, _BPE_STEPS + 1))})
+    ORDER BY step
+    """,
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 greedy BPE merges learned from the corpus, with each
+    step's merged-pair frequency and the corpus token count after it.
+
+    Scale shape (operators/bpe.py): the only corpus-scale pass is the
+    word-count shuffle; every merge step then runs on the vocabulary
+    -bounded symbol frame (pair explode + partial agg + 1-row TakeOrdered
+    argmax broadcast back), with lineage cut per step."""
+    from ..operators.bpe import bpe_merge_steps_df, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_steps_df(spark, word_counts(d), _BPE_STEPS)
+
+
+@register(
+    "bpe_corpus_compression",
+    oracle=f"""
+    WITH {_sql_bpe_ctes(_BPE_STEPS)},
+    enc AS (
+      SELECT word,
+             CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_subwords
+      FROM s{_BPE_STEPS}
+    ),
+    toks AS (
+      SELECT source, unnest({_SQL_TOK}) AS word FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+           CAST(SUM(e.n_subwords) AS DOUBLE) / COUNT(*) AS subwords_per_word
+    FROM toks t JOIN enc e ON t.word = e.word
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword/word ratio under the 8-merge BPE vocabulary —
+    the compression accounting that tells a pipeline how many training
+    tokens each source will actually produce.
+
+    The encoded vocabulary (word -> subword count) comes straight from
+    the training plan's final symbol frame and is broadcast onto the
+    exploded corpus tokens: the corpus-scale path is one explode + one
+    broadcast join + one partial agg, zero Python."""
+    from ..operators.bpe import bpe_train_plan, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    _, encoded = bpe_train_plan(spark, word_counts(d), _BPE_STEPS)
+    enc = encoded.select(
+        "word",
+        F.size(F.split(F.trim(F.col("syms")), " ")).cast("bigint").alias(
+            "n_subwords"
+        ),
+    )
+    toks = d.select("source", F.explode(tokens_col("text")).alias("word"))
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+            (
+                F.sum("n_subwords").cast("double") / F.count(F.lit(1))
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -360,3 +360,21 @@ def test_heavy_hitters_topk_is_take_ordered(spark, sf_dir):
     plan = explain(spark, sf_dir, "heavy_hitter_keys")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan  # ctx broadcast is 1 row
+
+
+def test_bpe_compression_vocab_join_is_broadcast(spark, sf_dir):
+    """The corpus-scale path of bpe_corpus_compression is exploded
+    tokens joined to the (bounded) encoded vocabulary — that join must
+    broadcast the vocabulary side, and nothing may go cartesian (the
+    per-step argmax joins are 1-row broadcasts)."""
+    plan = explain(spark, sf_dir, "bpe_corpus_compression")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_step_argmax_is_take_ordered(spark, sf_dir):
+    """Each greedy step's argmax must be a distributed TakeOrdered over
+    the pair counts, never a global sort or window."""
+    plan = explain(spark, sf_dir, "bpe_merge_steps")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
