@@ -111,6 +111,7 @@ HEADLINE = [
     "heavy_hitter_keys",
     "bpe_merge_steps",
     "bpe_corpus_compression",
+    "cms_word_frequency",
 ]
 
 

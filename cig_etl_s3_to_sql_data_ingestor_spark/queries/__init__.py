@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 100 queries, 50 scored slots. The declared-tail entries are either
+# 101 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -162,6 +162,7 @@ _TAIL = [
     "heavy_hitter_keys",
     "bpe_merge_steps",
     "bpe_corpus_compression",
+    "cms_word_frequency",
 ]
 
 _order = (

@@ -576,3 +576,97 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py): the bounded-memory frequency
+# structure for key spaces too large to count exactly. depth=3, width=16
+# here — deliberately tiny so the fixture vocabulary collides and the
+# one-sided error (estimate >= exact, never under) is visible in the
+# overestimate column. The sketch is md5-deterministic, so the oracle
+# rebuilds it cell-for-cell: exact values, no probabilistic envelope.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 3, 16, 15
+
+
+def _sql_md5_mod(arg: str, mod: int) -> str:
+    """strpos-polynomial hex decode of md5(arg)'s first 6 digits, mod —
+    the engine-portable mirror of functions.hashing.md5_bucket (see
+    queries/corpus.py on why not a hex-literal cast)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({digits}) % {mod})"
+
+
+_CMS_HASH_ARG = "CAST(row_idx AS VARCHAR) || '|' || word"
+
+
+@register(
+    "cms_word_frequency",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOK}) AS word FROM documents),
+    js AS (SELECT unnest([{", ".join(str(j) for j in range(_CMS_DEPTH))}]) AS row_idx),
+    cells AS (
+      SELECT row_idx, {_sql_md5_mod(_CMS_HASH_ARG, _CMS_WIDTH)} AS bucket,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN js GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY word
+    ),
+    top AS (
+      SELECT word, exact_count FROM exact
+      ORDER BY exact_count DESC, word LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.word, t.exact_count, j.row_idx,
+             {_sql_md5_mod(_CMS_HASH_ARG, _CMS_WIDTH)} AS bucket
+      FROM top t CROSS JOIN js j
+    ),
+    est AS (
+      SELECT word, exact_count,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate
+      FROM probes p
+      LEFT JOIN cells c ON p.row_idx = c.row_idx AND p.bucket = c.bucket
+      GROUP BY word, exact_count
+    )
+    SELECT word, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, word
+    """,
+)
+def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the corpus's top words.
+
+    Build: one shuffle into depth x width counters (partial agg = sketch
+    merge). Probe: broadcast the sketch onto the candidate keys. The
+    overestimate column is the CMS's one-sided error, visible here
+    because width=16 forces collisions."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col("text")).alias("word"))
+    sketch = cms_build(toks, "word", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("word")).limit(
+        _CMS_TOPK
+    )
+    est = cms_estimate(
+        sketch, top.select("word"), "word", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return (
+        top.join(F.broadcast(est), "word")
+        .select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("word"))
+    )

@@ -378,3 +378,21 @@ def test_bpe_merge_step_argmax_is_take_ordered(spark, sf_dir):
     plan = explain(spark, sf_dir, "bpe_merge_steps")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_registered_query_is_cartesian_or_row_python(spark, sf_dir):
+    """Blanket sweep over EVERY registered query: the physical plan may
+    not contain a CartesianProduct (broadcast-singleton cross joins plan
+    as BroadcastNestedLoopJoin and are exempt by design) nor a
+    row-at-a-time Python eval (BatchEvalPython) — Python is allowed only
+    as Arrow-batched MapInPandas/FlatMapGroupsInPandas. Per-query pins
+    above catch specifics; this catches the NEXT query someone adds
+    without one."""
+    offenders = []
+    for name in QUERIES:
+        plan = explain(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders

@@ -60,3 +60,38 @@ def test_profile_columns_default_hll_within_envelope(spark, sf_dir):
         assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
             3, 0.1 * exact[c].n_distinct
         )
+
+
+def test_cms_never_underestimates_and_is_partition_invariant(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "key string")
+    exact = {r.key: r.n for r in df.groupBy("key").count().withColumnRenamed("count", "n").collect()}
+    keys = df.select("key").distinct()
+    for parts in (2, 37):
+        d = df.repartition(parts)
+        sk = cms_build(d, "key", depth=3, width=4)
+        est = {
+            r.key: r.cms_estimate
+            for r in cms_estimate(sk, keys, "key", depth=3, width=4).collect()
+        }
+        # One-sided error: estimates never undercount.
+        for k, n in exact.items():
+            assert est[k] >= n, (k, est[k], n)
+        # Total sketch mass per row equals the corpus size (merge = sum).
+        per_row = {
+            r.row_idx: r.s
+            for r in sk.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+        }
+        assert set(per_row.values()) == {500}
+    # Deterministic: both partitionings give identical estimates.
+    sk2 = cms_build(df.repartition(5), "key", depth=3, width=4)
+    est2 = {
+        r.key: r.cms_estimate
+        for r in cms_estimate(sk2, keys, "key", depth=3, width=4).collect()
+    }
+    assert est2 == est
