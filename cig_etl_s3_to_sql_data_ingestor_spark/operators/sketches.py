@@ -64,3 +64,56 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
+
+
+def _bloom_bit(key_col: str, n_bits: int):
+    return md5_bucket(
+        F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col(key_col)),
+        n_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter as a DataFrame of set bit positions ``(bit,)`` —
+    at most ``n_bits`` rows regardless of key cardinality, built with
+    one distinct-aggregate shuffle. Union of two filters = union of
+    their bit frames; that associativity is what lets partial aggregates
+    build it distributed."""
+    hashes = F.explode(
+        F.array(*[F.lit(j) for j in range(n_hashes)])
+    ).alias("hash_idx")
+    return (
+        df.select(F.col(key_col), hashes)
+        .select(_bloom_bit(key_col, n_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``(key, bloom_hit)`` per probed key: hit iff ALL ``n_hashes``
+    positions are set. The bit frame is broadcast (bounded by
+    ``n_bits``), so the probe side — the corpus — never shuffles for
+    membership: the exact shape a 100 TB decontamination pass needs
+    (possible false positives, never false negatives; survivors of the
+    bloom gate go to the exact verify join, mirroring the LSH->Jaccard
+    two-stage dedup design)."""
+    hashes = F.explode(
+        F.array(*[F.lit(j) for j in range(n_hashes)])
+    ).alias("hash_idx")
+    probes = keys_df.select(F.col(key_col), hashes).withColumn(
+        "bit", _bloom_bit(key_col, n_bits)
+    )
+    marked = probes.join(
+        F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.min(F.coalesce(F.col("present"), F.lit(0))) == 1).alias("bloom_hit")
+    )

@@ -670,3 +670,101 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), F.col("word"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination gate (operators/sketches.py): membership n_bits=64 / n_hashes=2 are deliberately tiny so the fixture
+# shows real false positives — the quantity a pipeline must route to an
+# exact verify join. md5-deterministic, so the oracle rebuilds the
+# filter bit-for-bit and the false-positive counts compare exactly.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS, _BLOOM_HASHES = 4096, 2
+_BLOOM_HASH_ARG = "CAST(hash_idx AS VARCHAR) || '|' || word"
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, {_SQL_SHINGLES3} AS shingles
+      FROM (SELECT source, {_SQL_TOK} AS tokens FROM documents)
+    ),
+    toks AS (
+      SELECT DISTINCT source, unnest(shingles) AS word FROM sh
+    ),
+    ev AS (SELECT DISTINCT word FROM toks WHERE source = 'src0'),
+    js AS (SELECT unnest([{", ".join(str(j) for j in range(_BLOOM_HASHES))}]) AS hash_idx),
+    bits AS (
+      SELECT DISTINCT {_sql_md5_mod(_BLOOM_HASH_ARG, _BLOOM_BITS)} AS bit
+      FROM ev CROSS JOIN js
+    ),
+    pw AS (SELECT DISTINCT word FROM toks WHERE source <> 'src0'),
+    probes AS (
+      SELECT word, {_sql_md5_mod(_BLOOM_HASH_ARG, _BLOOM_BITS)} AS bit
+      FROM pw CROSS JOIN js
+    ),
+    hits AS (
+      SELECT word,
+             MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY word
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(h.hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_members,
+           CAST(SUM(CASE WHEN h.hit = 1 AND m.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives
+    FROM toks t
+    JOIN hits h ON t.word = h.word
+    LEFT JOIN ev m ON t.word = m.word
+    WHERE t.source <> 'src0'
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bloom-gate audit against the src0 shingle vocabulary:
+    how many distinct 3-gram shingles hit the filter, how many are true
+    members, and how many are false positives (the exact-verify
+    workload of a decontamination pass).
+
+    Scale shape: the filter is a bounded bit frame broadcast to the
+    probe; the corpus side reduces to per-source DISTINCT words and
+    never shuffles for membership."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(ngram_shingles_col("text", 3)).alias("word")
+    ).distinct()
+    ev = toks.filter(F.col("source") == "src0").select("word").distinct()
+    bits = bloom_build(ev, "word", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES)
+    pw = toks.filter(F.col("source") != "src0").select("word").distinct()
+    hits = bloom_probe(
+        bits, pw, "word", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES
+    )
+    member = ev.withColumn("is_member", F.lit(1))
+    return (
+        toks.filter(F.col("source") != "src0")
+        .join(F.broadcast(hits), "word")
+        .join(F.broadcast(member), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias(
+                "n_bloom_hits"
+            ),
+            F.sum(
+                F.when(F.col("is_member").isNotNull(), 1).otherwise(0)
+            ).alias("n_true_members"),
+            F.sum(
+                F.when(
+                    F.col("bloom_hit") & F.col("is_member").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_false_positives"),
+        )
+        .orderBy("source")
+    )

@@ -95,3 +95,38 @@ def test_cms_never_underestimates_and_is_partition_invariant(spark):
         for r in cms_estimate(sk2, keys, "key", depth=3, width=4).collect()
     }
     assert est2 == est
+
+
+def test_bloom_no_false_negatives_and_union_merge(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([(f"m{i}",) for i in range(50)], "key string")
+    b = spark.createDataFrame([(f"n{i}",) for i in range(50)], "key string")
+    outside = spark.createDataFrame(
+        [(f"x{i}",) for i in range(200)], "key string"
+    )
+    bits_a = bloom_build(a, "key", n_bits=128, n_hashes=2)
+    bits_b = bloom_build(b, "key", n_bits=128, n_hashes=2)
+    merged = bits_a.unionByName(bits_b).distinct()
+    # Every member of either set MUST hit the merged filter.
+    members = a.unionByName(b)
+    hits = bloom_probe(merged, members, "key", n_bits=128, n_hashes=2)
+    assert all(r.bloom_hit for r in hits.collect())
+    # Undersized filter: outsiders may false-positive but the probe is
+    # deterministic across partitionings.
+    h1 = {
+        r.key: r.bloom_hit
+        for r in bloom_probe(
+            bits_a, outside.repartition(2), "key", n_bits=128, n_hashes=2
+        ).collect()
+    }
+    h2 = {
+        r.key: r.bloom_hit
+        for r in bloom_probe(
+            bits_a, outside.repartition(37), "key", n_bits=128, n_hashes=2
+        ).collect()
+    }
+    assert h1 == h2
