@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no write cost). Warmup queries amortize JVM/codegen/Python-worker startup,
+and each query reports the min of $SPARK_GRAFT_BENCH_RUNS (default 3)
+runs — steady-state engine throughput, not session boot or JIT noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES  # noqa: E402
+from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "verification_query",
+    "shipping_priority",
+    "region_nation_revenue",
+    "top_returned_customers",
+    "nation_trade_volume",
+    "promo_revenue_share",
+    "customer_activity_setops",
+    "large_volume_orders",
+    "order_rollup",
+    "asof_last_click",
+    "events_in_windows",
+    "ann_ivf_topk",
+    "config_enrich_join",
+    "marker_antijoin",
+    "topk_per_group",
+    "partition_prune_counts",
+    "windowed_events",
+    "sessionize",
+    "sentinel_cleaning",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_canonical",
+    "budget_select",
+    "profile_table",
+    "tfidf_top_terms",
+    "token_count",
+    "quality_score",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "embedding_neardup",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_features",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "idle_customers",
+    "rolling_daily_revenue",
+    "price_deciles",
+    "fuzzy_name_pairs",
+    "scd2_user_state",
+    "order_cube",
+    # round 2: LLM training-data prep surface
+    "contamination_check",
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_sample",
+    "interleave_sources",
+    "pii_redaction",
+    # round 3: repetition/LM quality signals, cluster summary, mixture
+    # plan, exact-substring spans
+    "repetition_stats",
+    "char_lm_surprisal",
+    "embedding_clusters",
+    "source_mixture_plan",
+    "exact_substring_overlap",
+    "sole_return_supplier",
+    "dominant_part_suppliers",
+    "weekly_range_revenue",
+    # round 4 additions — real multimodal decode paths
+    "multimodal_frame_sample",
+    "audio_features",
+    # round 4 additions — corpus mining + analytic quantiles
+    "cross_source_overlap",
+    "ngram_diversity",
+    "text_normalize_stats",
+    "boilerplate_prefix_groups",
+    "vocab_stats",
+    "customer_order_distribution",
+    "quarterly_top_supplier",
+    "nation_quarterly_growth",
+    "cheapest_supplier_per_part",
+    "fulfillment_lag_quantiles",
+    "source_quality_funnel",
+    "market_share_by_year",
+    "ann_incremental",
+    # round 4, late session — Q6/Q17 gap fill + skew diagnostics
+    "discount_band_revenue",
+    "small_quantity_revenue",
+    "heavy_hitter_keys",
+    "bpe_merge_steps",
+    "bpe_corpus_compression",
+    "cms_word_frequency",
+    "bloom_decontamination",
+]
+
+
+def _profile_default_mode(spark, sf_dir):
+    """Bench the operator's DEFAULT (HLL, Expand-free) profile — the mode
+    a 100 TB profile runs. The registered `profile_table` QUERY opts into
+    exact distincts only because a cross-engine oracle needs exact
+    values; timing that validation form would misreport the operator."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.profile import profile_columns
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.core import _PROFILE_COLS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
+
+
+# name -> callable overriding QUERIES[name] for timing purposes only.
+BENCH_OVERRIDES = {"profile_table": _profile_default_mode}
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="cig-etl-bench")
+    # Warmup: boot executors + codegen on a trivial plan, and boot the
+    # Python (Arrow) workers so pandas-UDF queries measure throughput,
+    # not interpreter fork time.
+    materialize(QUERIES["distinct_keys"](spark, SF_DIR))
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # min-of-3 by default: the harness machine has bursty co-tenant load
+    # (observed 5-25x inflation for seconds at a time); three runs give
+    # each query a fair chance of one quiet measurement.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(runs):
+            # Drop caches persisted by a previous run of the same query —
+            # Spark's CacheManager matches by canonical plan, so without
+            # this a re-run would silently reuse the LSH signature caches
+            # and report a flattered time.
+            spark.catalog.clearCache()
+            fn = BENCH_OVERRIDES.get(name, QUERIES[name])
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:  # contention transparency: loadavg BEFORE this bench's own load decays
+        load1 = round(os.getloadavg()[1], 2)
+    except OSError:  # pragma: no cover
+        load1 = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(HEADLINE),
+                "loadavg5": load1,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
