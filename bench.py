@@ -113,6 +113,8 @@ HEADLINE = [
     "bpe_corpus_compression",
     "cms_word_frequency",
     "bloom_decontamination",
+    "conversion_funnel",
+    "cohort_retention",
 ]
 
 

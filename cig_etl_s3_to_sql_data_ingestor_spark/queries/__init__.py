@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 102 queries, 50 scored slots. The declared-tail entries are either
+# 104 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -164,6 +164,8 @@ _TAIL = [
     "bpe_corpus_compression",
     "cms_word_frequency",
     "bloom_decontamination",
+    "conversion_funnel",
+    "cohort_retention",
 ]
 
 _order = (

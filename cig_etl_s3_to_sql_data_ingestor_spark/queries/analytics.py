@@ -1835,3 +1835,187 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics additions: ordered conversion funnel and daily cohort
+# retention over the events stream. Both stay keyed by user_id for every
+# shuffle (no global windows); the funnel's stage counts are three tiny
+# 1-row aggregates broadcast together; retention joins each cohort row
+# to its offset-0 base with a broadcast (cohorts are calendar-bounded).
+# Day indexing uses an explicit epoch-anchored datediff so both engines
+# share one definition (no date_trunc semantics dependence).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM v) AS nv,
+             (SELECT COUNT(*) FROM c) AS nc,
+             (SELECT COUNT(*) FROM p) AS np
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+             CAST(nv AS BIGINT) AS n_users,
+             CAST(1.0 AS DOUBLE) AS conversion_from_prev
+      FROM counts
+      UNION ALL
+      SELECT 2, 'click', CAST(nc AS BIGINT), CAST(nc AS DOUBLE) / nv
+      FROM counts
+      UNION ALL
+      SELECT 3, 'purchase', CAST(np AS BIGINT), CAST(np AS DOUBLE) / nc
+      FROM counts
+    ) ORDER BY stage_idx
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users reaching each
+    stage IN ORDER (a click only counts after that user's first view),
+    with stage-to-stage conversion rates.
+
+    Each stage is a per-user min-timestamp aggregate joined to the
+    previous stage — every shuffle keys on user_id, and the three stage
+    counts are 1-row aggregates combined via broadcast."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", F.col("t").alias("vt")), "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", F.col("t").alias("ct")), "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("nv"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("nc"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("np"))))
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("nv").alias("n_users"),
+                    F.lit(1.0).alias("conversion_from_prev"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("nc").alias("n_users"),
+                    (F.col("nc").cast("double") / F.col("nv")).alias(
+                        "conversion_from_prev"
+                    ),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("np").alias("n_users"),
+                    (F.col("np").cast("double") / F.col("nc")).alias(
+                        "conversion_from_prev"
+                    ),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.*").orderBy("stage_idx")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+        CAST(CAST(e.ts AS DATE) - DATE '1995-01-02' AS BIGINT) AS dy,
+        CAST(f.d0 - DATE '1995-01-02' AS BIGINT) AS cohort_day
+      FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    ret AS (
+      SELECT cohort_day, dy - cohort_day AS offset_days,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_day, dy
+    ),
+    base AS (
+      SELECT cohort_day, n_active AS n0 FROM ret WHERE offset_days = 0
+    )
+    SELECT r.cohort_day, CAST(r.offset_days AS BIGINT) AS offset_days,
+           r.n_active, CAST(r.n_active AS DOUBLE) / b.n0 AS retention
+    FROM ret r JOIN base b ON r.cohort_day = b.cohort_day
+    ORDER BY r.cohort_day, r.offset_days
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort triangle: users grouped by first-activity day,
+    fraction still active N days later.
+
+    Activity reduces to DISTINCT (user, day) pairs first — the corpus
+    -scale dedup — then the per-(cohort, offset) counts are a bounded
+    calendar-sized aggregate; the offset-0 base joins back broadcast.
+    The day index is an explicit epoch-anchored datediff in both
+    engines."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    anchor = F.lit("1995-01-02").cast("date")
+    act = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), anchor).cast("bigint").alias(
+                "dy"
+            ),
+            F.datediff(F.col("d0"), anchor).cast("bigint").alias("cohort_day"),
+        )
+        .distinct()
+    )
+    ret = act.groupBy("cohort_day", "dy").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).select(
+        "cohort_day",
+        (F.col("dy") - F.col("cohort_day")).alias("offset_days"),
+        "n_active",
+    )
+    base = ret.filter(F.col("offset_days") == 0).select(
+        "cohort_day", F.col("n_active").alias("n0")
+    )
+    return (
+        ret.join(F.broadcast(base), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("n0")).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
