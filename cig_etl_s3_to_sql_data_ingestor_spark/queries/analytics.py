@@ -2019,3 +2019,59 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "offset_days")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM nxt WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+           CAST(n_trans AS DOUBLE)
+             / SUM(n_trans) OVER (PARTITION BY from_type) AS p_next
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type).
+
+    The LEAD window keys on user_id (per-user state fits one partition's
+    sort — never a global window), successor pairs reduce to a
+    #event_types^2-bounded aggregate, and the normalizing row-sum window
+    runs over that bounded aggregate only. Ties at equal timestamps are
+    broken by event_id in BOTH engines, so the successor relation is
+    total-ordered and deterministic. Generalizes the reference's
+    per-entity latest-state scans (CheckTimeStampSQLServer.py:36-55)
+    into sequence analytics.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = nxt.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    wrow = W.partitionBy("from_type")
+    return (
+        c.select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            (
+                F.col("n_trans").cast("double") / F.sum("n_trans").over(wrow)
+            ).alias("p_next"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -211,3 +211,138 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "score", "rnk")
         .orderBy("source", "rnk")
     )
+
+
+# Rank-error envelope for approx quantiles, mirroring the HLL envelope
+# trick in approx_distinct_stats: the output carries exact, engine
+# -reproducible anchors (the value at index floor((n-1)*q) of the sorted
+# group) plus a deterministic boolean asserting Spark's Greenwald-Khanna
+# sketch met its documented rank-error contract (<= n/accuracy). The
+# approximate estimate itself never reaches the output, so merge-order
+# nondeterminism in the sketch cannot flip a hash.
+QUANTILE_ACCURACY = 1000
+QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "approx_quantile_envelope",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q)
+    SELECT r.l_returnflag, qs.q,
+           r.l_extendedprice AS exact_value,
+           CAST(r.n AS BIGINT) AS n,
+           TRUE AS approx_within_rank_error
+    FROM ranked r JOIN qs
+      ON r.rn - 1 = CAST(FLOOR((r.n - 1) * qs.q) AS BIGINT)
+    ORDER BY r.l_returnflag, qs.q
+    """,
+)
+def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price quantiles: exact index-picked anchors plus a
+    proof that ``percentile_approx`` stayed inside its rank-error bound.
+
+    The exact anchor is the value at sorted index floor((n-1)*q) — a
+    keyed window, integer index pick, no interpolation, so both engines
+    select the identical double. The envelope check ranks Spark's GK
+    estimate by counting rows strictly-below / at-or-below it (one
+    conditional aggregate against the broadcast 12-row estimate frame)
+    and asserts the rank interval intersects [q*n - n/acc - 1,
+    q*n + n/acc + 1]. At 100 TB the sketch (one pass, bounded memory,
+    mergeable partials) is the production path and the exact anchor is
+    the audit; here both run so the contract is machine-checked.
+    """
+    from pyspark.sql import Window as W
+
+    acc = QUANTILE_ACCURACY
+    qlits = F.array(*[F.lit(q) for q in QUANTILE_LEVELS])
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+    est = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", list(QUANTILE_LEVELS), acc
+            ).alias("ests"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.posexplode("ests").alias("pos", "est"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.element_at(qlits, F.col("pos") + 1).alias("q"),
+            "est",
+        )
+    )
+
+    # Rank the estimate exactly: rows strictly below / at-or-below it.
+    ranks = (
+        li.join(
+            F.broadcast(est.select("l_returnflag", "q", "est")), "l_returnflag"
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("est"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w))
+    exact = (
+        ranked.join(
+            F.broadcast(
+                est.select("l_returnflag", "n", "q").distinct()
+            ),
+            "l_returnflag",
+        )
+        .filter(
+            F.col("rn") - 1
+            == F.floor((F.col("n") - 1) * F.col("q")).cast("bigint")
+        )
+        .select(
+            "l_returnflag",
+            "q",
+            F.col("l_extendedprice").alias("exact_value"),
+            "n",
+        )
+    )
+
+    lo = F.col("q") * F.col("n") - F.col("n") / acc - 1
+    hi = F.col("q") * F.col("n") + F.col("n") / acc + 1
+    checked = (
+        ranks.join(
+            est.select("l_returnflag", "q", "n").distinct(),
+            ["l_returnflag", "q"],
+        )
+        .select(
+            "l_returnflag",
+            "q",
+            ((F.col("n_lt") + 1 <= hi) & (F.col("n_le") >= lo)).alias(
+                "approx_within_rank_error"
+            ),
+        )
+    )
+    return (
+        exact.join(checked, ["l_returnflag", "q"])
+        .select(
+            "l_returnflag", "q", "exact_value", "n", "approx_within_rank_error"
+        )
+        .orderBy("l_returnflag", "q")
+    )

@@ -768,3 +768,107 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution — the
+# "how far does this source's token mix drift from the blend" number a
+# mixture-weighting pass consumes (domain-reweighting literature scores
+# candidate sources exactly this way). Engine parity follows the char-LM
+# precedent: each per-TERM log-ratio is quantized once with
+# floor(ln(r) * 1000) at vocabulary granularity (the ratio itself is a
+# division of two exactly-representable int64 products, so both engines
+# feed ln the identical double), then weighted by integer counts and
+# summed as int64 — order-independent — with ONE double division at the
+# end.
+# ---------------------------------------------------------------------------
+
+KL_QUANT = 1000  # milli-nats
+
+
+@register(
+    "source_token_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOK}) AS term FROM documents
+    ),
+    st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term),
+    src AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY source),
+    ct AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY term),
+    tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
+    contrib AS (
+      SELECT st.source,
+             st.c_st * CAST(FLOOR(LN(
+               CAST(st.c_st * tot.t AS DOUBLE)
+                 / CAST(src.t_s * ct.c_t AS DOUBLE)
+             ) * {KL_QUANT}) AS BIGINT) AS kq
+      FROM st
+      JOIN src ON src.source = st.source
+      JOIN ct ON ct.term = st.term
+      CROSS JOIN tot
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           src.t_s AS n_tokens,
+           CAST(SUM(c.kq) AS BIGINT) AS kl_quantized,
+           CAST(SUM(c.kq) AS DOUBLE) / (src.t_s * {KL_QUANT}) AS kl_nats
+    FROM contrib c JOIN src ON src.source = c.source
+    GROUP BY c.source, src.t_s ORDER BY c.source
+    """,
+)
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source || corpus) over unigram token distributions, in
+    quantized milli-nats.
+
+    Two shuffles build the (source, term) counts and the vocabulary
+    -sized term marginals; the per-source totals and the scalar corpus
+    total are tiny aggregates broadcast back. The vocabulary marginal
+    carries no broadcast hint — AQE broadcasts it while it fits and
+    falls back to a shuffle join on a 100 TB vocabulary, same policy as
+    tfidf_top_terms. Every source's score folds integer contributions,
+    so the result is identical under any partitioning (asserted by the
+    parallelism-invariance suite's mechanism).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens_col("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    src = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    tot = st.agg(F.sum("c_st").alias("t"))
+    contrib = (
+        st.join(ct, "term")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "t_s",
+            (
+                F.col("c_st")
+                * F.floor(
+                    F.log(
+                        (F.col("c_st") * F.col("t")).cast("double")
+                        / (F.col("t_s") * F.col("c_t")).cast("double")
+                    )
+                    * KL_QUANT
+                ).cast("bigint")
+            ).alias("kq"),
+        )
+    )
+    return (
+        contrib.groupBy("source", "t_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("kq").alias("kl_quantized"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            F.col("t_s").alias("n_tokens"),
+            "kl_quantized",
+            (
+                F.col("kl_quantized").cast("double")
+                / (F.col("t_s") * F.lit(KL_QUANT))
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

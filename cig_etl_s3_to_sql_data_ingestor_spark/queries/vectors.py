@@ -393,3 +393,103 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         corpus, batch, k=5, n_cells=16, n_probe=12, centroids=cent
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "knn_label_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec, label AS true_label
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.label AS cand_label,
+             {_sql_cosine('q.query_vec', 'c.embedding')} AS cosine_sim,
+             c.vec_id AS cand_id
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, true_label, cand_label FROM (
+        SELECT query_id, true_label, cand_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS n_votes
+      FROM topk GROUP BY query_id, true_label, cand_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, cand_label AS predicted FROM (
+        SELECT query_id, true_label, cand_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, cand_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY label
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: k-NN (k=10, cosine) majority-vote
+    label prediction accuracy per true label — the standard "are these
+    embeddings any good" probe a training-data pipeline runs before
+    trusting them for clustering / near-dup / retrieval decisions.
+
+    Reuses the proven ``brute_force_topk`` kernel (broadcast query set;
+    the corpus side never shuffles), so the heavy stage is identical to
+    ``ann_cosine_topk``; everything after the top-k is bounded by
+    (#queries x k) rows. Majority ties break on the smaller label in
+    both engines. At 100 TB the same evaluation runs over an ANN top-k
+    (ivf/lsh) instead of brute force — accuracy then degrades by exactly
+    the measured recall gap (tests/test_ann_recall.py).
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0)
+    topk = S.brute_force_topk(e, q, k=10)
+    labels = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(labels, "cand_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("predicted"))
+    )
+    correct = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_queries")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )
