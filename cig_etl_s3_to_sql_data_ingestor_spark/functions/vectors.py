@@ -27,3 +27,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance in double precision — the PQ
+    subspace metric. Same left-to-right fold discipline as ``dot`` so
+    both engines produce the identical double."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -493,3 +493,153 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Ordered squared-L2 fold mirroring functions.vectors.l2sq (the
+    0.0-init fold equals DuckDB's first-element start since 0.0 + x == x
+    in IEEE double)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_ctes(
+    n_sub: int = 16,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    quant: int = 1_000_000,
+    dist_quant: int = 1_000_000_000,
+    k: int = 5,
+    shortlist_factor: int = 8,
+) -> str:
+    """CTE chain reproducing operators.similarity.pq_topk exactly:
+    grouped per-subspace KMeans (sorted init, ordered L2 folds,
+    quantized-integer means, ties toward the LOWEST code id), PQ
+    encoding, the integer-quantized ADC scan, and the shortlist + exact
+    cosine re-rank. Expects CTEs ``c`` (cand_id, cand_vec) and ``q``
+    (query_id, query_vec)."""
+    sl = f"(len(cand_vec) // {n_sub})"
+    qsl = f"(len(query_vec) // {n_sub})"
+    ctes = [
+        f"""subs AS (
+      SELECT cand_id AS sid, ms.m,
+             list_slice(cand_vec, ms.m * {sl} + 1, (ms.m + 1) * {sl}) AS sub
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) ms
+    )""",
+        f"""cb0 AS (
+      SELECT m, sid AS code_id, sub AS code_vec FROM subs WHERE sid < {n_codes}
+    )""",
+    ]
+    for it in range(n_iters):
+        prev, cur = f"cb{it}", f"cb{it + 1}"
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT sid, m, sub, code_id FROM (
+        SELECT s.sid, s.m, s.sub, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY s.sid, s.m
+                                  ORDER BY {_sql_l2sq('s.sub', 'cb.code_vec')} ASC,
+                                           cb.code_id ASC) AS rn
+        FROM subs s JOIN {prev} cb USING (m)
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{it} AS (
+      SELECT m, code_id,
+             unnest(generate_series(1, len(sub))) AS pos,
+             unnest(list_transform(generate_series(1, len(sub)),
+                    i -> CAST(floor(CAST(sub[i] AS DOUBLE) * {quant}) AS BIGINT))) AS q
+      FROM assign{it}
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+      SELECT m, code_id,
+             list((CAST(s AS DOUBLE) / n) / {quant}.0 ORDER BY pos) AS code_vec
+      FROM (SELECT m, code_id, pos, SUM(q) AS s, COUNT(*) AS n
+            FROM sums{it} GROUP BY m, code_id, pos)
+      GROUP BY m, code_id
+    )"""
+        )
+    ctes.append(f"cb AS (SELECT * FROM cb{n_iters})")
+    ctes.append(
+        f"""codes AS (
+      SELECT sid AS cand_id, m, code_id FROM (
+        SELECT s.sid, s.m, cb.code_id,
+               ROW_NUMBER() OVER (PARTITION BY s.sid, s.m
+                                  ORDER BY {_sql_l2sq('s.sub', 'cb.code_vec')} ASC,
+                                           cb.code_id ASC) AS rn
+        FROM subs s JOIN cb USING (m)
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""qsubs AS (
+      SELECT query_id, ms.m,
+             list_slice(query_vec, ms.m * {qsl} + 1, (ms.m + 1) * {qsl}) AS sub
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) ms
+    )""",
+    )
+    ctes.append(
+        f"""dtab AS (
+      SELECT qs.query_id, qs.m, cb.code_id,
+             CAST(floor({_sql_l2sq('qs.sub', 'cb.code_vec')} * {dist_quant})
+                  AS BIGINT) AS qd2
+      FROM qsubs qs JOIN cb USING (m)
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT d.query_id, co.cand_id, SUM(d.qd2) AS adc_q
+      FROM codes co JOIN dtab d USING (m, code_id)
+      WHERE co.cand_id <> d.query_id
+      GROUP BY d.query_id, co.cand_id
+    )"""
+    )
+    ctes.append(
+        f"""short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_q ASC, cand_id ASC) AS ar
+        FROM adc
+      ) WHERE ar <= {k * shortlist_factor}
+    )"""
+    )
+    tail = f"""SELECT query_id, cand_id, cosine_sim, rank FROM (
+      SELECT s.query_id, s.cand_id,
+             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY {_sql_cosine('q.query_vec', 'c.cand_vec')} DESC,
+                                         s.cand_id ASC) AS rank
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN c ON c.cand_id = s.cand_id
+    ) WHERE rank <= {k} ORDER BY query_id, rank"""
+    return ",\n    ".join(ctes) + "\n    " + tail
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+    {_sql_pq_ctes()}
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact shortlist re-rank: the
+    memory-compression ANN path (16x16 codebooks shrink a 256 B float32
+    vector to 8 B of codes, 32x) complementing IVF's work-bounding path.
+    The ADC scan touches only the integer codes; exact math runs only on
+    the k x 8 shortlist. Measured recall@10 at the defaults: 0.93 vs
+    brute force (curve in the operator docstring and
+    tests/test_ann_recall.py). At 100 TB the two compose (IVF cells of
+    PQ codes); here PQ runs standalone so its recall is measured in
+    isolation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.pq_topk(e, queries, k=5).orderBy("query_id", "rank")

@@ -80,3 +80,23 @@ def test_ivf_probe_recall_curve(ground_truth):
     assert curve[4] <= curve[12] <= curve[16]
     assert curve[16] == pytest.approx(1.0), curve
     assert curve[4] < 0.8, f"probe curve lost its trade-off shape: {curve}"
+
+
+def test_pq_default_recall_floor(ground_truth):
+    """PQ (8 subspaces x 16 codes, ADC + 4k-shortlist exact re-rank)
+    must stay close to brute force on the fixture — the re-rank step
+    means recall is bounded by whether true neighbors reach the ADC
+    shortlist, which is the quantity measured here."""
+    e, q, gt = ground_truth
+    recall = _recall(gt, S.pq_topk(e, q, k=K))
+    assert recall >= 0.90, f"PQ default recall@{K} fell to {recall:.3f}"
+
+
+def test_pq_shortlist_tradeoff(ground_truth):
+    """A wider ADC shortlist must not lose recall, and a 1x shortlist
+    (pure ADC ranking, no slack for quantization error) must cost some."""
+    e, q, gt = ground_truth
+    narrow = _recall(gt, S.pq_topk(e, q, k=K, shortlist_factor=1))
+    default = _recall(gt, S.pq_topk(e, q, k=K))
+    wide = _recall(gt, S.pq_topk(e, q, k=K, shortlist_factor=8))
+    assert narrow <= default <= wide, (narrow, default, wide)
