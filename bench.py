@@ -115,6 +115,14 @@ HEADLINE = [
     "bloom_decontamination",
     "conversion_funnel",
     "cohort_retention",
+    # round 4, late session — sequence analytics, embedding eval, PQ,
+    # sketch envelopes, distribution divergence
+    "event_transition_matrix",
+    "knn_label_eval",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "approx_quantile_envelope",
+    "source_token_divergence",
 ]
 
 

@@ -637,3 +637,120 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 12,
+    n_sub: int = 16,
+    n_codes: int = 16,
+    shortlist_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the full billion-vector deployment shape:
+    IVF bounds the WORK (only ``n_probe`` cells' members are scored per
+    query) and PQ bounds the BYTES (scored via 8-byte codes, not 256 B
+    vectors); exact math runs only on the final shortlist.
+
+    Pipeline: coarse centroids (deterministic sampled KMeans) partition
+    the corpus into cells; PQ codebooks train on the SAME corpus (plain
+    PQ — the classic residual refinement would encode vector minus
+    centroid, sharpening cells' local resolution, at the cost of a
+    per-cell code space; plain PQ keeps codes cell-independent, which
+    is what lets one code table serve every cell). A query probes its
+    ``n_probe`` best cells, candidates are the probed cells' members,
+    and only THOSE pairs pay the integer ADC sum before the exact
+    re-rank of the top ``k * shortlist_factor``.
+
+    Every stage is the already-proven building block: broadcast
+    centroid/codebook/distance-table joins, integer-quantized ADC
+    (order-invariant), ties broken on ids. Measured recall@10 at the
+    defaults: see tests/test_ann_recall.py (the IVF probe miss and the
+    PQ shortlist miss compose roughly multiplicatively).
+    """
+    from .dedup import _persist
+
+    centroids = _persist(
+        kmeans_centroids(
+            corpus,
+            n_cells=n_cells,
+            n_iters=2,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_mod=kmeans_sample_mod,
+        ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        "cand_id", "cell_id"
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("cand_id").alias("query_id"), "cell_id"
+    )
+    cand_pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+
+    from ..functions.vectors import l2sq
+
+    codebooks = _persist(
+        pq_train_codebooks(
+            corpus, n_sub=n_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    )
+    codes = pq_encode(corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+    qsubs = _subvectors(queries, n_sub, id_col, vec_col)
+    dtab = (
+        qsubs.join(F.broadcast(codebooks), "m")
+        .select(
+            F.col("sid").alias("query_id"),
+            "m",
+            "code_id",
+            (F.floor(l2sq(F.col("sub"), F.col("code_vec")) * PQ_DIST_QUANT))
+            .cast("long")
+            .alias("qd2"),
+        )
+    )
+    adc = (
+        cand_pairs.join(codes, "cand_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code_id"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd2").alias("adc_q"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_q"), F.col("cand_id"))
+    short = (
+        adc.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= k * shortlist_factor)
+        .select("query_id", "cand_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
+    )
+    rescored = (
+        c.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )

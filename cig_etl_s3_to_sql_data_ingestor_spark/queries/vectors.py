@@ -514,45 +514,57 @@ def _sql_pq_ctes(
     dist_quant: int = 1_000_000_000,
     k: int = 5,
     shortlist_factor: int = 8,
+    prefix: str = "",
+    candidates: str | None = None,
 ) -> str:
     """CTE chain reproducing operators.similarity.pq_topk exactly:
     grouped per-subspace KMeans (sorted init, ordered L2 folds,
     quantized-integer means, ties toward the LOWEST code id), PQ
     encoding, the integer-quantized ADC scan, and the shortlist + exact
     cosine re-rank. Expects CTEs ``c`` (cand_id, cand_vec) and ``q``
-    (query_id, query_vec)."""
+    (query_id, query_vec).
+
+    ``prefix`` namespaces every internal CTE so the chain can compose
+    with the KMeans CTEs (which also emit assign{i}/sums{i} names) in
+    one statement; ``candidates`` names a (query_id, cand_id) CTE that
+    restricts the ADC scan to IVF-probed pairs — the ivf_pq_topk
+    mirror."""
+
+    def N(name: str) -> str:
+        return f"{prefix}{name}"
+
     sl = f"(len(cand_vec) // {n_sub})"
     qsl = f"(len(query_vec) // {n_sub})"
     ctes = [
-        f"""subs AS (
+        f"""{N("subs")} AS (
       SELECT cand_id AS sid, ms.m,
              list_slice(cand_vec, ms.m * {sl} + 1, (ms.m + 1) * {sl}) AS sub
       FROM c CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) ms
     )""",
-        f"""cb0 AS (
-      SELECT m, sid AS code_id, sub AS code_vec FROM subs WHERE sid < {n_codes}
+        f"""{N("cb0")} AS (
+      SELECT m, sid AS code_id, sub AS code_vec FROM {N("subs")} WHERE sid < {n_codes}
     )""",
     ]
     for it in range(n_iters):
-        prev, cur = f"cb{it}", f"cb{it + 1}"
+        prev, cur = N(f"cb{it}"), N(f"cb{it + 1}")
         ctes.append(
-            f"""assign{it} AS (
+            f"""{N(f"assign{it}")} AS (
       SELECT sid, m, sub, code_id FROM (
         SELECT s.sid, s.m, s.sub, cb.code_id,
                ROW_NUMBER() OVER (PARTITION BY s.sid, s.m
-                                  ORDER BY {_sql_l2sq('s.sub', 'cb.code_vec')} ASC,
+                                  ORDER BY {_sql_l2sq("s.sub", "cb.code_vec")} ASC,
                                            cb.code_id ASC) AS rn
-        FROM subs s JOIN {prev} cb USING (m)
+        FROM {N("subs")} s JOIN {prev} cb USING (m)
       ) WHERE rn = 1
     )"""
         )
         ctes.append(
-            f"""sums{it} AS (
+            f"""{N(f"sums{it}")} AS (
       SELECT m, code_id,
              unnest(generate_series(1, len(sub))) AS pos,
              unnest(list_transform(generate_series(1, len(sub)),
                     i -> CAST(floor(CAST(sub[i] AS DOUBLE) * {quant}) AS BIGINT))) AS q
-      FROM assign{it}
+      FROM {N(f"assign{it}")}
     )"""
         )
         ctes.append(
@@ -560,62 +572,74 @@ def _sql_pq_ctes(
       SELECT m, code_id,
              list((CAST(s AS DOUBLE) / n) / {quant}.0 ORDER BY pos) AS code_vec
       FROM (SELECT m, code_id, pos, SUM(q) AS s, COUNT(*) AS n
-            FROM sums{it} GROUP BY m, code_id, pos)
+            FROM {N(f"sums{it}")} GROUP BY m, code_id, pos)
       GROUP BY m, code_id
     )"""
         )
-    ctes.append(f"cb AS (SELECT * FROM cb{n_iters})")
+    ctes.append(f"{N('cb')} AS (SELECT * FROM {N(f'cb{n_iters}')})")
     ctes.append(
-        f"""codes AS (
+        f"""{N("codes")} AS (
       SELECT sid AS cand_id, m, code_id FROM (
         SELECT s.sid, s.m, cb.code_id,
                ROW_NUMBER() OVER (PARTITION BY s.sid, s.m
-                                  ORDER BY {_sql_l2sq('s.sub', 'cb.code_vec')} ASC,
+                                  ORDER BY {_sql_l2sq("s.sub", "cb.code_vec")} ASC,
                                            cb.code_id ASC) AS rn
-        FROM subs s JOIN cb USING (m)
+        FROM {N("subs")} s JOIN {N("cb")} cb USING (m)
       ) WHERE rn = 1
     )"""
     )
     ctes.append(
-        f"""qsubs AS (
+        f"""{N("qsubs")} AS (
       SELECT query_id, ms.m,
              list_slice(query_vec, ms.m * {qsl} + 1, (ms.m + 1) * {qsl}) AS sub
       FROM q CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) ms
     )""",
     )
     ctes.append(
-        f"""dtab AS (
+        f"""{N("dtab")} AS (
       SELECT qs.query_id, qs.m, cb.code_id,
-             CAST(floor({_sql_l2sq('qs.sub', 'cb.code_vec')} * {dist_quant})
+             CAST(floor({_sql_l2sq("qs.sub", "cb.code_vec")} * {dist_quant})
                   AS BIGINT) AS qd2
-      FROM qsubs qs JOIN cb USING (m)
+      FROM {N("qsubs")} qs JOIN {N("cb")} cb USING (m)
     )"""
     )
-    ctes.append(
-        """adc AS (
+    if candidates is None:
+        ctes.append(
+            f"""{N("adc")} AS (
       SELECT d.query_id, co.cand_id, SUM(d.qd2) AS adc_q
-      FROM codes co JOIN dtab d USING (m, code_id)
+      FROM {N("codes")} co JOIN {N("dtab")} d USING (m, code_id)
       WHERE co.cand_id <> d.query_id
       GROUP BY d.query_id, co.cand_id
     )"""
-    )
+        )
+    else:
+        ctes.append(
+            f"""{N("adc")} AS (
+      SELECT cp.query_id, cp.cand_id, SUM(d.qd2) AS adc_q
+      FROM {candidates} cp
+      JOIN {N("codes")} co ON co.cand_id = cp.cand_id
+      JOIN {N("dtab")} d ON d.query_id = cp.query_id
+                        AND d.m = co.m AND d.code_id = co.code_id
+      GROUP BY cp.query_id, cp.cand_id
+    )"""
+        )
     ctes.append(
-        f"""short AS (
+        f"""{N("short")} AS (
       SELECT query_id, cand_id FROM (
         SELECT query_id, cand_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY adc_q ASC, cand_id ASC) AS ar
-        FROM adc
+        FROM {N("adc")}
       ) WHERE ar <= {k * shortlist_factor}
     )"""
     )
     tail = f"""SELECT query_id, cand_id, cosine_sim, rank FROM (
       SELECT s.query_id, s.cand_id,
-             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS cosine_sim,
+             {_sql_cosine("q.query_vec", "c.cand_vec")} AS cosine_sim,
              ROW_NUMBER() OVER (PARTITION BY s.query_id
-                                ORDER BY {_sql_cosine('q.query_vec', 'c.cand_vec')} DESC,
+                                ORDER BY {_sql_cosine("q.query_vec", "c.cand_vec")} DESC,
                                          s.cand_id ASC) AS rank
-      FROM short s
+      FROM {N("short")} s
       JOIN q ON q.query_id = s.query_id
       JOIN c ON c.cand_id = s.cand_id
     ) WHERE rank <= {k} ORDER BY query_id, rank"""
@@ -643,3 +667,51 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return S.pq_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 8),
+    ivf_assigned AS (
+      SELECT cand_id, cell_id FROM (
+        SELECT c.cand_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    ivf_probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 12
+    ),
+    cand_pairs AS (
+      SELECT p.query_id, a.cand_id
+      FROM ivf_assigned a JOIN ivf_probes p USING (cell_id)
+      WHERE a.cand_id <> p.query_id
+    ),
+    {_sql_pq_ctes(prefix='pq_', candidates='cand_pairs')}
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the billion-vector deployment shape: probed
+    cells bound the WORK, 8-byte PQ codes bound the BYTES, exact math
+    only on the shortlist. Trained parts are the same deterministic
+    kernels the standalone queries prove (sampled-KMeans centroids,
+    grouped PQ codebooks), so the mirror rebuilds the identical index
+    end-to-end. Measured recall@10 at the defaults in
+    tests/test_ann_recall.py — the IVF probe miss and PQ shortlist miss
+    compose roughly multiplicatively."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.ivf_pq_topk(e, queries, k=5, kmeans_sample_mod=4).orderBy(
+        "query_id", "rank"
+    )

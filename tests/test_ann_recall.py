@@ -98,5 +98,20 @@ def test_pq_shortlist_tradeoff(ground_truth):
     e, q, gt = ground_truth
     narrow = _recall(gt, S.pq_topk(e, q, k=K, shortlist_factor=1))
     default = _recall(gt, S.pq_topk(e, q, k=K))
-    wide = _recall(gt, S.pq_topk(e, q, k=K, shortlist_factor=8))
-    assert narrow <= default <= wide, (narrow, default, wide)
+    wide = _recall(gt, S.pq_topk(e, q, k=K, shortlist_factor=16))
+    assert narrow < default <= wide, (narrow, default, wide)
+
+
+def test_ivf_pq_composed_recall(ground_truth):
+    """The composed index loses recall from BOTH stages (probe miss x
+    shortlist miss) but must stay within a few points of the weaker
+    stage — if composition cratered recall, the candidate restriction
+    would be wrong, not just lossy."""
+    e, q, gt = ground_truth
+    composed = _recall(gt, S.ivf_pq_topk(e, q, k=K, kmeans_sample_mod=4))
+    ivf_only = _recall(gt, S.ivf_topk(e, q, k=K, n_cells=16, kmeans_sample_mod=4))
+    pq_only = _recall(gt, S.pq_topk(e, q, k=K))
+    assert composed >= 0.80, f"IVF-PQ recall@{K} fell to {composed:.3f}"
+    assert composed <= min(ivf_only, pq_only) + 0.05, (
+        composed, ivf_only, pq_only,
+    )

@@ -396,3 +396,58 @@ def test_no_registered_query_is_cartesian_or_row_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_transition_matrix_windows_are_keyed(spark, sf_dir):
+    """Both windows must be partitioned: the LEAD on user_id (per-user
+    state, corpus-scalable) and the normalizing row-sum on from_type
+    (bounded aggregate). No global window anywhere."""
+    plan = explain(spark, sf_dir, "event_transition_matrix")
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "user_id" in line or "from_type" in line, line.strip()
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_pq_adc_join_is_broadcast_never_cartesian(spark, sf_dir):
+    """The ADC scan must join corpus CODES against the broadcast distance
+    table on (m, code_id) — an equi-join, never a cartesian — and the
+    per-(query, cand) sum must partial-aggregate before its shuffle."""
+    plan = explain(spark, sf_dir, "ann_pq_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_knn_eval_corpus_never_shuffles_for_scoring(spark, sf_dir):
+    """Scoring is a broadcast of the query set over the corpus; the only
+    hash exchanges allowed are on post-top-k (bounded) frames."""
+    plan = explain(spark, sf_dir, "knn_label_eval")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_quantile_envelope_estimates_are_broadcast(spark, sf_dir):
+    """The 12-row estimate frame joins back to lineitem broadcast (rank
+    counting) — the fact table itself must never sit on a shuffled join
+    side."""
+    plan = explain(spark, sf_dir, "approx_quantile_envelope")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_divergence_partial_aggregates(spark, sf_dir):
+    """The (source, term) count and the vocabulary marginal must both
+    partial-aggregate map-side; the corpus-total scalar joins broadcast."""
+    plan = explain(spark, sf_dir, "source_token_divergence")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_candidate_restriction_is_equi_join(spark, sf_dir):
+    """The composed index must restrict ADC to probed-cell pairs via
+    equi-joins (cell_id, then cand_id/(query,m,code)) — no cartesian,
+    centroid/codebook/distance tables all broadcast."""
+    plan = explain(spark, sf_dir, "ann_ivf_pq_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
