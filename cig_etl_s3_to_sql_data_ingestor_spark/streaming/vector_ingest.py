@@ -1,0 +1,237 @@
+"""Streaming ANN-index maintenance: an availableNow-drained stream of
+embedding vectors grows a searchable IVF index incrementally — the
+vector-side twin of ``dedup_ingest``.
+
+The 100 TB shape: centroids are trained ONCE on a bootstrap corpus
+(deterministic sampled KMeans, see ``operators.similarity``) and then
+frozen — retraining per batch would both re-shuffle the accumulated
+index (every cell id could change) and make search results depend on
+arrival order. Each arriving micro-batch:
+
+1. assigns its vectors to their nearest frozen centroid (broadcast
+   centroids, map-side pass — the batch never shuffles);
+2. near-dup gates the batch against the EXISTING index members of the
+   same cells (equi-join on cell_id — candidate generation is bounded
+   by cell occupancy, never O(index)), and against itself (same-cell
+   batch pairs, keep the lowest id);
+3. appends the admitted (vec_id, cell_id, embedding, norm) rows to the
+   index store's ``epoch=N`` directory.
+
+Search never re-reads raw vectors from the source: the store IS the
+index (cell-assigned, norm-precomputed), so a query is one probe
+ranking against broadcast centroids plus an equi-join on the probed
+cell ids — identical math to ``operators.similarity.ivf_topk`` search.
+
+Idempotency contract (same as ``dedup_ingest``/``ingest_stream``): the
+store write is an epoch-addressed overwrite and classification reads
+the store WITH THE CURRENT EPOCH EXCLUDED, so a crash between the
+store write and the checkpoint commit replays to byte-identical epoch
+dirs. The checkpoint and the store are one unit — wipe both or
+neither. Duplicate policy note: the gate drops a new vector when the
+index (or an earlier same-batch row) already holds one within
+``dup_threshold`` cosine in the SAME cell; a true near-duplicate
+straddling a cell boundary is admitted — the standard recall/cost
+trade of cell-blocked near-dup, documented rather than hidden.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vectors import dot, norm
+from ..operators.similarity import ivf_assign
+
+
+def _index_schema(id_col: str = "vec_id", vec_col: str = "embedding") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell_id", T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("vec_norm", T.DoubleType()),
+        ]
+    )
+
+
+def read_index_store(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """The accumulated index, or an empty frame when it does not exist
+    yet. Only the missing-path case maps to empty — any other error
+    propagates (an empty-on-error fallback would re-admit duplicates
+    and corrupt search results silently)."""
+    from pyspark.errors import AnalysisException
+
+    schema = _index_schema(id_col, vec_col)
+    cols = [f.name for f in schema.fields]
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select(cols)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+@dataclass
+class VectorIngest:
+    """availableNow-drained streaming IVF-index builder with a
+    cell-blocked near-duplicate gate."""
+
+    spark: SparkSession
+    centroids_path: str
+    store_path: str
+    checkpoint_path: str
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    dup_threshold: float = 0.995
+
+    def _centroids(self) -> DataFrame:
+        """Frozen centroids as (cell_id-as-id, vector) — the shape
+        ``ivf_assign`` expects for its broadcast side."""
+        return (
+            self.spark.read.parquet(self.centroids_path)
+            .select(
+                F.col("cell_id").alias(self.id_col),
+                F.col("cell_vec").alias(self.vec_col),
+            )
+        )
+
+    def _admit(
+        self, batch_df: DataFrame, exclude_epoch: int | None = None
+    ) -> DataFrame:
+        """Assign, gate, and shape one batch for the store."""
+        assigned = ivf_assign(
+            batch_df.select(
+                F.col(self.id_col), F.col(self.vec_col).cast("array<double>")
+            ),
+            self._centroids(),
+            self.id_col,
+            self.vec_col,
+            n_probe=1,
+        ).select(
+            F.col("cand_id").alias(self.id_col),
+            F.col("cell_id"),
+            F.col("cand_vec").alias(self.vec_col),
+            F.col("cand_norm").alias("vec_norm"),
+        )
+        index = read_index_store(
+            self.spark,
+            self.store_path,
+            self.id_col,
+            self.vec_col,
+            exclude_epoch=exclude_epoch,
+        )
+        # Gate 1: near-dup vs the existing index, same cell only.
+        idx = index.select(
+            "cell_id",
+            F.col(self.vec_col).alias("_ivec"),
+            F.col("vec_norm").alias("_inorm"),
+        )
+        dup_vs_index = (
+            assigned.join(idx, "cell_id")
+            .filter(
+                dot(F.col(self.vec_col), F.col("_ivec"))
+                / (F.col("vec_norm") * F.col("_inorm"))
+                >= self.dup_threshold
+            )
+            .select(self.id_col)
+            .distinct()
+        )
+        fresh = assigned.join(dup_vs_index, self.id_col, "left_anti")
+        # Gate 2: near-dup within the batch, same cell, keep lowest id.
+        a = fresh.alias("a")
+        b = fresh.alias("b")
+        dup_in_batch = (
+            a.join(
+                b,
+                (F.col("a.cell_id") == F.col("b.cell_id"))
+                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
+            )
+            .filter(
+                dot(F.col(f"a.{self.vec_col}"), F.col(f"b.{self.vec_col}"))
+                / (F.col("a.vec_norm") * F.col("b.vec_norm"))
+                >= self.dup_threshold
+            )
+            .select(F.col(f"b.{self.id_col}").alias(self.id_col))
+            .distinct()
+        )
+        return fresh.join(dup_in_batch, self.id_col, "left_anti")
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        admitted = self._admit(batch_df, exclude_epoch=epoch_id)
+        admitted.select(
+            [f.name for f in _index_schema(self.id_col, self.vec_col).fields]
+        ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
+
+    def start(
+        self,
+        source_glob: str,
+        schema: T.StructType,
+        max_files_per_trigger: int | None = None,
+    ):
+        reader = self.spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_glob)
+        return (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def search(self, queries: DataFrame, k: int = 5, n_probe: int = 4) -> DataFrame:
+        """Top-k over the accumulated index: probe ranking against the
+        frozen broadcast centroids, equi-join on probed cell ids, exact
+        cosine re-rank — the stored norms make scoring one fold per
+        candidate pair."""
+        probes = ivf_assign(
+            queries.select(
+                F.col(self.id_col), F.col(self.vec_col).cast("array<double>")
+            ),
+            self._centroids(),
+            self.id_col,
+            self.vec_col,
+            n_probe=n_probe,
+        ).select(
+            F.col("cand_id").alias("query_id"),
+            F.col("cand_vec").alias("query_vec"),
+            F.col("cand_norm").alias("query_norm"),
+            "cell_id",
+        )
+        index = read_index_store(
+            self.spark, self.store_path, self.id_col, self.vec_col
+        )
+        scored = (
+            index.join(F.broadcast(probes), "cell_id")
+            .filter(F.col(self.id_col) != F.col("query_id"))
+            .withColumn(
+                "cosine_sim",
+                dot(F.col("query_vec"), F.col(self.vec_col))
+                / (F.col("query_norm") * F.col("vec_norm")),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", F.col(self.id_col).alias("cand_id"), "cosine_sim", "rank"
+            )
+        )

@@ -563,3 +563,124 @@ def test_quality_monitor_stream(spark, tmp_path):
         assert out[key].n_docs == static[key].n_docs
         assert out[key].n_below_floor == static[key].n_below_floor
         assert out[key].mean_quality == static[key].mean_quality
+
+
+def test_vector_ingest_index_growth_and_search(spark, tmp_path, sf_dir):
+    """Streaming IVF-index maintenance: batches of embeddings assign to
+    frozen centroids, near-dups (vs index and within batch) are gated,
+    the store grows per epoch, and search over the accumulated index
+    matches brute force restricted to admitted members."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # Bootstrap: train centroids once on the first 200 vectors.
+    cents = S.kmeans_centroids(e.filter(F.col("vec_id") < 200), n_cells=8)
+    cents_path = str(tmp_path / "centroids")
+    cents.write.parquet(cents_path)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = tmp_path / "vecs"
+    src.mkdir()
+    ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    b1 = e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    store1 = read_index_store(spark, str(tmp_path / "index"))
+    n1 = store1.count()
+    assert n1 == 60  # fixture vectors are distinct — all admitted
+
+    # Batch 2: 20 new vectors, one EXACT copy of an indexed vector
+    # (id 9000 dup of 200) and two in-batch exact copies (9001/9002).
+    dup_of_indexed = e.filter(F.col("vec_id") == 200).select(
+        F.lit(9000).cast("long").alias("vec_id"), "embedding"
+    )
+    base = e.filter(F.col("vec_id") == 260).select("embedding")
+    twin_a = base.select(F.lit(9001).cast("long").alias("vec_id"), "embedding")
+    twin_b = base.select(F.lit(9002).cast("long").alias("vec_id"), "embedding")
+    b2 = (
+        e.filter((F.col("vec_id") >= 261) & (F.col("vec_id") < 280))
+        .unionByName(dup_of_indexed)
+        .unionByName(twin_a)
+        .unionByName(twin_b)
+    )
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+
+    store2 = read_index_store(spark, str(tmp_path / "index"))
+    ids = {r.vec_id for r in store2.select("vec_id").collect()}
+    assert 9000 not in ids  # exact dup of indexed vector rejected
+    assert 9001 in ids and 9002 not in ids  # lowest-id twin wins
+    assert store2.count() == n1 + 20  # 19 novel + the surviving twin
+
+    # Search parity: top-3 over the index with all cells probed must
+    # equal brute force restricted to the admitted members.
+    queries = e.filter(F.col("vec_id") < 4)
+    got = ingest.search(queries, k=3, n_probe=8).orderBy("query_id", "rank")
+    corpus = store2.select("vec_id", "embedding")
+    want = (
+        S.brute_force_topk(corpus, queries, k=3)
+        .orderBy("query_id", "rank")
+    )
+    assert [
+        (r.query_id, r.cand_id, r.rank) for r in got.collect()
+    ] == [(r.query_id, r.cand_id, r.rank) for r in want.collect()]
+
+    # Idempotent re-drain: no new files -> no new epochs, same count.
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    assert read_index_store(spark, str(tmp_path / "index")).count() == n1 + 20
+
+
+def test_vector_ingest_crash_replay_excludes_own_epoch(spark, tmp_path, sf_dir):
+    """Crash window drill: epoch 0's store rows land but the checkpoint
+    commit is lost. The replay (exclude_epoch=0) must NOT see its own
+    admissions as index members — otherwise every vector would
+    self-reject and the epoch dir would be overwritten empty — while a
+    LATER epoch must reject exact re-arrivals of the same vectors."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        _index_schema,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = S.kmeans_centroids(e.filter(F.col("vec_id") < 100), n_cells=4)
+    cents_path = str(tmp_path / "centroids")
+    cents.write.parquet(cents_path)
+    ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    batch = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    # Materialize what epoch 0 wrote before the lost checkpoint commit.
+    ingest._admit(batch, exclude_epoch=0).select(
+        [f.name for f in _index_schema().fields]
+    ).write.mode("overwrite").parquet(str(tmp_path / "index" / "epoch=0"))
+
+    replay = ingest._admit(batch, exclude_epoch=0)
+    assert replay.count() == 10  # replay admits everything again
+    later = ingest._admit(batch, exclude_epoch=1)
+    assert later.count() == 0  # a later epoch sees them as duplicates
