@@ -123,6 +123,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "approx_quantile_envelope",
     "source_token_divergence",
+    "incremental_agg_merge",
 ]
 
 

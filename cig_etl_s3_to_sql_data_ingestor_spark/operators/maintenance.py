@@ -228,3 +228,80 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: fold a delta partition into a
+# running per-key aggregate state without recomputing history — the
+# pattern that turns a daily 100 TB ETL re-aggregation into a
+# delta-sized job. State carries MERGEABLE partials only (count,
+# decimal-exact sum, min, max); decimal addition is associative, so
+# merge(state(old), state(delta)) == state(old ∪ delta) bit-for-bit,
+# at any parallelism, on any engine — the property the oracle-backed
+# `incremental_agg_merge` query asserts against a full recompute.
+# ---------------------------------------------------------------------------
+
+
+def aggregate_state(
+    df: DataFrame, keys: list[str], value_col: str, scale: int = 4
+) -> DataFrame:
+    """Per-key mergeable aggregate state: (keys, n, s, mn, mx)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(f"decimal(18,{scale})")).cast("decimal(28,4)").alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_aggregate_state(
+    old: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Combine two state frames (full outer join on the keys — a key can
+    exist in either side only). Count/sum add; min/max take the
+    extremum; absent sides contribute identity values."""
+    o = old.select(
+        *keys,
+        F.col("n").alias("_no"),
+        F.col("s").alias("_so"),
+        F.col("mn").alias("_mno"),
+        F.col("mx").alias("_mxo"),
+    )
+    d = delta.select(
+        *keys,
+        F.col("n").alias("_nd"),
+        F.col("s").alias("_sd"),
+        F.col("mn").alias("_mnd"),
+        F.col("mx").alias("_mxd"),
+    )
+    j = o.join(d, keys, "full_outer")
+    zero = F.lit(0).cast("decimal(28,4)")
+    return j.select(
+        *keys,
+        (F.coalesce(F.col("_no"), F.lit(0)) + F.coalesce(F.col("_nd"), F.lit(0))).alias("n"),
+        (F.coalesce(F.col("_so"), zero) + F.coalesce(F.col("_sd"), zero))
+        .cast("decimal(28,4)")
+        .alias("s"),
+        F.least(
+            F.coalesce(F.col("_mno"), F.col("_mnd")),
+            F.coalesce(F.col("_mnd"), F.col("_mno")),
+        ).alias("mn"),
+        F.greatest(
+            F.coalesce(F.col("_mxo"), F.col("_mxd")),
+            F.coalesce(F.col("_mxd"), F.col("_mxo")),
+        ).alias("mx"),
+    )
+
+
+def finalize_aggregate_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Render the state as user-facing columns: exact totals as doubles,
+    one final division for the mean."""
+    return state.select(
+        *keys,
+        F.col("n").alias("n_rows"),
+        F.col("s").cast("double").alias("total_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    )

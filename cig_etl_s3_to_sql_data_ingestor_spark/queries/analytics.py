@@ -2075,3 +2075,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_exact_sum('o_totalprice')} AS total_value,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value,
+           {sql_exact_sum('o_totalprice')} / COUNT(*) AS avg_value
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, proven against a full
+    recompute: history (orders before 1997-07-01) and the delta
+    partition aggregate SEPARATELY into mergeable per-priority states
+    (count, decimal-exact sum, min, max), the states merge, and the
+    merged result must equal the oracle's single-pass aggregate over
+    everything — because decimal addition is associative, the identity
+    holds bit-for-bit at any parallelism.
+
+    This is the 100 TB nightly-ETL pattern (generalizing the
+    reference's re-scan-everything refresh,
+    CigEolHostingIngestionLogic.py:168-188): history's state is a
+    per-key frame you persist and roll forward; each day aggregates
+    only its delta and merges — O(delta + keys), never O(history).
+    """
+    from ..operators.maintenance import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+    old = aggregate_state(
+        o.filter(F.col("o_orderdate") < cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    delta = aggregate_state(
+        o.filter(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    merged = merge_aggregate_state(old, delta, ["o_orderpriority"])
+    return finalize_aggregate_state(merged, ["o_orderpriority"]).orderBy(
+        "o_orderpriority"
+    )

@@ -185,3 +185,38 @@ def test_zorder_snapshot_noop_on_empty_table(spark, tmp_path):
     )
 
     assert zorder_snapshot(spark, str(tmp_path / "none"), ["a"]) == 0
+
+
+def test_merge_aggregate_state_handles_one_sided_keys(spark):
+    """A key present only in history or only in the delta must survive
+    the merge with the other side contributing identity values."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_state,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], ["k", "v"]
+    )
+    delta = spark.createDataFrame([("a", 30.0), ("c", 7.0)], ["k", "v"])
+    merged = merge_aggregate_state(
+        aggregate_state(old, ["k"], "v"),
+        aggregate_state(delta, ["k"], "v"),
+        ["k"],
+    )
+    out = {
+        r.k: (r.n_rows, r.total_value, r.min_value, r.max_value, r.avg_value)
+        for r in finalize_aggregate_state(merged, ["k"]).collect()
+    }
+    assert out["a"] == (3, 60.0, 10.0, 30.0, 20.0)
+    assert out["b"] == (1, 5.0, 5.0, 5.0, 5.0)   # history-only key
+    assert out["c"] == (1, 7.0, 7.0, 7.0, 7.0)   # delta-only key
+
+    # Merging with the full recompute is the associativity identity.
+    both = aggregate_state(old.unionByName(delta), ["k"], "v")
+    full = {
+        r.k: (r.n_rows, r.total_value)
+        for r in finalize_aggregate_state(both, ["k"]).collect()
+    }
+    assert {k: v[:2] for k, v in out.items()} == full
