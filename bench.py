@@ -124,6 +124,7 @@ HEADLINE = [
     "approx_quantile_envelope",
     "source_token_divergence",
     "incremental_agg_merge",
+    "cdc_snapshot",
 ]
 
 

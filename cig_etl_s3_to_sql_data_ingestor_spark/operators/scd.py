@@ -57,3 +57,33 @@ def build_scd2(
             *tiebreak,
         )
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog: last writer per key wins, a trailing
+    delete tombstones the key out of the snapshot.
+
+    One keyed window (ROW_NUMBER over the key, descending by the total
+    order) picks the final operation per key — the shuffle is keyed by
+    the CDC key, so snapshot application scales with the changelog, and
+    a hot key costs only its own sort. ``order_cols`` must be a TOTAL
+    order (e.g. ts + a unique sequence id); ties would otherwise make
+    winner selection engine-dependent. Generalizes the reference's
+    truncate-and-reload refresh (CigEolHostingIngestionLogic.py:168-188)
+    into merge semantics; the JDBC MERGE upsert (sources/jdbc.py) is
+    the sink-side twin of this source-side operator.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )

@@ -2124,3 +2124,51 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_aggregate_state(merged, ["o_orderpriority"]).orderBy(
         "o_orderpriority"
     )
+
+
+@register(
+    "cdc_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           ts AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application: the event stream read as a change log
+    on user_id (an ``error`` event acts as the delete tombstone, any
+    other event upserts the user's state), reduced to the final
+    snapshot — last writer wins, trailing deletes drop the key.
+
+    One window keyed by the CDC key (ts + event_id form the total
+    order) — the snapshot costs O(changelog), never O(history), and a
+    hot key pays only its own sort. See ``operators.scd.cdc_apply``.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    from ..operators.scd import cdc_apply
+
+    snap = cdc_apply(e, ["user_id"], ["ts", "event_id"], "op", "D")
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    ).orderBy("user_id")

@@ -255,3 +255,25 @@ def test_blocked_fuzzy_pairs_matches_bruteforce(spark, names):
         ).collect()
     )
     assert got == want
+
+
+def test_cdc_apply_tombstone_and_reinsert(spark):
+    """Delete drops the key; an upsert AFTER a delete resurrects it with
+    the new state; last writer wins under the total order."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.scd import cdc_apply
+
+    rows = [
+        # key 1: U, U -> survives with seq 2 state
+        (1, 1, "U", "a"),
+        (1, 2, "U", "b"),
+        # key 2: U, D -> tombstoned out
+        (2, 1, "U", "x"),
+        (2, 2, "D", None),
+        # key 3: U, D, U -> resurrected with the final state
+        (3, 1, "U", "old"),
+        (3, 2, "D", None),
+        (3, 3, "U", "new"),
+    ]
+    log = spark.createDataFrame(rows, ["k", "seq", "op", "state"])
+    snap = {r.k: r.state for r in cdc_apply(log, ["k"], ["seq"]).collect()}
+    assert snap == {1: "b", 3: "new"}
