@@ -26,6 +26,9 @@ CASES = [
     "vocab_stats",                # TakeOrdered + bounded window shares
     "dedup_minhash",              # md5 minhash signatures + banded join
     "deterministic_split",        # hash-bucket assignment
+    "source_token_divergence",    # floor-quantized log contributions
+    "ann_pq_topk",                # integer-quantized ADC partial sums
+    "incremental_agg_merge",      # mergeable decimal aggregate states
 ]
 
 
