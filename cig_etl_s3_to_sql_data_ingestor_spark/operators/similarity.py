@@ -458,6 +458,7 @@ def pq_train_codebooks(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks — (m, code_id, code_vec) — with ONE
     grouped-KMeans lineage covering all ``n_sub`` subspaces at once.
@@ -472,8 +473,17 @@ def pq_train_codebooks(
     integers (order-independent) with one double division at the end.
     """
     from ..functions.vectors import l2sq
+    from .dedup import _persist
 
-    subs = _subvectors(corpus, n_sub, id_col, vec_col)
+    # Each Lloyd iteration (and the final encode in pq_topk) re-reads
+    # the subvector frame; persisting it trades one materialization of
+    # (n x n_sub) small rows for n_iters re-scans + re-explodes of the
+    # corpus — the same lineage-vs-cache call kmeans_centroids makes
+    # for its centroid frame. Callers that also encode (pq_topk,
+    # ivf_pq_topk) pass the persisted frame in so train + encode share
+    # ONE materialization.
+    if subs is None:
+        subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
     cb = subs.filter(F.col("sid") < n_codes).select(
         "m", F.col("sid").alias("code_id"), F.col("sub").alias("code_vec")
     )
@@ -517,6 +527,7 @@ def pq_encode(
     n_sub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every vector as (id, m, code_id) — nearest codeword per
     subspace. One broadcast join against the (n_sub x n_codes)-row
@@ -526,7 +537,8 @@ def pq_encode(
     compression, realized in the shuffle."""
     from ..functions.vectors import l2sq
 
-    subs = _subvectors(corpus, n_sub, id_col, vec_col)
+    if subs is None:
+        subs = _subvectors(corpus, n_sub, id_col, vec_col)
     return (
         subs.join(F.broadcast(codebooks), "m")
         .withColumn("d2", l2sq(F.col("sub"), F.col("code_vec")))
@@ -578,14 +590,22 @@ def pq_topk(
     """
     from ..functions.vectors import l2sq
 
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            corpus, n_sub=n_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
-        )
     from .dedup import _persist
 
+    subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus,
+            n_sub=n_sub,
+            n_codes=n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            subs=subs,
+        )
     codebooks = _persist(codebooks)
-    codes = pq_encode(corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col, subs=subs
+    )
     qsubs = _subvectors(queries, n_sub, id_col, vec_col)
     dtab = (
         qsubs.join(F.broadcast(codebooks), "m")
@@ -697,12 +717,20 @@ def ivf_pq_topk(
 
     from ..functions.vectors import l2sq
 
+    subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
     codebooks = _persist(
         pq_train_codebooks(
-            corpus, n_sub=n_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+            corpus,
+            n_sub=n_sub,
+            n_codes=n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            subs=subs,
         )
     )
-    codes = pq_encode(corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col, subs=subs
+    )
     qsubs = _subvectors(queries, n_sub, id_col, vec_col)
     dtab = (
         qsubs.join(F.broadcast(codebooks), "m")
