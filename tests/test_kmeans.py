@@ -93,3 +93,25 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_pq_tiny_corpus_fewer_seeds_than_codes(spark, sf_dir):
+    """A corpus smaller than n_codes must still train (every subspace
+    seeds from the available low-id vectors) and search must return
+    exact-style results — the shortlist covers the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    q = e.filter(F.col("vec_id") < 2)
+    got = S.pq_topk(e, q, k=3)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    # With the whole corpus in the shortlist, the re-rank IS brute force.
+    want = S.brute_force_topk(e, q, k=3).collect()
+    assert sorted((r.query_id, r.cand_id, r.rank) for r in rows) == sorted(
+        (r.query_id, r.cand_id, r.rank) for r in want
+    )

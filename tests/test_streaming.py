@@ -684,3 +684,46 @@ def test_vector_ingest_crash_replay_excludes_own_epoch(spark, tmp_path, sf_dir):
     assert replay.count() == 10  # replay admits everything again
     later = ingest._admit(batch, exclude_epoch=1)
     assert later.count() == 0  # a later epoch sees them as duplicates
+
+
+def test_vector_ingest_all_duplicate_batch_writes_empty_epoch(spark, tmp_path, sf_dir):
+    """A batch consisting entirely of near-dups of indexed vectors must
+    admit nothing — the epoch dir is written empty (not skipped, so the
+    epoch remains replay-addressable) and the store count is unchanged."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = S.kmeans_centroids(e.filter(F.col("vec_id") < 100), n_cells=4)
+    cents_path = str(tmp_path / "centroids")
+    cents.write.parquet(cents_path)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = tmp_path / "vecs"
+    src.mkdir()
+    ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    b1 = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    n1 = read_index_store(spark, str(tmp_path / "index")).count()
+
+    # Batch 2: the same ten vectors under new ids — all rejected.
+    b2 = b1.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    assert read_index_store(spark, str(tmp_path / "index")).count() == n1
