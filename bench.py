@@ -125,6 +125,7 @@ HEADLINE = [
     "source_token_divergence",
     "incremental_agg_merge",
     "cdc_snapshot",
+    "part_copurchase_pagerank",
 ]
 
 

@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 112 queries, 50 scored slots. The declared-tail entries are either
+# 113 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -174,6 +174,7 @@ _TAIL = [
     "ann_ivf_pq_topk",
     "incremental_agg_merge",
     "cdc_snapshot",
+    "part_copurchase_pagerank",
 ]
 
 _order = (

@@ -2172,3 +2172,96 @@ def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("ts").alias("last_ts"),
     ).orderBy("user_id")
+
+
+def _sql_pagerank_ctes(n_iters: int = 3) -> str:
+    """Unrolled CTE mirror of ``operators.graph.undirected_pagerank``
+    (same unrolled-iteration oracle technique as the BPE merge steps).
+    Expects a CTE ``pairs`` (src, dst) of distinct undirected edges."""
+    from ..operators.graph import PR_BASE, PR_DAMPING, PR_TELEPORT
+
+    ctes = [
+        "bidir AS (SELECT src AS u, dst AS v FROM pairs"
+        " UNION ALL SELECT dst AS u, src AS v FROM pairs)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM bidir GROUP BY u)",
+        f"r0 AS (SELECT u, CAST({PR_BASE} AS BIGINT) AS pr FROM deg)",
+    ]
+    for it in range(n_iters):
+        prev, cur = f"r{it}", f"r{it + 1}"
+        ctes.append(
+            f"""c{it} AS (
+      SELECT b.v,
+             CAST(FLOOR(CAST(r.pr AS DOUBLE) / CAST(d.deg AS DOUBLE))
+                  AS BIGINT) AS c
+      FROM bidir b JOIN {prev} r ON r.u = b.u JOIN deg d ON d.u = b.u
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+      SELECT v AS u,
+             CAST(FLOOR({PR_TELEPORT!r} + {PR_DAMPING} * CAST(SUM(c) AS DOUBLE))
+                  AS BIGINT) AS pr
+      FROM c{it} GROUP BY v
+    )"""
+        )
+    ctes.append(f"ranks AS (SELECT u AS node, pr FROM r{n_iters})")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {_sql_pagerank_ctes(n_iters=3)}
+    SELECT node AS part_key, pr, rnk FROM (
+      SELECT node, pr,
+             ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rnk
+      FROM ranks
+    ) WHERE rnk <= 30 ORDER BY rnk
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality: PageRank over the part co-purchase graph
+    (parts are linked when they ship in the same order), top 30 — the
+    'authority scoring' shape a corpus-curation pipeline runs over
+    domain/document co-citation graphs.
+
+    Edge build is a self-equi-join on the order key (per-order fan-out
+    is bounded by lines-per-order²; at 100 TB cap pathological orders
+    the same way the shingle index caps hot shingles). The iteration is
+    the integer-quantized exact PageRank (operators/graph.py): integer
+    ranks and in-sums, one identically-rounded double product per
+    update, FIXED iteration count — so the unrolled single-threaded CTE
+    oracle reproduces it bit-for-bit. The final top-30 window runs over
+    the node-sized rank frame only.
+    """
+    from ..operators.graph import undirected_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = undirected_pagerank(pairs, n_iters=3)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select(F.col("node").alias("part_key"), "pr", "rnk")
+        .orderBy("rnk")
+    )

@@ -260,3 +260,20 @@ def test_incremental_dedup_matches_python_model(spark):
         assert got == expected
 
     run()
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """On a star graph the hub must out-rank every leaf, leaves must be
+    symmetric, and ranks must be exactly reproducible integers."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.graph import (
+        undirected_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    ranks = {r.node: r.pr for r in undirected_pagerank(edges).collect()}
+    assert set(ranks) == set(range(6))
+    leaf_ranks = {ranks[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetry
+    assert ranks[0] > max(leaf_ranks) * 2  # hub dominates

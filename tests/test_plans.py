@@ -451,3 +451,13 @@ def test_ivf_pq_candidate_restriction_is_equi_join(spark, sf_dir):
     plan = explain(spark, sf_dir, "ann_ivf_pq_topk")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pagerank_windows_only_over_node_frame(spark, sf_dir):
+    """The only global window allowed is the final top-30 over the
+    node-sized rank frame; every iteration stage must be joins +
+    partial-aggregating integer sums, never a cartesian."""
+    plan = explain(spark, sf_dir, "part_copurchase_pagerank")
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan
