@@ -126,6 +126,7 @@ HEADLINE = [
     "incremental_agg_merge",
     "cdc_snapshot",
     "part_copurchase_pagerank",
+    "char_entropy",
 ]
 
 

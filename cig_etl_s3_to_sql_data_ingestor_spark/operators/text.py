@@ -303,3 +303,56 @@ def fingerprints(
         F.array_min(shingle_hashes).alias("fingerprint"),
         F.size(shingle_hashes).alias("n_shingles"),
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the Shannon
+    counterpart of :func:`char_lm_score`: surprisal flags documents
+    unlikely under the CORPUS distribution, entropy flags documents
+    whose OWN distribution is degenerate (one repeated char → 0;
+    uniform gibberish → ln |alphabet|), independent of the corpus.
+
+    Same exactness discipline as the LM: the per-(doc, char) ratio
+    n_dc / T_d is a division of two int64s (identical double on any
+    engine), its log is floor-quantized to milli-nats once per distinct
+    (doc, char), and the entropy total is an integer sum — so results
+    are partition- and engine-invariant, with one final double
+    division. Shape: explode + two keyed partial aggregates; per-doc
+    state is bounded by the alphabet.
+    """
+    chars = F.explode(
+        F.expr(f"regexp_extract_all(lower({text_col}), '.', 0)")
+    ).alias("ch")
+    per = (
+        df.select(F.col(id_col), chars)
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = per.groupBy(id_col).agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("distinct_chars")
+    )
+    q = per.join(totals, id_col).select(
+        F.col(id_col),
+        "cnt",
+        "t",
+        "distinct_chars",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("t").cast("double"))
+            * LM_QUANT
+        )
+        .cast("long")
+        .alias("qlogp"),
+    )
+    return q.groupBy(id_col, "t", "distinct_chars").agg(
+        (-F.sum(F.col("cnt") * F.col("qlogp"))).alias("entropy_q")
+    ).select(
+        F.col(id_col),
+        F.col("t").alias("n_chars_counted"),
+        "distinct_chars",
+        "entropy_q",
+        (
+            F.col("entropy_q").cast("double") / (F.col("t") * F.lit(LM_QUANT))
+        ).alias("entropy_nats"),
+    )

@@ -423,3 +423,36 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample formula — a parser bug is a value mismatch."""
     d = load_table(spark, sf_dir, "documents")
     return M.audio_features(M.attach_wav(d)).orderBy("doc_id")
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest({_SQL_CHARS}) AS c FROM documents
+    ), per AS (
+      SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS distinct_chars
+      FROM per GROUP BY doc_id
+    ), q AS (
+      SELECT per.doc_id, per.cnt, tot.t, tot.distinct_chars,
+             CAST(floor(ln(CAST(per.cnt AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                        * {TX.LM_QUANT}) AS BIGINT) AS qlogp
+      FROM per JOIN tot ON per.doc_id = tot.doc_id
+    )
+    SELECT doc_id,
+           t AS n_chars_counted,
+           distinct_chars,
+           CAST(-SUM(cnt * qlogp) AS BIGINT) AS entropy_q,
+           CAST(-SUM(cnt * qlogp) AS DOUBLE) / (t * {TX.LM_QUANT}) AS entropy_nats
+    FROM q GROUP BY doc_id, t, distinct_chars ORDER BY doc_id
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy in quantized milli-nats — the
+    corpus-independent degeneracy signal complementing surprisal (see
+    operators/text.char_entropy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.char_entropy(d).orderBy("doc_id")
