@@ -127,6 +127,7 @@ HEADLINE = [
     "cdc_snapshot",
     "part_copurchase_pagerank",
     "char_entropy",
+    "image_ahash_groups",
 ]
 
 

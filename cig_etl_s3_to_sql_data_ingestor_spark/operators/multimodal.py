@@ -791,3 +791,52 @@ def audio_features(aw: DataFrame) -> DataFrame:
     return aw.select("doc_id", "payload").mapInPandas(
         feature_batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash of frame 0 from REAL decoded pixels: the
+    image-dedup signature (near-identical images share hashes; shifted/
+    re-encoded copies usually do too) a multimodal curation pipeline
+    groups on before any expensive pairwise comparison.
+
+    The hash is engine-exact by construction: sample an ``grid x grid``
+    nearest-neighbor lattice (src index = (i * w) // grid — the same
+    closed-form indexing as resize_image), then threshold each sample
+    against the lattice mean using INTEGER cross-multiplication
+    (v * grid² >= sum — no float mean, so no rounding ambiguity), and
+    emit the 64 bits as a string. A 100 TB corpus groups on the hash —
+    one shuffle of 8-byte-equivalent signatures, never pixels.
+    """
+    codec = make_png_codec()
+
+    def hash_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, decode_png = codec
+        g = grid
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(payload)
+                h, w = px.shape
+                src_x = (np.arange(g, dtype=np.int64) * w) // g
+                src_y = (np.arange(g, dtype=np.int64) * h) // g
+                lat = px[src_y][:, src_x].astype(np.int64)
+                total = int(lat.sum())
+                bits = (lat * (g * g) >= total).astype(np.uint8)
+                # Row-major (y, then x) — matches the oracle's ORDER BY j, i.
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+                ids.append(int(did))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return fan_out(mm).mapInPandas(hash_batches, AHASH_SCHEMA)

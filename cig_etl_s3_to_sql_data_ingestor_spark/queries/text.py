@@ -456,3 +456,48 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.char_entropy)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.char_entropy(d).orderBy("doc_id")
+
+
+@register(
+    "image_ahash_groups",
+    oracle=f"""
+    WITH m AS ({_SQL_MM_DIMS}
+    ), g AS (
+      SELECT m.doc_id, t.i, u.j,
+             (m.doc_id * 31 + 7 * ((t.i * m.w) // 8)
+              + 13 * ((u.j * m.h) // 8)) % 256 AS v
+      FROM m,
+           unnest(generate_series(0, 7)) AS t(i),
+           unnest(generate_series(0, 7)) AS u(j)
+    ), s AS (
+      SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM g GROUP BY doc_id
+    ), bits AS (
+      SELECT g.doc_id,
+             string_agg(CASE WHEN g.v * 64 >= s.total THEN '1' ELSE '0' END,
+                        '' ORDER BY g.j, g.i) AS ahash
+      FROM g JOIN s USING (doc_id) GROUP BY g.doc_id
+    ), sizes AS (
+      SELECT ahash, COUNT(*) AS cnt FROM bits GROUP BY ahash
+    )
+    SELECT b.doc_id, b.ahash, CAST(z.cnt AS BIGINT) AS group_size
+    FROM bits b JOIN sizes z USING (ahash)
+    ORDER BY b.doc_id
+    """,
+)
+def image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup signatures from REAL decoded pixels: per-doc
+    64-bit average-hash (integer-thresholded 8x8 lattice) plus the size
+    of its exact-hash group — the grouping a multimodal dedup pass runs
+    before pairwise verification. The oracle recomputes every hash from
+    the generative pixel formula, so a decoder or sampling bug flips
+    bits and fails the value hash."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = M.image_ahash(M.attach_png(d))
+    sizes = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        hashes.join(sizes, "ahash")
+        .select("doc_id", "ahash", "group_size")
+        .orderBy("doc_id")
+    )
