@@ -128,6 +128,7 @@ HEADLINE = [
     "part_copurchase_pagerank",
     "char_entropy",
     "image_ahash_groups",
+    "audio_fingerprint_groups",
 ]
 
 

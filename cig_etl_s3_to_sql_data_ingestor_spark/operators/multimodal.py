@@ -840,3 +840,47 @@ def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return fan_out(mm).mapInPandas(hash_batches, AHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprint(aw: DataFrame, n_windows: int = 32) -> DataFrame:
+    """Energy-profile audio fingerprint from REAL decoded samples: the
+    clip splits into ``n_windows`` index buckets (window of sample i =
+    (i * n_windows) // n — same closed-form bucketing as the image
+    lattice), each window's integer energy (sum of squares) is
+    thresholded against the clip mean by integer cross-multiplication
+    (e_w * n_windows >= total), and the bits form the signature a
+    near-dup audio pass groups on. Engine-exact throughout — integer
+    energies, integer compares."""
+    codec = make_wav_codec()
+
+    def fp_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, decode_wav = codec
+        nw = n_windows
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_wav(payload)
+                s = samples.astype(np.int64)
+                n = len(s)
+                w = (np.arange(n, dtype=np.int64) * nw) // n
+                energy = np.zeros(nw, dtype=np.int64)
+                np.add.at(energy, w, s * s)
+                total = int(energy.sum())
+                bits = energy * nw >= total
+                fps.append("".join("1" if b else "0" for b in bits))
+                ids.append(int(did))
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return aw.select("doc_id", "payload").mapInPandas(fp_batches, AUDIO_FP_SCHEMA)

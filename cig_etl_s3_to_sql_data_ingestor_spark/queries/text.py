@@ -501,3 +501,45 @@ def image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ahash", "group_size")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "audio_fingerprint_groups",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n FROM documents
+    ), s AS (
+      SELECT m.doc_id, m.n, t.i,
+             ((m.doc_id * 7919 + t.i * 2654435761) % 65536) - 32768 AS v
+      FROM m, unnest(generate_series(0, m.n - 1)) AS t(i)
+    ), win AS (
+      SELECT doc_id, (i * 32) // n AS w, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM s GROUP BY doc_id, (i * 32) // n
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total FROM win GROUP BY doc_id
+    ), fp AS (
+      SELECT win.doc_id,
+             string_agg(CASE WHEN win.e * 32 >= tot.total THEN '1' ELSE '0' END,
+                        '' ORDER BY win.w) AS fingerprint
+      FROM win JOIN tot USING (doc_id) GROUP BY win.doc_id
+    ), sizes AS (
+      SELECT fingerprint, COUNT(*) AS cnt FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint, CAST(z.cnt AS BIGINT) AS group_size
+    FROM fp f JOIN sizes z USING (fingerprint)
+    ORDER BY f.doc_id
+    """,
+)
+def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup signatures from REAL decoded PCM: per-clip 32-bit
+    energy-profile fingerprint plus its exact-group size — the audio
+    twin of image_ahash_groups. Oracle recomputes every fingerprint
+    from the generative sample formula."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = M.audio_fingerprint(M.attach_wav(d))
+    sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        fp.join(sizes, "fingerprint")
+        .select("doc_id", "fingerprint", "group_size")
+        .orderBy("doc_id")
+    )
