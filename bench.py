@@ -129,6 +129,7 @@ HEADLINE = [
     "char_entropy",
     "image_ahash_groups",
     "audio_fingerprint_groups",
+    "curation_decisions",
 ]
 
 

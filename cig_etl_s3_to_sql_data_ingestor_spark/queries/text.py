@@ -543,3 +543,78 @@ def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint", "group_size")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curation_decisions",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS n_chars, len({SQL_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             {_EN} AS stop_hits
+      FROM documents
+    ), q AS (
+      SELECT doc_id, text, n_tokens,
+             least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+               + least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4, 1.0) * 0.4
+               + (1 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) * 10, 1.0)) * 0.2
+               AS quality_score
+      FROM s
+    ), keepers AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ), tagged AS (
+      SELECT q.doc_id, q.n_tokens, q.quality_score,
+             CASE WHEN q.doc_id <> k.keeper THEN 'exact_dup'
+                  WHEN q.quality_score < 0.5 THEN 'low_quality'
+                  ELSE 'keep' END AS reason
+      FROM q JOIN keepers k ON md5(q.text) = k.h
+    )
+    SELECT doc_id,
+           CASE WHEN reason = 'keep' THEN 'keep' ELSE 'drop' END AS decision,
+           reason, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+    FROM tagged ORDER BY doc_id
+    """,
+)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: one keep/drop decision per document
+    with the FIRST failing rule as the reason — exact-duplicate losers
+    (md5 grouping, lowest id is canonical) drop first, then documents
+    below the quality floor (0.5, the same constant the streaming
+    monitor pages on), everything else keeps. This is the decision
+    frame a training-data pipeline materializes before writing shards;
+    each rule reuses the already-proven operator (exact dedup's
+    digest grouping, the quality scorer) so the composed query costs
+    one digest aggregate + one quality projection + one broadcast-sized
+    join — no new shuffle shapes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = TX.quality_scores(d).select("doc_id", "n_tokens", "quality_score")
+    keepers = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    tagged = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(keepers, "h")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+            .when(F.col("quality_score") < 0.5, F.lit("low_quality"))
+            .otherwise(F.lit("keep"))
+            .alias("reason"),
+        )
+    )
+    return tagged.select(
+        "doc_id",
+        F.when(F.col("reason") == "keep", F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
+        "reason",
+        "n_tokens",
+        "quality_score",
+    ).orderBy("doc_id")
