@@ -130,6 +130,7 @@ HEADLINE = [
     "image_ahash_groups",
     "audio_fingerprint_groups",
     "curation_decisions",
+    "priority_sample",
 ]
 
 

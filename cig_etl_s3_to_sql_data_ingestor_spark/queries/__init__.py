@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 117 queries, 50 scored slots. The declared-tail entries are either
+# 118 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -179,6 +179,7 @@ _TAIL = [
     "image_ahash_groups",
     "audio_fingerprint_groups",
     "curation_decisions",
+    "priority_sample",
 ]
 
 _order = (

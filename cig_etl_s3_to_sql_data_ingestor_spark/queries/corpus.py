@@ -346,3 +346,44 @@ def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "q")
     )
+
+
+@register(
+    "priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+             ) AS pri_rank
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(pri_rank AS BIGINT) AS pri_rank
+    FROM pri WHERE pri_rank <= 20 ORDER BY source, pri_rank
+    """,
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group 'reservoir': the k docs per source with
+    the LOWEST md5(id) — a uniform-ish fixed-size sample that any
+    engine, any partitioning, and any later rerun reproduces exactly
+    (the distributed analog of reservoir sampling, without its
+    scan-order dependence). The hash is the priority, the id breaks the
+    (never-occurring) hash tie, and the per-group window is keyed — at
+    100 TB this is one shuffle of (group, id, hash) triples and each
+    group retains k rows, which is how you build audit samples and
+    eval slices from a corpus without an RNG seed that nothing else
+    can replay.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("pri_rank", F.row_number().over(w))
+        .filter(F.col("pri_rank") <= 20)
+        .select("source", "doc_id", "pri_rank")
+        .orderBy("source", "pri_rank")
+    )
