@@ -245,11 +245,16 @@ def zorder_write(
 def aggregate_state(
     df: DataFrame, keys: list[str], value_col: str, scale: int = 4
 ) -> DataFrame:
-    """Per-key mergeable aggregate state: (keys, n, s, mn, mx)."""
+    """Per-key mergeable aggregate state: (keys, n, s, mn, mx). The sum
+    keeps the caller's ``scale`` end-to-end — widening only the
+    precision — so the merge == full-recompute identity holds at any
+    scale, not just the default."""
     v = F.col(value_col)
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v.cast(f"decimal(18,{scale})")).cast("decimal(28,4)").alias("s"),
+        F.sum(v.cast(f"decimal(18,{scale})"))
+        .cast(f"decimal(28,{scale})")
+        .alias("s"),
         F.min(v).alias("mn"),
         F.max(v).alias("mx"),
     )
@@ -276,12 +281,15 @@ def merge_aggregate_state(
         F.col("mx").alias("_mxd"),
     )
     j = o.join(d, keys, "full_outer")
-    zero = F.lit(0).cast("decimal(28,4)")
+    # Read the state's own decimal type so the merge preserves whatever
+    # scale aggregate_state was built with.
+    s_type = dict(old.dtypes)["s"]
+    zero = F.lit(0).cast(s_type)
     return j.select(
         *keys,
         (F.coalesce(F.col("_no"), F.lit(0)) + F.coalesce(F.col("_nd"), F.lit(0))).alias("n"),
         (F.coalesce(F.col("_so"), zero) + F.coalesce(F.col("_sd"), zero))
-        .cast("decimal(28,4)")
+        .cast(s_type)
         .alias("s"),
         F.least(
             F.coalesce(F.col("_mno"), F.col("_mnd")),

@@ -438,8 +438,21 @@ PQ_DIST_QUANT = 1_000_000_000  # ADC distance-table quantization (nano-units)
 def _subvectors(df: DataFrame, n_sub: int, id_col: str, vec_col: str) -> DataFrame:
     """Long-form (id, m, sub) subvector frame: one codegen projection +
     posexplode, no shuffle. Sub-length is derived per row (dim/n_sub) so
-    the operator is dimension-agnostic."""
-    sub_len = (F.size(F.col(vec_col)) / n_sub).cast("int")
+    the operator is dimension-agnostic ACROSS valid dims — a dimension
+    that is not a positive multiple of ``n_sub`` fails the job loudly
+    (truncated trailing dims or zero-length subvectors would otherwise
+    return plausible-looking garbage top-k)."""
+    size = F.size(F.col(vec_col))
+    ok = (size >= n_sub) & (size % n_sub == 0)
+    sub_len = F.when(ok, (size / n_sub).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding dim "),
+                size.cast("string"),
+                F.lit(f" is not a positive multiple of n_sub={n_sub}"),
+            )
+        ).cast("int")
+    )
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda m: F.slice(
@@ -562,6 +575,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank.
 
@@ -577,6 +591,13 @@ def pq_topk(
     -sized probe of the corpus), which is the standard shortlist+rerank
     deployment: memory-bound scan over 8-byte codes, exact math only on
     the shortlist.
+
+    ``candidates`` — an optional (query_id, cand_id) frame — restricts
+    the ADC scan to pre-generated pairs (self-pairs must already be
+    excluded); ``ivf_pq_topk`` passes its probed-cell pairs here, so
+    the quantization constants, tie-breaks, and re-rank live in exactly
+    one place (the SQL mirror has the same shape: ``_sql_pq_ctes``
+    serves both oracles through its ``candidates`` parameter).
 
     Defaults are MEASURED against brute-force ground truth
     (tests/test_ann_recall.py, 32 queries, k=10): 16 subspaces x 16
@@ -618,12 +639,20 @@ def pq_topk(
             .alias("qd2"),
         )
     )
-    adc = (
-        codes.join(F.broadcast(dtab), ["m", "code_id"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("qd2").alias("adc_q"))
-    )
+    if candidates is None:
+        adc = (
+            codes.join(F.broadcast(dtab), ["m", "code_id"])
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("qd2").alias("adc_q"))
+        )
+    else:
+        adc = (
+            candidates.join(codes, "cand_id")
+            .join(F.broadcast(dtab), ["query_id", "m", "code_id"])
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("qd2").alias("adc_q"))
+        )
     w = W.partitionBy("query_id").orderBy(F.col("adc_q"), F.col("cand_id"))
     short = (
         adc.withColumn("adc_rank", F.row_number().over(w))
@@ -677,21 +706,15 @@ def ivf_pq_topk(
     query) and PQ bounds the BYTES (scored via 8-byte codes, not 256 B
     vectors); exact math runs only on the final shortlist.
 
-    Pipeline: coarse centroids (deterministic sampled KMeans) partition
-    the corpus into cells; PQ codebooks train on the SAME corpus (plain
-    PQ — the classic residual refinement would encode vector minus
-    centroid, sharpening cells' local resolution, at the cost of a
-    per-cell code space; plain PQ keeps codes cell-independent, which
-    is what lets one code table serve every cell). A query probes its
-    ``n_probe`` best cells, candidates are the probed cells' members,
-    and only THOSE pairs pay the integer ADC sum before the exact
-    re-rank of the top ``k * shortlist_factor``.
-
-    Every stage is the already-proven building block: broadcast
-    centroid/codebook/distance-table joins, integer-quantized ADC
-    (order-invariant), ties broken on ids. Measured recall@10 at the
-    defaults: see tests/test_ann_recall.py (the IVF probe miss and the
-    PQ shortlist miss compose roughly multiplicatively).
+    This is candidate generation + delegation: coarse centroids
+    (deterministic sampled KMeans) assign the corpus to cells, a query
+    probes its ``n_probe`` best cells, and the probed-cell pairs feed
+    ``pq_topk(candidates=...)`` — one implementation of the ADC scan,
+    shortlist, and re-rank serves both the standalone and the composed
+    index (plain PQ, not residual: one code table serves every cell).
+    Measured recall@10 at the defaults: see tests/test_ann_recall.py
+    (the IVF probe miss and the PQ shortlist miss compose roughly
+    multiplicatively).
     """
     from .dedup import _persist
 
@@ -713,72 +736,15 @@ def ivf_pq_topk(
     )
     cand_pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("cand_id") != F.col("query_id")
-    )
-
-    from ..functions.vectors import l2sq
-
-    subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
-    codebooks = _persist(
-        pq_train_codebooks(
-            corpus,
-            n_sub=n_sub,
-            n_codes=n_codes,
-            id_col=id_col,
-            vec_col=vec_col,
-            subs=subs,
-        )
-    )
-    codes = pq_encode(
-        corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col, subs=subs
-    )
-    qsubs = _subvectors(queries, n_sub, id_col, vec_col)
-    dtab = (
-        qsubs.join(F.broadcast(codebooks), "m")
-        .select(
-            F.col("sid").alias("query_id"),
-            "m",
-            "code_id",
-            (F.floor(l2sq(F.col("sub"), F.col("code_vec")) * PQ_DIST_QUANT))
-            .cast("long")
-            .alias("qd2"),
-        )
-    )
-    adc = (
-        cand_pairs.join(codes, "cand_id")
-        .join(F.broadcast(dtab), ["query_id", "m", "code_id"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("qd2").alias("adc_q"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_q"), F.col("cand_id"))
-    short = (
-        adc.withColumn("adc_rank", F.row_number().over(w))
-        .filter(F.col("adc_rank") <= k * shortlist_factor)
-        .select("query_id", "cand_id")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cand_vec"),
-        norm(F.col(vec_col)).alias("cand_norm"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        norm(F.col(vec_col)).alias("query_norm"),
-    )
-    rescored = (
-        c.join(F.broadcast(short), "cand_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("query_vec"), F.col("cand_vec"))
-            / (F.col("query_norm") * F.col("cand_norm")),
-        )
-    )
-    wr = W.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("cand_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine_sim", "rank")
+    ).select("query_id", "cand_id")
+    return pq_topk(
+        corpus,
+        queries,
+        k=k,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        shortlist_factor=shortlist_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand_pairs,
     )

@@ -266,6 +266,8 @@ def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_extendedprice"
     )
 
+    from ..operators.dedup import _persist
+
     est = (
         li.groupBy("l_returnflag")
         .agg(
@@ -286,6 +288,10 @@ def approx_quantile_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est",
         )
     )
+    # Three downstream branches (rank counts, exact index picks, the
+    # envelope check) consume this 12-row frame — persist it so the
+    # lineitem scan + GK sketch build runs once, not three times.
+    est = _persist(est)
 
     # Rank the estimate exactly: rows strictly below / at-or-below it.
     ranks = (

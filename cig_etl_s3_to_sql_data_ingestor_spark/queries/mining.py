@@ -776,9 +776,10 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mixture-weighting pass consumes (domain-reweighting literature scores
 # candidate sources exactly this way). Engine parity follows the char-LM
 # precedent: each per-TERM log-ratio is quantized once with
-# floor(ln(r) * 1000) at vocabulary granularity (the ratio itself is a
-# division of two exactly-representable int64 products, so both engines
-# feed ln the identical double), then weighted by integer counts and
+# floor(ln(r) * 1000) at vocabulary granularity (each FACTOR is cast to
+# double before multiplying — counts are < 2^53 so the casts are exact
+# and the one product rounds identically in both engines, with no
+# int64 overflow at corpus scale), then weighted by integer counts and
 # summed as int64 — order-independent — with ONE double division at the
 # end.
 # ---------------------------------------------------------------------------
@@ -799,8 +800,8 @@ KL_QUANT = 1000  # milli-nats
     contrib AS (
       SELECT st.source,
              st.c_st * CAST(FLOOR(LN(
-               CAST(st.c_st * tot.t AS DOUBLE)
-                 / CAST(src.t_s * ct.c_t AS DOUBLE)
+               (CAST(st.c_st AS DOUBLE) * CAST(tot.t AS DOUBLE))
+                 / (CAST(src.t_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE))
              ) * {KL_QUANT}) AS BIGINT) AS kq
       FROM st
       JOIN src ON src.source = st.source
@@ -846,8 +847,14 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_st")
                 * F.floor(
                     F.log(
-                        (F.col("c_st") * F.col("t")).cast("double")
-                        / (F.col("t_s") * F.col("c_t")).cast("double")
+                        (
+                            F.col("c_st").cast("double")
+                            * F.col("t").cast("double")
+                        )
+                        / (
+                            F.col("t_s").cast("double")
+                            * F.col("c_t").cast("double")
+                        )
                     )
                     * KL_QUANT
                 ).cast("bigint")

@@ -459,7 +459,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = e.select(
         F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
     )
-    truth = e.select(
+    truth = q.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
     )
     votes = (

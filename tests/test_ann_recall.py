@@ -83,10 +83,11 @@ def test_ivf_probe_recall_curve(ground_truth):
 
 
 def test_pq_default_recall_floor(ground_truth):
-    """PQ (8 subspaces x 16 codes, ADC + 4k-shortlist exact re-rank)
-    must stay close to brute force on the fixture — the re-rank step
-    means recall is bounded by whether true neighbors reach the ADC
-    shortlist, which is the quantity measured here."""
+    """PQ at the shipped defaults (16 subspaces x 16 codes, ADC + k*8
+    shortlist exact re-rank) must stay close to brute force on the
+    fixture — the re-rank step means recall is bounded by whether true
+    neighbors reach the ADC shortlist, which is the quantity measured
+    here."""
     e, q, gt = ground_truth
     recall = _recall(gt, S.pq_topk(e, q, k=K))
     assert recall >= 0.90, f"PQ default recall@{K} fell to {recall:.3f}"

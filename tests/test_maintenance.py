@@ -220,3 +220,27 @@ def test_merge_aggregate_state_handles_one_sided_keys(spark):
         for r in finalize_aggregate_state(both, ["k"]).collect()
     }
     assert {k: v[:2] for k, v in out.items()} == full
+
+
+def test_aggregate_state_honors_nondefault_scale(spark):
+    """scale=6 must keep 6 decimal places through the state sum and the
+    merge — the merge == full-recompute identity at any scale (the
+    review caught the state hardcoding scale 4, which silently rounded
+    and broke the identity)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.maintenance import (
+        aggregate_state,
+        finalize_aggregate_state,
+        merge_aggregate_state,
+    )
+
+    old = spark.createDataFrame([("a", 1.000050)], ["k", "v"])
+    delta = spark.createDataFrame([("a", 2.000050)], ["k", "v"])
+    merged = merge_aggregate_state(
+        aggregate_state(old, ["k"], "v", scale=6),
+        aggregate_state(delta, ["k"], "v", scale=6),
+        ["k"],
+    )
+    full = aggregate_state(old.unionByName(delta), ["k"], "v", scale=6)
+    got = finalize_aggregate_state(merged, ["k"]).first()
+    want = finalize_aggregate_state(full, ["k"]).first()
+    assert got.total_value == want.total_value == 3.0001
