@@ -29,3 +29,18 @@ def md5_bucket(col: Column, mod: int) -> Column:
         F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("long")
         % mod
     )
+
+
+def sql_md5_mod(arg: str, mod: int) -> str:
+    """The ANSI/DuckDB mirror of :func:`md5_bucket` for an arbitrary
+    string expression: strpos-polynomial decode of md5's first 6 hex
+    digits, mod. One canonical spelling — the query-module oracles
+    (corpus split buckets, CMS cells, bloom bits, IVF sampling) must
+    all call this, or a tweak to the hashing spelling silently desyncs
+    an oracle from the Spark-side function."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({digits}) % {mod})"

@@ -224,6 +224,12 @@ def bpe_train_plan(
             .agg(F.sum("n").alias("merge_count"))
         )
         best = pc.orderBy(F.col("merge_count").desc(), F.col("pair")).limit(1)
+        if best.isEmpty():
+            # Vocabulary fully merged before n_merges steps: stop, like
+            # the Python trainer's `if not counts: break`. Continuing
+            # would crossJoin w against an EMPTY best and silently wipe
+            # the whole vocabulary frame (review finding).
+            break
         w = (
             w.crossJoin(F.broadcast(best.select(F.col("pair").alias("bp"))))
             .withColumn(
@@ -254,6 +260,15 @@ def bpe_train_plan(
                 F.col("merge_count").cast("bigint"),
             ).crossJoin(F.broadcast(after))
         )
+    if not rows:
+        # n_merges=0 (or a vocabulary with no adjacent pairs at all):
+        # zero steps + the character-level encoding, same contract as
+        # train_merges returning [].
+        schema = (
+            "step int, left_sym string, right_sym string, "
+            "merge_count bigint, corpus_tokens_after bigint"
+        )
+        return spark.createDataFrame([], schema), w
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

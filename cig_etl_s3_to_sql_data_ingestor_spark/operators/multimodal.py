@@ -258,7 +258,11 @@ def make_apng_codec():
 
         ``wanted=None`` decodes every frame; a list decodes only those
         indices (out-of-range entries ignored); ``[]`` is the metadata
-        probe — full CRC-validated chunk walk, zero inflates."""
+        probe — full CRC-validated chunk walk, zero inflates. A CALLABLE
+        ``wanted`` receives n_frames after the walk and returns the
+        indices to decode — the one-pass form samplers use so the
+        O(container-bytes) chunk walk and CRC work run once, not
+        twice."""
         import struct
         import zlib
 
@@ -286,6 +290,11 @@ def make_apng_codec():
                     streams.append(bytearray())
                 streams[-1] += payload
             elif tag == b"fdAT":
+                if not streams:
+                    # Malformed container: frame data before any fcTL /
+                    # IDAT stream. Raise the codec's documented error
+                    # type, not a bare IndexError from streams[-1].
+                    raise ValueError("fdAT before any fcTL/IDAT stream")
                 streams[-1] += payload[4:]  # strip the sequence number
             elif tag == b"IEND":
                 break
@@ -295,7 +304,11 @@ def make_apng_codec():
         n = n_frames if n_frames is not None else len(streams)
         if len(streams) != n:
             raise ValueError(f"acTL declares {n} frames, found {len(streams)}")
-        idxs = range(n) if wanted is None else [i for i in wanted if 0 <= i < n]
+        if wanted is None:
+            idxs = range(n)
+        else:
+            req = wanted(n) if callable(wanted) else wanted
+            idxs = [i for i in req if 0 <= i < n]
 
         def one(stream):
             mini = (
@@ -651,11 +664,13 @@ def sample_frames(mm: DataFrame, every_nth: int = 2) -> DataFrame:
     """REAL frame sampling: one output row per kept frame, with stats
     computed from that frame's decoded pixels.
 
-    Two passes over each payload's chunk list: a zero-inflate metadata
-    probe to learn n_frames, then a decode of ONLY the sampled indices —
-    APNG's independently-compressed frame streams mean the skipped
-    frames never hit zlib. The whole thing is one Arrow-batched
-    ``mapInPandas``; payloads stay on the executor that read them."""
+    ONE pass over each payload's chunk list: the sampler hands the
+    codec a callable that picks every ``nth`` index once n_frames is
+    known, so the CRC-validated walk runs once and ONLY the sampled
+    indices hit zlib — APNG's independently-compressed frame streams
+    make the skipped frames free. One Arrow-batched ``mapInPandas``
+    after a ``fan_out`` rebalance (decode is CPU-heavy Python work; an
+    under-split input would serialize it)."""
     codec = make_apng_codec()
     nth = int(every_nth)
 
@@ -668,9 +683,10 @@ def sample_frames(mm: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _, _, _, n = decode_frames(payload, wanted=[])
-                idxs = list(range(0, n, nth))
-                frames, w, h, _ = decode_frames(payload, wanted=idxs)
+                frames, w, h, n = decode_frames(
+                    payload, wanted=lambda nf: range(0, nf, nth)
+                )
+                idxs = sorted(frames)
                 for i in idxs:
                     ps = int(frames[i].astype(np.int64).sum())
                     out["doc_id"].append(int(did))
@@ -682,7 +698,9 @@ def sample_frames(mm: DataFrame, every_nth: int = 2) -> DataFrame:
                     out["mean_pixel"].append(ps / (w * h))
             yield pd.DataFrame(out)
 
-    return mm.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA)
+    return fan_out(mm.select("doc_id", "payload")).mapInPandas(
+        frame_batches, FRAME_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -788,7 +806,7 @@ def audio_features(aw: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return aw.select("doc_id", "payload").mapInPandas(
+    return fan_out(aw.select("doc_id", "payload")).mapInPandas(
         feature_batches, AUDIO_FEATURES_SCHEMA
     )
 
@@ -883,4 +901,6 @@ def audio_fingerprint(aw: DataFrame, n_windows: int = 32) -> DataFrame:
                 ids.append(int(did))
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
-    return aw.select("doc_id", "payload").mapInPandas(fp_batches, AUDIO_FP_SCHEMA)
+    return fan_out(aw.select("doc_id", "payload")).mapInPandas(
+        fp_batches, AUDIO_FP_SCHEMA
+    )

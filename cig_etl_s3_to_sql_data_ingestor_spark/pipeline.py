@@ -29,7 +29,12 @@ from .notify import Notifier
 from .operators import transforms as TR
 from .operators.marker import ParquetMarkerLedger
 from .plans.worklist import build_worklist, config_frame, work_groups
-from .sources.parquet_tree import discover_files, group_day_dirs, norm_path
+from .sources.parquet_tree import (
+    decode_input_file,
+    discover_files,
+    group_day_dirs,
+    norm_path,
+)
 
 
 def stringify(df: DataFrame) -> DataFrame:
@@ -133,7 +138,10 @@ class BatchIngest:
             )
             df = (
                 self.spark.read.parquet(*day_dirs)
-                .withColumn("_src_path", norm_path(F.input_file_name()))
+                .withColumn(
+                    "_src_path",
+                    norm_path(decode_input_file(F.input_file_name())),
+                )
                 .join(
                     survivors,
                     F.col("_src_path") == F.col("_wl_path"),

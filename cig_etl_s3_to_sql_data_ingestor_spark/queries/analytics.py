@@ -1432,28 +1432,32 @@ def quarterly_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name, yr, qtr
-    ), lagged AS (
-      SELECT n_name, yr, qtr, revenue,
-             LAG(revenue, 4) OVER (PARTITION BY n_name ORDER BY yr, qtr)
-               AS prev_year_rev
-      FROM q
     )
-    SELECT n_name, yr, qtr, revenue, prev_year_rev,
-           CASE WHEN prev_year_rev IS NOT NULL AND prev_year_rev <> 0
-                THEN (revenue - prev_year_rev) / prev_year_rev
+    SELECT cur.n_name, cur.yr, cur.qtr, cur.revenue,
+           prev.revenue AS prev_year_rev,
+           CASE WHEN prev.revenue IS NOT NULL AND prev.revenue <> 0
+                THEN (cur.revenue - prev.revenue) / prev.revenue
            END AS yoy_growth
-    FROM lagged
-    ORDER BY n_name, yr, qtr
+    FROM q cur
+    LEFT JOIN q prev
+      ON prev.n_name = cur.n_name
+     AND prev.yr = cur.yr - 1
+     AND prev.qtr = cur.qtr
+    ORDER BY cur.n_name, cur.yr, cur.qtr
     """,
 )
 def nation_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation quarterly revenue with LAG(4) year-over-year growth.
+    """Per-nation quarterly revenue with year-over-year growth against
+    the SAME quarter of the previous calendar year.
 
-    orders⨝customer shuffles on custkey; nation is a broadcast dim; the
-    quarterly aggregate is partial-agg'd map-side. The growth division
-    runs on two identically-derived doubles, so it is bit-stable."""
-    from pyspark.sql import Window as W
-
+    The baseline is an explicit (nation, year-1, quarter) self-join of
+    the quarterly aggregate, not LAG(4): a lag over row positions
+    silently fetches the wrong quarter as soon as one (nation, quarter)
+    row is missing (review finding). The join runs over the bounded
+    per-quarter aggregate. orders⨝customer shuffles on custkey; nation
+    is a broadcast dim; the quarterly aggregate is partial-agg'd
+    map-side. The growth division runs on two identically-derived
+    doubles, so it is bit-stable."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation")
@@ -1467,9 +1471,14 @@ def nation_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(exact_sum(F.col("o_totalprice"), 2).alias("revenue"))
     )
-    w = W.partitionBy("n_name").orderBy("yr", "qtr")
-    lagged = q.withColumn("prev_year_rev", F.lag("revenue", 4).over(w))
-    return lagged.select(
+    prev = q.select(
+        "n_name",
+        (F.col("yr") + 1).alias("yr"),
+        "qtr",
+        F.col("revenue").alias("prev_year_rev"),
+    )
+    joined = q.join(prev, ["n_name", "yr", "qtr"], "left")
+    return joined.select(
         "n_name",
         "yr",
         "qtr",

@@ -590,16 +590,7 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 3, 16, 15
 
 
-def _sql_md5_mod(arg: str, mod: int) -> str:
-    """strpos-polynomial hex decode of md5(arg)'s first 6 digits, mod —
-    the engine-portable mirror of functions.hashing.md5_bucket (see
-    queries/corpus.py on why not a hex-literal cast)."""
-    digits = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    return f"(({digits}) % {mod})"
+from ..functions.hashing import sql_md5_mod as _sql_md5_mod
 
 
 _CMS_HASH_ARG = "CAST(row_idx AS VARCHAR) || '|' || word"
@@ -673,7 +664,8 @@ def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bloom-filter decontamination gate (operators/sketches.py): membership n_bits=64 / n_hashes=2 are deliberately tiny so the fixture
+# Bloom-filter decontamination gate (operators/sketches.py): the
+# n_bits=4096 / n_hashes=2 configuration is deliberately small so the fixture
 # shows real false positives — the quantity a pipeline must route to an
 # exact verify join. md5-deterministic, so the oracle rebuilds the
 # filter bit-for-bit and the false-positive counts compare exactly.

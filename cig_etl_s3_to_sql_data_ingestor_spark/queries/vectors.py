@@ -134,14 +134,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_hash_bucket(id_expr: str, mod: int) -> str:
-    """strpos-polynomial hex decode of md5(id) — the version-stable md5
-    bucket (same construct as queries.corpus._SQL_BUCKET)."""
-    hexd = f"substr(md5(CAST({id_expr} AS VARCHAR)), {{i}}, 1)"
-    poly = " + ".join(
-        f"(strpos('0123456789abcdef', {hexd.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    return f"(({poly}) % {mod})"
+    """Version-stable md5 bucket of an ID expression — the canonical
+    spelling lives in functions.hashing.sql_md5_mod; this wrapper adds
+    only the VARCHAR cast for non-string ids."""
+    from ..functions.hashing import sql_md5_mod
+
+    return sql_md5_mod(f"CAST({id_expr} AS VARCHAR)", mod)
 
 
 def _sql_kmeans_ctes(

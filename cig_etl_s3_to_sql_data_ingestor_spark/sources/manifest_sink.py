@@ -52,7 +52,13 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_DIR = "_manifests"
 # Seconds an unparsable NEWEST manifest is re-polled before a writer
 # treats the claim as dead and commits above it.
-CLAIM_GRACE_SECONDS = 2.0
+# How long a claimed-but-unparsable newest manifest is presumed to be a
+# LIVE writer mid-commit before later writers commit above it. 2 s (the
+# original value) is well inside realistic driver GC/network pauses, so a
+# stalled-but-alive writer could be raced out; 30 s makes that unlikely,
+# and the post-write verification in write_snapshot turns any remaining
+# race from silent data loss into a loud error the caller can retry.
+CLAIM_GRACE_SECONDS = 30.0
 
 
 def _fs(spark: SparkSession, path: str):
@@ -166,10 +172,16 @@ def write_snapshot(
             # ONE version file — data files are never mutated either way.
             out = fs.create(target, False)
         except Exception as exc:
-            # Only a lost claim (file already exists) warrants a rebase
-            # retry; anything else (permissions, bad path, network) is a
-            # real fault and must surface immediately.
-            if "exist" not in str(exc).lower():
+            # Only a lost claim (file ALREADY exists) warrants a rebase
+            # retry; anything else (permissions, bad path, a parent that
+            # does NOT exist, network) is a real fault and must surface
+            # immediately. A bare "exist" substring would misclassify
+            # does-not-exist errors as lost claims.
+            msg = str(exc)
+            if (
+                "FileAlreadyExists" not in msg
+                and "already exist" not in msg.lower()
+            ):
                 raise
             last_exc = exc
             continue
@@ -181,6 +193,25 @@ def write_snapshot(
             )
         finally:
             out.close()
+        # Post-write verification: if another writer expired our claim
+        # grace while we were stalled between the create and this write,
+        # it committed a lineage that EXCLUDES this batch — detect that
+        # and fail loudly instead of returning success for an append
+        # that no future snapshot will ever contain. (The data files are
+        # intact; the caller retries write_snapshot.)
+        if mode == "append":
+            check_v, check_m = _latest_committed(fs, jvm, table_path)
+            if (
+                check_v > target_v
+                and check_m is not None
+                and batch not in check_m["batches"]
+            ):
+                raise RuntimeError(
+                    f"append raced out of the manifest lineage for "
+                    f"{table_path}: committed v{target_v} but v{check_v} "
+                    f"does not chain from it (a concurrent writer expired "
+                    f"this writer's claim grace); retry write_snapshot"
+                )
         return target_v
     raise RuntimeError(
         f"lost the manifest claim {max_retries} times for {table_path}"

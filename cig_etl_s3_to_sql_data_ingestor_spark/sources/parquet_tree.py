@@ -52,6 +52,18 @@ def norm_path(col: F.Column) -> F.Column:
     return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
 
 
+def decode_input_file(col: F.Column) -> F.Column:
+    """Decode ``input_file_name()``'s URI form back to the raw path the
+    Hadoop listing API reports. ``input_file_name`` percent-encodes
+    special characters ('a b.parquet' -> 'a%20b.parquet'); a raw-vs
+    -encoded equality join silently drops those files. ``url_decode``
+    alone would also corrupt literal '+' (form decoding maps '+' to a
+    space), so '+' is pre-escaped to %2B — in the encoded input a
+    literal '+' appears verbatim and a real space appears as %20, so
+    the composition is exact."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def group_day_dirs(
     spark: SparkSession,
     root: str,

@@ -101,3 +101,25 @@ def test_train_bpe_caps_bound_driver_work(spark):
     merges = bpe.train_bpe(wc, n_merges=2, max_words=1)
     for left, right in merges:
         assert (left + right) in "common"
+
+
+def test_train_plan_exhausted_merges_keeps_vocabulary(spark):
+    """Requesting more merges than the vocabulary supports must stop at
+    exhaustion (like the Python trainer), NOT wipe the encoding frame
+    via a crossJoin against an empty argmax (review finding)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.bpe import bpe_train_plan
+
+    wc = spark.createDataFrame([("ab", 3)], ["word", "n"])
+    steps, encoded = bpe_train_plan(spark, wc, n_merges=5)
+    assert steps.count() == 1  # 'a b' -> 'ab' is the only possible merge
+    assert encoded.count() == 1  # the vocabulary frame survives
+    assert encoded.first()["word"] == "ab"
+
+
+def test_train_plan_zero_merges_returns_char_encoding(spark):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.bpe import bpe_train_plan
+
+    wc = spark.createDataFrame([("hi", 2)], ["word", "n"])
+    steps, encoded = bpe_train_plan(spark, wc, n_merges=0)
+    assert steps.count() == 0
+    assert encoded.first()["syms"].strip() == "h i"

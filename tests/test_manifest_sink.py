@@ -134,3 +134,46 @@ def test_nonexists_create_failure_raises_immediately(spark, tmp_path, monkeypatc
         M.write_snapshot(spark.range(5, 9), t, mode="append", max_retries=3)
     assert "lost the manifest claim" not in str(ei.value)
     monkeypatch.setattr(M, "_manifest_path", real)
+
+
+def test_append_raced_out_of_lineage_fails_loudly(spark, tmp_path, monkeypatch):
+    """A writer stalled between its claim create and manifest write long
+    enough for a concurrent writer to expire the grace must NOT return
+    success: its batch is absent from the committed lineage, and the
+    post-write verification converts that silent loss into a loud
+    RuntimeError (review finding: 2 s grace vs realistic GC pauses)."""
+    import json as _json
+    import threading
+    import time as _time
+
+    monkeypatch.setattr(M, "CLAIM_GRACE_SECONDS", 0.2)
+    table = str(tmp_path / "tbl")
+    calls = {"n": 0}
+    real_dumps = _json.dumps
+
+    def stalling_dumps(obj, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:  # writer A: stall between create and write
+            _time.sleep(1.2)
+        return real_dumps(obj, *a, **kw)
+
+    monkeypatch.setattr(M.json, "dumps", stalling_dumps)
+
+    df = spark.range(3).toDF("id")
+    errors: list[Exception] = []
+
+    def writer_a():
+        try:
+            M.write_snapshot(df, table, mode="append")
+        except Exception as exc:  # expected: raced out
+            errors.append(exc)
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    _time.sleep(0.3)  # let A claim v1 and stall inside dumps
+    v_b = M.write_snapshot(spark.range(5).toDF("id"), table, mode="append")
+    ta.join(timeout=30)
+    assert v_b >= 1
+    assert errors and "raced out of the manifest lineage" in str(errors[0])
+    # The committed snapshot is B's — consistent, just without A's batch.
+    assert M.read_snapshot(spark, table).count() == 5

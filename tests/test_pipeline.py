@@ -298,3 +298,38 @@ def test_dynamic_partition_overwrite_replaces_only_present_days(spark, tmp_path)
         (r.day, r.id) for r in spark.read.parquet(path).collect()
     }
     assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d3", 5)}
+
+
+def test_semi_join_paths_survive_special_characters(spark, tmp_path):
+    """input_file_name() percent-encodes special path characters while
+    Hadoop listings report them raw; the decode on the read side must
+    reconcile them or files in 'My Entity'-style dirs are silently
+    dropped (and still marked ingested) — the review-caught loss path."""
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.parquet_tree import (
+        _hadoop_glob,
+        decode_input_file,
+        norm_path,
+    )
+
+    d = tmp_path / "en tity+x" / "day=2024-01-01"
+    d.mkdir(parents=True)
+    spark.range(3).coalesce(1).write.parquet(str(d / "part a+b.parquet"))
+    listed = [
+        p
+        for p in _hadoop_glob(spark, str(d / "part a+b.parquet" / "*.parquet"))
+        if p.endswith(".parquet")
+    ]
+    assert listed, "listing must see the file"
+    wl = spark.createDataFrame([(p,) for p in listed], ["full_path"]).select(
+        norm_path(F.col("full_path")).alias("_wl_path")
+    )
+    df = (
+        spark.read.parquet(str(d / "part a+b.parquet"))
+        .withColumn(
+            "_src_path", norm_path(decode_input_file(F.input_file_name()))
+        )
+        .join(wl, F.col("_src_path") == F.col("_wl_path"), "left_semi")
+    )
+    assert df.count() == 3, "special-character paths must survive the semi-join"
