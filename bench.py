@@ -131,6 +131,7 @@ HEADLINE = [
     "audio_fingerprint_groups",
     "curation_decisions",
     "priority_sample",
+    "price_quantity_stats",
 ]
 
 

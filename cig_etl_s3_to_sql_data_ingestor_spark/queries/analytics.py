@@ -2274,3 +2274,97 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part_key"), "pr", "rnk")
         .orderBy("rnk")
     )
+
+
+@register(
+    "price_quantity_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      FROM b GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n, sx, sy,
+             CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS cov_n,
+             CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS var_x_n,
+             CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS var_y_n
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(cov_n AS DOUBLE) / CAST(var_x_n AS DOUBLE)
+             AS slope_cents_per_unit,
+           (CAST(sy AS DOUBLE)
+              - (CAST(cov_n AS DOUBLE) / CAST(var_x_n AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
+           CAST(cov_n AS DOUBLE)
+             / sqrt(CAST(var_x_n AS DOUBLE) * CAST(var_y_n AS DOUBLE))
+             AS pearson_r
+    FROM d ORDER BY l_returnflag
+    """,
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS regression (price-in-cents on quantity) and
+    Pearson correlation — grouped statistical modeling with the exact
+    -moment discipline: quantities are integral and prices 2-decimal,
+    so x, y, x², y², xy are EXACT integers; the five moment sums
+    accumulate in decimal (int64 would overflow on Σy² past ~1e5 rows
+    per group), the covariance/variance numerators are exact decimal
+    differences, and only the final slope/intercept/r expressions touch
+    doubles — each a fixed expression over exactly-derived operands, so
+    both engines round identically and the result is independent of
+    partitioning. One partial-aggregating shuffle keyed by the group.
+    """
+    x = F.col("l_quantity").cast("bigint")
+    y = (
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    )
+    dec = "decimal(38,0)"
+    m = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast(dec)
+    d = m.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_x_n"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("var_y_n"),
+    )
+    slope = F.col("cov_n").cast("double") / F.col("var_x_n").cast("double")
+    return d.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        slope.alias("slope_cents_per_unit"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (
+            F.col("cov_n").cast("double")
+            / F.sqrt(
+                F.col("var_x_n").cast("double") * F.col("var_y_n").cast("double")
+            )
+        ).alias("pearson_r"),
+    ).orderBy("l_returnflag")

@@ -29,6 +29,7 @@ CASES = [
     "source_token_divergence",    # floor-quantized log contributions
     "ann_pq_topk",                # integer-quantized ADC partial sums
     "incremental_agg_merge",      # mergeable decimal aggregate states
+    "price_quantity_stats",       # exact integer moments, one double per stat
 ]
 
 

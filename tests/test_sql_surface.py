@@ -42,6 +42,7 @@ PORTABLE = [
     "incremental_agg_merge",
     "cdc_snapshot",
     "priority_sample",
+    "price_quantity_stats",
 ]
 
 
@@ -52,7 +53,7 @@ def test_registry_rotation_invariants():
     head, and the unscored set EXACTLY the declared tail — any edit that
     silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 118
+    assert len(names) == len(set(names)) == 119
     # Round 4: every query carries a DuckDB oracle (the HLL sketch query
     # now emits an exact anchor + deterministic envelope boolean).
     assert set(ORACLES) == set(QUERIES)
