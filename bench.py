@@ -132,6 +132,7 @@ HEADLINE = [
     "curation_decisions",
     "priority_sample",
     "price_quantity_stats",
+    "weekday_event_chi2",
 ]
 
 

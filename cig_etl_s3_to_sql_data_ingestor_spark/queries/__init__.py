@@ -98,7 +98,7 @@ _HEAD = [
     "market_share_by_year",
     "ann_incremental",
 ]
-# 119 queries, 50 scored slots. The declared-tail entries are either
+# 120 queries, 50 scored slots. The declared-tail entries are either
 # r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
 # untouched in round 4, or late-round-4 additions verified by the
 # in-repo differential harness at sf0.001 and sf0.01;
@@ -181,6 +181,7 @@ _TAIL = [
     "curation_decisions",
     "priority_sample",
     "price_quantity_stats",
+    "weekday_event_chi2",
 ]
 
 _order = (

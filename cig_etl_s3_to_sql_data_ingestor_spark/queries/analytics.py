@@ -2368,3 +2368,89 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     ).orderBy("l_returnflag")
+
+
+CHI2_QUANT = 1_000_000_000  # per-cell statistic quantization (nano-units)
+
+
+@register(
+    "weekday_event_chi2",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(dayofweek(ts) AS INTEGER) AS dow, event_type,
+             COUNT(*) AS o
+      FROM events GROUP BY dow, event_type
+    ), rows_ AS (
+      SELECT dow, CAST(SUM(o) AS BIGINT) AS row_tot FROM obs GROUP BY dow
+    ), cols_ AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS col_tot
+      FROM obs GROUP BY event_type
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.dow, obs.event_type,
+             CAST(FLOOR(
+               (CAST(obs.o * tot.n - rows_.row_tot * cols_.col_tot AS DOUBLE)
+                * CAST(obs.o * tot.n - rows_.row_tot * cols_.col_tot AS DOUBLE))
+               / (CAST(rows_.row_tot AS DOUBLE) * CAST(cols_.col_tot AS DOUBLE)
+                  * CAST(tot.n AS DOUBLE))
+               * {CHI2_QUANT} / CAST(tot.n AS DOUBLE)
+             ) AS BIGINT) AS term_q
+      FROM obs
+      JOIN rows_ ON rows_.dow = obs.dow
+      JOIN cols_ ON cols_.event_type = obs.event_type
+      CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term_q) AS BIGINT) AS chi2_quantized,
+           CAST(SUM(term_q) AS DOUBLE) / {CHI2_QUANT} AS chi2,
+           CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def weekday_event_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of weekday vs event type — the
+    association screen a pipeline runs before trusting a segmentation.
+
+    The classic per-cell term (O-E)²/E with E = row·col/n is rewritten
+    over integers: the numerator (O·n − row·col)² and the marginals are
+    exact int64 products (counts are ≤ n and n·counts stays far below
+    2^63 at any per-table scale where a 35-cell contingency makes
+    sense), each cell's statistic is ONE fixed double expression
+    floor-quantized to nano-units, and the total is an integer sum —
+    partition- and engine-invariant like every quantized mechanism in
+    this repo. The contingency table itself is a bounded (7 x #types)
+    aggregate; the corpus never shuffles twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("dow").agg(F.sum("o").alias("row_tot"))
+    cols_ = obs.groupBy("event_type").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")
+    term = (
+        (num.cast("double") * num.cast("double"))
+        / (
+            F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+            * F.col("n").cast("double")
+        )
+        * CHI2_QUANT
+        / F.col("n").cast("double")
+    )
+    cells = (
+        obs.join(F.broadcast(rows_), "dow")
+        .join(F.broadcast(cols_), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(F.floor(term).cast("bigint").alias("term_q"))
+    )
+    n_rows = rows_.count()
+    n_cols = cols_.count()
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_q").alias("chi2_quantized"),
+        (F.sum("term_q").cast("double") / CHI2_QUANT).alias("chi2"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+    )
