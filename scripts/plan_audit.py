@@ -1,0 +1,148 @@
+"""Mechanical scale audit: explain EVERY registered query and flag plan
+shapes that break at 100 TB — cartesian products, broadcast nested-loop
+joins outside the known broadcast-singleton allowlist, and unpartitioned
+windows that are not running over a bounded (post-aggregate) frame.
+
+This is the full-surface sweep behind tests/test_plans.py's targeted
+pins: the pins assert specific properties deeply; this audit guarantees
+no query ANYWHERE regresses into the two unambiguous scale-killers.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every one is a broadcast of a SINGLE-ROW (or provably tiny, bounded)
+# aggregate/literal frame — the documented crossJoin(broadcast(...))
+# pattern (scalar totals, 1-row models, quantile-level literals).
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",        # broadcast query set (bounded by caller)
+    "ann_lsh_bucketed",
+    "knn_label_eval",
+    "embedding_norms",
+    "char_lm_surprisal",      # 1-row OOV floor + scalar total
+    "char_entropy",
+    "tfidf_top_terms",        # 1-row n_sources
+    "source_token_divergence",  # 1-row corpus total
+    "vocab_stats",            # 1-row total
+    "approx_distinct_stats",
+    "conversion_funnel",      # three 1-row stage counts
+    "source_mixture_plan",
+    "budget_select",
+    "interleave_sources",
+    "contamination_check",
+    "profile_table",
+    "length_histogram",
+    "repetition_stats",
+    "deterministic_split",
+    "approx_quantile_envelope",
+    "incremental_agg_merge",
+    "weekday_event_chi2",     # 1-row grand total
+    "cms_word_frequency",     # bounded sketch frame
+    "bloom_decontamination",  # bounded bit frame
+    "bpe_merge_steps",        # 1-row argmax per unrolled step
+    "bpe_corpus_compression",
+    "ann_incremental",
+    "embedding_clusters",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "exact_substring_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_incremental",
+    "dedup_canonical",
+    "dedup_clusters",
+    "embedding_neardup",
+    "multimodal_frame_sample",
+    "stratified_sample",
+    "json_props_stats",
+    "market_share_by_year",
+    "quarterly_top_supplier",
+    "cross_source_overlap",
+    "boilerplate_prefix_groups",
+    "curation_decisions",
+    "idle_customers",         # 1-row average-balance cutoff
+    "heavy_hitter_keys",      # 1-row corpus-context stats
+}
+
+# Queries whose single unpartitioned window runs over a BOUNDED frame
+# (per-day / per-quarter / per-node / top-k aggregates — cardinality is
+# calendar- or vocabulary-sized, never corpus-sized); each carries the
+# justification in its docstring and most are plan-pinned individually.
+GLOBAL_WINDOW_ALLOWED = {
+    "rolling_daily_revenue",
+    "weekly_range_revenue",
+    "vocab_stats",
+    "price_deciles",
+    "order_cube",
+    "nation_trade_volume",
+    "market_share_by_year",
+    "source_mixture_plan",
+    "length_histogram",
+    "daily_event_pivot",
+    "part_copurchase_pagerank",
+    "bpe_merge_steps",
+    "bpe_corpus_compression",
+    "cms_word_frequency",
+    "interleave_sources",
+    "json_props_stats",
+    "heavy_hitter_keys",      # rank/cum-share window over the LIMIT-k frame
+}
+
+
+def audit(spark, sf_dir: str) -> list[tuple[str, str]]:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    problems: list[tuple[str, str]] = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            problems.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            problems.append((name, "BroadcastNestedLoopJoin (unallowlisted)"))
+        # Formatted plans render each Window's spec inline; an
+        # unpartitioned spec starts directly with a sort item or the
+        # frame spec instead of partition expressions.
+        for ln in plan.splitlines():
+            low = ln.lower()
+            if "windowspecdefinition(" not in low:
+                continue
+            head = low.split("windowspecdefinition(", 1)[1]
+            # partition columns come before the first "asc nulls" /
+            # "desc nulls" sort item; an unpartitioned window starts
+            # directly with a sort item or the frame spec
+            first = head.split(",", 1)[0].strip()
+            if (
+                " asc" in first
+                or " desc" in first
+                or first.startswith("specifiedwindowframe")
+            ) and name not in GLOBAL_WINDOW_ALLOWED:
+                problems.append((name, f"unpartitioned window: {ln.strip()[:90]}"))
+                break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    problems = audit(spark, sf_dir)
+    for name, what in problems:
+        print(f"PROBLEM {name}: {what}")
+    print(f"{len(QUERIES)} queries audited, {len(problems)} problems")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
