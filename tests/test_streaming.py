@@ -727,3 +727,71 @@ def test_vector_ingest_all_duplicate_batch_writes_empty_epoch(spark, tmp_path, s
     b2.coalesce(1).write.parquet(str(src / "b2"))
     ingest.start(f"{src}/*", schema).awaitTermination(180)
     assert read_index_store(spark, str(tmp_path / "index")).count() == n1
+
+
+def test_asset_ingest_fingerprint_gate_across_batches(spark, tmp_path):
+    """Streaming binary-asset dedup: PNG and WAV files fingerprint from
+    real decoded content; a re-encoded pixel-identical PNG in a later
+    batch is rejected via the persisted store, unknown containers are
+    kept-but-classified, and a re-drain admits nothing new."""
+    import numpy as np
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (
+        make_png_codec,
+        make_wav_codec,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.asset_ingest import (
+        AssetIngest,
+        read_asset_store,
+    )
+
+    encode_png, _ = make_png_codec()
+    encode_wav, _ = make_wav_codec()
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    px = ((7 * np.arange(9)[None, :] + 13 * np.arange(6)[:, None]) % 256).astype(
+        np.uint8
+    )
+    (src / "a.png").write_bytes(encode_png(px))
+    samples = (np.arange(400) * 997 % 65536 - 32768).astype(np.int16)
+    (src / "b.wav").write_bytes(encode_wav(samples))
+    (src / "c.dat").write_bytes(b"opaque bytes")
+
+    ingest = AssetIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    ingest.start(str(src)).awaitTermination(120)
+    store = read_asset_store(spark, str(tmp_path / "store"))
+    rows = {r.asset_name: (r.kind, r.fingerprint) for r in store.collect()}
+    assert rows["a.png"][0] == "png" and rows["a.png"][1].startswith("png:")
+    assert rows["b.wav"][0] == "wav" and rows["b.wav"][1].startswith("wav:")
+    assert rows["c.dat"][0] == "unknown"
+    assert len(rows) == 3
+
+    # Batch 2: the SAME pixels re-encoded with different row filters ->
+    # different bytes, same perceptual fingerprint -> rejected. A new
+    # image is admitted.
+    (src / "a_copy.png").write_bytes(
+        encode_png(px, filters=[2] * px.shape[0])
+    )
+    # NOTE: a uniform brightness shift (px + c without wraparound) keeps
+    # the average-hash identical BY DESIGN — that is the perceptual
+    # robustness the hash exists for. The genuinely-new image needs a
+    # different structure, not a shifted copy.
+    d_px = ((17 * np.arange(9)[None, :] + 3 * np.arange(6)[:, None]) % 256).astype(
+        np.uint8
+    )
+    (src / "d.png").write_bytes(encode_png(d_px))
+    ingest.start(str(src)).awaitTermination(120)
+    store2 = read_asset_store(spark, str(tmp_path / "store"))
+    names = {r.asset_name for r in store2.collect()}
+    assert "a_copy.png" not in names  # re-encoded duplicate rejected
+    assert "d.png" in names
+    assert store2.count() == 4
+
+    # Idempotent re-drain.
+    ingest.start(str(src)).awaitTermination(120)
+    assert read_asset_store(spark, str(tmp_path / "store")).count() == 4
