@@ -2386,19 +2386,24 @@ CHI2_QUANT = 1_000_000_000  # per-cell statistic quantization (nano-units)
       SELECT event_type, CAST(SUM(o) AS BIGINT) AS col_tot
       FROM obs GROUP BY event_type
     ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT r.dow, c.event_type, r.row_tot, c.col_tot,
+             COALESCE(obs.o, 0) AS o
+      FROM rows_ r
+      CROSS JOIN cols_ c
+      LEFT JOIN obs ON obs.dow = r.dow AND obs.event_type = c.event_type
+    ),
     cells AS (
-      SELECT obs.dow, obs.event_type,
-             CAST(FLOOR(
-               (CAST(obs.o * tot.n - rows_.row_tot * cols_.col_tot AS DOUBLE)
-                * CAST(obs.o * tot.n - rows_.row_tot * cols_.col_tot AS DOUBLE))
-               / (CAST(rows_.row_tot AS DOUBLE) * CAST(cols_.col_tot AS DOUBLE)
-                  * CAST(tot.n AS DOUBLE))
-               * {CHI2_QUANT} / CAST(tot.n AS DOUBLE)
+      SELECT CAST(FLOOR(
+               ((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  * CAST(n AS DOUBLE))
+               * {CHI2_QUANT} / CAST(n AS DOUBLE)
              ) AS BIGINT) AS term_q
-      FROM obs
-      JOIN rows_ ON rows_.dow = obs.dow
-      JOIN cols_ ON cols_.event_type = obs.event_type
-      CROSS JOIN tot
+      FROM grid CROSS JOIN tot
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST(SUM(term_q) AS BIGINT) AS chi2_quantized,
@@ -2412,26 +2417,45 @@ def weekday_event_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of weekday vs event type — the
     association screen a pipeline runs before trusting a segmentation.
 
-    The classic per-cell term (O-E)²/E with E = row·col/n is rewritten
-    over integers: the numerator (O·n − row·col)² and the marginals are
-    exact int64 products (counts are ≤ n and n·counts stays far below
-    2^63 at any per-table scale where a 35-cell contingency makes
-    sense), each cell's statistic is ONE fixed double expression
-    floor-quantized to nano-units, and the total is an integer sum —
-    partition- and engine-invariant like every quantized mechanism in
-    this repo. The contingency table itself is a bounded (7 x #types)
-    aggregate; the corpus never shuffles twice.
+    The contingency grid is the FULL cross of observed marginals — a
+    missing (dow, type) combination enters as O=0 and contributes its
+    expected count to the statistic (dropping empty cells would bias
+    chi2 low exactly when the association is strongest). The per-cell
+    term (O·n − row·col)²/(row·col·n)/n computes over double-cast
+    factors (cast-then-multiply rounds once, identically in both
+    engines, and never wraps — int64 products would overflow past
+    ~3e9 events), is floor-quantized to nano-units, and integer-sums —
+    partition- and engine-invariant. Everything after the one
+    partial-aggregating shuffle is bounded by 7 × #types; the dof
+    factors ride along as broadcast 1-row aggregates, so building the
+    plan runs no jobs.
     """
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
         F.dayofweek("ts").cast("int").alias("dow"), "event_type"
     ).agg(F.count(F.lit(1)).alias("o"))
+    from ..operators.dedup import _persist
+
+    obs = _persist(obs)
     rows_ = obs.groupBy("dow").agg(F.sum("o").alias("row_tot"))
     cols_ = obs.groupBy("event_type").agg(F.sum("o").alias("col_tot"))
     tot = obs.agg(F.sum("o").alias("n"))
-    num = F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")
+    dims = rows_.agg(F.count(F.lit(1)).alias("n_rows_")).crossJoin(
+        F.broadcast(cols_.agg(F.count(F.lit(1)).alias("n_cols_")))
+    )
+    grid = (
+        rows_.crossJoin(cols_)
+        .join(obs, ["dow", "event_type"], "left")
+        .select(
+            "row_tot", "col_tot", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    num = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        - F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+    )
     term = (
-        (num.cast("double") * num.cast("double"))
+        (num * num)
         / (
             F.col("row_tot").cast("double")
             * F.col("col_tot").cast("double")
@@ -2440,17 +2464,22 @@ def weekday_event_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         * CHI2_QUANT
         / F.col("n").cast("double")
     )
-    cells = (
-        obs.join(F.broadcast(rows_), "dow")
-        .join(F.broadcast(cols_), "event_type")
-        .crossJoin(F.broadcast(tot))
-        .select(F.floor(term).cast("bigint").alias("term_q"))
+    cells = grid.crossJoin(F.broadcast(tot)).select(
+        F.floor(term).cast("bigint").alias("term_q")
     )
-    n_rows = rows_.count()
-    n_cols = cols_.count()
-    return cells.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("term_q").alias("chi2_quantized"),
-        (F.sum("term_q").cast("double") / CHI2_QUANT).alias("chi2"),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+    return (
+        cells.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("term_q").alias("chi2_quantized"),
+            (F.sum("term_q").cast("double") / CHI2_QUANT).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_cells",
+            "chi2_quantized",
+            "chi2",
+            ((F.col("n_rows_") - 1) * (F.col("n_cols_") - 1))
+            .cast("bigint")
+            .alias("dof"),
+        )
     )

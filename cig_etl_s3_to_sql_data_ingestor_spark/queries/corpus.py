@@ -38,15 +38,9 @@ def register(name, oracle=None):
 # DuckDB-version-sensitive (r01 hash mismatch in the driver environment),
 # while strpos + integer polynomial is identical everywhere.
 _BUCKET = "CAST(conv(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), 16, 10) AS BIGINT) % 10"
-_SQL_HEX = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
-_SQL_BUCKET = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', {_SQL_HEX.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    + ") % 10"
-)
+from ..functions.hashing import sql_md5_mod as _sql_md5_mod
+
+_SQL_BUCKET = _sql_md5_mod("CAST(doc_id AS VARCHAR)", 10)
 
 
 def _bucket_col():

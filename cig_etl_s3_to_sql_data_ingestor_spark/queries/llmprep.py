@@ -44,12 +44,9 @@ def _bucket_col(mod: int):
 
 
 def _sql_bucket(mod: int) -> str:
-    hex_digit = "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)"
-    poly = " + ".join(
-        f"(strpos('0123456789abcdef', {hex_digit.format(i=i + 1)}) - 1) * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    return f"(({poly}) % {mod})"
+    from ..functions.hashing import sql_md5_mod
+
+    return sql_md5_mod("CAST(doc_id AS VARCHAR)", mod)
 
 
 # Tokens / shingles — identical to the dedup oracles (proven green in r01).

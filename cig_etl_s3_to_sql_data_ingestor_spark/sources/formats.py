@@ -65,7 +65,6 @@ def read_binary_assets(
     spark: SparkSession,
     path: str,
     glob: str | None = None,
-    id_from_name: bool = True,
 ) -> DataFrame:
     """Binary payload rows — (asset_path, asset_name, length, payload) —
     from a directory/prefix, the arrival path that feeds the multimodal

@@ -199,19 +199,39 @@ def write_snapshot(
         # and fail loudly instead of returning success for an append
         # that no future snapshot will ever contain. (The data files are
         # intact; the caller retries write_snapshot.)
+        #
+        # An unparsable claim ABOVE ours is ambiguous: its writer is
+        # either mid-commit with a lineage that may exclude us, or dead.
+        # Wait up to the grace for it to resolve — if it commits without
+        # our batch we raise; if it stays unparsable it is a dead claim
+        # and every future writer rebases on OUR committed manifest, so
+        # success is correct. This narrows the residual race to a writer
+        # that BOTH expired our grace AND then itself stalls past a
+        # second grace before writing — two full grace expiries stacked.
         if mode == "append":
-            check_v, check_m = _latest_committed(fs, jvm, table_path)
-            if (
-                check_v > target_v
-                and check_m is not None
-                and batch not in check_m["batches"]
-            ):
-                raise RuntimeError(
-                    f"append raced out of the manifest lineage for "
-                    f"{table_path}: committed v{target_v} but v{check_v} "
-                    f"does not chain from it (a concurrent writer expired "
-                    f"this writer's claim grace); retry write_snapshot"
-                )
+            deadline = time.monotonic() + CLAIM_GRACE_SECONDS
+            while True:
+                check_v, check_m = _latest_committed(fs, jvm, table_path)
+                if (
+                    check_v > target_v
+                    and check_m is not None
+                    and batch not in check_m["batches"]
+                ):
+                    raise RuntimeError(
+                        f"append raced out of the manifest lineage for "
+                        f"{table_path}: committed v{target_v} but v{check_v} "
+                        f"does not chain from it (a concurrent writer "
+                        f"expired this writer's claim grace); retry "
+                        f"write_snapshot"
+                    )
+                claimed_above = [
+                    v
+                    for v in _claimed_versions(fs, jvm, table_path)
+                    if v > max(check_v, target_v)
+                ]
+                if not claimed_above or time.monotonic() >= deadline:
+                    break
+                time.sleep(0.05)
         return target_v
     raise RuntimeError(
         f"lost the manifest claim {max_retries} times for {table_path}"

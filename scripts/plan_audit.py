@@ -112,19 +112,36 @@ def audit(spark, sf_dir: str) -> list[tuple[str, str]]:
             problems.append((name, "BroadcastNestedLoopJoin (unallowlisted)"))
         # Formatted plans render each Window's spec inline; an
         # unpartitioned spec starts directly with a sort item or the
-        # frame spec instead of partition expressions.
+        # frame spec instead of partition expressions. Split the
+        # argument list at TOP-LEVEL commas (a naive first-comma split
+        # would mis-parse sort expressions containing commas, e.g.
+        # coalesce(a, b) ASC, and let a global window sail through).
         for ln in plan.splitlines():
             low = ln.lower()
             if "windowspecdefinition(" not in low:
                 continue
             head = low.split("windowspecdefinition(", 1)[1]
-            # partition columns come before the first "asc nulls" /
-            # "desc nulls" sort item; an unpartitioned window starts
-            # directly with a sort item or the frame spec
-            first = head.split(",", 1)[0].strip()
+            args, depth, cur = [], 0, []
+            for ch in head:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    args.append("".join(cur).strip())
+                    cur = []
+                    continue
+                cur.append(ch)
+            if cur:
+                args.append("".join(cur).strip())
+            first = args[0] if args else ""
             if (
-                " asc" in first
-                or " desc" in first
+                first.endswith(" asc nulls first")
+                or first.endswith(" asc nulls last")
+                or first.endswith(" desc nulls first")
+                or first.endswith(" desc nulls last")
                 or first.startswith("specifiedwindowframe")
             ) and name not in GLOBAL_WINDOW_ALLOWED:
                 problems.append((name, f"unpartitioned window: {ln.strip()[:90]}"))

@@ -148,12 +148,13 @@ def test_append_raced_out_of_lineage_fails_loudly(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(M, "CLAIM_GRACE_SECONDS", 0.2)
     table = str(tmp_path / "tbl")
-    calls = {"n": 0}
     real_dumps = _json.dumps
 
     def stalling_dumps(obj, *a, **kw):
-        calls["n"] += 1
-        if calls["n"] == 1:  # writer A: stall between create and write
+        # Deterministic: only writer A's thread stalls — keying on call
+        # order would stall whichever writer reached dumps first under
+        # load, flaking the test.
+        if threading.current_thread().name == "writer-a":
             _time.sleep(1.2)
         return real_dumps(obj, *a, **kw)
 
@@ -168,7 +169,7 @@ def test_append_raced_out_of_lineage_fails_loudly(spark, tmp_path, monkeypatch):
         except Exception as exc:  # expected: raced out
             errors.append(exc)
 
-    ta = threading.Thread(target=writer_a)
+    ta = threading.Thread(target=writer_a, name="writer-a")
     ta.start()
     _time.sleep(0.3)  # let A claim v1 and stall inside dumps
     v_b = M.write_snapshot(spark.range(5).toDF("id"), table, mode="append")
