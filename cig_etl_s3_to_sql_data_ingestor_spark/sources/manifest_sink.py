@@ -243,7 +243,16 @@ def read_snapshot(
 ) -> DataFrame:
     """Consistent snapshot at ``version`` (default: latest). Only batch
     directories listed by that manifest are read — in-flight or orphaned
-    batches are invisible."""
+    batches are invisible.
+
+    Schema evolution is additive: batches written with extra columns
+    surface them (older rows read NULL there), and a column absent from
+    newer batches stays in the snapshot schema NULL-filled —
+    ``mergeSchema`` is set EXPLICITLY so the union schema never depends
+    on which file Spark happens to sample first. Incompatible type
+    changes for the same column name fail the read loudly (Spark's
+    merge error), which is the correct behavior for an uncoordinated
+    type flip."""
     table_path = table_path.rstrip("/")
     fs, jvm = _fs(spark, table_path)
     if version is None:
@@ -252,7 +261,9 @@ def read_snapshot(
             raise FileNotFoundError(f"no committed snapshot in {table_path}")
     else:
         v, m = version, _read_manifest(fs, jvm, table_path, version)
-    return spark.read.parquet(*[f"{table_path}/{b}" for b in m["batches"]])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f"{table_path}/{b}" for b in m["batches"]]
+    )
 
 
 def vacuum(

@@ -178,3 +178,26 @@ def test_append_raced_out_of_lineage_fails_loudly(spark, tmp_path, monkeypatch):
     assert errors and "raced out of the manifest lineage" in str(errors[0])
     # The committed snapshot is B's — consistent, just without A's batch.
     assert M.read_snapshot(spark, table).count() == 5
+
+
+def test_snapshot_schema_evolution_is_additive(spark, tmp_path):
+    """Batches may add columns over time: the snapshot surfaces the
+    union schema with NULLs where a batch predates (or dropped) a
+    column — pinned explicitly via mergeSchema so the result never
+    depends on file-sampling order."""
+    t = str(tmp_path / "tbl")
+    M.write_snapshot(spark.range(3).toDF("id"), t)
+    M.write_snapshot(
+        spark.range(2).selectExpr("id + 100 AS id", "id * 2 AS extra"),
+        t,
+        mode="append",
+    )
+    snap = M.read_snapshot(spark, t)
+    assert set(snap.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in snap.collect()}
+    assert rows[0] is None and rows[100] == 0 and rows[101] == 2
+    # A later batch WITHOUT the column keeps it in the schema, NULLed.
+    M.write_snapshot(spark.range(1).selectExpr("id + 200 AS id"), t, mode="append")
+    snap2 = M.read_snapshot(spark, t)
+    assert set(snap2.columns) == {"id", "extra"}
+    assert {r.id: r.extra for r in snap2.collect()}[200] is None
