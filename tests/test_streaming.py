@@ -795,3 +795,55 @@ def test_asset_ingest_fingerprint_gate_across_batches(spark, tmp_path):
     # Idempotent re-drain.
     ingest.start(str(src)).awaitTermination(120)
     assert read_asset_store(spark, str(tmp_path / "store")).count() == 4
+
+
+def test_frequency_monitor_cms_across_batches(spark, tmp_path):
+    """Streaming CMS maintenance: sketch cells accumulate across epochs
+    (bounded store regardless of key cardinality), a key alerts on the
+    epoch its CUMULATIVE estimated count crosses the threshold, and the
+    overestimate-only property holds vs exact counts."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        FrequencyMonitor,
+        read_sketch_store,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    mon = FrequencyMonitor(
+        spark,
+        store_path=str(tmp_path / "sketch"),
+        alerts_path=str(tmp_path / "alerts"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=60,
+    )
+    # Batch 1: 40 'hot' + 10 'cold' -> below threshold, no alert.
+    b1 = [(i, "hot") for i in range(40)] + [(100 + i, "cold") for i in range(10)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    import glob as _glob
+
+    a1 = spark.read.parquet(str(tmp_path / "alerts" / "epoch=0"))
+    assert a1.count() == 0
+
+    # Batch 2: +30 'hot' -> cumulative 70 >= 60 -> alert fires now.
+    b2 = [(200 + i, "hot") for i in range(30)] + [(300, "cold")]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    a2 = spark.read.parquet(str(tmp_path / "alerts" / "epoch=1"))
+    rows = {r.event_type: r.cms_estimate for r in a2.collect()}
+    assert set(rows) == {"hot"}
+    assert rows["hot"] >= 70  # CMS never underestimates
+
+    # The store stays sketch-sized (<= depth*width cells), not key-sized.
+    store = read_sketch_store(spark, str(tmp_path / "sketch"))
+    assert store.select("row_idx", "bucket").distinct().count() <= 3 * 1024
+
+    # Idempotent re-drain: no new epochs.
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    assert not _glob.glob(str(tmp_path / "alerts" / "epoch=2"))
