@@ -126,18 +126,9 @@ def fingerprint_assets(assets: DataFrame) -> DataFrame:
 def read_asset_store(
     spark: SparkSession, path: str, exclude_epoch: int | None = None
 ) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from ._store import read_epoch_store
 
-    cols = [f.name for f in STORE_SCHEMA.fields]
-    try:
-        df = spark.read.schema(STORE_SCHEMA).parquet(path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != exclude_epoch)
-        return df.select(cols)
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], STORE_SCHEMA)
-        raise
+    return read_epoch_store(spark, path, STORE_SCHEMA, exclude_epoch)
 
 
 @dataclass

@@ -15,11 +15,12 @@ Each micro-batch:
 
 1. builds the batch's sketch delta (``cms_build`` — one bounded
    partial aggregate) and writes it to the store's ``epoch=N`` dir;
-2. probes the MERGED store (all epochs, current included) with the
-   batch's distinct keys and writes the keys whose estimated total
-   count crossed ``threshold`` to the alerts ``epoch=N`` dir — a key
-   alerts on the epoch its cumulative mass crosses, which is exactly
-   when an operator wants to hear about it.
+2. probes BOTH the prior store and the merged store (prior + this
+   epoch's delta) with the batch's distinct keys, and writes only the
+   keys that CROSSED ``threshold`` this epoch (prior estimate below,
+   merged estimate at-or-above) to the alerts ``epoch=N`` dir — a key
+   alerts exactly once, on its crossing epoch, instead of re-firing on
+   every later appearance.
 
 Epoch idempotency: both writes are epoch-addressed overwrites and the
 merge EXCLUDES the current epoch before adding this attempt's freshly
@@ -48,18 +49,9 @@ SKETCH_SCHEMA = T.StructType(
 def read_sketch_store(
     spark: SparkSession, path: str, exclude_epoch: int | None = None
 ) -> DataFrame:
-    from pyspark.errors import AnalysisException
+    from ._store import read_epoch_store
 
-    cols = [f.name for f in SKETCH_SCHEMA.fields]
-    try:
-        df = spark.read.schema(SKETCH_SCHEMA).parquet(path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != exclude_epoch)
-        return df.select(cols)
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], SKETCH_SCHEMA)
-        raise
+    return read_epoch_store(spark, path, SKETCH_SCHEMA, exclude_epoch)
 
 
 @dataclass
@@ -84,26 +76,49 @@ class FrequencyMonitor:
             F.col("bucket").cast("long"),
             F.col("cnt").cast("long"),
         ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
-        # Merge = cells add; prior epochs + THIS attempt's delta (the
-        # current epoch dir on disk is excluded so a replay that
-        # half-wrote it cannot double-count).
-        prior = read_sketch_store(
-            self.spark, self.store_path, exclude_epoch=epoch_id
-        )
-        merged = (
-            prior.unionByName(
-                delta.select(
-                    F.col("row_idx").cast("int"), "bucket", "cnt"
-                )
+        # Merge = cells add. The delta is READ BACK from the epoch dir
+        # just written (the write is synchronous) instead of re-running
+        # the aggregation lineage — building the sketch is the batch's
+        # expensive stage and must run once. Prior epochs exclude the
+        # current id so a half-written replay cannot double-count.
+        # The store holds one row per (epoch, cell); estimates must run
+        # over the CELL-SUMMED sketch — probing the raw multi-epoch rows
+        # would take the min over per-epoch counts instead of their sum
+        # and understate every cumulative estimate.
+        prior = (
+            read_sketch_store(
+                self.spark, self.store_path, exclude_epoch=epoch_id
             )
             .groupBy("row_idx", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
+        this_epoch = self.spark.read.schema(SKETCH_SCHEMA).parquet(
+            f"{self.store_path}/epoch={epoch_id}"
+        )
+        merged = (
+            prior.unionByName(this_epoch)
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         keys = batch_df.select(self.key_col).distinct()
-        est = cms_estimate(
+        est_now = cms_estimate(
             merged, keys, self.key_col, depth=self.depth, width=self.width
         )
-        hitters = est.filter(F.col("cms_estimate") >= self.threshold)
+        est_prior = cms_estimate(
+            prior, keys, self.key_col, depth=self.depth, width=self.width
+        ).select(
+            F.col(self.key_col),
+            F.col("cms_estimate").alias("_prior_estimate"),
+        )
+        # A key alerts ONCE — on the epoch its cumulative mass crosses.
+        hitters = (
+            est_now.join(est_prior, self.key_col)
+            .filter(
+                (F.col("cms_estimate") >= self.threshold)
+                & (F.col("_prior_estimate") < self.threshold)
+            )
+            .drop("_prior_estimate")
+        )
         hitters.write.mode("overwrite").parquet(
             f"{self.alerts_path}/epoch={epoch_id}"
         )

@@ -66,22 +66,13 @@ def read_index_store(
     exclude_epoch: int | None = None,
 ) -> DataFrame:
     """The accumulated index, or an empty frame when it does not exist
-    yet. Only the missing-path case maps to empty — any other error
-    propagates (an empty-on-error fallback would re-admit duplicates
-    and corrupt search results silently)."""
-    from pyspark.errors import AnalysisException
+    yet (see streaming._store.read_epoch_store for the shared
+    contract)."""
+    from ._store import read_epoch_store
 
-    schema = _index_schema(id_col, vec_col)
-    cols = [f.name for f in schema.fields]
-    try:
-        df = spark.read.schema(schema).parquet(path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != exclude_epoch)
-        return df.select(cols)
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], schema)
-        raise
+    return read_epoch_store(
+        spark, path, _index_schema(id_col, vec_col), exclude_epoch
+    )
 
 
 @dataclass

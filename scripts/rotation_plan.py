@@ -1,8 +1,8 @@
 """Rotation planner: compute per-query evidence age from the driver's
 CORRECTNESS_r*.json files and propose the next round's 50-slot scored
-head — never-scored queries first (they have no driver evidence at
-all), then by oldest green row, with pass/fail status surfaced so a
-red row is never silently rotated out.
+head — queries whose LAST row was red first (they must stay scored
+until green), then never-scored queries (no driver evidence at all),
+then by oldest green row.
 
 The scored window is the FIRST 50 names in the registry (observed
 driver behavior, see queries/__init__.py); this script makes the
@@ -57,7 +57,16 @@ def plan(repo_root: str) -> dict:
         (n for n in names if n in ev and ev[n][1]),
         key=lambda n: (ev[n][0], names.index(n)),
     )
-    head = (red + never + stale_first)[:SLOTS]
+    mandatory = red + never
+    if len(mandatory) > SLOTS:
+        print(
+            f"WARNING: {len(mandatory)} red/never-scored queries exceed the "
+            f"{SLOTS}-slot window — {len(mandatory) - SLOTS} of them will "
+            f"remain unscored this round: "
+            + ", ".join(mandatory[SLOTS:]),
+            file=sys.stderr,
+        )
+    head = (mandatory + stale_first)[:SLOTS]
     tail = [n for n in names if n not in head]
     return {
         "n_queries": len(names),

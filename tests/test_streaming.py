@@ -844,6 +844,14 @@ def test_frequency_monitor_cms_across_batches(spark, tmp_path):
     store = read_sketch_store(spark, str(tmp_path / "sketch"))
     assert store.select("row_idx", "bucket").distinct().count() <= 3 * 1024
 
+    # Batch 3: 'hot' appears again ABOVE threshold cumulatively — but
+    # it already crossed in epoch 1, so it must NOT re-alert.
+    b3 = [(400, "hot"), (401, "cold")]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    a3 = spark.read.parquet(str(tmp_path / "alerts" / "epoch=2"))
+    assert a3.count() == 0, "alert re-fired after its crossing epoch"
+
     # Idempotent re-drain: no new epochs.
     mon.start(f"{src}/*", schema).awaitTermination(120)
-    assert not _glob.glob(str(tmp_path / "alerts" / "epoch=2"))
+    assert not _glob.glob(str(tmp_path / "alerts" / "epoch=3"))
