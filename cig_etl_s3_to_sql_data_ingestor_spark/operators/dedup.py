@@ -55,7 +55,9 @@ def unpersist_all() -> None:
     after consuming results; bench.py clears the cache per query."""
     while _PERSISTED:
         try:
-            _PERSISTED.pop().unpersist()
+            # blocking=True: the default async release races any caller
+            # (or test) that counts persistent RDDs right afterwards.
+            _PERSISTED.pop().unpersist(blocking=True)
         except Exception:
             pass
 
