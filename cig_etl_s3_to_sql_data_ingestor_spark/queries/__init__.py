@@ -34,129 +34,14 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 4 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py). Lead: the 31 queries whose last green
-    # row is from round 2 (the judge's rotation debt), starting with the
-    # six SURVEY-§2-proving ones; then every query round 4 touched; then
-    # r3-green entries re-scored to keep evidence fresh.
-    # -- §2-proving rotation debt (r2-green, unscored in r3):
-    "pricing_summary",
-    "sentinel_cleaning",
-    "worklist_semi_join",
-    "marker_antijoin",
-    "latest_per_group",
-    "staleness_tiered",
-    # -- remaining r2-green rotation debt:
-    "promo_revenue_share",
-    "large_volume_orders",
-    "brand_supplier_counts",
-    "disjunctive_revenue",
-    "integrity_audit",
-    "order_cube",
-    "profile_table",          # also touched r4: exact mode now opt-in
-    "chunk_documents",
-    "pack_sequences",
-    "stratified_sample",
-    "interleave_sources",
-    "pii_redaction",
-    "lang_id",
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "multimodal_meta",        # also touched r4: real PNG decode
-    "multimodal_resize",      # also touched r4: real NN resample
-    "multimodal_features",    # also touched r4: real pixel features
-    "multimodal_frame_sample",
-    "embedding_norms",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",       # also touched r4: banded LSH
-    "ann_ivf_topk",           # also touched r4: n_probe=12 default
-    "embedding_neardup",
-    "tfidf_top_terms",
-    # -- r3-green queries touched (or module-touched) in round 4:
-    "approx_distinct_stats",  # rewritten: exact anchor + HLL envelope
-    "config_enrich_join",     # plans/worklist.py reworked
-    "partition_prune_counts", # sources/parquet_tree.py extended
-    "char_lm_surprisal",      # docstring-only change; re-score anyway
-    "embedding_clusters",     # operators/similarity.py module touched
-    # -- NEW in round 4 (never scored — must take head slots):
-    #    corpus-mining surface (queries/mining.py):
-    "cross_source_overlap",
-    "ngram_diversity",
-    "text_normalize_stats",
-    "boilerplate_prefix_groups",
-    "vocab_stats",
-    #    analytics surface (queries/analytics.py additions):
-    "customer_order_distribution",
-    "quarterly_top_supplier",
-    "nation_quarterly_growth",
-    "cheapest_supplier_per_part",
-    "fulfillment_lag_quantiles",
-    #    real audio modality (queries/text.py, operators/multimodal.py):
-    "audio_features",
-    #    second wave: corpus health + Q8 market share + incremental ANN:
-    "source_quality_funnel",
-    "market_share_by_year",
-    "ann_incremental",
-]
-# 120 queries, 50 scored slots. The declared-tail entries are either
-# r3-green (CORRECTNESS_r03 full rows+schema+hash) and function-level
-# untouched in round 4, or late-round-4 additions verified by the
-# in-repo differential harness at sf0.001 and sf0.01;
-# tests/test_sql_surface.py asserts the unscored set is EXACTLY this
-# list, so any change to what goes unscored fails loudly.
-_TAIL = [
-    # r3-green freshness re-scores displaced from the head by the new
-    # round-4 queries (all function-level untouched since their r3 row):
-    "quality_score",
-    "token_count",
-    "dedup_exact",
-    "dedup_minhash",
-    "budget_select",
-    "sessionize",
-    "deterministic_split",
-    "json_props_stats",
-    "repetition_stats",
-    "source_mixture_plan",
-    "exact_substring_overlap",
-    "sole_return_supplier",
-    "dominant_part_suppliers",
-    "weekly_range_revenue",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_canonical",
-    "contamination_check",
-    "windowed_events",
-    "timestamp_truncation",
-    "topk_per_group",
-    "median_order_value",
-    "asof_last_click",
-    "events_in_windows",
-    "scd2_user_state",
-    "daily_event_pivot",
-    "above_brand_average",
-    "fuzzy_name_pairs",
-    "customer_activity_setops",
-    "distinct_keys",
-    "env_derivation",
-    "idle_customers",
-    "length_histogram",
-    "order_priority_count",
-    "order_rollup",
-    "ordered_projection",
-    "price_deciles",
-    "rolling_daily_revenue",
-    "verification_query",
-    "shipping_priority",
-    "region_nation_revenue",
-    "top_returned_customers",
-    "nation_trade_volume",
-    # NEW in the late round-4 session — never scored by the driver, but
-    # oracle-verified in-repo at sf0.001 AND sf0.01 (tests/test_sql_surface
-    # runs them through the same differential harness). Added after the
-    # 50-slot head was frozen around the judge-demanded rotation debt, so
-    # they are declared unscored here and MUST lead the r5 head:
+    # ---- round 5 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py), computed by scripts/rotation_plan.py:
+    # (1) the 25 late-round-4 queries that have never carried a driver
+    # CORRECTNESS row (the round-4 verdict's #1 task), (2) every query
+    # round 5 touches (color-PNG / multi-channel-WAV codecs, the
+    # cross_source_overlap hot-shingle cap), (3) the oldest r3-green
+    # re-scores, SURVEY-§2-proving ones first.
+    # -- (1) never driver-scored (in-repo oracle-verified in r4):
     "discount_band_revenue",
     "small_quantity_revenue",
     "heavy_hitter_keys",
@@ -170,18 +55,123 @@ _TAIL = [
     "knn_label_eval",
     "approx_quantile_envelope",
     "source_token_divergence",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
+    "ann_pq_topk",            # also touched r5: true-lowest-id seeding
+    "ann_ivf_pq_topk",        # also touched r5: same seeding fix
     "incremental_agg_merge",
     "cdc_snapshot",
-    "part_copurchase_pagerank",
+    "part_copurchase_pagerank",  # also touched r5: per-iter checkpoint
     "char_entropy",
-    "image_ahash_groups",
-    "audio_fingerprint_groups",
+    "image_ahash_groups",     # also touched r5: color-PNG fixtures
+    "audio_fingerprint_groups",  # also touched r5: stereo-WAV fixtures
     "curation_decisions",
     "priority_sample",
     "price_quantity_stats",
     "weekday_event_chi2",
+    # -- (2) r4-green queries whose substance round 5 changes:
+    "multimodal_meta",        # RGB/RGBA PNG decode
+    "multimodal_resize",      # per-channel resample
+    "multimodal_features",    # per-channel stats
+    "multimodal_frame_sample",  # color APNG frames
+    "audio_features",         # multi-channel PCM16
+    "cross_source_overlap",   # max_shingle_df hot-key cap
+    # -- (3) oldest green evidence (r3), SURVEY-§2-proving first:
+    "ordered_projection",     # P1
+    "verification_query",     # W1 / T13
+    "timestamp_truncation",   # A3 / T8
+    "topk_per_group",         # W3
+    "customer_activity_setops",  # set ops
+    "env_derivation",         # T1
+    "sessionize",             # §2.8 batch analog
+    "quality_score",
+    "token_count",
+    "dedup_exact",
+    "dedup_minhash",
+    "budget_select",
+    "deterministic_split",
+    "json_props_stats",
+    "repetition_stats",
+    "source_mixture_plan",
+    "exact_substring_overlap",
+    "sole_return_supplier",
+    "dominant_part_suppliers",
+]
+# 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly.
+_TAIL = [
+    # r3-green, function-level untouched since their row (next-oldest
+    # evidence — these lead the r6 head's re-score block):
+    "weekly_range_revenue",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_canonical",
+    "contamination_check",
+    "windowed_events",
+    "median_order_value",
+    "asof_last_click",
+    "events_in_windows",
+    "scd2_user_state",
+    "daily_event_pivot",
+    "above_brand_average",
+    "fuzzy_name_pairs",
+    "distinct_keys",
+    "idle_customers",
+    "length_histogram",
+    "order_priority_count",
+    "order_rollup",
+    "price_deciles",
+    "rolling_daily_revenue",
+    "shipping_priority",
+    "region_nation_revenue",
+    "top_returned_customers",
+    "nation_trade_volume",
+    # r4-green (driver-scored last round, function-level untouched in r5):
+    "pricing_summary",
+    "sentinel_cleaning",
+    "worklist_semi_join",
+    "marker_antijoin",
+    "latest_per_group",
+    "staleness_tiered",
+    "promo_revenue_share",
+    "large_volume_orders",
+    "brand_supplier_counts",
+    "disjunctive_revenue",
+    "integrity_audit",
+    "order_cube",
+    "profile_table",
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_sample",
+    "interleave_sources",
+    "pii_redaction",
+    "lang_id",
+    "lang_id_confusion",
+    "doc_fingerprint",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "tfidf_top_terms",
+    "approx_distinct_stats",
+    "config_enrich_join",
+    "partition_prune_counts",
+    "char_lm_surprisal",
+    "embedding_clusters",
+    "ngram_diversity",
+    "text_normalize_stats",
+    "boilerplate_prefix_groups",
+    "vocab_stats",
+    "customer_order_distribution",
+    "quarterly_top_supplier",
+    "nation_quarterly_growth",
+    "cheapest_supplier_per_part",
+    "fulfillment_lag_quantiles",
+    "source_quality_funnel",
+    "market_share_by_year",
+    "ann_incremental",
 ]
 
 _order = (
