@@ -5,22 +5,32 @@ watches score distributions; this watches key mass).
 
 Why a sketch and not a running per-key count table: at 100 TB of
 events the key cardinality is unbounded, but the CMS is ``depth x
-width`` integer counters FOREVER — the store on disk is a few thousand
-rows no matter how many keys stream through, and sketch cells ADD, so
-merging epochs is a plain aggregate. Estimates only overestimate
-(collision mass), never under — an alert can false-positive under
-heavy collision but never miss a true heavy hitter above threshold.
+width`` integer counters PER EPOCH — key cardinality never grows it,
+and sketch cells ADD, so merging epochs is a plain aggregate. The
+store does grow O(n_epochs) in epoch-dir count (each batch appends up
+to ``depth*width`` rows), and every batch's prior-merge re-reads all
+prior epoch dirs; ``compact_sketch_store`` folds committed history
+into a single summed base sketch (cells add, so compaction IS the
+merge aggregate) to keep both the disk footprint and the per-batch
+scan bounded. Estimates only overestimate (collision mass), never
+under — an alert can false-positive under heavy collision but never
+miss a true heavy hitter above threshold.
 
 Each micro-batch:
 
 1. builds the batch's sketch delta (``cms_build`` — one bounded
    partial aggregate) and writes it to the store's ``epoch=N`` dir;
-2. probes BOTH the prior store and the merged store (prior + this
-   epoch's delta) with the batch's distinct keys, and writes only the
-   keys that CROSSED ``threshold`` this epoch (prior estimate below,
-   merged estimate at-or-above) to the alerts ``epoch=N`` dir — a key
-   alerts exactly once, on its crossing epoch, instead of re-firing on
-   every later appearance.
+2. probes the merged store (prior + this epoch's delta) with the
+   batch's distinct keys and writes the keys at-or-above ``threshold``
+   that have NEVER alerted before (anti-join against the accumulated
+   alerts store) to the alerts ``epoch=N`` dir — a key alerts exactly
+   once, on the first batch that sees it over threshold. Gating on the
+   alerts store rather than on "prior estimate < threshold" matters:
+   collision mass from other keys can push a key's estimate past the
+   threshold during an epoch where the key is absent, and a
+   prior-vs-now crossing test would then never hold for it — silently
+   suppressing a true heavy hitter, contradicting the never-miss
+   guarantee above.
 
 Epoch idempotency: both writes are epoch-addressed overwrites and the
 merge EXCLUDES the current epoch before adding this attempt's freshly
@@ -52,6 +62,95 @@ def read_sketch_store(
     from ._store import read_epoch_store
 
     return read_epoch_store(spark, path, SKETCH_SCHEMA, exclude_epoch)
+
+
+def _store_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _finish_compaction(fs, jvm, store_path: str, upto: int) -> None:
+    """Promote (or discard) a ``.compact_tmp_upto=K`` dir. The tmp dir
+    is only promotable once its ``_SUCCESS`` marker exists — a tmp
+    without the marker is a write that died mid-flight, and the source
+    epoch dirs are still intact, so it is simply dropped. Deleting the
+    folded epoch dirs before the rename is safe to re-run: the tmp dir
+    holds the complete sum, so a crash anywhere in this function is
+    finished by the recovery scan at the top of the next compact call."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(f"{store_path}/.compact_tmp_upto={upto}")
+    if not fs.exists(tmp):
+        return
+    if not fs.exists(Path(f"{store_path}/.compact_tmp_upto={upto}/_SUCCESS")):
+        fs.delete(tmp, True)
+        return
+    for st in fs.listStatus(Path(store_path)):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") and int(name.split("=", 1)[1]) <= upto:
+            fs.delete(st.getPath(), True)
+    fs.rename(tmp, Path(f"{store_path}/epoch={upto}"))
+
+
+def compact_sketch_store(
+    spark: SparkSession, store_path: str, upto_epoch: int
+) -> int:
+    """Fold every ``epoch=N`` dir with ``N <= upto_epoch`` into a single
+    cell-summed dir ``epoch=<upto_epoch>``, returning how many dirs were
+    folded (0 if there was nothing to do).
+
+    CMS cells add, so the compacted sketch is bit-identical to the
+    multi-dir merge the monitor computes per batch — estimates and
+    alerts are unchanged; only the dir count (and the per-batch
+    prior-merge scan) shrinks. The NEWEST epoch dir is never folded
+    (``upto_epoch`` must be strictly below it): the newest epoch may be
+    the replay target of a batch whose checkpoint commit did not land,
+    and replay relies on ``exclude_epoch`` dropping exactly that dir.
+    Crash-safe via a ``.compact_tmp`` + ``_SUCCESS`` + delete + rename
+    sequence; an interrupted compaction is finished (or discarded, if
+    the tmp write never completed) by the next call."""
+    fs, jvm = _store_fs(spark, store_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(store_path)
+    if not fs.exists(root):
+        return 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".compact_tmp_upto="):
+            _finish_compaction(fs, jvm, store_path, int(name.split("=", 1)[1]))
+    epochs = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("epoch=")
+    )
+    if not epochs:
+        return 0
+    if upto_epoch >= epochs[-1]:
+        raise ValueError(
+            f"compact upto_epoch={upto_epoch} must be strictly below the "
+            f"newest epoch {epochs[-1]} — the newest dir may be an "
+            "uncommitted batch's replay target"
+        )
+    fold = [e for e in epochs if e <= upto_epoch]
+    if len(fold) < 2:
+        return 0
+    summed = (
+        spark.read.schema(SKETCH_SCHEMA)
+        .parquet(store_path)
+        .filter(F.col("epoch") <= upto_epoch)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.col("row_idx").cast("int"),
+            F.col("bucket").cast("long"),
+            F.col("cnt").cast("long"),
+        )
+    )
+    summed.write.mode("overwrite").parquet(
+        f"{store_path}/.compact_tmp_upto={upto_epoch}"
+    )
+    _finish_compaction(fs, jvm, store_path, upto_epoch)
+    return len(fold)
 
 
 @dataclass
@@ -104,21 +203,31 @@ class FrequencyMonitor:
         est_now = cms_estimate(
             merged, keys, self.key_col, depth=self.depth, width=self.width
         )
-        est_prior = cms_estimate(
-            prior, keys, self.key_col, depth=self.depth, width=self.width
-        ).select(
-            F.col(self.key_col),
-            F.col("cms_estimate").alias("_prior_estimate"),
+        # A key alerts ONCE — the first epoch a batch sees its estimate
+        # at-or-above threshold. "Ever alerted" comes from the alerts
+        # store itself (excluding the current epoch, so a crash-replay
+        # recomputes the identical alert set): unlike a prior-vs-now
+        # crossing test, a key whose estimate was pushed over threshold
+        # by collision mass while it was absent from batches still
+        # alerts on its next appearance. The alerts store is bounded by
+        # the number of distinct heavy hitters, and the anti-join side
+        # is the batch's distinct keys — both small.
+        from ._store import read_epoch_store
+
+        alerts_schema = T.StructType(
+            [
+                T.StructField(
+                    self.key_col, batch_df.schema[self.key_col].dataType
+                ),
+                T.StructField("cms_estimate", T.LongType()),
+            ]
         )
-        # A key alerts ONCE — on the epoch its cumulative mass crosses.
-        hitters = (
-            est_now.join(est_prior, self.key_col)
-            .filter(
-                (F.col("cms_estimate") >= self.threshold)
-                & (F.col("_prior_estimate") < self.threshold)
-            )
-            .drop("_prior_estimate")
-        )
+        already_alerted = read_epoch_store(
+            self.spark, self.alerts_path, alerts_schema, exclude_epoch=epoch_id
+        ).select(self.key_col)
+        hitters = est_now.filter(
+            F.col("cms_estimate") >= self.threshold
+        ).join(already_alerted, self.key_col, "left_anti")
         hitters.write.mode("overwrite").parquet(
             f"{self.alerts_path}/epoch={epoch_id}"
         )

@@ -855,3 +855,139 @@ def test_frequency_monitor_cms_across_batches(spark, tmp_path):
     # Idempotent re-drain: no new epochs.
     mon.start(f"{src}/*", schema).awaitTermination(120)
     assert not _glob.glob(str(tmp_path / "alerts" / "epoch=3"))
+
+
+def test_frequency_monitor_alerts_survive_collision_inflated_prior(
+    spark, tmp_path
+):
+    """The ADVICE-flagged suppression: with heavy collision (width=1,
+    every key shares the single CMS cell), other keys' mass pushes a
+    victim key's estimate past the threshold during an epoch where the
+    victim is ABSENT. A prior-vs-now crossing gate then never fires for
+    it; the ever-alerted anti-join gate must still alert on the
+    victim's next appearance (never-miss guarantee)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        FrequencyMonitor,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    mon = FrequencyMonitor(
+        spark,
+        store_path=str(tmp_path / "sketch"),
+        alerts_path=str(tmp_path / "alerts"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        width=1,  # force total collision: estimate == total event count
+        threshold=50,
+    )
+    # Epoch 0: victim x10 -> estimate 10 < 50, no alert.
+    b1 = [(i, "victim") for i in range(10)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "alerts" / "epoch=0")).count() == 0
+
+    # Epoch 1: 60 'other' events, victim ABSENT. Collision mass lifts
+    # victim's (unprobed) estimate to 70 >= 50. 'other' itself alerts.
+    b2 = [(100 + i, "other") for i in range(60)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    a1 = {r.event_type for r in spark.read.parquet(
+        str(tmp_path / "alerts" / "epoch=1")).collect()}
+    assert a1 == {"other"}
+
+    # Epoch 2: victim reappears once. Its prior estimate (70) was
+    # already over threshold, so a crossing gate would stay silent
+    # forever; the ever-alerted gate must fire now.
+    b3 = [(200, "victim")]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    a2 = {r.event_type for r in spark.read.parquet(
+        str(tmp_path / "alerts" / "epoch=2")).collect()}
+    assert a2 == {"victim"}, "collision-inflated prior suppressed a true heavy hitter"
+
+
+def test_frequency_monitor_store_compaction(spark, tmp_path):
+    """compact_sketch_store folds committed epoch dirs into one summed
+    base sketch: estimates are bit-identical (cells add), the dir count
+    shrinks, the newest epoch is protected, and an interrupted tmp
+    write (no _SUCCESS) is discarded without touching the store."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        FrequencyMonitor,
+        compact_sketch_store,
+        read_sketch_store,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "sketch")
+    mon = FrequencyMonitor(
+        spark,
+        store_path=store,
+        alerts_path=str(tmp_path / "alerts"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=1000,
+    )
+    for i, batch in enumerate(
+        (
+            [(j, "a") for j in range(7)] + [(50 + j, "b") for j in range(3)],
+            [(100 + j, "a") for j in range(5)],
+            [(200 + j, "c") for j in range(4)],
+        )
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        mon.start(f"{src}/*", schema).awaitTermination(120)
+
+    import glob as _glob
+
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["event_type"])
+
+    def estimates():
+        merged = (
+            read_sketch_store(spark, store)
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return {
+            r.event_type: r.cms_estimate
+            for r in cms_estimate(merged, keys, "event_type").collect()
+        }
+
+    before = estimates()
+    assert before == {"a": 12, "b": 3, "c": 4}
+
+    # Newest epoch (2) is protected — it may be a replay target.
+    with pytest.raises(ValueError, match="strictly below"):
+        compact_sketch_store(spark, store, upto_epoch=2)
+
+    # An interrupted tmp write (no _SUCCESS) is discarded, not promoted.
+    dead = tmp_path / "sketch" / ".compact_tmp_upto=0"
+    dead.mkdir()
+    (dead / "part-00000.parquet").write_bytes(b"not parquet")
+
+    assert compact_sketch_store(spark, store, upto_epoch=1) == 2
+    assert not dead.exists(), "dead tmp dir must be discarded"
+    dirs = sorted(
+        p.rsplit("=", 1)[1] for p in _glob.glob(f"{store}/epoch=*")
+    )
+    assert dirs == ["1", "2"], dirs
+    assert estimates() == before, "compaction changed estimates"
+
+    # Idempotent: nothing left to fold below epoch 1.
+    assert compact_sketch_store(spark, store, upto_epoch=1) == 0
