@@ -239,7 +239,11 @@ def kmeans_centroids(
     partitioning (ordinary KMeans is neither):
 
     - **sorted init**: the ``n_cells`` lowest-id vectors seed the cells
-      (no RNG state to ship across engines);
+      (no RNG state to ship across engines) — the TRUE n lowest ids via
+      a distributed top-k (TakeOrderedAndProject), not an ``id <
+      n_cells`` value filter: a re-keyed or subset corpus whose ids do
+      not start near 0 would seed few or zero cells under the value
+      filter and silently degenerate;
     - **quantized exact means**: the update step sums components as
       integers (``floor(x * 1e6)``) — integer addition is associative,
       so the per-cell mean is independent of row order/partitioning,
@@ -266,9 +270,13 @@ def kmeans_centroids(
             % sample_mod
         )
         train = corpus.filter(bucket == 0)
-    cent = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).cast("array<double>").alias("cell_vec"),
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cell_vec"),
+        )
+        .orderBy("cell_id")
+        .limit(n_cells)
     )
     for _ in range(n_iters):
         assigned = ivf_assign(
@@ -480,8 +488,10 @@ def pq_train_codebooks(
     (m, code) instead keys every stage by the subspace index, so each
     Lloyd iteration is still exactly one broadcast-assign pass plus one
     (m, code, pos)-keyed aggregate regardless of n_sub. Determinism
-    mirrors ``kmeans_centroids``: the n_codes lowest-id vectors seed
-    every subspace, assignment breaks ties toward the LOWEST code id
+    mirrors ``kmeans_centroids``: the TRUE n_codes lowest-id vectors
+    seed every subspace (a distributed top-k over the corpus ids, not an
+    ``id < n_codes`` value filter that would seed few or zero codewords
+    on a re-keyed corpus), assignment breaks ties toward the LOWEST code id
     under an ordered L2 fold, and mean updates sum floor(x * 1e6)
     integers (order-independent) with one double division at the end.
     """
@@ -497,7 +507,12 @@ def pq_train_codebooks(
     # ONE materialization.
     if subs is None:
         subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
-    cb = subs.filter(F.col("sid") < n_codes).select(
+    # Seed ids come from the corpus frame (TakeOrdered top-k, no
+    # shuffle) rather than a distinct over the exploded subvector frame.
+    seed_ids = (
+        corpus.select(F.col(id_col).alias("sid")).orderBy("sid").limit(n_codes)
+    )
+    cb = subs.join(F.broadcast(seed_ids), "sid").select(
         "m", F.col("sid").alias("code_id"), F.col("sub").alias("code_vec")
     )
     for _ in range(n_iters):

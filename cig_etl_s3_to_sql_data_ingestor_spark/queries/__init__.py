@@ -93,7 +93,7 @@ _HEAD = [
     "source_mixture_plan",
     "exact_substring_overlap",
     "sole_return_supplier",
-    "dominant_part_suppliers",
+    "ann_incremental",   # touched r5: true-lowest-id centroid seeding
 ]
 # 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
@@ -171,7 +171,7 @@ _TAIL = [
     "fulfillment_lag_quantiles",
     "source_quality_funnel",
     "market_share_by_year",
-    "ann_incremental",
+    "dominant_part_suppliers",
 ]
 
 _order = (

@@ -157,13 +157,14 @@ def _sql_kmeans_ctes(
     md5-bucket sample, mirroring the operator's training sample.
     ``init_from`` overrides the init source (a table or parenthesized
     subquery) when the corpus is a subset of ``embeddings`` — the
-    operator seeds with the corpus rows satisfying ``vec_id < n_cells``
-    (which can be FEWER than n_cells seeds on a subset corpus), so the
-    mirror must apply the identical predicate to the identical subset."""
+    operator seeds with the corpus's ``n_cells`` TRUE lowest ids (an
+    ORDER BY + LIMIT, not an id-value predicate, so a re-keyed or
+    subset corpus still seeds the full cell count), and the mirror must
+    apply the identical selection to the identical subset."""
     train = "c"
     ctes = [
         f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
-        f"FROM {init_from} WHERE vec_id < {n_cells})"
+        f"FROM {init_from} ORDER BY vec_id LIMIT {n_cells})"
     ]
     if sample_mod is not None:
         train = "train"
@@ -540,7 +541,8 @@ def _sql_pq_ctes(
       FROM c CROSS JOIN (SELECT unnest(generate_series(0, {n_sub - 1})) AS m) ms
     )""",
         f"""{N("cb0")} AS (
-      SELECT m, sid AS code_id, sub AS code_vec FROM {N("subs")} WHERE sid < {n_codes}
+      SELECT m, sid AS code_id, sub AS code_vec FROM {N("subs")}
+      WHERE sid IN (SELECT DISTINCT sid FROM {N("subs")} ORDER BY sid LIMIT {n_codes})
     )""",
     ]
     for it in range(n_iters):

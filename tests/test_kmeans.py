@@ -115,3 +115,46 @@ def test_pq_tiny_corpus_fewer_seeds_than_codes(spark, sf_dir):
     assert sorted((r.query_id, r.cand_id, r.rank) for r in rows) == sorted(
         (r.query_id, r.cand_id, r.rank) for r in want
     )
+
+
+def test_seeding_survives_rekeyed_corpus(spark, sf_dir):
+    """Seeding takes the TRUE n lowest ids, not rows with id < n — a
+    re-keyed corpus (ids offset far from 0, e.g. an incremental batch
+    keyed by a global sequence) must still seed the full cell/codebook
+    count instead of silently degenerating to zero seeds (ADVICE r4).
+    The trained result must be identical to the 0-based corpus's up to
+    the id relabeling, since only ids changed."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        pq_train_codebooks,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    shifted = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+
+    base = kmeans_centroids(e, n_cells=8, n_iters=2)
+    moved = kmeans_centroids(shifted, n_cells=8, n_iters=2)
+    assert moved.count() == 8, "value-filter seeding would yield 0 cells"
+    base_vecs = {
+        tuple(r["cell_vec"])
+        for r in base.collect()
+    }
+    moved_vecs = {tuple(r["cell_vec"]) for r in moved.collect()}
+    assert moved_vecs == base_vecs
+
+    cb = pq_train_codebooks(shifted, n_sub=4, n_codes=8, n_iters=1)
+    assert cb.groupBy("m").count().collect()[0]["count"] == 8
+
+    # End-to-end: pq_topk over the shifted corpus returns real top-k,
+    # not a degenerate/empty frame.
+    queries = shifted.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    hits = pq_topk(
+        shifted,
+        queries.withColumnRenamed("query_id", "vec_id"),
+        k=5,
+        n_sub=4,
+        n_codes=8,
+    )
+    assert hits.count() == 15
