@@ -102,6 +102,18 @@ def _claimed_versions(fs, jvm, table_path: str) -> list[int]:
     return sorted(out, reverse=True)
 
 
+def _parsable_mode(fs, jvm, table_path: str, version: int) -> str | None:
+    """The ``mode`` of the manifest at ``version`` if it exists and
+    parses, else None (missing or dead claim)."""
+    try:
+        m = _read_manifest(fs, jvm, table_path, version)
+        if isinstance(m, dict) and "batches" in m:
+            return m.get("mode")
+    except Exception:
+        pass
+    return None
+
+
 def _latest_committed(fs, jvm, table_path: str) -> tuple[int, dict | None]:
     """(version, manifest) of the newest PARSABLE manifest, scanning down
     over claimed-but-unparsable ones (crashed writers' dead claims) —
@@ -217,6 +229,21 @@ def write_snapshot(
                     and check_m is not None
                     and batch not in check_m["batches"]
                 ):
+                    # Exclusion by a concurrent OVERWRITE is legitimate
+                    # supersession, not a race: this append DID commit
+                    # (create(overwrite=false) means v{target_v} is ours
+                    # alone) and the overwrite then intentionally started
+                    # a fresh lineage without it. Raising here would make
+                    # the caller re-append data the overwrite meant to
+                    # remove. Scan every parsable manifest above ours —
+                    # the overwrite may itself have been superseded by
+                    # later appends that chain from IT.
+                    superseded = any(
+                        _parsable_mode(fs, jvm, table_path, v) == "overwrite"
+                        for v in range(target_v + 1, check_v + 1)
+                    )
+                    if superseded:
+                        return target_v
                     raise RuntimeError(
                         f"append raced out of the manifest lineage for "
                         f"{table_path}: committed v{target_v} but v{check_v} "

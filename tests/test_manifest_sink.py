@@ -180,6 +180,67 @@ def test_append_raced_out_of_lineage_fails_loudly(spark, tmp_path, monkeypatch):
     assert M.read_snapshot(spark, table).count() == 5
 
 
+def test_append_superseded_by_overwrite_is_success(spark, tmp_path, monkeypatch):
+    """A committed append that a concurrent OVERWRITE supersedes inside
+    the verification window must return success, not raise (ADVICE r4):
+    the append IS in the lineage at its own version, the overwrite
+    intentionally replaced it, and the advised retry would re-append
+    data the overwrite meant to remove. Simulated by committing an
+    overwrite between the append's manifest write and its verification
+    scan."""
+    import threading
+    import time as _time
+
+    monkeypatch.setattr(M, "CLAIM_GRACE_SECONDS", 0.2)
+    table = str(tmp_path / "tbl")
+    M.write_snapshot(spark.range(2).toDF("id"), table, mode="append")  # v1
+
+    real = M._latest_committed
+    state = {"overwritten": False}
+
+    def latest_with_overwrite(fs, jvm, table_path):
+        # The appender's verification poll is the first _latest_committed
+        # call that can see the appender's OWN commit (v2) — the loop-top
+        # call saw only v1. Inject the concurrent overwrite exactly
+        # there, so the appender's verification sees a newer lineage
+        # that excludes its batch.
+        v, m = real(fs, jvm, table_path)
+        if (
+            threading.current_thread().name == "appender"
+            and not state["overwritten"]
+            and v >= 2
+        ):
+            state["overwritten"] = True
+            monkeypatch.setattr(M, "_latest_committed", real)
+            M.write_snapshot(
+                spark.range(7).toDF("id"), table, mode="overwrite"
+            )
+            monkeypatch.setattr(M, "_latest_committed", latest_with_overwrite)
+            return real(fs, jvm, table_path)
+        return v, m
+
+    results: list = []
+    errors: list[Exception] = []
+
+    def appender():
+        try:
+            monkeypatch.setattr(M, "_latest_committed", latest_with_overwrite)
+            results.append(
+                M.write_snapshot(spark.range(3).toDF("id"), table, mode="append")
+            )
+        except Exception as exc:
+            errors.append(exc)
+
+    ta = threading.Thread(target=appender, name="appender")
+    ta.start()
+    ta.join(timeout=60)
+    assert not errors, f"supersession-by-overwrite raised: {errors}"
+    assert results == [2]
+    # The table reads as the overwrite's content — the append was
+    # committed, then legitimately replaced.
+    assert M.read_snapshot(spark, table).count() == 7
+
+
 def test_snapshot_schema_evolution_is_additive(spark, tmp_path):
     """Batches may add columns over time: the snapshot surfaces the
     union schema with NULLs where a batch predates (or dropped) a
