@@ -32,6 +32,20 @@ index (or an earlier same-batch row) already holds one within
 ``dup_threshold`` cosine in the SAME cell; a true near-duplicate
 straddling a cell boundary is admitted — the standard recall/cost
 trade of cell-blocked near-dup, documented rather than hidden.
+
+Within-batch policy (precisely): a vector is admitted iff NO
+lower-id same-cell near-duplicate exists in the batch — admitted OR
+rejected. The batch's admitted set is the set of LOCAL MINIMA of the
+same-cell similarity graph, which one self-join computes in a single
+pass, deterministically and independent of partitioning. This
+over-rejects relative to a sequential greedy admit: in a chain a~b,
+b~c (a!~c), both b and c are dropped even though c's only duplicate
+witness b was itself rejected. Greedy-by-id admission would keep c
+but requires iterating the similarity graph to a fixpoint (each pass
+can re-qualify nodes whose witnesses died in the previous pass) — an
+unbounded number of joins on adversarial chains — so the one-pass
+policy is the deliberate 100 TB choice, pinned by
+``test_vector_ingest_in_batch_gate_is_local_minima``.
 """
 
 from __future__ import annotations
@@ -141,7 +155,11 @@ class VectorIngest:
             .distinct()
         )
         fresh = assigned.join(dup_vs_index, self.id_col, "left_anti")
-        # Gate 2: near-dup within the batch, same cell, keep lowest id.
+        # Gate 2: near-dup within the batch, same cell — admit the
+        # LOCAL MINIMA of the similarity graph (drop any vector with a
+        # lower-id near-dup, admitted or not). One-pass and
+        # order-independent; see the module docstring for the
+        # over-rejection trade vs sequential greedy admission.
         a = fresh.alias("a")
         b = fresh.alias("b")
         dup_in_batch = (

@@ -991,3 +991,41 @@ def test_frequency_monitor_store_compaction(spark, tmp_path):
 
     # Idempotent: nothing left to fold below epoch 1.
     assert compact_sketch_store(spark, store, upto_epoch=1) == 0
+
+
+def test_vector_ingest_in_batch_gate_is_local_minima(spark, tmp_path):
+    """The within-batch near-dup policy, pinned: a vector is rejected
+    iff a LOWER-ID same-cell near-duplicate exists in the batch —
+    admitted or not. Chain a~b, b~c with a!~c: b and c both drop (c's
+    witness b was itself rejected — the documented over-rejection vs
+    greedy admission); an isolated vector d admits."""
+    import math
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["cell_id", "cell_vec"]
+    )
+    cent.write.parquet(str(tmp_path / "centroids"))
+
+    def ray(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # cos(5 deg)=0.9962 >= 0.995 (adjacent pairs are dups);
+    # cos(10 deg)=0.9848 < 0.995 (a and c are NOT dups).
+    batch = spark.createDataFrame(
+        [(1, ray(0)), (2, ray(5)), (3, ray(10)), (4, ray(80))],
+        ["vec_id", "embedding"],
+    )
+    ingest = VectorIngest(
+        spark,
+        centroids_path=str(tmp_path / "centroids"),
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    admitted = sorted(
+        r.vec_id for r in ingest._admit(batch).select("vec_id").collect()
+    )
+    assert admitted == [1, 4], admitted
