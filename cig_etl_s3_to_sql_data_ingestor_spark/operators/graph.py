@@ -23,9 +23,12 @@ means and the char-LM milli-nat log-probs).
 At 100 TB scale each iteration is: one (node)-keyed aggregate for
 degrees (once), one join of ranks onto edges (ranks frame is
 node-sized; co-partitioned by node key), and one (dst)-keyed integer
-sum. State between iterations is one (node, rank) frame — checkpoint
-it every few rounds exactly like the connected-components loop
-(operators/dedup.py) to keep lineage bounded.
+sum. State between iterations is one (node, rank) frame —
+``localCheckpoint``ed every ``checkpoint_every`` rounds exactly like
+the connected-components loop (operators/dedup.py), so the plan stays
+one-iteration deep no matter how many rounds run (an unbroken lineage
+would grow a join tree per iteration and re-execute it on any
+recompute).
 """
 
 from __future__ import annotations
@@ -46,6 +49,8 @@ def undirected_pagerank(
     n_iters: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: int | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, pr) after ``n_iters`` exact damped iterations.
 
@@ -53,15 +58,32 @@ def undirected_pagerank(
     pair); both directions are materialized internally. Isolated nodes
     never enter the frame — callers union them back with the base rank
     if needed.
+
+    ``tol`` (micro-rank units) turns ``n_iters`` into a maximum: the
+    loop stops early once the largest per-node rank change of a round
+    drops below ``tol`` — the convergence mode a caller actually wants
+    at 10-20 iterations. Because ranks are integers, the delta test is
+    exact and engine-independent (no FP convergence flakiness), at the
+    cost of one node-sized join + max aggregate per round.
+
+    ``checkpoint_every`` bounds lineage: every k-th round's rank frame
+    is ``localCheckpoint``ed (eager), cutting the join tree so plan
+    depth stays O(k) instead of O(n_iters); the values are unchanged.
+    Set 0 to disable (only for n_iters <= ~3 oracle-parity runs where
+    the caller wants a pure lazily-planned frame).
     """
     both = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(
         edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )
+    if checkpoint_every:
+        # Reused by every iteration's join — checkpoint once so each
+        # round re-reads materialized edges instead of re-deriving them.
+        both = both.localCheckpoint()
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("u", F.lit(PR_BASE).cast("long").alias("pr"))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contrib = (
             both.join(ranks, "u")
             .join(deg, "u")
@@ -75,7 +97,7 @@ def undirected_pagerank(
             )
         )
         in_sums = contrib.groupBy("v").agg(F.sum("c").alias("in_sum"))
-        ranks = in_sums.select(
+        new_ranks = in_sums.select(
             F.col("v").alias("u"),
             F.floor(
                 F.lit(PR_TELEPORT)
@@ -84,4 +106,18 @@ def undirected_pagerank(
             .cast("long")
             .alias("pr"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.select("u", F.col("pr").alias("_new"))
+                .join(ranks.select("u", F.col("pr").alias("_old")), "u")
+                .agg(F.max(F.abs(F.col("_new") - F.col("_old"))).alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is None or delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select(F.col("u").alias("node"), "pr")
