@@ -65,8 +65,69 @@ def _sql_kgrams(k: int) -> str:
 # unit of work: one shuffle to build them, one shingle-keyed equi-join
 # for intersections (never all-pairs of documents), and the per-source
 # set sizes are a tiny aggregate broadcast back onto the pair frame.
-# Fan-out per shingle is bounded by #sources², not by corpus size.
+# Fan-out per shingle is bounded by #sources², not by corpus size —
+# but a UNIVERSAL shingle (boilerplate shared by every source) still
+# contributes |sources|² rows, which at crawl scale (thousands of
+# sources) dominates the join. ``max_shingle_df`` is the same
+# stop-shingle guard as operators.dedup.ngram_jaccard_pairs: shingles
+# present in more than that many sources are dropped from the
+# intersection index (per-source set sizes still count them, so the
+# reported Jaccard is exact when no shingle exceeds the cap and a
+# conservative underestimate otherwise), and the dropped count is
+# LOGGED — never a silent cap.
 # ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    d: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram-shingle Jaccard between values of ``source_col``."""
+    import logging
+
+    from ..operators.dedup import _persist
+
+    ss = _persist(
+        d.select(
+            F.col(source_col).alias("source"),
+            F.explode(ngram_shingles_col(text_col, n)).alias("shingle"),
+        ).distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    idx = ss
+    if max_shingle_df is not None:
+        hot = _persist(
+            ss.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        # The cap must never be silent: the count is a tiny aggregate
+        # over the already-persisted distinct frame.
+        logging.getLogger(__name__).info(
+            "source_overlap: dropping %d shingles with source-df > %d "
+            "from the intersection index",
+            hot.count(),
+            max_shingle_df,
+        )
+        idx = ss.join(hot, "shingle", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _overlap_report(inter, sizes)
 
 
 @register(
@@ -78,10 +139,12 @@ def _sql_kgrams(k: int) -> str:
       SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh
     ),
     sizes AS (SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY source),
+    hot AS (SELECT shingle FROM ss GROUP BY shingle HAVING COUNT(*) > 5),
+    idx AS (SELECT * FROM ss ANTI JOIN hot USING (shingle)),
     inter AS (
       SELECT a.source AS source_a, b.source AS source_b,
              COUNT(*) AS n_common
-      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.source < b.source
       GROUP BY a.source, b.source
     )
     SELECT i.source_a, i.source_b,
@@ -97,26 +160,16 @@ def _sql_kgrams(k: int) -> str:
     """,
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram-shingle Jaccard between document sources."""
+    """Pairwise 3-gram-shingle Jaccard between document sources, with
+    the df > 5 stop-shingle cap applied (and mirrored in the oracle) so
+    the hot-key guard is itself driver-verified."""
     d = load_table(spark, sf_dir, "documents")
-    ss = (
-        d.select("source", F.explode(ngram_shingles_col("text", 3)).alias("shingle"))
-        .distinct()
-    )
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n_shingles"))
-    a = ss.alias("a")
-    b = ss.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    return source_overlap(d, max_shingle_df=5)
+
+
+def _overlap_report(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join the per-source set sizes onto the intersection counts and
+    derive Jaccard."""
     sa = sizes.select(
         F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
     )

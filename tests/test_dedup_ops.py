@@ -326,3 +326,39 @@ def test_pagerank_convergence_mode_bounded_lineage(spark):
     p6_lazy = undirected_pagerank(edges, n_iters=6, checkpoint_every=0)._jdf.queryExecution().analyzed().toString()
     assert len(p12) <= 2 * len(p1), (len(p12), len(p1))
     assert len(p6_lazy) > 3 * len(p12), (len(p6_lazy), len(p12))
+
+
+def test_source_overlap_hot_shingle_cap(spark):
+    """A universal (boilerplate) shingle must be droppable from the
+    intersection index via max_shingle_df, while per-source set sizes
+    still count it — so capped Jaccard is a conservative underestimate
+    and uncapped equals the exact all-pairs value."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import source_overlap
+
+    boiler = "terms of service apply"  # one 3-gram window beyond n=3 tokens
+    rows = [
+        ("s1", f"alpha beta gamma {boiler}"),
+        ("s2", f"alpha beta gamma {boiler}"),
+        ("s3", f"delta epsilon zeta {boiler}"),
+    ]
+    d = spark.createDataFrame(rows, ["source", "text"])
+
+    exact = {
+        (r.source_a, r.source_b): (r.n_common, r.jaccard)
+        for r in source_overlap(d).collect()
+    }
+    # Every pair shares the boilerplate shingles; s1/s2 share everything.
+    assert set(exact) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert exact[("s1", "s2")][1] == 1.0
+
+    capped = {
+        (r.source_a, r.source_b): (r.n_common, r.jaccard)
+        for r in source_overlap(d, max_shingle_df=2).collect()
+    }
+    # Shingles present in all 3 sources leave the index; pairs whose only
+    # overlap was boilerplate disappear entirely.
+    assert ("s1", "s3") not in capped and ("s2", "s3") not in capped
+    # s1/s2 still found via their df=2 shingles; n_common shrank by the
+    # dropped universal shingles, set sizes did not -> jaccard < exact.
+    a, b = capped[("s1", "s2")], exact[("s1", "s2")]
+    assert a[0] < b[0] and a[1] < b[1]
