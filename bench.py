@@ -133,6 +133,11 @@ HEADLINE = [
     "priority_sample",
     "price_quantity_stats",
     "weekday_event_chi2",
+    # round 5: amortized ANN search (train-once/search-many deployment
+    # shape) — prepared entries whose index builds OUTSIDE the timer,
+    # so a regression in SEARCH is not masked by training noise.
+    "ann_pq_search",
+    "ann_ivf_pq_search",
 ]
 
 
@@ -151,6 +156,70 @@ def _profile_default_mode(spark, sf_dir):
 
 # name -> callable overriding QUERIES[name] for timing purposes only.
 BENCH_OVERRIDES = {"profile_table": _profile_default_mode}
+
+
+def _pq_search_prepare(spark, sf_dir):
+    """Build + materialize the PQ index (subvectors, codebooks, codes)
+    OUTSIDE the timer; the returned thunk is pure search — distance
+    table, ADC join, shortlist, exact re-rank. ann_pq_topk still times
+    the full build+search path; this entry is the deployed shape."""
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = _persist(S.pq_encode(e, cb, subs=subs))
+    codes.count()  # force the whole index pipeline now
+    queries = e.filter(F.col("vec_id") < 8)
+    return lambda: S.pq_topk(
+        e, queries, k=5, codebooks=cb, codes=codes
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_pq_search_prepare(spark, sf_dir):
+    """IVF+PQ with every index part (coarse centroids, cell assignment,
+    codebooks, codes) prebuilt; the thunk probes cells and searches."""
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = _persist(
+        S.kmeans_centroids(e, n_cells=16, n_iters=2, sample_mod=4).select(
+            F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+        )
+    )
+    assigned = _persist(
+        S.ivf_assign(e, centroids, "vec_id", "embedding", n_probe=1).select(
+            "cand_id", "cell_id"
+        )
+    )
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = _persist(S.pq_encode(e, cb, subs=subs))
+    assigned.count()
+    codes.count()
+    queries = e.filter(F.col("vec_id") < 8)
+    return lambda: S.ivf_pq_topk(
+        e, queries, k=5,
+        centroids=centroids, assigned=assigned, codebooks=cb, codes=codes,
+    ).orderBy("query_id", "rank")
+
+
+# name -> prepare(spark, sf_dir) -> thunk. The prepare step runs ONCE
+# per query, outside the timer; cache-clearing is skipped for these
+# (the persisted index is the point), and the run body creates no
+# caches of its own, so repeat runs stay honest.
+BENCH_PREPARE = {
+    "ann_pq_search": _pq_search_prepare,
+    "ann_ivf_pq_search": _ivf_pq_search_prepare,
+}
 
 
 def materialize(df) -> None:
@@ -174,37 +243,52 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        prep = BENCH_PREPARE.get(name)
+        if prep is not None:
+            spark.catalog.clearCache()
+            thunk = prep(spark, SF_DIR)  # index build — NOT timed
         best = float("inf")
         for _ in range(runs):
-            # Drop caches persisted by a previous run of the same query —
-            # Spark's CacheManager matches by canonical plan, so without
-            # this a re-run would silently reuse the LSH signature caches
-            # and report a flattered time.
-            spark.catalog.clearCache()
-            fn = BENCH_OVERRIDES.get(name, QUERIES[name])
+            if prep is None:
+                # Drop caches persisted by a previous run of the same
+                # query — Spark's CacheManager matches by canonical
+                # plan, so without this a re-run would silently reuse
+                # the LSH signature caches and report a flattered time.
+                # (Prepared entries SKIP this: their persisted index is
+                # the point, and their run body persists nothing.)
+                spark.catalog.clearCache()
+            fn = BENCH_OVERRIDES.get(name, QUERIES.get(name))
             t0 = time.perf_counter()
-            materialize(fn(spark, SF_DIR))
+            materialize(thunk() if prep is not None else fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        if prep is not None:
+            spark.catalog.clearCache()  # don't leak the index downstream
 
     total = round(sum(timings.values()), 3)
     try:  # contention transparency: loadavg BEFORE this bench's own load decays
         load1 = round(os.getloadavg()[1], 2)
     except OSError:  # pragma: no cover
         load1 = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(HEADLINE),
-                "loadavg5": load1,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(HEADLINE),
+        "loadavg5": load1,
+    }
+    # The driver captures only a truncated stdout tail (~4KB; r4 lost 34
+    # of 100 per-query times that way) — persist the full record so
+    # every round's numbers survive for cross-round comparison.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

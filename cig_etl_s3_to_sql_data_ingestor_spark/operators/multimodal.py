@@ -11,17 +11,19 @@ batches. This generalizes the reference's binary-column neutralization
 `Picture` into constants) into genuine byte→pixel work.
 
 The image path is REAL: a pure-stdlib (zlib/struct) + numpy PNG codec —
-8-bit grayscale, filters 0–4 (None/Sub/Up/Average/Paeth), per-chunk CRC
-validation — decodes actual pixel data inside the batch functions, and
-every downstream statistic (pixel sums, nearest-neighbor resize,
-gradient energy) is computed from the decoded pixels.
+8-bit grayscale/RGB/RGBA (color types 0/2/6), filters 0–4
+(None/Sub/Up/Average/Paeth) over the bpp-strided byte stream, per-chunk
+CRC validation — decodes actual pixel data inside the batch functions,
+and every downstream statistic (pixel sums, nearest-neighbor resize,
+per-channel gradient energy) is computed from the decoded pixels.
 
 Video-ish payloads are REAL APNG (animated PNG: acTL/fcTL/fdAT chunks):
 each frame is an independently-compressed PNG stream, so the frame
 sampler (`sample_frames`) walks the chunk list cheaply and inflates
 ONLY the frames it keeps — the property that matters when sampling 1-in
 -N frames of a 100 TB video corpus. Audio payloads are REAL RIFF/WAVE
-PCM16 parsed with struct (`make_wav_codec`). ffmpeg/librosa-class
+PCM16 (any channel count, interleaved) parsed with struct
+(`make_wav_codec`). ffmpeg/librosa-class
 codecs (JPEG, H.264, MP3) are not in this container: payloads that are
 not PNG/APNG/WAV fail their signature check with a clear error.
 
@@ -48,15 +50,25 @@ def make_png_codec():
     from these run on workers with no package import.
 
     The codec covers the PNG subset the fixtures need — 8-bit grayscale
-    (color type 0), non-interlaced, filters 0-4 — and validates chunk
-    CRCs on decode. Sub/Up rows encode+decode vectorized (Sub decode is
-    a prefix-sum recurrence → ``np.cumsum``); Average/Paeth decode is a
-    per-pixel recurrence (left-neighbor dependency), kept for format
-    completeness and exercised by unit tests.
+    (color type 0), truecolor RGB (type 2) and RGBA (type 6),
+    non-interlaced, filters 0-4 — and validates chunk CRCs on decode.
+    Per the spec, filters operate on the row BYTE stream with the
+    "left" neighbor ``bpp`` (bytes per pixel: 1/3/4) positions back, so
+    every multi-channel image exercises the strided filter paths.
+    Sub/Up rows encode+decode vectorized (Sub decode is a per-channel
+    prefix-sum recurrence → ``np.cumsum`` over a ``(w, bpp)`` view);
+    Average/Paeth decode is a per-pixel recurrence (left-neighbor
+    dependency), vectorized across channels.
+
+    Shape convention: 2-D ``(h, w)`` arrays are grayscale; 3-D
+    ``(h, w, ch)`` with ch in {1, 3, 4} map to color types {0, 2, 6}.
+    ``decode_png`` returns 2-D for grayscale payloads and 3-D
+    otherwise, so existing single-channel callers are unchanged.
     """
 
     def encode_png(pixels, filters=None):
-        """pixels: 2-D uint8 array (height x width) → PNG bytes.
+        """pixels: uint8 array, ``(h, w)`` grayscale or ``(h, w, ch)``
+        with ch in {1, 3, 4} → PNG bytes (color type 0/0/2/6).
 
         ``filters``: optional per-row filter-type list; default cycles
         y % 3 over None/Sub/Up so decoding always exercises real
@@ -67,13 +79,22 @@ def make_png_codec():
 
         import numpy as np
 
-        height, width = pixels.shape
+        if pixels.ndim == 2:
+            pixels = pixels[:, :, None]
+        height, width, bpp = pixels.shape
+        color_type = {1: 0, 3: 2, 4: 6}.get(bpp)
+        if color_type is None:
+            raise ValueError(f"unsupported channel count {bpp} (want 1/3/4)")
         raw = bytearray()
-        prev = np.zeros(width, dtype=np.int32)
+        nb = width * bpp
+        prev = np.zeros(nb, dtype=np.int32)
+        zeros = np.zeros(bpp, dtype=np.int32)
         for y in range(height):
-            row = pixels[y].astype(np.int32)
+            row = pixels[y].astype(np.int32).reshape(nb)
             ft = (y % 3) if filters is None else filters[y]
-            left = np.concatenate(([0], row[:-1]))
+            left = np.concatenate((zeros, row[:-bpp])) if nb > bpp else (
+                np.zeros(nb, dtype=np.int32)
+            )
             if ft == 0:  # None
                 filt = row
             elif ft == 1:  # Sub
@@ -83,7 +104,9 @@ def make_png_codec():
             elif ft == 3:  # Average
                 filt = row - ((left + prev) // 2)
             elif ft == 4:  # Paeth
-                ul = np.concatenate(([0], prev[:-1]))
+                ul = np.concatenate((zeros, prev[:-bpp])) if nb > bpp else (
+                    np.zeros(nb, dtype=np.int32)
+                )
                 p = left + prev - ul
                 pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
                 pred = np.where(
@@ -104,7 +127,7 @@ def make_png_codec():
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
@@ -113,8 +136,10 @@ def make_png_codec():
         )
 
     def decode_png(data):
-        """PNG bytes → 2-D uint8 pixel array; validates signature, IHDR
-        and every chunk CRC, and reverses filters 0-4."""
+        """PNG bytes → uint8 pixel array, ``(h, w)`` for grayscale
+        payloads and ``(h, w, ch)`` for RGB/RGBA; validates signature,
+        IHDR and every chunk CRC, and reverses filters 0-4 with the
+        spec's ``bpp``-strided left neighbor."""
         import struct
         import zlib
 
@@ -123,7 +148,7 @@ def make_png_codec():
         if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG: bad signature")
         pos = 8
-        width = height = None
+        width = height = bpp = None
         idat = bytearray()
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -138,9 +163,11 @@ def make_png_codec():
                 width, height, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", payload
                 )
-                if depth != 8 or color != 0 or comp != 0 or interlace != 0:
+                bpp = {0: 1, 2: 3, 6: 4}.get(color)
+                if depth != 8 or bpp is None or comp != 0 or interlace != 0:
                     raise NotImplementedError(
-                        "codec supports 8-bit grayscale non-interlaced PNG only"
+                        "codec supports 8-bit grayscale/RGB/RGBA "
+                        "non-interlaced PNG only"
                     )
             elif tag == b"IDAT":
                 idat.extend(payload)
@@ -150,44 +177,56 @@ def make_png_codec():
         if width is None:
             raise ValueError("PNG missing IHDR")
         raw = zlib.decompress(bytes(idat))
-        stride = width + 1
+        nb = width * bpp  # bytes per scanline (sans filter byte)
+        stride = nb + 1
         if len(raw) != stride * height:
             raise ValueError("PNG decoded stream length mismatch")
-        out = np.empty((height, width), dtype=np.uint8)
-        prev = np.zeros(width, dtype=np.int64)
+        out = np.empty((height, nb), dtype=np.uint8)
+        prev = np.zeros(nb, dtype=np.int64)
         for y in range(height):
             ft = raw[y * stride]
             line = np.frombuffer(
-                raw, dtype=np.uint8, count=width, offset=y * stride + 1
+                raw, dtype=np.uint8, count=nb, offset=y * stride + 1
             ).astype(np.int64)
             if ft == 0:  # None
                 rec = line
-            elif ft == 1:  # Sub: recon = prefix sum of filtered bytes
-                rec = np.cumsum(line) % 256
+            elif ft == 1:  # Sub: per-channel prefix sum of filtered bytes
+                rec = (np.cumsum(line.reshape(width, bpp), axis=0) % 256).reshape(nb)
             elif ft == 2:  # Up
                 rec = (line + prev) % 256
-            elif ft == 3:  # Average (left recurrence -> per pixel)
-                rec = np.empty(width, dtype=np.int64)
-                left = 0
+            elif ft == 3:  # Average (left recurrence -> per pixel, channels vectorized)
+                ln = line.reshape(width, bpp)
+                pv = prev.reshape(width, bpp)
+                rec2 = np.empty((width, bpp), dtype=np.int64)
+                left = np.zeros(bpp, dtype=np.int64)
                 for x in range(width):
-                    left = (line[x] + ((left + prev[x]) >> 1)) % 256
-                    rec[x] = left
-            elif ft == 4:  # Paeth (left recurrence -> per pixel)
-                rec = np.empty(width, dtype=np.int64)
-                left = ul = 0
+                    left = (ln[x] + ((left + pv[x]) >> 1)) % 256
+                    rec2[x] = left
+                rec = rec2.reshape(nb)
+            elif ft == 4:  # Paeth (left recurrence -> per pixel, channels vectorized)
+                ln = line.reshape(width, bpp)
+                pv = prev.reshape(width, bpp)
+                rec2 = np.empty((width, bpp), dtype=np.int64)
+                left = np.zeros(bpp, dtype=np.int64)
+                ul = np.zeros(bpp, dtype=np.int64)
                 for x in range(width):
-                    up = int(prev[x])
+                    up = pv[x]
                     p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                    left = (line[x] + pred) % 256
-                    rec[x] = left
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                    left = (ln[x] + pred) % 256
+                    rec2[x] = left
                     ul = up
+                rec = rec2.reshape(nb)
             else:
                 raise ValueError(f"unknown PNG filter type {ft}")
             out[y] = rec.astype(np.uint8)
             prev = rec
-        return out
+        if bpp == 1:
+            return out.reshape(height, width)
+        return out.reshape(height, width, bpp)
 
     return encode_png, decode_png
 
@@ -218,7 +257,8 @@ def make_apng_codec():
         )
 
     def encode_apng(frames):
-        """frames: list of same-shape 2-D uint8 arrays → APNG bytes."""
+        """frames: list of same-shape uint8 arrays — ``(h, w)`` gray or
+        ``(h, w, ch)`` color, all frames one shape — → APNG bytes."""
         import struct
 
         def idat_payload(png_bytes):
@@ -230,13 +270,18 @@ def make_apng_codec():
                 pos += 12 + length
             return bytes(out)
 
-        height, width = frames[0].shape
+        height, width = frames[0].shape[:2]
+        ch = 1 if frames[0].ndim == 2 else frames[0].shape[2]
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
         out = bytearray(b"\x89PNG\r\n\x1a\n")
-        out += _chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        out += _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        )
         out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
         seq = 0
+        shape0 = frames[0].shape
         for k, fr in enumerate(frames):
-            if fr.shape != (height, width):
+            if fr.shape != shape0:
                 raise ValueError("APNG frames must share one full-frame shape")
             # fcTL: seq, w, h, x_off, y_off, delay 1/10 s, dispose 0, blend 0
             out += _chunk(
@@ -325,23 +370,29 @@ def make_apng_codec():
 
 
 def make_wav_codec():
-    """(encode_wav, decode_wav) — REAL RIFF/WAVE, PCM16 mono subset.
+    """(encode_wav, decode_wav) — REAL RIFF/WAVE, PCM16, any channel
+    count (interleaved frames per the spec).
 
     The decoder parses the RIFF chunk list with word alignment, reads
-    the fmt block (rejecting non-PCM16-mono loudly), and returns the
-    int16 sample array — so audio statistics downstream come from actual
-    decoded PCM, not metadata."""
+    the fmt block (rejecting non-PCM16 loudly), de-interleaves the
+    frames, and returns the int16 sample array — so audio statistics
+    downstream come from actual decoded PCM, not metadata. Shape
+    convention mirrors the PNG codec: mono decodes to a 1-D ``(n,)``
+    array (existing callers unchanged), multi-channel to ``(n, ch)``."""
 
     def encode_wav(samples, rate=8000):
+        """samples: int16 array, ``(n,)`` mono or ``(n, ch)``
+        channel-major frames → RIFF/WAVE bytes (interleaved PCM16)."""
         import struct
 
-        data = samples.astype("<i2").tobytes()
+        ch = 1 if samples.ndim == 1 else samples.shape[1]
+        data = samples.astype("<i2").tobytes()  # C-order == interleaved
         return (
             b"RIFF"
             + struct.pack("<I", 36 + len(data))
             + b"WAVE"
             + b"fmt "
-            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
             + b"data"
             + struct.pack("<I", len(data))
             + data
@@ -354,7 +405,7 @@ def make_wav_codec():
 
         if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
-        pos, rate, pcm = 12, None, None
+        pos, rate, pcm, channels = 12, None, None, None
         while pos + 8 <= len(data):
             tag = bytes(data[pos : pos + 4])
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -363,14 +414,19 @@ def make_wav_codec():
                 fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
                     "<HHIIHH", payload[:16]
                 )
-                if (fmt_code, channels, bits) != (1, 1, 16):
-                    raise NotImplementedError("codec supports PCM16 mono only")
+                if (fmt_code, bits) != (1, 16) or channels < 1:
+                    raise NotImplementedError("codec supports PCM16 mono/multi-channel only")
             elif tag == b"data":
                 pcm = payload
             pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
         if rate is None or pcm is None:
             raise ValueError("WAV missing fmt or data chunk")
-        return np.frombuffer(pcm, dtype="<i2"), rate
+        flat = np.frombuffer(pcm, dtype="<i2")
+        if channels == 1:
+            return flat, rate
+        if len(flat) % channels:
+            raise ValueError("WAV data chunk is not whole interleaved frames")
+        return flat.reshape(-1, channels), rate
 
     return encode_wav, decode_wav
 
@@ -386,6 +442,7 @@ MM_SCHEMA = T.StructType(
                     T.StructField("format", T.StringType()),
                     T.StructField("width", T.IntegerType()),
                     T.StructField("height", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
                     T.StructField("n_frames", T.IntegerType()),
                 ]
             ),
@@ -397,11 +454,13 @@ MM_SCHEMA = T.StructType(
 def attach_png(df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars") -> DataFrame:
     """Multimodal fixture frame from documents: REAL PNG/APNG payloads.
 
-    Each doc gets a deterministic grayscale animation — dims derived
-    from ``n_chars`` (w = 1 + n_chars % 64, h = 1 + 7*n_chars % 64),
-    1 + doc_id % 8 frames, pixel (x, y, frame f) = (doc_id*31 + 7x +
-    13y + 17f) mod 256 — encoded to genuine bytes (zlib streams, CRCs,
-    filters cycling None/Sub/Up; single-frame docs are plain PNG,
+    Each doc gets a deterministic animation — dims derived from
+    ``n_chars`` (w = 1 + n_chars % 64, h = 1 + 7*n_chars % 64),
+    channels cycling doc_id % 3 over grayscale/RGB/RGBA (1/3/4),
+    1 + doc_id % 8 frames, channel c of pixel (x, y, frame f) =
+    (doc_id*31 + 7x + 13y + 17f + 19c) mod 256 — encoded to genuine
+    bytes (zlib streams, CRCs, filters cycling None/Sub/Up over the
+    bpp-strided byte stream; single-frame docs are plain PNG,
     multi-frame docs are spec-shaped APNG). The metadata struct's
     ``n_frames`` matches the container's acTL — it is real, not
     decorative. Downstream operators must actually parse and unfilter
@@ -426,19 +485,34 @@ def attach_png(df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars")
             for did, nc in zip(pdf[id_col], pdf[size_col]):
                 did, nc = int(did), int(nc)
                 w, h = 1 + nc % 64, 1 + (nc * 7) % 64
+                ch = (1, 3, 4)[did % 3]
                 n_frames = 1 + did % 8
                 xs = np.arange(w, dtype=np.int64)
                 ys = np.arange(h, dtype=np.int64)
-                base = did * 31 + 7 * xs[None, :] + 13 * ys[:, None]
+                cs = np.arange(ch, dtype=np.int64)
+                base = (
+                    did * 31
+                    + 7 * xs[None, :, None]
+                    + 13 * ys[:, None, None]
+                    + 19 * cs[None, None, :]
+                )
                 frames = [
                     ((base + 17 * f) % 256).astype(np.uint8)
                     for f in range(n_frames)
                 ]
+                if ch == 1:
+                    frames = [fr[:, :, 0] for fr in frames]
                 payloads.append(
                     encode_png(frames[0]) if n_frames == 1 else encode_apng(frames)
                 )
                 metas.append(
-                    {"format": "png", "width": w, "height": h, "n_frames": n_frames}
+                    {
+                        "format": "png",
+                        "width": w,
+                        "height": h,
+                        "n_channels": ch,
+                        "n_frames": n_frames,
+                    }
                 )
             yield pd.DataFrame(
                 {
@@ -458,6 +532,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("decoded_bytes", T.LongType()),
         T.StructField("pixel_sum", T.LongType()),
@@ -469,10 +544,11 @@ DECODED_SCHEMA = T.StructType(
 def decode_image(mm: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode: parse the PNG container, inflate IDAT,
     unfilter, and report dimensions FROM THE HEADER plus pixel-level
-    stats from the decoded array. ``width``/``height`` come from IHDR
-    (not the metadata struct), ``decoded_bytes`` is the decoded pixel
-    buffer size, ``pixel_sum``/``mean_pixel`` prove the unfiltering
-    reproduced the actual image content."""
+    stats from the decoded array. ``width``/``height``/``n_channels``
+    come from IHDR (not the metadata struct), ``decoded_bytes`` is the
+    decoded pixel buffer size (w*h*channels), ``pixel_sum``/
+    ``mean_pixel`` aggregate over every channel byte and prove the
+    unfiltering reproduced the actual image content."""
     codec = make_png_codec()
 
     def decode_batches(batches):
@@ -485,18 +561,24 @@ def decode_image(mm: DataFrame) -> DataFrame:
             rows = []
             for did, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 px = decode_png(payload)
-                h, w = px.shape
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
                 s = int(px.sum(dtype=np.int64))
-                rows.append((int(did), "png", w, h, int(meta["n_frames"]), w * h, s, s / (w * h)))
+                nb = w * h * ch
+                rows.append(
+                    (int(did), "png", w, h, ch, int(meta["n_frames"]), nb, s, s / nb)
+                )
             out = pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "format", "width", "height", "n_frames",
-                    "decoded_bytes", "pixel_sum", "mean_pixel",
+                    "doc_id", "format", "width", "height", "n_channels",
+                    "n_frames", "decoded_bytes", "pixel_sum", "mean_pixel",
                 ],
             )
             out["width"] = out["width"].astype("int32")
             out["height"] = out["height"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
             out["n_frames"] = out["n_frames"].astype("int32")
             out["decoded_bytes"] = out["decoded_bytes"].astype("int64")
             out["pixel_sum"] = out["pixel_sum"].astype("int64")
@@ -512,6 +594,7 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("out_width", T.IntegerType()),
         T.StructField("out_height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
         T.StructField("scale_x", T.DoubleType()),
         T.StructField("scale_y", T.DoubleType()),
         T.StructField("resized_bytes", T.LongType()),
@@ -524,9 +607,10 @@ def resize_image(mm: DataFrame, max_side: int = 32) -> DataFrame:
     """REAL aspect-preserving resize: decode, then nearest-neighbor
     sample into a ``max_side`` bounding square (src index = floor of the
     integer ratio — deterministic and closed-form, so the oracle can
-    reproduce the exact sampled pixels). ``resized_pixel_sum`` is the
-    sum over the RESAMPLED array — wrong source indexing shows up as a
-    value mismatch."""
+    reproduce the exact sampled pixels). Channels resample together (one
+    lattice, every channel kept). ``resized_pixel_sum`` is the sum over
+    the RESAMPLED array across all channels — wrong source indexing
+    shows up as a value mismatch."""
     codec = make_png_codec()
 
     def resize_batches(batches):
@@ -542,7 +626,9 @@ def resize_image(mm: DataFrame, max_side: int = 32) -> DataFrame:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 px = decode_png(payload)
-                h, w = px.shape
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
                 scale = min(1.0, side / max(w, h))
                 # floor, not round: banker's rounding differs between
                 # engines at exact .5 — floor is unambiguous.
@@ -550,22 +636,23 @@ def resize_image(mm: DataFrame, max_side: int = 32) -> DataFrame:
                 out_h = max(1, math.floor(h * scale))
                 src_x = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 src_y = (np.arange(out_h, dtype=np.int64) * h) // out_h
-                res = px[src_y][:, src_x]
+                res = px[src_y][:, src_x, :]
                 rows.append(
                     (
-                        int(did), out_w, out_h, out_w / w, out_h / h,
-                        out_w * out_h, int(res.sum(dtype=np.int64)),
+                        int(did), out_w, out_h, ch, out_w / w, out_h / h,
+                        out_w * out_h * ch, int(res.sum(dtype=np.int64)),
                     )
                 )
             out = pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "out_width", "out_height", "scale_x",
-                    "scale_y", "resized_bytes", "resized_pixel_sum",
+                    "doc_id", "out_width", "out_height", "n_channels",
+                    "scale_x", "scale_y", "resized_bytes", "resized_pixel_sum",
                 ],
             )
             out["out_width"] = out["out_width"].astype("int32")
             out["out_height"] = out["out_height"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
             out["resized_bytes"] = out["resized_bytes"].astype("int64")
             out["resized_pixel_sum"] = out["resized_pixel_sum"].astype("int64")
             yield out
@@ -577,6 +664,7 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_pixels", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
         T.StructField("mean_pixel", T.DoubleType()),
         T.StructField("min_pixel", T.IntegerType()),
         T.StructField("max_pixel", T.IntegerType()),
@@ -589,9 +677,11 @@ FEATURES_SCHEMA = T.StructType(
 def image_features(mm: DataFrame) -> DataFrame:
     """REAL feature extraction over decoded pixels — the stand-in for an
     embedding-model forward pass. All features are integer-exact (sums,
-    extrema, distinct values, horizontal gradient energy) plus one
-    double division, so a single-threaded SQL oracle reproduces them
-    bit-for-bit with no float-fold hazards."""
+    extrema, distinct channel-byte values, per-channel horizontal
+    gradient energy) plus one double division, so a single-threaded SQL
+    oracle reproduces them bit-for-bit with no float-fold hazards.
+    ``n_pixels`` counts geometric pixels (w*h); value statistics range
+    over every channel byte."""
     codec = make_png_codec()
 
     def feature_batches(batches):
@@ -603,24 +693,28 @@ def image_features(mm: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_png(payload).astype(np.int64)
-                n = px.size
+                px = decode_png(payload)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                px = px.astype(np.int64)
+                h, w, ch = px.shape
                 s = int(px.sum())
-                grad = int(np.abs(np.diff(px, axis=1)).sum()) if px.shape[1] > 1 else 0
+                grad = int(np.abs(np.diff(px, axis=1)).sum()) if w > 1 else 0
                 rows.append(
                     (
-                        int(did), n, s / n, int(px.min()), int(px.max()),
-                        int(np.unique(px).size), grad,
+                        int(did), w * h, ch, s / px.size, int(px.min()),
+                        int(px.max()), int(np.unique(px).size), grad,
                     )
                 )
             out = pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_pixels", "mean_pixel", "min_pixel",
-                    "max_pixel", "n_distinct_pixels", "grad_sum",
+                    "doc_id", "n_pixels", "n_channels", "mean_pixel",
+                    "min_pixel", "max_pixel", "n_distinct_pixels", "grad_sum",
                 ],
             )
             out["n_pixels"] = out["n_pixels"].astype("int64")
+            out["n_channels"] = out["n_channels"].astype("int32")
             out["min_pixel"] = out["min_pixel"].astype("int32")
             out["max_pixel"] = out["max_pixel"].astype("int32")
             out["n_distinct_pixels"] = out["n_distinct_pixels"].astype("int64")
@@ -654,6 +748,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
         T.StructField("pixel_sum", T.LongType()),
         T.StructField("mean_pixel", T.DoubleType()),
     ]
@@ -688,15 +783,21 @@ def sample_frames(mm: DataFrame, every_nth: int = 2) -> DataFrame:
                 )
                 idxs = sorted(frames)
                 for i in idxs:
-                    ps = int(frames[i].astype(np.int64).sum())
+                    fr = frames[i]
+                    ch = 1 if fr.ndim == 2 else fr.shape[2]
+                    ps = int(fr.astype(np.int64).sum())
                     out["doc_id"].append(int(did))
                     out["frame_idx"].append(i)
                     out["n_frames"].append(n)
                     out["width"].append(w)
                     out["height"].append(h)
+                    out["n_channels"].append(ch)
                     out["pixel_sum"].append(ps)
-                    out["mean_pixel"].append(ps / (w * h))
-            yield pd.DataFrame(out)
+                    out["mean_pixel"].append(ps / (w * h * ch))
+            pdfout = pd.DataFrame(out)
+            for c in ("frame_idx", "n_frames", "width", "height", "n_channels"):
+                pdfout[c] = pdfout[c].astype("int32")
+            yield pdfout
 
     return fan_out(mm.select("doc_id", "payload")).mapInPandas(
         frame_batches, FRAME_SCHEMA
@@ -713,6 +814,7 @@ AUDIO_SCHEMA = T.StructType(
                 [
                     T.StructField("format", T.StringType()),
                     T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
                     T.StructField("n_samples", T.IntegerType()),
                 ]
             ),
@@ -726,10 +828,13 @@ def attach_wav(
 ) -> DataFrame:
     """Audio fixture frame from documents: REAL RIFF/WAVE PCM16 payloads.
 
-    Deterministic mono clips — n_samples = 256 + (n_chars*13) % 512,
-    sample(i) = ((doc_id*7919 + i*2654435761) mod 65536) − 32768 — so
-    the DuckDB oracles can recompute every statistic from the formula
-    while the operator must genuinely parse RIFF chunks and PCM bytes."""
+    Deterministic clips — channels = 1 + doc_id % 2 (mono/stereo
+    alternating), n_samples (frames) = 256 + (n_chars*13) % 512,
+    channel c of sample i = ((doc_id*7919 + i*2654435761 + 97*c) mod
+    65536) − 32768, interleaved per the RIFF spec — so the DuckDB
+    oracles can recompute every statistic from the formula while the
+    operator must genuinely parse RIFF chunks, de-interleave, and read
+    PCM bytes."""
     codec = make_wav_codec()
 
     def gen_batches(batches):
@@ -742,12 +847,24 @@ def attach_wav(
             payloads, metas = [], []
             for did, nc in zip(pdf[id_col], pdf[size_col]):
                 did, nc = int(did), int(nc)
+                ch = 1 + did % 2
                 n = 256 + (nc * 13) % 512
                 i = np.arange(n, dtype=np.int64)
-                samples = ((did * 7919 + i * 2654435761) % 65536) - 32768
+                cs = np.arange(ch, dtype=np.int64)
+                samples = (
+                    (did * 7919 + i[:, None] * 2654435761 + 97 * cs[None, :])
+                    % 65536
+                ) - 32768
+                if ch == 1:
+                    samples = samples[:, 0]
                 payloads.append(encode_wav(samples.astype(np.int16), rate=rate))
                 metas.append(
-                    {"format": "wav", "sample_rate": rate, "n_samples": n}
+                    {
+                        "format": "wav",
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "n_samples": n,
+                    }
                 )
             yield pd.DataFrame(
                 {
@@ -764,6 +881,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
         T.StructField("peak", T.LongType()),
@@ -775,10 +893,13 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_features(aw: DataFrame) -> DataFrame:
-    """Arrow-batched REAL audio decode: parse the RIFF container and
-    compute clip statistics from the PCM samples. Integer accumulators
-    (sum of squares, peak, sign-change count) keep every value exactly
-    engine-reproducible; ``rms`` is one final sqrt of an exact ratio."""
+    """Arrow-batched REAL audio decode: parse the RIFF container,
+    de-interleave, and compute clip statistics from the PCM samples.
+    Integer accumulators (sum of squares over every channel, peak over
+    every channel, per-channel sign-change counts summed) keep every
+    value exactly engine-reproducible; ``rms`` is one final sqrt of an
+    exact ratio over all channel samples. ``n_samples`` counts FRAMES
+    (per-channel sample positions), matching duration semantics."""
     codec = make_wav_codec()
 
     def feature_batches(batches):
@@ -792,19 +913,27 @@ def audio_features(aw: DataFrame) -> DataFrame:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples, rate = decode_wav(payload)
                 s = samples.astype(np.int64)
-                n = len(s)
+                if s.ndim == 1:
+                    s = s[:, None]
+                n, ch = s.shape
                 sum_sq = int((s * s).sum())
                 out["doc_id"].append(int(did))
                 out["sample_rate"].append(int(rate))
+                out["n_channels"].append(ch)
                 out["n_samples"].append(n)
                 out["duration_ms"].append(n * 1000 // rate)
                 out["peak"].append(int(np.abs(s).max()) if n else 0)
                 out["sum_sq"].append(sum_sq)
-                out["rms"].append(float(np.sqrt(sum_sq / n)) if n else 0.0)
-                out["zero_crossings"].append(
-                    int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                out["rms"].append(
+                    float(np.sqrt(sum_sq / (n * ch))) if n else 0.0
                 )
-            yield pd.DataFrame(out)
+                out["zero_crossings"].append(
+                    int(((s[:-1, :] * s[1:, :]) < 0).sum()) if n > 1 else 0
+                )
+            pdfout = pd.DataFrame(out)
+            pdfout["sample_rate"] = pdfout["sample_rate"].astype("int32")
+            pdfout["n_channels"] = pdfout["n_channels"].astype("int32")
+            yield pdfout
 
     return fan_out(aw.select("doc_id", "payload")).mapInPandas(
         feature_batches, AUDIO_FEATURES_SCHEMA
@@ -827,11 +956,13 @@ def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
 
     The hash is engine-exact by construction: sample an ``grid x grid``
     nearest-neighbor lattice (src index = (i * w) // grid — the same
-    closed-form indexing as resize_image), then threshold each sample
-    against the lattice mean using INTEGER cross-multiplication
-    (v * grid² >= sum — no float mean, so no rounding ambiguity), and
-    emit the 64 bits as a string. A 100 TB corpus groups on the hash —
-    one shuffle of 8-byte-equivalent signatures, never pixels.
+    closed-form indexing as resize_image) of the per-pixel CHANNEL SUM
+    (the integer luminance proxy — gray images are just their single
+    channel), then threshold each sample against the lattice mean using
+    INTEGER cross-multiplication (v * grid² >= sum — no float mean, so
+    no rounding ambiguity), and emit the 64 bits as a string. A 100 TB
+    corpus groups on the hash — one shuffle of 8-byte-equivalent
+    signatures, never pixels.
     """
     codec = make_png_codec()
 
@@ -846,10 +977,13 @@ def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
             ids, hashes = [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 px = decode_png(payload)
-                h, w = px.shape
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, _ch = px.shape
+                lum = px.astype(np.int64).sum(axis=2)
                 src_x = (np.arange(g, dtype=np.int64) * w) // g
                 src_y = (np.arange(g, dtype=np.int64) * h) // g
-                lat = px[src_y][:, src_x].astype(np.int64)
+                lat = lum[src_y][:, src_x]
                 total = int(lat.sum())
                 bits = (lat * (g * g) >= total).astype(np.uint8)
                 # Row-major (y, then x) — matches the oracle's ORDER BY j, i.
@@ -870,13 +1004,13 @@ AUDIO_FP_SCHEMA = T.StructType(
 
 def audio_fingerprint(aw: DataFrame, n_windows: int = 32) -> DataFrame:
     """Energy-profile audio fingerprint from REAL decoded samples: the
-    clip splits into ``n_windows`` index buckets (window of sample i =
-    (i * n_windows) // n — same closed-form bucketing as the image
-    lattice), each window's integer energy (sum of squares) is
-    thresholded against the clip mean by integer cross-multiplication
-    (e_w * n_windows >= total), and the bits form the signature a
-    near-dup audio pass groups on. Engine-exact throughout — integer
-    energies, integer compares."""
+    clip splits into ``n_windows`` FRAME-index buckets (window of frame
+    i = (i * n_windows) // n — same closed-form bucketing as the image
+    lattice), each window's integer energy (sum of squares across every
+    channel) is thresholded against the clip mean by integer
+    cross-multiplication (e_w * n_windows >= total), and the bits form
+    the signature a near-dup audio pass groups on. Engine-exact
+    throughout — integer energies, integer compares."""
     codec = make_wav_codec()
 
     def fp_batches(batches):
@@ -891,10 +1025,12 @@ def audio_fingerprint(aw: DataFrame, n_windows: int = 32) -> DataFrame:
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples, _rate = decode_wav(payload)
                 s = samples.astype(np.int64)
-                n = len(s)
+                if s.ndim == 1:
+                    s = s[:, None]
+                n = s.shape[0]
                 w = (np.arange(n, dtype=np.int64) * nw) // n
                 energy = np.zeros(nw, dtype=np.int64)
-                np.add.at(energy, w, s * s)
+                np.add.at(energy, w, (s * s).sum(axis=1))
                 total = int(energy.sum())
                 bits = energy * nw >= total
                 fps.append("".join("1" if b else "0" for b in bits))

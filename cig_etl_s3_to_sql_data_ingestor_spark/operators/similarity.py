@@ -590,6 +590,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank.
@@ -628,20 +629,27 @@ def pq_topk(
 
     from .dedup import _persist
 
-    subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            corpus,
-            n_sub=n_sub,
-            n_codes=n_codes,
-            id_col=id_col,
-            vec_col=vec_col,
-            subs=subs,
-        )
-    codebooks = _persist(codebooks)
-    codes = pq_encode(
-        corpus, codebooks, n_sub=n_sub, id_col=id_col, vec_col=vec_col, subs=subs
-    )
+    # Train-once/search-many deployments (streaming/vector_ingest, the
+    # amortized bench path) pass prebuilt ``codebooks`` + ``codes``; the
+    # corpus subvector frame then never materializes here and the call
+    # is pure search: distance table + ADC join + shortlist + re-rank.
+    if codebooks is None or codes is None:
+        subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                corpus,
+                n_sub=n_sub,
+                n_codes=n_codes,
+                id_col=id_col,
+                vec_col=vec_col,
+                subs=subs,
+            )
+        codebooks = _persist(codebooks)
+        if codes is None:
+            codes = pq_encode(
+                corpus, codebooks, n_sub=n_sub, id_col=id_col,
+                vec_col=vec_col, subs=subs,
+            )
     qsubs = _subvectors(queries, n_sub, id_col, vec_col)
     dtab = (
         qsubs.join(F.broadcast(codebooks), "m")
@@ -715,6 +723,10 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_sample_mod: int | None = None,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the full billion-vector deployment shape:
     IVF bounds the WORK (only ``n_probe`` cells' members are scored per
@@ -733,19 +745,27 @@ def ivf_pq_topk(
     """
     from .dedup import _persist
 
-    centroids = _persist(
-        kmeans_centroids(
-            corpus,
-            n_cells=n_cells,
-            n_iters=2,
-            id_col=id_col,
-            vec_col=vec_col,
-            sample_mod=kmeans_sample_mod,
-        ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
-    )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
-        "cand_id", "cell_id"
-    )
+    # Every index part is injectable for train-once/search-many callers
+    # (the amortized bench path; the streaming index keeps its own
+    # store): with centroids+assigned+codebooks+codes all prebuilt the
+    # call does only probe + ADC + shortlist + re-rank work.
+    if centroids is None:
+        centroids = _persist(
+            kmeans_centroids(
+                corpus,
+                n_cells=n_cells,
+                n_iters=2,
+                id_col=id_col,
+                vec_col=vec_col,
+                sample_mod=kmeans_sample_mod,
+            ).select(
+                F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)
+            )
+        )
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+            "cand_id", "cell_id"
+        )
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col("cand_id").alias("query_id"), "cell_id"
     )
@@ -761,5 +781,7 @@ def ivf_pq_topk(
         shortlist_factor=shortlist_factor,
         id_col=id_col,
         vec_col=vec_col,
+        codebooks=codebooks,
+        codes=codes,
         candidates=cand_pairs,
     )

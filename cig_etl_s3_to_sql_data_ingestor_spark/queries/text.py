@@ -227,13 +227,16 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Multimodal: the Spark path generates REAL PNG bytes (zlib IDAT, CRCs,
-# per-row filters) and decodes them with a genuine pure-Python codec
-# inside Arrow-batched mapInPandas (operators.multimodal). The oracles
-# recompute every statistic from the generative pixel formula
-# pixel(x, y) = (doc_id*31 + 7x + 13y) mod 256 — a decoder bug anywhere
-# in the chunk/inflate/unfilter chain is a value mismatch.
+# per-row bpp-strided filters; grayscale/RGB/RGBA cycling doc_id % 3)
+# and decodes them with a genuine pure-Python codec inside Arrow-batched
+# mapInPandas (operators.multimodal). The oracles recompute every
+# statistic from the generative pixel formula channel c of pixel (x, y)
+# = (doc_id*31 + 7x + 13y + 19c) mod 256 — a decoder bug anywhere in
+# the chunk/inflate/unfilter chain (including the multi-channel filter
+# stride) is a value mismatch.
 _SQL_MM_DIMS = """
-      SELECT doc_id, 1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h
+      SELECT doc_id, 1 + n_chars % 64 AS w, 1 + (n_chars * 7) % 64 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
       FROM documents
 """
 
@@ -244,20 +247,22 @@ _SQL_MM_DIMS = """
     WITH m AS ({_SQL_MM_DIMS}
     ), px AS (
       SELECT m.doc_id,
-             CAST(SUM((m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256) AS BIGINT)
-               AS pixel_sum
+             CAST(SUM((m.doc_id * 31 + 7 * t.x + 13 * u.y + 19 * v.c) % 256)
+                  AS BIGINT) AS pixel_sum
       FROM m,
            unnest(generate_series(0, m.w - 1)) AS t(x),
-           unnest(generate_series(0, m.h - 1)) AS u(y)
+           unnest(generate_series(0, m.h - 1)) AS u(y),
+           unnest(generate_series(0, m.ch - 1)) AS v(c)
       GROUP BY m.doc_id
     )
     SELECT m.doc_id, 'png' AS format,
            CAST(m.w AS INTEGER) AS width,
            CAST(m.h AS INTEGER) AS height,
+           CAST(m.ch AS INTEGER) AS n_channels,
            CAST(1 + m.doc_id % 8 AS INTEGER) AS n_frames,
-           CAST(m.w * m.h AS BIGINT) AS decoded_bytes,
+           CAST(m.w * m.h * m.ch AS BIGINT) AS decoded_bytes,
            px.pixel_sum,
-           CAST(px.pixel_sum AS DOUBLE) / (m.w * m.h) AS mean_pixel
+           CAST(px.pixel_sum AS DOUBLE) / (m.w * m.h * m.ch) AS mean_pixel
     FROM m JOIN px ON m.doc_id = px.doc_id
     ORDER BY m.doc_id
     """,
@@ -272,7 +277,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_SQL_MM_DIMS}
     ), o AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, ch,
              greatest(1, CAST(floor(w * least(1.0, 32.0 / greatest(w, h)))
                               AS BIGINT)) AS out_w,
              greatest(1, CAST(floor(h * least(1.0, 32.0 / greatest(w, h)))
@@ -281,19 +286,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), px AS (
       SELECT o.doc_id,
              CAST(SUM((o.doc_id * 31 + 7 * ((t.x * o.w) // o.out_w)
-                       + 13 * ((u.y * o.h) // o.out_h)) % 256) AS BIGINT)
-               AS rps
+                       + 13 * ((u.y * o.h) // o.out_h) + 19 * v.c) % 256)
+                  AS BIGINT) AS rps
       FROM o,
            unnest(generate_series(0, o.out_w - 1)) AS t(x),
-           unnest(generate_series(0, o.out_h - 1)) AS u(y)
+           unnest(generate_series(0, o.out_h - 1)) AS u(y),
+           unnest(generate_series(0, o.ch - 1)) AS v(c)
       GROUP BY o.doc_id
     )
     SELECT o.doc_id,
            CAST(o.out_w AS INTEGER) AS out_width,
            CAST(o.out_h AS INTEGER) AS out_height,
+           CAST(o.ch AS INTEGER) AS n_channels,
            CAST(o.out_w AS DOUBLE) / o.w AS scale_x,
            CAST(o.out_h AS DOUBLE) / o.h AS scale_y,
-           CAST(o.out_w * o.out_h AS BIGINT) AS resized_bytes,
+           CAST(o.out_w * o.out_h * o.ch AS BIGINT) AS resized_bytes,
            px.rps AS resized_pixel_sum
     FROM o JOIN px ON o.doc_id = px.doc_id
     ORDER BY o.doc_id
@@ -310,13 +317,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS ({_SQL_MM_DIMS}
     ), px AS (
       SELECT m.doc_id,
-             (m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256 AS v
+             (m.doc_id * 31 + 7 * t.x + 13 * u.y + 19 * v.c) % 256 AS v
       FROM m,
            unnest(generate_series(0, m.w - 1)) AS t(x),
-           unnest(generate_series(0, m.h - 1)) AS u(y)
+           unnest(generate_series(0, m.h - 1)) AS u(y),
+           unnest(generate_series(0, m.ch - 1)) AS v(c)
     ), agg AS (
       SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_pixels,
+             CAST(COUNT(*) AS BIGINT) AS n_bytes,
              CAST(SUM(v) AS BIGINT) AS s,
              CAST(MIN(v) AS INTEGER) AS min_pixel,
              CAST(MAX(v) AS INTEGER) AS max_pixel,
@@ -325,18 +333,24 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), grad AS (
       SELECT m.doc_id,
              CAST(SUM(abs(
-               (m.doc_id * 31 + 7 * (t.x + 1) + 13 * u.y) % 256
-               - (m.doc_id * 31 + 7 * t.x + 13 * u.y) % 256)) AS BIGINT) AS g
+               (m.doc_id * 31 + 7 * (t.x + 1) + 13 * u.y + 19 * v.c) % 256
+               - (m.doc_id * 31 + 7 * t.x + 13 * u.y + 19 * v.c) % 256))
+                  AS BIGINT) AS g
       FROM m,
            unnest(generate_series(0, m.w - 2)) AS t(x),
-           unnest(generate_series(0, m.h - 1)) AS u(y)
+           unnest(generate_series(0, m.h - 1)) AS u(y),
+           unnest(generate_series(0, m.ch - 1)) AS v(c)
       GROUP BY m.doc_id
     )
-    SELECT a.doc_id, a.n_pixels,
-           CAST(a.s AS DOUBLE) / a.n_pixels AS mean_pixel,
+    SELECT a.doc_id,
+           CAST(m.w * m.h AS BIGINT) AS n_pixels,
+           CAST(m.ch AS INTEGER) AS n_channels,
+           CAST(a.s AS DOUBLE) / a.n_bytes AS mean_pixel,
            a.min_pixel, a.max_pixel, a.n_distinct_pixels,
            COALESCE(g.g, 0) AS grad_sum
-    FROM agg a LEFT JOIN grad g ON a.doc_id = g.doc_id
+    FROM agg a
+    JOIN m ON m.doc_id = a.doc_id
+    LEFT JOIN grad g ON a.doc_id = g.doc_id
     ORDER BY a.doc_id
     """,
 )
@@ -350,25 +364,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_SQL_MM_DIMS}
     ), fr AS (
-      SELECT m.doc_id, m.w, m.h,
+      SELECT m.doc_id, m.w, m.h, m.ch,
              CAST(1 + m.doc_id % 8 AS INTEGER) AS n_frames,
              unnest(generate_series(0, CAST(m.doc_id % 8 AS INTEGER), 2))
                AS frame_idx
       FROM m
     ), px AS (
       SELECT fr.doc_id, fr.frame_idx,
-             CAST(SUM((fr.doc_id * 31 + 7 * t.x + 13 * u.y
+             CAST(SUM((fr.doc_id * 31 + 7 * t.x + 13 * u.y + 19 * v.c
                        + 17 * fr.frame_idx) % 256) AS BIGINT) AS pixel_sum
       FROM fr,
            unnest(generate_series(0, fr.w - 1)) AS t(x),
-           unnest(generate_series(0, fr.h - 1)) AS u(y)
+           unnest(generate_series(0, fr.h - 1)) AS u(y),
+           unnest(generate_series(0, fr.ch - 1)) AS v(c)
       GROUP BY fr.doc_id, fr.frame_idx
     )
     SELECT fr.doc_id, CAST(fr.frame_idx AS INTEGER) AS frame_idx,
            fr.n_frames,
            CAST(fr.w AS INTEGER) AS width, CAST(fr.h AS INTEGER) AS height,
+           CAST(fr.ch AS INTEGER) AS n_channels,
            px.pixel_sum,
-           CAST(px.pixel_sum AS DOUBLE) / (fr.w * fr.h) AS mean_pixel
+           CAST(px.pixel_sum AS DOUBLE) / (fr.w * fr.h * fr.ch) AS mean_pixel
     FROM fr JOIN px ON fr.doc_id = px.doc_id AND fr.frame_idx = px.frame_idx
     ORDER BY fr.doc_id, fr.frame_idx
     """,
@@ -388,11 +404,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_features",
     oracle="""
     WITH m AS (
-      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n FROM documents
+      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n,
+             1 + doc_id % 2 AS ch
+      FROM documents
     ), s AS (
-      SELECT m.doc_id, m.n, t.i,
-             ((m.doc_id * 7919 + t.i * 2654435761) % 65536) - 32768 AS v
-      FROM m, unnest(generate_series(0, m.n - 1)) AS t(i)
+      SELECT m.doc_id, m.n, m.ch, t.i, u.c,
+             ((m.doc_id * 7919 + t.i * 2654435761 + 97 * u.c) % 65536)
+               - 32768 AS v
+      FROM m,
+           unnest(generate_series(0, m.n - 1)) AS t(i),
+           unnest(generate_series(0, m.ch - 1)) AS u(c)
     ), agg AS (
       SELECT doc_id,
              CAST(SUM(v * v) AS BIGINT) AS sum_sq,
@@ -401,14 +422,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), zc AS (
       SELECT a.doc_id, CAST(COUNT(*) FILTER (WHERE a.v * b.v < 0) AS BIGINT)
                AS zero_crossings
-      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      FROM s a JOIN s b
+        ON a.doc_id = b.doc_id AND a.c = b.c AND b.i = a.i + 1
       GROUP BY a.doc_id
     )
     SELECT m.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(m.ch AS INTEGER) AS n_channels,
            CAST(m.n AS BIGINT) AS n_samples,
            CAST((m.n * 1000) // 8000 AS BIGINT) AS duration_ms,
            agg.peak, agg.sum_sq,
-           sqrt(CAST(agg.sum_sq AS DOUBLE) / m.n) AS rms,
+           sqrt(CAST(agg.sum_sq AS DOUBLE) / (m.n * m.ch)) AS rms,
            zc.zero_crossings
     FROM m
     JOIN agg ON agg.doc_id = m.doc_id
@@ -464,11 +487,14 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS ({_SQL_MM_DIMS}
     ), g AS (
       SELECT m.doc_id, t.i, u.j,
-             (m.doc_id * 31 + 7 * ((t.i * m.w) // 8)
-              + 13 * ((u.j * m.h) // 8)) % 256 AS v
+             CAST(SUM((m.doc_id * 31 + 7 * ((t.i * m.w) // 8)
+                       + 13 * ((u.j * m.h) // 8) + 19 * v.c) % 256)
+                  AS BIGINT) AS v
       FROM m,
            unnest(generate_series(0, 7)) AS t(i),
-           unnest(generate_series(0, 7)) AS u(j)
+           unnest(generate_series(0, 7)) AS u(j),
+           unnest(generate_series(0, m.ch - 1)) AS v(c)
+      GROUP BY m.doc_id, t.i, u.j
     ), s AS (
       SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM g GROUP BY doc_id
     ), bits AS (
@@ -507,11 +533,16 @@ def image_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_fingerprint_groups",
     oracle="""
     WITH m AS (
-      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n FROM documents
+      SELECT doc_id, 256 + (n_chars * 13) % 512 AS n,
+             1 + doc_id % 2 AS ch
+      FROM documents
     ), s AS (
       SELECT m.doc_id, m.n, t.i,
-             ((m.doc_id * 7919 + t.i * 2654435761) % 65536) - 32768 AS v
-      FROM m, unnest(generate_series(0, m.n - 1)) AS t(i)
+             ((m.doc_id * 7919 + t.i * 2654435761 + 97 * u.c) % 65536)
+               - 32768 AS v
+      FROM m,
+           unnest(generate_series(0, m.n - 1)) AS t(i),
+           unnest(generate_series(0, m.ch - 1)) AS u(c)
     ), win AS (
       SELECT doc_id, (i * 32) // n AS w, CAST(SUM(v * v) AS BIGINT) AS e
       FROM s GROUP BY doc_id, (i * 32) // n

@@ -59,6 +59,18 @@ def write_options(batchsize: int = 10_000, isolation: str = "READ_COMMITTED") ->
     }
 
 
+def bounded_write_frame(df: DataFrame, max_connections: int) -> DataFrame:
+    """The frame actually handed to the JDBC writer: coalesced so at
+    most ``max_connections`` tasks (= concurrent DB connections) write.
+    The reference caps this with luigi ``workers`` (10,
+    `/root/reference/luigi.cfg:1-2`); Spark's unit of write concurrency
+    is the partition, so the cap is a coalesce — which only ever
+    NARROWS (an input with fewer partitions keeps them; no shuffle is
+    introduced to widen). Factored out so tests can pin the arithmetic
+    without intercepting the write."""
+    return df.coalesce(max_connections)
+
+
 def write_table(
     df: DataFrame,
     url: str,
@@ -74,12 +86,15 @@ def write_table(
     the marker ledger (operators.marker) before writing, exactly like the
     reference's marker-exists check (`CustomMarkerTable.py:47-59`).
     """
-    out = df.coalesce(max_connections)
+    out = bounded_write_frame(df, max_connections)
     opts = write_options(batchsize)
     opts.update(properties or {})
+    # numPartitions is the JDBC writer's own concurrency cap — belt and
+    # braces with the coalesce above (the writer coalesces further if a
+    # future caller hands it a wider frame).
     out.write.mode(mode).format("jdbc").option("url", url).option(
         "dbtable", table
-    ).options(**opts).save()
+    ).option("numPartitions", str(max_connections)).options(**opts).save()
 
 
 def write_table_transactional(

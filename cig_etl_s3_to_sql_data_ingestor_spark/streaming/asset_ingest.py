@@ -80,10 +80,13 @@ def fingerprint_assets(assets: DataFrame) -> DataFrame:
                     px = decode_png(data)
                 except Exception:
                     return "corrupt_png", hashlib.md5(data).hexdigest()
-                h, w = px.shape
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, _ch = px.shape
+                lum = px.astype(np.int64).sum(axis=2)
                 sx = (np.arange(8, dtype=np.int64) * w) // 8
                 sy = (np.arange(8, dtype=np.int64) * h) // 8
-                lat = px[sy][:, sx].astype(np.int64)
+                lat = lum[sy][:, sx]
                 bits = (lat * 64 >= int(lat.sum())).astype(np.uint8)
                 return "png", "png:" + "".join(
                     "1" if b else "0" for b in bits.ravel()
@@ -94,10 +97,12 @@ def fingerprint_assets(assets: DataFrame) -> DataFrame:
                 except Exception:
                     return "corrupt_wav", hashlib.md5(data).hexdigest()
                 s = samples.astype(np.int64)
-                n = len(s)
+                if s.ndim == 1:
+                    s = s[:, None]
+                n = s.shape[0]
                 wdx = (np.arange(n, dtype=np.int64) * 32) // max(n, 1)
                 energy = np.zeros(32, dtype=np.int64)
-                np.add.at(energy, wdx, s * s)
+                np.add.at(energy, wdx, (s * s).sum(axis=1))
                 bits = energy * 32 >= int(energy.sum())
                 return "wav", "wav:" + "".join("1" if b else "0" for b in bits)
             return "unknown", "md5:" + hashlib.md5(data).hexdigest()

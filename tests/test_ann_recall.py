@@ -116,3 +116,46 @@ def test_ivf_pq_composed_recall(ground_truth):
     assert composed <= min(ivf_only, pq_only) + 0.05, (
         composed, ivf_only, pq_only,
     )
+
+
+def test_prebuilt_index_search_identical_to_full_path(ground_truth):
+    """The train-once/search-many path (codebooks/codes/centroids/
+    assignment injected, as streaming/vector_ingest and the bench's
+    ann_*_search entries use it) must return BIT-IDENTICAL results to
+    the end-to-end call — amortization is a caching decision, never a
+    semantics change."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+
+    e, q, _gt = ground_truth
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.cand_id, r.rank, round(r.cosine_sim, 12))
+            for r in df.collect()
+        )
+
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = _persist(S.pq_encode(e, cb, subs=subs))
+    assert rows(S.pq_topk(e, q, k=K, codebooks=cb, codes=codes)) == rows(
+        S.pq_topk(e, q, k=K)
+    )
+
+    centroids = _persist(
+        S.kmeans_centroids(e, n_cells=16, n_iters=2, sample_mod=4).select(
+            F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+        )
+    )
+    assigned = _persist(
+        S.ivf_assign(e, centroids, "vec_id", "embedding", n_probe=1).select(
+            "cand_id", "cell_id"
+        )
+    )
+    assert rows(
+        S.ivf_pq_topk(
+            e, q, k=K,
+            centroids=centroids, assigned=assigned, codebooks=cb, codes=codes,
+        )
+    ) == rows(S.ivf_pq_topk(e, q, k=K, kmeans_sample_mod=4))
+    for df in (subs, cb, codes, centroids, assigned):
+        df.unpersist()

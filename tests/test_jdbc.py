@@ -272,3 +272,30 @@ def test_streaming_ingest_jdbc_transactional_sink(spark, tmp_path, url):
         spark, url, "SELECT COUNT(*) AS n FROM HOST_CIG_StreamJdbc"
     ).collect()[0][0]
     assert n == 2
+
+
+def test_write_parallelism_bound_and_batch_delivery(spark, url):
+    """The reference bounds DB concurrency with luigi workers=10
+    (`/root/reference/luigi.cfg:1-2`); here the unit of write
+    concurrency is the partition. Pins: (a) bounded_write_frame caps a
+    wide input at max_connections but never widens a narrow one,
+    (b) a 64-partition input written with max_connections=4 and a
+    batchsize smaller than the per-partition row count (multiple JDBC
+    batches per task) delivers every row exactly once."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import (
+        bounded_write_frame,
+        write_options,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("K")).repartition(64)
+    assert bounded_write_frame(df, 4).rdd.getNumPartitions() == 4
+    narrow = spark.range(10).select(F.col("id").alias("K")).repartition(2)
+    assert bounded_write_frame(narrow, 8).rdd.getNumPartitions() == 2
+
+    opts = write_options(batchsize=7)
+    assert opts["batchsize"] == "7"
+
+    write_table(df, url, "t_par", mode="overwrite", max_connections=4, batchsize=7)
+    back = read_query(spark, url, "SELECT K FROM t_par")
+    got = sorted(r.K for r in back.collect())
+    assert got == list(range(1000))  # exactly once, no loss, no dupes

@@ -23,9 +23,26 @@ from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (
 encode_png, decode_png = make_png_codec()
 
 
-def _pixels(w, h, seed=7):
+def _pixels(w, h, seed=7, ch=None):
     rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    shape = (h, w) if ch is None else (h, w, ch)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def _doc_pixels(doc_id, n_chars, frame=0):
+    """The attach_png generative formula: channels cycle doc_id % 3 over
+    1/3/4; channel c of pixel (x, y) = (did*31 + 7x + 13y + 17f + 19c)
+    mod 256. Returns 2-D for gray docs (the decoder's shape contract)."""
+    w, h = 1 + n_chars % 64, 1 + (n_chars * 7) % 64
+    ch = (1, 3, 4)[doc_id % 3]
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    cs = np.arange(ch, dtype=np.int64)
+    px = (
+        doc_id * 31 + 7 * xs[None, :, None] + 13 * ys[:, None, None]
+        + 17 * frame + 19 * cs[None, None, :]
+    ) % 256
+    return (px[:, :, 0] if ch == 1 else px).astype(np.uint8)
 
 
 @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
@@ -37,16 +54,45 @@ def test_roundtrip_each_filter_type(ft):
     assert np.array_equal(out, px), f"filter {ft} roundtrip mismatch"
 
 
+@pytest.mark.parametrize("ch", [3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_roundtrip_color_each_filter_type(ft, ch):
+    """RGB/RGBA exercise the bpp-strided left neighbor in every filter."""
+    px = _pixels(23, 9, seed=ft * 10 + ch, ch=ch)
+    out = decode_png(encode_png(px, filters=[ft] * 9))
+    assert out.shape == (9, 23, ch)
+    assert np.array_equal(out, px), f"filter {ft} ch {ch} roundtrip mismatch"
+
+
 def test_roundtrip_mixed_filters_and_default_cycle():
     px = _pixels(64, 64, seed=3)
     assert np.array_equal(decode_png(encode_png(px, filters=[(3 + y) % 5 for y in range(64)])), px)
     assert np.array_equal(decode_png(encode_png(px)), px)
 
 
+def test_roundtrip_color_mixed_filters():
+    for ch in (3, 4):
+        px = _pixels(31, 17, seed=ch, ch=ch)
+        filters = [(3 + y) % 5 for y in range(17)]
+        assert np.array_equal(decode_png(encode_png(px, filters=filters)), px)
+
+
 def test_roundtrip_degenerate_shapes():
     for w, h in [(1, 1), (1, 17), (17, 1)]:
         px = _pixels(w, h, seed=w * 100 + h)
         assert np.array_equal(decode_png(encode_png(px)), px)
+        for ch in (3, 4):
+            pxc = _pixels(w, h, seed=w * 100 + h + ch, ch=ch)
+            assert np.array_equal(decode_png(encode_png(pxc)), pxc)
+
+
+def test_explicit_3d_single_channel_decodes_to_2d():
+    """(h, w, 1) input encodes as grayscale; decode returns the 2-D
+    shape per the codec's shape contract."""
+    px = _pixels(5, 4, seed=9, ch=1)
+    out = decode_png(encode_png(px))
+    assert out.shape == (4, 5)
+    assert np.array_equal(out, px[:, :, 0])
 
 
 def test_decoder_rejects_bad_signature():
@@ -75,40 +121,46 @@ def test_decoder_rejects_unsupported_color_type():
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    # color type 2 (truecolor) — valid PNG, outside the codec's subset.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # color type 3 (palette) — valid PNG, outside the codec's subset.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="grayscale"):
         decode_png(data)
 
 
 def test_attach_png_payloads_are_real_pngs(spark, sf_dir):
+    """limit(9) spans all three channel layouts (doc_id % 3)."""
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").limit(5)
+    d = load_table(spark, sf_dir, "documents").limit(9)
     rows = attach_png(d).collect()
-    assert len(rows) == 5
+    assert len(rows) == 9
+    seen_ch = set()
     for r in rows:
         px = decode_png(r.payload)  # driver-side decode of executor bytes
-        assert px.shape == (r.meta.height, r.meta.width)
-        base = r.doc_id * 31
-        xs, ys = np.arange(r.meta.width), np.arange(r.meta.height)
-        expect = ((base + 7 * xs[None, :] + 13 * ys[:, None]) % 256).astype(np.uint8)
-        assert np.array_equal(px, expect)
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        seen_ch.add(ch)
+        assert ch == r.meta.n_channels == (1, 3, 4)[r.doc_id % 3]
+        assert px.shape[:2] == (r.meta.height, r.meta.width)
+    nchars = {x.doc_id: x.n_chars for x in d.select("doc_id", "n_chars").collect()}
+    for r in rows:
+        expect = _doc_pixels(r.doc_id, nchars[r.doc_id])
+        assert np.array_equal(decode_png(r.payload), expect)
+    assert seen_ch == {1, 3, 4}
 
 
 def test_decode_image_stats_match_direct_formula(spark, sf_dir):
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").limit(8)
+    d = load_table(spark, sf_dir, "documents").limit(9)
     out = {r.doc_id: r for r in decode_image(attach_png(d)).collect()}
     for r in d.select("doc_id", "n_chars").collect():
         w, h = 1 + r.n_chars % 64, 1 + (r.n_chars * 7) % 64
-        xs, ys = np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
-        px = (r.doc_id * 31 + 7 * xs[None, :] + 13 * ys[:, None]) % 256
+        ch = (1, 3, 4)[r.doc_id % 3]
+        px = _doc_pixels(r.doc_id, r.n_chars).astype(np.int64)
         got = out[r.doc_id]
-        assert (got.width, got.height) == (w, h)
-        assert got.decoded_bytes == w * h
+        assert (got.width, got.height, got.n_channels) == (w, h, ch)
+        assert got.decoded_bytes == w * h * ch
         assert got.pixel_sum == int(px.sum())
         assert got.mean_pixel == pytest.approx(px.mean())
 
@@ -116,7 +168,7 @@ def test_decode_image_stats_match_direct_formula(spark, sf_dir):
 def test_resize_image_nearest_neighbor_semantics(spark, sf_dir):
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").limit(8)
+    d = load_table(spark, sf_dir, "documents").limit(9)
     out = {r.doc_id: r for r in resize_image(attach_png(d), max_side=32).collect()}
     for r in d.select("doc_id", "n_chars").collect():
         w, h = 1 + r.n_chars % 64, 1 + (r.n_chars * 7) % 64
@@ -124,23 +176,30 @@ def test_resize_image_nearest_neighbor_semantics(spark, sf_dir):
         ow, oh = max(1, int(np.floor(w * scale))), max(1, int(np.floor(h * scale)))
         sx = (np.arange(ow, dtype=np.int64) * w) // ow
         sy = (np.arange(oh, dtype=np.int64) * h) // oh
-        px = (r.doc_id * 31 + 7 * sx[None, :] + 13 * sy[:, None]) % 256
+        px = _doc_pixels(r.doc_id, r.n_chars).astype(np.int64)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        res = px[sy][:, sx, :]
         got = out[r.doc_id]
         assert (got.out_width, got.out_height) == (ow, oh)
-        assert got.resized_pixel_sum == int(px.sum())
+        assert got.n_channels == px.shape[2]
+        assert got.resized_bytes == ow * oh * px.shape[2]
+        assert got.resized_pixel_sum == int(res.sum())
 
 
 def test_image_features_integer_exact(spark, sf_dir):
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
-    d = load_table(spark, sf_dir, "documents").limit(8)
+    d = load_table(spark, sf_dir, "documents").limit(9)
     out = {r.doc_id: r for r in image_features(attach_png(d)).collect()}
     for r in d.select("doc_id", "n_chars").collect():
         w, h = 1 + r.n_chars % 64, 1 + (r.n_chars * 7) % 64
-        xs, ys = np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64)
-        px = (r.doc_id * 31 + 7 * xs[None, :] + 13 * ys[:, None]) % 256
+        px = _doc_pixels(r.doc_id, r.n_chars).astype(np.int64)
+        if px.ndim == 2:
+            px = px[:, :, None]
         got = out[r.doc_id]
         assert got.n_pixels == w * h
+        assert got.n_channels == px.shape[2]
         assert got.min_pixel == int(px.min()) and got.max_pixel == int(px.max())
         assert got.n_distinct_pixels == int(np.unique(px).size)
         expect_grad = int(np.abs(np.diff(px, axis=1)).sum()) if w > 1 else 0
@@ -281,30 +340,62 @@ def test_sample_frames_matches_formula(spark, sf_dir):
         .collect()
     )
     assert rows
-    for r in rows[:50]:
+    seen_ch = set()
+    for r in rows[:60]:
         assert r.frame_idx % 3 == 0 and r.frame_idx < r.n_frames
-        w, h = r.width, r.height
+        assert r.n_channels == (1, 3, 4)[r.doc_id % 3]
+        seen_ch.add(r.n_channels)
+        w, h, ch = r.width, r.height, r.n_channels
         xs = np.arange(w, dtype=np.int64)
         ys = np.arange(h, dtype=np.int64)
+        cs = np.arange(ch, dtype=np.int64)
         expect = int(
             (
-                (r.doc_id * 31 + 7 * xs[None, :] + 13 * ys[:, None]
-                 + 17 * r.frame_idx) % 256
+                (r.doc_id * 31 + 7 * xs[None, :, None] + 13 * ys[:, None, None]
+                 + 17 * r.frame_idx + 19 * cs[None, None, :]) % 256
             ).sum()
         )
         assert r.pixel_sum == expect, (r.doc_id, r.frame_idx)
+        assert r.mean_pixel == pytest.approx(expect / (w * h * ch))
+    assert seen_ch == {1, 3, 4}
 
 
 def test_audio_features_match_formula(spark, sf_dir):
+    """Covers mono (even doc_id) and stereo (odd doc_id) clips."""
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
     d = load_table(spark, sf_dir, "documents").limit(40)
     rows = audio_features(attach_wav(d)).orderBy("doc_id").collect()
     assert rows
+    seen_ch = set()
     for r in rows[:50]:
+        assert r.n_channels == 1 + r.doc_id % 2
+        seen_ch.add(r.n_channels)
         i = np.arange(r.n_samples, dtype=np.int64)
-        s = (r.doc_id * 7919 + i * 2654435761) % 65536 - 32768
+        cs = np.arange(r.n_channels, dtype=np.int64)
+        s = (
+            r.doc_id * 7919 + i[:, None] * 2654435761 + 97 * cs[None, :]
+        ) % 65536 - 32768
         assert r.sum_sq == int((s * s).sum())
         assert r.peak == int(np.abs(s).max())
-        assert r.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
+        assert r.zero_crossings == int(((s[:-1, :] * s[1:, :]) < 0).sum())
         assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+    assert seen_ch == {1, 2}
+
+
+def test_wav_stereo_roundtrip_interleaved():
+    """Multi-channel encode→decode is lossless and truly interleaved:
+    byte i of the data chunk belongs to frame i//(2*ch), channel
+    (i//2)%ch."""
+    n, ch = 300, 2
+    s = (
+        (np.arange(n * ch, dtype=np.int64) * 2654435761) % 65536 - 32768
+    ).astype(np.int16).reshape(n, ch)
+    data = encode_wav(s, rate=44100)
+    out, rate = decode_wav(data)
+    assert rate == 44100 and out.shape == (n, ch)
+    assert np.array_equal(out, s)
+    # interleaving check against the raw container bytes
+    raw = data[data.index(b"data") + 8 :]
+    flat = np.frombuffer(raw, dtype="<i2")
+    assert np.array_equal(flat.reshape(n, ch), s)

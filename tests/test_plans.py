@@ -455,9 +455,14 @@ def test_ivf_pq_candidate_restriction_is_equi_join(spark, sf_dir):
 
 def test_pagerank_windows_only_over_node_frame(spark, sf_dir):
     """The only global window allowed is the final top-30 over the
-    node-sized rank frame; every iteration stage must be joins +
-    partial-aggregating integer sums, never a cartesian."""
+    node-sized rank frame. Since the per-iteration localCheckpoint
+    (operators/graph.py) truncates lineage, the final plan is just
+    Window→Filter over a checkpointed node-sized scan — the iteration
+    internals (joins + partial aggs, no cartesian) are pinned by
+    test_dedup_ops' bounded-plan-depth assertions."""
     plan = explain(spark, sf_dir, "part_copurchase_pagerank")
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
-    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan
+    # lineage was cut at the rank frame: the window's input is a
+    # checkpoint scan, not a re-derivation of the iterations
+    assert "Scan ExistingRDD" in plan, plan
