@@ -50,7 +50,7 @@ def undirected_pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     tol: int | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, pr) after ``n_iters`` exact damped iterations.
 
@@ -69,6 +69,9 @@ def undirected_pagerank(
     ``checkpoint_every`` bounds lineage: every k-th round's rank frame
     is ``localCheckpoint``ed (eager), cutting the join tree so plan
     depth stays O(k) instead of O(n_iters); the values are unchanged.
+    The default of 2 halves the eager-materialization jobs relative to
+    per-round checkpointing (measurable at small n_iters, where those
+    job launches dominate) while still capping depth at two rounds.
     Set 0 to disable (only for n_iters <= ~3 oracle-parity runs where
     the caller wants a pure lazily-planned frame).
     """
