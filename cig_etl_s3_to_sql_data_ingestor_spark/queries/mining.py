@@ -105,14 +105,18 @@ def source_overlap(
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        # The cap must never be silent: the count is a tiny aggregate
-        # over the already-persisted distinct frame.
-        logging.getLogger(__name__).info(
-            "source_overlap: dropping %d shingles with source-df > %d "
-            "from the intersection index",
-            hot.count(),
-            max_shingle_df,
-        )
+        # The cap must never be silent — but counting the dropped
+        # shingles is a Spark job, so only pay it when someone is
+        # listening (the cap itself is also visible structurally: the
+        # anti-join is in the plan and the oracle mirrors it).
+        log = logging.getLogger(__name__)
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "source_overlap: dropping %d shingles with source-df > %d "
+                "from the intersection index",
+                hot.count(),
+                max_shingle_df,
+            )
         idx = ss.join(hot, "shingle", "left_anti")
     a = idx.alias("a")
     b = idx.alias("b")

@@ -399,3 +399,28 @@ def test_wav_stereo_roundtrip_interleaved():
     raw = data[data.index(b"data") + 8 :]
     flat = np.frombuffer(raw, dtype="<i2")
     assert np.array_equal(flat.reshape(n, ch), s)
+
+
+# ---- property-based codec roundtrip --------------------------------------
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, seed, data):
+    """Any (shape, channels, per-row filter sequence) roundtrips
+    losslessly — the unfilter recurrences (incl. the bpp-strided
+    left/upper-left neighbors) are exact inverses for arbitrary pixel
+    data, not just the fixture formulas."""
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    px = _pixels(w, h, seed=seed, ch=None if ch == 1 else ch)
+    out = decode_png(encode_png(px, filters=filters))
+    assert np.array_equal(out, px)

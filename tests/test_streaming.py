@@ -1029,3 +1029,46 @@ def test_vector_ingest_in_batch_gate_is_local_minima(spark, tmp_path):
         r.vec_id for r in ingest._admit(batch).select("vec_id").collect()
     )
     assert admitted == [1, 4], admitted
+
+
+def test_asset_fingerprints_color_and_stereo(spark):
+    """The asset fingerprinting path must hash COLOR images via the
+    integer channel-sum luminance (re-encoded RGB copies collide;
+    channel-permuted content generally does not) and window stereo WAV
+    energies summed across channels (a re-interleaved identical clip
+    collides)."""
+    import numpy as np
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (
+        make_png_codec,
+        make_wav_codec,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.asset_ingest import (
+        fingerprint_assets,
+    )
+
+    encode_png, _ = make_png_codec()
+    encode_wav, _ = make_wav_codec()
+    rgb = (
+        (7 * np.arange(16)[None, :, None] + 13 * np.arange(12)[:, None, None]
+         + 19 * np.arange(3)[None, None, :]) % 256
+    ).astype(np.uint8)
+    stereo = (
+        (np.arange(600, dtype=np.int64)[:, None] * 997 + 41 * np.arange(2)[None, :])
+        % 65536 - 32768
+    ).astype(np.int16)
+    rows = [
+        ("/x/rgb.png", encode_png(rgb)),
+        ("/x/rgb_refiltered.png", encode_png(rgb, filters=[2] * 12)),
+        ("/x/stereo.wav", encode_wav(stereo)),
+        ("/x/stereo_again.wav", encode_wav(stereo.copy())),
+    ]
+    assets = spark.createDataFrame(
+        [(p, len(b), bytearray(b)) for p, b in rows],
+        "path string, length long, content binary",
+    )
+    got = {r.asset_name: (r.kind, r.fingerprint) for r in fingerprint_assets(assets).collect()}
+    assert got["rgb.png"][0] == "png"
+    assert got["rgb.png"][1] == got["rgb_refiltered.png"][1]  # byte-different, pixel-same
+    assert got["stereo.wav"][0] == "wav"
+    assert got["stereo.wav"][1] == got["stereo_again.wav"][1]
