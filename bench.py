@@ -257,9 +257,14 @@ def main() -> None:
                 # (Prepared entries SKIP this: their persisted index is
                 # the point, and their run body persists nothing.)
                 spark.catalog.clearCache()
-            fn = BENCH_OVERRIDES.get(name, QUERIES.get(name))
             t0 = time.perf_counter()
-            materialize(thunk() if prep is not None else fn(spark, SF_DIR))
+            if prep is not None:
+                materialize(thunk())
+            else:
+                # QUERIES[name], not .get: a typo'd HEADLINE entry must
+                # fail loudly with the name, not as a late NoneType call.
+                fn = BENCH_OVERRIDES.get(name, QUERIES[name])
+                materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         if prep is not None:

@@ -73,8 +73,16 @@ def undirected_pagerank(
     per-round checkpointing (measurable at small n_iters, where those
     job launches dominate) while still capping depth at two rounds.
     Set 0 to disable (only for n_iters <= ~3 oracle-parity runs where
-    the caller wants a pure lazily-planned frame).
+    the caller wants a pure lazily-planned frame). Disabling it is
+    rejected in ``tol`` mode: the per-round delta action would re-run
+    the whole uncheckpointed lineage each round — quadratic total work.
     """
+    if tol is not None and not checkpoint_every:
+        raise ValueError(
+            "tol mode runs an action per round; checkpoint_every=0 would "
+            "re-execute the full lineage each round (quadratic work) — "
+            "use checkpoint_every >= 1"
+        )
     both = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).unionByName(

@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath, jvm
+    from ..fsutil import hadoop_fs
+
+    fs, jvm = hadoop_fs(spark, path)
+    return fs, jvm.org.apache.hadoop.fs.Path(path), jvm
 
 
 def directory_stats(spark: SparkSession, path: str) -> tuple[int, int]:

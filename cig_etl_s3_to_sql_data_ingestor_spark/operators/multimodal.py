@@ -940,6 +940,53 @@ def audio_features(aw: DataFrame) -> DataFrame:
     )
 
 
+def make_signature_kernels():
+    """(ahash_bits, energy_bits) — the pure-numpy perceptual-signature
+    kernels shared by the batch operators (image_ahash,
+    audio_fingerprint) and the streaming asset gate
+    (streaming/asset_ingest.fingerprint_assets). Nested functions so
+    closures capture them BY VALUE (same worker-import-free rule as the
+    codecs); one implementation so a channel-weighting or thresholding
+    change cannot silently diverge the two fingerprint surfaces."""
+
+    def ahash_bits(px, grid=8):
+        """uint8 pixels (2-D gray or 3-D color) → 64-char '0'/'1'
+        average-hash over a nearest-neighbor lattice of the per-pixel
+        integer channel sum; threshold by integer cross-multiplication
+        (no float mean)."""
+        import numpy as np
+
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, _ch = px.shape
+        lum = px.astype(np.int64).sum(axis=2)
+        src_x = (np.arange(grid, dtype=np.int64) * w) // grid
+        src_y = (np.arange(grid, dtype=np.int64) * h) // grid
+        lat = lum[src_y][:, src_x]
+        total = int(lat.sum())
+        bits = lat * (grid * grid) >= total
+        # Row-major (y, then x) — matches the oracle's ORDER BY j, i.
+        return "".join("1" if b else "0" for b in bits.ravel())
+
+    def energy_bits(samples, n_windows=32):
+        """int16 samples (1-D mono or 2-D (n, ch)) → n_windows-char
+        energy-profile bits: frame-index windows, per-window integer
+        energy summed across channels, integer threshold vs clip mean."""
+        import numpy as np
+
+        s = samples.astype(np.int64)
+        if s.ndim == 1:
+            s = s[:, None]
+        n = s.shape[0]
+        w = (np.arange(n, dtype=np.int64) * n_windows) // max(n, 1)
+        energy = np.zeros(n_windows, dtype=np.int64)
+        np.add.at(energy, w, (s * s).sum(axis=1))
+        bits = energy * n_windows >= int(energy.sum())
+        return "".join("1" if b else "0" for b in bits)
+
+    return ahash_bits, energy_bits
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -965,29 +1012,19 @@ def image_ahash(mm: DataFrame, grid: int = 8) -> DataFrame:
     signatures, never pixels.
     """
     codec = make_png_codec()
+    kernels = make_signature_kernels()
 
     def hash_batches(batches):
-        import numpy as np
         import pandas as pd
 
         _, decode_png = codec
+        ahash_bits, _ = kernels
         g = grid
 
         for pdf in batches:
             ids, hashes = [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_png(payload)
-                if px.ndim == 2:
-                    px = px[:, :, None]
-                h, w, _ch = px.shape
-                lum = px.astype(np.int64).sum(axis=2)
-                src_x = (np.arange(g, dtype=np.int64) * w) // g
-                src_y = (np.arange(g, dtype=np.int64) * h) // g
-                lat = lum[src_y][:, src_x]
-                total = int(lat.sum())
-                bits = (lat * (g * g) >= total).astype(np.uint8)
-                # Row-major (y, then x) — matches the oracle's ORDER BY j, i.
-                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+                hashes.append(ahash_bits(decode_png(payload), grid=g))
                 ids.append(int(did))
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
@@ -1012,28 +1049,20 @@ def audio_fingerprint(aw: DataFrame, n_windows: int = 32) -> DataFrame:
     the signature a near-dup audio pass groups on. Engine-exact
     throughout — integer energies, integer compares."""
     codec = make_wav_codec()
+    kernels = make_signature_kernels()
 
     def fp_batches(batches):
-        import numpy as np
         import pandas as pd
 
         _, decode_wav = codec
+        _, energy_bits = kernels
         nw = n_windows
 
         for pdf in batches:
             ids, fps = [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 samples, _rate = decode_wav(payload)
-                s = samples.astype(np.int64)
-                if s.ndim == 1:
-                    s = s[:, None]
-                n = s.shape[0]
-                w = (np.arange(n, dtype=np.int64) * nw) // n
-                energy = np.zeros(nw, dtype=np.int64)
-                np.add.at(energy, w, (s * s).sum(axis=1))
-                total = int(energy.sum())
-                bits = energy * nw >= total
-                fps.append("".join("1" if b else "0" for b in bits))
+                fps.append(energy_bits(samples, n_windows=nw))
                 ids.append(int(did))
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 

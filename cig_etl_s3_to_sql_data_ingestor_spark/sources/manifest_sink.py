@@ -62,9 +62,9 @@ CLAIM_GRACE_SECONDS = 30.0
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+    from ..fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _manifest_path(jvm, table_path: str, version: int):
@@ -104,12 +104,21 @@ def _claimed_versions(fs, jvm, table_path: str) -> list[int]:
 
 def _parsable_mode(fs, jvm, table_path: str, version: int) -> str | None:
     """The ``mode`` of the manifest at ``version`` if it exists and
-    parses, else None (missing or dead claim)."""
+    parses, else None (missing or dead claim).
+
+    Catches exactly the parse-shaped failures ``_latest_committed``
+    does. A transient FS/IO error must PROPAGATE: in the supersession
+    check a swallowed IO error would misclassify a real overwrite as
+    "not overwrite", raise the raced-out error, and send the caller
+    into the re-append-resurrects-deleted-data path this mode probe
+    exists to prevent."""
+    if not fs.exists(_manifest_path(jvm, table_path, version)):
+        return None  # never-claimed gap in the version range
     try:
         m = _read_manifest(fs, jvm, table_path, version)
         if isinstance(m, dict) and "batches" in m:
             return m.get("mode")
-    except Exception:
+    except (ValueError, KeyError):  # json parse failure / empty file
         pass
     return None
 

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.multimodal import make_png_codec, make_wav_codec
+from ..operators.multimodal import (
+    make_png_codec,
+    make_signature_kernels,
+    make_wav_codec,
+)
 
 BINARY_FILE_SCHEMA = T.StructType(
     [
@@ -63,15 +67,16 @@ def fingerprint_assets(assets: DataFrame) -> DataFrame:
     package import)."""
     png_codec = make_png_codec()
     wav_codec = make_wav_codec()
+    kernels = make_signature_kernels()
 
     def fp_batches(batches):
         import hashlib
 
-        import numpy as np
         import pandas as pd
 
         _, decode_png = png_codec
         _, decode_wav = wav_codec
+        ahash_bits, energy_bits = kernels
 
         def one(payload):
             data = bytes(payload)
@@ -80,31 +85,13 @@ def fingerprint_assets(assets: DataFrame) -> DataFrame:
                     px = decode_png(data)
                 except Exception:
                     return "corrupt_png", hashlib.md5(data).hexdigest()
-                if px.ndim == 2:
-                    px = px[:, :, None]
-                h, w, _ch = px.shape
-                lum = px.astype(np.int64).sum(axis=2)
-                sx = (np.arange(8, dtype=np.int64) * w) // 8
-                sy = (np.arange(8, dtype=np.int64) * h) // 8
-                lat = lum[sy][:, sx]
-                bits = (lat * 64 >= int(lat.sum())).astype(np.uint8)
-                return "png", "png:" + "".join(
-                    "1" if b else "0" for b in bits.ravel()
-                )
+                return "png", "png:" + ahash_bits(px)
             if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                 try:
                     samples, _rate = decode_wav(data)
                 except Exception:
                     return "corrupt_wav", hashlib.md5(data).hexdigest()
-                s = samples.astype(np.int64)
-                if s.ndim == 1:
-                    s = s[:, None]
-                n = s.shape[0]
-                wdx = (np.arange(n, dtype=np.int64) * 32) // max(n, 1)
-                energy = np.zeros(32, dtype=np.int64)
-                np.add.at(energy, wdx, (s * s).sum(axis=1))
-                bits = energy * 32 >= int(energy.sum())
-                return "wav", "wav:" + "".join("1" if b else "0" for b in bits)
+                return "wav", "wav:" + energy_bits(samples)
             return "unknown", "md5:" + hashlib.md5(data).hexdigest()
 
         for pdf in batches:

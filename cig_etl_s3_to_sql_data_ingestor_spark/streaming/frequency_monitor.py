@@ -11,7 +11,8 @@ store does grow O(n_epochs) in epoch-dir count (each batch appends up
 to ``depth*width`` rows), and every batch's prior-merge re-reads all
 prior epoch dirs; ``compact_sketch_store`` folds committed history
 into a single summed base sketch (cells add, so compaction IS the
-merge aggregate) to keep both the disk footprint and the per-batch
+merge aggregate) and ``compact_alerts_store`` does the same for the
+alerts dirs the ever-alerted gate scans (disjoint union) to keep both the disk footprint and the per-batch
 scan bounded. Estimates only overestimate (collision mass), never
 under — an alert can false-positive under heavy collision but never
 miss a true heavy hitter above threshold.
@@ -65,9 +66,9 @@ def read_sketch_store(
 
 
 def _store_fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+    from ..fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _finish_compaction(fs, jvm, store_path: str, upto: int) -> None:
@@ -92,23 +93,21 @@ def _finish_compaction(fs, jvm, store_path: str, upto: int) -> None:
     fs.rename(tmp, Path(f"{store_path}/epoch={upto}"))
 
 
-def compact_sketch_store(
-    spark: SparkSession, store_path: str, upto_epoch: int
+def _compact_epoch_store(
+    spark: SparkSession, store_path: str, upto_epoch: int, fold
 ) -> int:
-    """Fold every ``epoch=N`` dir with ``N <= upto_epoch`` into a single
-    cell-summed dir ``epoch=<upto_epoch>``, returning how many dirs were
-    folded (0 if there was nothing to do).
+    """Shared epoch-dir compaction: fold every ``epoch=N`` dir with
+    ``N <= upto_epoch`` into ONE dir ``epoch=<upto_epoch>`` whose
+    content is ``fold(rows of the folded range)``; returns how many
+    dirs were folded (0 if nothing to do).
 
-    CMS cells add, so the compacted sketch is bit-identical to the
-    multi-dir merge the monitor computes per batch — estimates and
-    alerts are unchanged; only the dir count (and the per-batch
-    prior-merge scan) shrinks. The NEWEST epoch dir is never folded
-    (``upto_epoch`` must be strictly below it): the newest epoch may be
-    the replay target of a batch whose checkpoint commit did not land,
-    and replay relies on ``exclude_epoch`` dropping exactly that dir.
-    Crash-safe via a ``.compact_tmp`` + ``_SUCCESS`` + delete + rename
-    sequence; an interrupted compaction is finished (or discarded, if
-    the tmp write never completed) by the next call."""
+    The NEWEST epoch dir is never folded (``upto_epoch`` must be
+    strictly below it): the newest epoch may be the replay target of a
+    batch whose checkpoint commit did not land, and replay relies on
+    ``exclude_epoch`` dropping exactly that dir. Crash-safe via the
+    ``.compact_tmp`` + ``_SUCCESS`` + delete + rename sequence; an
+    interrupted compaction is finished (or discarded, if the tmp write
+    never completed) by the next call."""
     fs, jvm = _store_fs(spark, store_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(store_path)
@@ -131,26 +130,58 @@ def compact_sketch_store(
             f"newest epoch {epochs[-1]} — the newest dir may be an "
             "uncommitted batch's replay target"
         )
-    fold = [e for e in epochs if e <= upto_epoch]
-    if len(fold) < 2:
+    fold_epochs = [e for e in epochs if e <= upto_epoch]
+    if len(fold_epochs) < 2:
         return 0
-    summed = (
-        spark.read.schema(SKETCH_SCHEMA)
-        .parquet(store_path)
-        .filter(F.col("epoch") <= upto_epoch)
-        .groupBy("row_idx", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select(
-            F.col("row_idx").cast("int"),
-            F.col("bucket").cast("long"),
-            F.col("cnt").cast("long"),
-        )
+    folded = fold(
+        spark.read.option("basePath", store_path)
+        .parquet(*[f"{store_path}/epoch={e}" for e in fold_epochs])
     )
-    summed.write.mode("overwrite").parquet(
+    folded.write.mode("overwrite").parquet(
         f"{store_path}/.compact_tmp_upto={upto_epoch}"
     )
     _finish_compaction(fs, jvm, store_path, upto_epoch)
-    return len(fold)
+    return len(fold_epochs)
+
+
+def compact_sketch_store(
+    spark: SparkSession, store_path: str, upto_epoch: int
+) -> int:
+    """Fold committed sketch epoch dirs into a single cell-summed dir.
+
+    CMS cells add, so the compacted sketch is bit-identical to the
+    multi-dir merge the monitor computes per batch — estimates and
+    alerts are unchanged; only the dir count (and the per-batch
+    prior-merge scan) shrinks."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("row_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(
+                F.col("row_idx").cast("int"),
+                F.col("bucket").cast("long"),
+                F.col("cnt").cast("long"),
+            )
+        )
+
+    return _compact_epoch_store(spark, store_path, upto_epoch, fold)
+
+
+def compact_alerts_store(
+    spark: SparkSession, alerts_path: str, upto_epoch: int
+) -> int:
+    """Fold committed alerts epoch dirs into one dir — each key alerts
+    exactly once, so the epoch dirs are disjoint and the fold is plain
+    concatenation (drop the partition column, keep the rows). Without
+    this the per-batch "ever alerted" anti-join scan lists O(n_epochs)
+    mostly-empty dirs forever — the same growth compact_sketch_store
+    eliminates for the sketch side."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.drop("epoch")
+
+    return _compact_epoch_store(spark, alerts_path, upto_epoch, fold)
 
 
 @dataclass

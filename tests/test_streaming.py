@@ -1072,3 +1072,69 @@ def test_asset_fingerprints_color_and_stereo(spark):
     assert got["rgb.png"][1] == got["rgb_refiltered.png"][1]  # byte-different, pixel-same
     assert got["stereo.wav"][0] == "wav"
     assert got["stereo.wav"][1] == got["stereo_again.wav"][1]
+
+
+def test_frequency_monitor_alerts_store_compaction(spark, tmp_path):
+    """compact_alerts_store folds committed alerts epoch dirs into one
+    (disjoint union — each key alerts once), the alert set and the
+    ever-alerted gate are unchanged (no re-alerts after compaction),
+    and the newest epoch stays protected."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        FrequencyMonitor,
+        compact_alerts_store,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    alerts = str(tmp_path / "alerts")
+    mon = FrequencyMonitor(
+        spark,
+        store_path=str(tmp_path / "sketch"),
+        alerts_path=alerts,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=5,
+    )
+    # epoch 0: 'a' crosses (6); epoch 1: 'b' crosses (5 cumulative via 5);
+    # epoch 2: both appear again but must NOT re-alert; 'c' stays cold.
+    batches = (
+        [(j, "a") for j in range(6)] + [(90, "c")],
+        [(100 + j, "b") for j in range(5)],
+        [(200, "a"), (201, "b"), (202, "c")],
+    )
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        mon.start(f"{src}/*", schema).awaitTermination(120)
+
+    import glob as _glob
+
+    def alert_keys():
+        return sorted(
+            r.event_type
+            for r in spark.read.parquet(alerts).select("event_type").collect()
+        )
+
+    assert alert_keys() == ["a", "b"]
+
+    with pytest.raises(ValueError, match="strictly below"):
+        compact_alerts_store(spark, alerts, upto_epoch=2)
+    assert compact_alerts_store(spark, alerts, upto_epoch=1) == 2
+    dirs = sorted(p.rsplit("=", 1)[1] for p in _glob.glob(f"{alerts}/epoch=*"))
+    assert dirs == ["1", "2"], dirs
+    assert alert_keys() == ["a", "b"], "compaction changed the alert set"
+    assert compact_alerts_store(spark, alerts, upto_epoch=1) == 0
+
+    # The gate still holds after compaction: another appearance of the
+    # compacted keys must not re-alert.
+    spark.createDataFrame([(300, "a"), (301, "b")], schema).coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    assert alert_keys() == ["a", "b"]
