@@ -573,6 +573,63 @@ def ngram_shingles_col(text_col: str = "text", n: int = 3):
     )
 
 
+def jaccard_overlap_pairs(
+    sets: DataFrame,
+    key_col: str,
+    item_col: str = "shingle",
+    max_item_df: int | None = None,
+) -> DataFrame:
+    """The shared inverted-index pairwise-Jaccard core: from a DISTINCT
+    (key, item) membership frame, produce (key_a, key_b, shared, n_a,
+    n_b, jaccard) for every key pair with at least one surviving common
+    item — keyed by item then by pair, never a cross join.
+
+    ``max_item_df`` is the stop-item guard (the self-join cost is
+    Σ df(item)², so ONE item shared by k keys creates k² candidate
+    rows): items present under more than that many keys are dropped
+    from the intersection index; the per-key set sizes still count
+    them, so reported Jaccard is exact when no item exceeds the cap and
+    a conservative underestimate otherwise. One implementation serves
+    both the doc-keyed dedup verifier (ngram_jaccard_pairs) and the
+    source-keyed corpus overlap report (queries/mining.source_overlap)
+    so the guard semantics cannot drift apart. Callers persist ``sets``
+    — it feeds three plan branches (both join sides + the set sizes).
+    """
+    counts = sets.groupBy(key_col).agg(F.count("*").alias("n_items"))
+    idx = sets
+    if max_item_df is not None:
+        hot = (
+            sets.groupBy(item_col)
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_item_df)
+            .select(item_col)
+        )
+        idx = sets.join(hot, item_col, "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col(f"a.{item_col}") == F.col(f"b.{item_col}"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{key_col}").alias("key_a"), F.col(f"b.{key_col}").alias("key_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col(key_col).alias("key_a"), F.col("n_items").alias("n_a"))
+    cb = counts.select(F.col(key_col).alias("key_b"), F.col("n_items").alias("n_b"))
+    return (
+        shared.join(ca, "key_a")
+        .join(cb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -581,22 +638,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join.
-
-    shared(a,b) computed by grouping the shingle-equijoin; |A|,|B| joined
-    back from per-doc shingle counts. Shuffles are keyed by shingle then by
-    pair — never a cross join. The exploded shingle frame feeds three
-    plan branches (both join sides + the per-doc counts), so it is
-    persisted rather than recomputed from the scan per branch.
+    """Exact n-gram Jaccard via inverted-index self-join
+    (:func:`jaccard_overlap_pairs` keyed by document id).
 
     ``max_shingle_df`` is the stop-shingle guard that makes the operator
-    safe to call blind: the self-join cost is Σ df(shingle)², so ONE
-    shingle shared by k documents creates k² candidate rows. Shingles
-    whose document frequency exceeds the cap are dropped from the
-    inverted index (the standard stop-shingle filter — they carry no
-    discriminative signal anyway); per-doc totals |A|,|B| still count
-    them, so reported Jaccard is exact when no shingle exceeds the cap
-    and a conservative underestimate otherwise. With the default
+    safe to call blind (see the core's docstring). With the default
     ``None`` the operator is exact and should only run as the verify
     stage after LSH."""
     sh = _persist(
@@ -604,40 +650,14 @@ def ngram_jaccard_pairs(
             F.col(id_col), F.explode(ngram_shingles_col(text_col, n)).alias("shingle")
         )
     )
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    idx = sh
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        idx = sh.join(hot, "shingle", "left_anti")
-    a, b = idx.alias("a"), idx.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        shared.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
-        )
+        jaccard_overlap_pairs(sh, id_col, max_item_df=max_shingle_df)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.col("key_a").alias("id_a"),
+            F.col("key_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 

@@ -85,10 +85,13 @@ def source_overlap(
     n: int = 3,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Pairwise n-gram-shingle Jaccard between values of ``source_col``."""
+    """Pairwise n-gram-shingle Jaccard between values of ``source_col``
+    — the source-keyed instantiation of the SAME inverted-index core as
+    the doc-keyed dedup verifier (operators.dedup.jaccard_overlap_pairs),
+    so the stop-shingle guard semantics cannot drift between the two."""
     import logging
 
-    from ..operators.dedup import _persist
+    from ..operators.dedup import _persist, jaccard_overlap_pairs
 
     ss = _persist(
         d.select(
@@ -96,42 +99,37 @@ def source_overlap(
             F.explode(ngram_shingles_col(text_col, n)).alias("shingle"),
         ).distinct()
     )
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n_shingles"))
-    idx = ss
     if max_shingle_df is not None:
-        hot = _persist(
-            ss.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
         # The cap must never be silent — but counting the dropped
         # shingles is a Spark job, so only pay it when someone is
         # listening (the cap itself is also visible structurally: the
         # anti-join is in the plan and the oracle mirrors it).
         log = logging.getLogger(__name__)
         if log.isEnabledFor(logging.INFO):
+            n_hot = (
+                ss.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_shingle_df)
+                .count()
+            )
             log.info(
                 "source_overlap: dropping %d shingles with source-df > %d "
                 "from the intersection index",
-                hot.count(),
+                n_hot,
                 max_shingle_df,
             )
-        idx = ss.join(hot, "shingle", "left_anti")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
+    return (
+        jaccard_overlap_pairs(ss, "source", max_item_df=max_shingle_df)
+        .select(
+            F.col("key_a").alias("source_a"),
+            F.col("key_b").alias("source_b"),
+            F.col("n_a"),
+            F.col("n_b"),
+            F.col("shared").alias("n_common"),
+            "jaccard",
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count("*").alias("n_common"))
+        .orderBy("source_a", "source_b")
     )
-    return _overlap_report(inter, sizes)
 
 
 @register(
@@ -171,31 +169,6 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(d, max_shingle_df=5)
 
 
-def _overlap_report(inter: DataFrame, sizes: DataFrame) -> DataFrame:
-    """Join the per-source set sizes onto the intersection counts and
-    derive Jaccard."""
-    sa = sizes.select(
-        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
-    )
-    return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_a",
-            "n_b",
-            "n_common",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .orderBy("source_a", "source_b")
-    )
 
 
 # ---------------------------------------------------------------------------
