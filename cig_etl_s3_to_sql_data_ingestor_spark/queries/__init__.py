@@ -92,7 +92,7 @@ _HEAD = [
     "repetition_stats",
     "source_mixture_plan",
     "exact_substring_overlap",
-    "sole_return_supplier",
+    "dedup_ngram_jaccard",  # touched r5: shared jaccard_overlap_pairs core
     "ann_incremental",   # touched r5: true-lowest-id centroid seeding
 ]
 # 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
@@ -103,7 +103,7 @@ _TAIL = [
     # evidence — these lead the r6 head's re-score block):
     "weekly_range_revenue",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "sole_return_supplier",
     "dedup_clusters",
     "dedup_incremental",
     "dedup_canonical",
