@@ -82,8 +82,8 @@ _HEAD = [
     "customer_activity_setops",  # set ops
     "env_derivation",         # T1
     "sessionize",             # §2.8 batch analog
-    "quality_score",
-    "token_count",
+    "ann_ivf_topk",      # touched r5: true-lowest-id centroid seeding
+    "embedding_clusters",  # touched r5: same seeding fix + SQL mirror
     "dedup_exact",
     "dedup_minhash",
     "budget_select",
@@ -152,14 +152,14 @@ _TAIL = [
     "embedding_norms",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "ann_ivf_topk",
+    "quality_score",
+    "token_count",
     "embedding_neardup",
     "tfidf_top_terms",
     "approx_distinct_stats",
     "config_enrich_join",
     "partition_prune_counts",
     "char_lm_surprisal",
-    "embedding_clusters",
     "ngram_diversity",
     "text_normalize_stats",
     "boilerplate_prefix_groups",
