@@ -133,9 +133,22 @@ def _compact_epoch_store(
     fold_epochs = [e for e in epochs if e <= upto_epoch]
     if len(fold_epochs) < 2:
         return 0
+    # A dir with zero part files (a writer that died between mkdir and
+    # its first file) would break schema inference; it holds no rows,
+    # so folding it means deleting it.
+    readable = [
+        e
+        for e in fold_epochs
+        if any(
+            st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(Path(f"{store_path}/epoch={e}"))
+        )
+    ]
+    if not readable:
+        return 0
     folded = fold(
         spark.read.option("basePath", store_path)
-        .parquet(*[f"{store_path}/epoch={e}" for e in fold_epochs])
+        .parquet(*[f"{store_path}/epoch={e}" for e in readable])
     )
     folded.write.mode("overwrite").parquet(
         f"{store_path}/.compact_tmp_upto={upto_epoch}"

@@ -30,6 +30,8 @@ CASES = [
     "ann_pq_topk",                # integer-quantized ADC partial sums
     "incremental_agg_merge",      # mergeable decimal aggregate states
     "price_quantity_stats",       # exact integer moments, one double per stat
+    "image_ahash_groups",         # r5: multi-channel decode -> signature groupBy
+    "audio_fingerprint_groups",   # r5: interleaved-PCM energies -> signature join
 ]
 
 

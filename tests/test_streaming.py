@@ -1138,3 +1138,31 @@ def test_frequency_monitor_alerts_store_compaction(spark, tmp_path):
     )
     mon.start(f"{src}/*", schema).awaitTermination(120)
     assert alert_keys() == ["a", "b"]
+
+
+def test_compaction_tolerates_crashed_empty_epoch_dir(spark, tmp_path):
+    """An epoch dir with zero part files (writer died between mkdir and
+    first file) holds no rows: compaction must not choke on schema
+    inference, and the dead dir is swept with the folded range."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        compact_alerts_store,
+    )
+
+    store = tmp_path / "alerts"
+    for epoch, rows in ((0, [("a", 7)]), (2, [("b", 9)]), (3, [("c", 5)])):
+        spark.createDataFrame(
+            rows, "event_type string, cms_estimate long"
+        ).coalesce(1).write.parquet(str(store / f"epoch={epoch}"))
+    (store / "epoch=1").mkdir()  # crashed writer: dir, no files
+
+    # 3 dirs swept: epochs 0 and 2 folded, the dead epoch=1 removed.
+    assert compact_alerts_store(spark, str(store), upto_epoch=2) == 3
+    import glob as _glob
+
+    dirs = sorted(p.rsplit("=", 1)[1] for p in _glob.glob(f"{store}/epoch=*"))
+    assert dirs == ["2", "3"], dirs
+    got = sorted(
+        (r.event_type, r.cms_estimate)
+        for r in spark.read.parquet(str(store)).collect()
+    )
+    assert got == [("a", 7), ("b", 9), ("c", 5)]
