@@ -11,7 +11,8 @@ batches. This generalizes the reference's binary-column neutralization
 `Picture` into constants) into genuine byte→pixel work.
 
 The image path is REAL: a pure-stdlib (zlib/struct) + numpy PNG codec —
-8-bit grayscale/RGB/RGBA (color types 0/2/6), filters 0–4
+8-bit grayscale/RGB/RGBA/palette (color types 0/2/6/3; palette expands
+through PLTE to RGB on decode), filters 0–4
 (None/Sub/Up/Average/Paeth) over the bpp-strided byte stream, per-chunk
 CRC validation — decodes actual pixel data inside the batch functions,
 and every downstream statistic (pixel sums, nearest-neighbor resize,
@@ -139,7 +140,10 @@ def make_png_codec():
         """PNG bytes → uint8 pixel array, ``(h, w)`` for grayscale
         payloads and ``(h, w, ch)`` for RGB/RGBA; validates signature,
         IHDR and every chunk CRC, and reverses filters 0-4 with the
-        spec's ``bpp``-strided left neighbor."""
+        spec's ``bpp``-strided left neighbor. Palette images (color
+        type 3) decode through the PLTE lookup to ``(h, w, 3)`` RGB —
+        their indices filter as bpp=1 per the spec; paletted
+        transparency (tRNS) is rejected loudly, not dropped silently."""
         import struct
         import zlib
 
@@ -149,6 +153,8 @@ def make_png_codec():
             raise ValueError("not a PNG: bad signature")
         pos = 8
         width = height = bpp = None
+        paletted = False
+        palette = None
         idat = bytearray()
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -163,12 +169,24 @@ def make_png_codec():
                 width, height, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", payload
                 )
-                bpp = {0: 1, 2: 3, 6: 4}.get(color)
+                paletted = color == 3
+                # Paletted rows are 1 byte per pixel (the index) for
+                # the filter stride; expansion happens after unfilter.
+                bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
                 if depth != 8 or bpp is None or comp != 0 or interlace != 0:
                     raise NotImplementedError(
-                        "codec supports 8-bit grayscale/RGB/RGBA "
+                        "codec supports 8-bit grayscale/RGB/RGBA/palette "
                         "non-interlaced PNG only"
                     )
+            elif tag == b"PLTE":
+                if length % 3 or length == 0:
+                    raise ValueError("PLTE length must be a positive multiple of 3")
+                palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+            elif tag == b"tRNS":
+                raise NotImplementedError(
+                    "paletted transparency (tRNS) is not supported — "
+                    "decoding it as opaque would silently drop alpha"
+                )
             elif tag == b"IDAT":
                 idat.extend(payload)
             elif tag == b"IEND":
@@ -176,6 +194,8 @@ def make_png_codec():
             pos += 12 + length
         if width is None:
             raise ValueError("PNG missing IHDR")
+        if paletted and palette is None:
+            raise ValueError("paletted PNG missing PLTE")
         raw = zlib.decompress(bytes(idat))
         nb = width * bpp  # bytes per scanline (sans filter byte)
         stride = nb + 1
@@ -224,6 +244,11 @@ def make_png_codec():
                 raise ValueError(f"unknown PNG filter type {ft}")
             out[y] = rec.astype(np.uint8)
             prev = rec
+        if paletted:
+            idxs = out.reshape(height, width)
+            if int(idxs.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            return palette[idxs]  # (h, w, 3) RGB expansion
         if bpp == 1:
             return out.reshape(height, width)
         return out.reshape(height, width, bpp)

@@ -109,23 +109,68 @@ def test_decoder_rejects_corrupt_crc():
         decode_png(bytes(data))
 
 
-def test_decoder_rejects_unsupported_color_type():
+def _chunk(tag, payload):
     import struct
     import zlib
 
-    def chunk(tag, payload):
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
 
-    # color type 3 (palette) — valid PNG, outside the codec's subset.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+def test_decoder_rejects_unsupported_color_type():
+    import struct
+
+    # color type 4 (gray+alpha) — valid PNG, outside the codec's subset.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="grayscale"):
         decode_png(data)
+
+
+def _palette_png(idxs, palette, with_trns=False, drop_plte=False):
+    """Hand-built color-type-3 PNG: per-row filter byte 0 + raw indices."""
+    import struct
+    import zlib
+
+    h, w = idxs.shape
+    raw = b"".join(b"\x00" + idxs[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    )
+    if not drop_plte:
+        out += _chunk(b"PLTE", palette.tobytes())
+    if with_trns:
+        out += _chunk(b"tRNS", bytes([128] * len(palette)))
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_palette_png_decodes_through_plte():
+    """Color type 3 (the common small-graphics form) expands indices
+    through the PLTE lookup to (h, w, 3) RGB; indices filter as bpp=1."""
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 16, size=(6, 9), dtype=np.uint8)
+    out = decode_png(_palette_png(idxs, palette))
+    assert out.shape == (6, 9, 3)
+    assert np.array_equal(out, palette[idxs])
+
+
+def test_palette_png_rejections_are_loud():
+    rng = np.random.default_rng(6)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 4, size=(3, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(_palette_png(idxs, palette, with_trns=True))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_palette_png(idxs, palette, drop_plte=True))
+    bad = idxs.copy()
+    bad[0, 0] = 9  # beyond the 4-entry palette
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(_palette_png(bad, palette))
 
 
 def test_attach_png_payloads_are_real_pngs(spark, sf_dir):
