@@ -424,13 +424,19 @@ def make_wav_codec():
         )
 
     def decode_wav(data):
+        """Integer PCM decode: 16-bit natively, plus the other common
+        real-corpus integer widths — unsigned 8-bit (offset binary per
+        the spec) and signed little-endian 24-bit — normalized to the
+        int32 sample domain of their width (no rescaling: an 8-bit
+        sample decodes to [-128, 127], a 24-bit one to +/-2^23).
+        Float/compressed codecs are rejected loudly."""
         import struct
 
         import numpy as np
 
         if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
-        pos, rate, pcm, channels = 12, None, None, None
+        pos, rate, pcm, channels, bits = 12, None, None, None, None
         while pos + 8 <= len(data):
             tag = bytes(data[pos : pos + 4])
             (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -439,14 +445,26 @@ def make_wav_codec():
                 fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
                     "<HHIIHH", payload[:16]
                 )
-                if (fmt_code, bits) != (1, 16) or channels < 1:
-                    raise NotImplementedError("codec supports PCM16 mono/multi-channel only")
+                if fmt_code != 1 or bits not in (8, 16, 24) or channels < 1:
+                    raise NotImplementedError(
+                        "codec supports integer PCM 8/16/24-bit only "
+                        "(PCM16 is the native encode width)"
+                    )
             elif tag == b"data":
                 pcm = payload
             pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
         if rate is None or pcm is None:
             raise ValueError("WAV missing fmt or data chunk")
-        flat = np.frombuffer(pcm, dtype="<i2")
+        if bits == 16:
+            flat = np.frombuffer(pcm, dtype="<i2")
+        elif bits == 8:  # spec: 8-bit PCM is UNSIGNED, midpoint 128
+            flat = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32) - 128
+        else:  # 24-bit signed little-endian: widen 3 bytes -> int32
+            if len(pcm) % 3:
+                raise ValueError("WAV 24-bit data chunk is not whole samples")
+            b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            flat = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            flat = flat - ((flat & 0x800000) << 1)  # sign-extend bit 23
         if channels == 1:
             return flat, rate
         if len(flat) % channels:

@@ -360,16 +360,51 @@ def test_wav_rejects_non_riff():
         decode_wav(b"OggS" + b"\x00" * 40)
 
 
-def test_wav_rejects_stereo_float():
+def _wav_container(fmt_code, channels, bits, payload, rate=8000):
     import struct
 
-    data = (
-        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 8000, 64000, 8, 32)
-        + b"data" + struct.pack("<I", 0)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_code, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        + b"data" + struct.pack("<I", len(payload)) + payload
     )
-    with pytest.raises(NotImplementedError, match="PCM16 mono"):
-        decode_wav(data)
+
+
+def test_wav_rejects_float_format():
+    with pytest.raises(NotImplementedError, match="integer PCM"):
+        decode_wav(_wav_container(3, 2, 32, b""))
+
+
+def test_wav_decodes_pcm8_unsigned():
+    """Spec: 8-bit PCM is UNSIGNED, midpoint 128 — decode re-centers."""
+    raw = bytes([0, 128, 255, 1])
+    out, rate = decode_wav(_wav_container(1, 1, 8, raw))
+    assert rate == 8000
+    assert out.tolist() == [-128, 0, 127, -127]
+
+
+def test_wav_decodes_pcm24_signed_le():
+    def pack24(vals):
+        return b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+
+    vals = [0, 1, -1, 8_388_607, -8_388_608, -12345]
+    out, _ = decode_wav(_wav_container(1, 1, 24, pack24(vals)))
+    assert out.tolist() == vals
+
+    # stereo: interleaved frames de-interleave to (n, 2)
+    stereo = [10, -10, 300_000, -300_000]
+    out2, _ = decode_wav(_wav_container(1, 2, 24, pack24(stereo)))
+    assert out2.shape == (2, 2)
+    assert out2.tolist() == [[10, -10], [300_000, -300_000]]
+
+    with pytest.raises(ValueError, match="whole samples"):
+        decode_wav(_wav_container(1, 1, 24, b"\x00\x01"))
 
 
 # ---- Spark-side operators ------------------------------------------------
