@@ -578,6 +578,7 @@ def jaccard_overlap_pairs(
     key_col: str,
     item_col: str = "shingle",
     max_item_df: int | None = None,
+    hot_items: DataFrame | None = None,
 ) -> DataFrame:
     """The shared inverted-index pairwise-Jaccard core: from a DISTINCT
     (key, item) membership frame, produce (key_a, key_b, shared, n_a,
@@ -594,11 +595,14 @@ def jaccard_overlap_pairs(
     source-keyed corpus overlap report (queries/mining.source_overlap)
     so the guard semantics cannot drift apart. Callers persist ``sets``
     — it feeds three plan branches (both join sides + the set sizes).
+    ``hot_items`` lets a caller that already computed (and typically
+    persisted, e.g. to log its count) the over-cap item frame pass it
+    in instead of paying the df aggregation twice.
     """
     counts = sets.groupBy(key_col).agg(F.count("*").alias("n_items"))
     idx = sets
-    if max_item_df is not None:
-        hot = (
+    if max_item_df is not None or hot_items is not None:
+        hot = hot_items if hot_items is not None else (
             sets.groupBy(item_col)
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_item_df)

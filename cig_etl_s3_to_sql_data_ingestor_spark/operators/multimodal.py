@@ -142,8 +142,10 @@ def make_png_codec():
         IHDR and every chunk CRC, and reverses filters 0-4 with the
         spec's ``bpp``-strided left neighbor. Palette images (color
         type 3) decode through the PLTE lookup to ``(h, w, 3)`` RGB —
-        their indices filter as bpp=1 per the spec; paletted
-        transparency (tRNS) is rejected loudly, not dropped silently."""
+        their indices filter as bpp=1 per the spec. A tRNS chunk is
+        rejected loudly for EVERY color type (palette alpha table, or
+        the single transparent color on gray/RGB): decoding such a file
+        as opaque would silently drop its alpha semantics."""
         import struct
         import zlib
 
@@ -184,8 +186,8 @@ def make_png_codec():
                 palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"tRNS":
                 raise NotImplementedError(
-                    "paletted transparency (tRNS) is not supported — "
-                    "decoding it as opaque would silently drop alpha"
+                    "tRNS transparency is not supported (any color type) "
+                    "— decoding it as opaque would silently drop alpha"
                 )
             elif tag == b"IDAT":
                 idat.extend(payload)

@@ -99,27 +99,32 @@ def source_overlap(
             F.explode(ngram_shingles_col(text_col, n)).alias("shingle"),
         ).distinct()
     )
+    hot = None
     if max_shingle_df is not None:
+        hot = _persist(
+            ss.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
         # The cap must never be silent — but counting the dropped
         # shingles is a Spark job, so only pay it when someone is
         # listening (the cap itself is also visible structurally: the
-        # anti-join is in the plan and the oracle mirrors it).
+        # anti-join is in the plan and the oracle mirrors it). The
+        # count materializes the persisted frame the anti-join reuses,
+        # so the df aggregation runs once either way.
         log = logging.getLogger(__name__)
         if log.isEnabledFor(logging.INFO):
-            n_hot = (
-                ss.groupBy("shingle")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") > max_shingle_df)
-                .count()
-            )
             log.info(
                 "source_overlap: dropping %d shingles with source-df > %d "
                 "from the intersection index",
-                n_hot,
+                hot.count(),
                 max_shingle_df,
             )
     return (
-        jaccard_overlap_pairs(ss, "source", max_item_df=max_shingle_df)
+        jaccard_overlap_pairs(
+            ss, "source", max_item_df=max_shingle_df, hot_items=hot
+        )
         .select(
             F.col("key_a").alias("source_a"),
             F.col("key_b").alias("source_b"),

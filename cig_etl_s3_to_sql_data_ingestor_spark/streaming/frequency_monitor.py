@@ -145,7 +145,13 @@ def _compact_epoch_store(
         )
     ]
     if not readable:
-        return 0
+        # Every foldable dir is a crashed writer's empty mkdir: there
+        # are no rows to fold, but leaving the dirs would accumulate
+        # them forever on a store that only ever crashes — delete them
+        # outright (they hold nothing, so no tmp/rename dance needed).
+        for e in fold_epochs:
+            fs.delete(Path(f"{store_path}/epoch={e}"), True)
+        return len(fold_epochs)
     folded = fold(
         spark.read.option("basePath", store_path)
         .parquet(*[f"{store_path}/epoch={e}" for e in readable])

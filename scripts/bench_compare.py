@@ -17,7 +17,11 @@ import os
 import re
 import sys
 
-NOISE_BAND = 0.15  # |log-ratio| under ~15% -> co-tenant noise, not signal
+import math as _math
+
+# NOTES.md records a ±12% co-tenant variance band from a same-config
+# rerun; flag anything whose |log-ratio| exceeds exactly that.
+NOISE_BAND = _math.log(1.12)
 
 
 def load_rounds(repo_root: str) -> dict[str, dict[str, float]]:
@@ -86,4 +90,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # `| head` closed the pipe — not an error
+        sys.exit(0)

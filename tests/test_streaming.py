@@ -1166,3 +1166,24 @@ def test_compaction_tolerates_crashed_empty_epoch_dir(spark, tmp_path):
         for r in spark.read.parquet(str(store)).collect()
     )
     assert got == [("a", 7), ("b", 9), ("c", 5)]
+
+
+def test_compaction_sweeps_all_empty_foldable_dirs(spark, tmp_path):
+    """If every foldable dir is a crashed empty mkdir, compaction
+    deletes them (nothing to fold, nothing to leave accumulating)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        compact_alerts_store,
+    )
+
+    store = tmp_path / "alerts"
+    (store / "epoch=0").mkdir(parents=True)
+    (store / "epoch=1").mkdir()
+    spark.createDataFrame(
+        [("z", 9)], "event_type string, cms_estimate long"
+    ).coalesce(1).write.parquet(str(store / "epoch=2"))
+
+    assert compact_alerts_store(spark, str(store), upto_epoch=1) == 2
+    import glob as _glob
+
+    dirs = sorted(p.rsplit("=", 1)[1] for p in _glob.glob(f"{store}/epoch=*"))
+    assert dirs == ["2"], dirs
