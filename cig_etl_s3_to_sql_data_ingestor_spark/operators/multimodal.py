@@ -326,23 +326,40 @@ def make_apng_codec():
         return bytes(out)
 
     def decode_apng_frames(data, wanted=None):
-        """APNG/PNG bytes → ({frame_idx: 2-D uint8 array}, w, h, n_frames).
+        """APNG/PNG bytes → ({frame_idx: full-canvas uint8 array}, w, h,
+        n_frames).
 
         ``wanted=None`` decodes every frame; a list decodes only those
         indices (out-of-range entries ignored); ``[]`` is the metadata
         probe — full CRC-validated chunk walk, zero inflates. A CALLABLE
         ``wanted`` receives n_frames after the walk and returns the
         indices to decode — the one-pass form samplers use so the
-        O(container-bytes) chunk walk and CRC work run once, not
-        twice."""
+        O(container-bytes) chunk walk and CRC work run once, not twice.
+
+        Delta animations (the common real-corpus form: fcTL sub-
+        rectangles with x/y offsets) composite per the spec — blend
+        SOURCE pastes the region, dispose NONE/BACKGROUND/PREVIOUS
+        leave/clear/revert it before the next frame — and every
+        returned frame is the FULL canvas at that point. Sampling a
+        delta animation necessarily inflates frames 0..max(wanted)
+        (each frame depends on the canvas before it); the inflate-only-
+        sampled property holds exactly when every frame is an
+        independent full-canvas SOURCE frame, which is what
+        ``encode_apng`` emits. Blend OVER is accepted only for
+        alpha-free color types (where the spec makes it equal SOURCE);
+        OVER onto RGBA would need cross-engine-exact alpha compositing
+        and is rejected loudly."""
         import struct
         import zlib
+
+        import numpy as np
 
         if bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
             raise ValueError("not a PNG/APNG: bad signature")
         pos, width, ihdr, n_frames = 8, None, None, None
         height = None
         streams = []
+        regions = []  # (w_f, h_f, x, y, dispose, blend) per fcTL
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
             tag = bytes(data[pos + 4 : pos + 8])
@@ -356,10 +373,15 @@ def make_apng_codec():
             elif tag == b"acTL":
                 (n_frames,) = struct.unpack(">I", payload[:4])
             elif tag == b"fcTL":
+                _seq, w_f, h_f, x_off, y_off, _dn, _dd, dispose, blend = (
+                    struct.unpack(">IIIIIHHBB", payload[:26])
+                )
                 streams.append(bytearray())
+                regions.append((w_f, h_f, x_off, y_off, dispose, blend))
             elif tag == b"IDAT":
                 if not streams:  # plain PNG without animation chunks
                     streams.append(bytearray())
+                    regions.append((width, height, 0, 0, 0, 0))
                 streams[-1] += payload
             elif tag == b"fdAT":
                 if not streams:
@@ -376,22 +398,67 @@ def make_apng_codec():
         n = n_frames if n_frames is not None else len(streams)
         if len(streams) != n:
             raise ValueError(f"acTL declares {n} frames, found {len(streams)}")
+        for w_f, h_f, x, y, _d, _b in regions:
+            if x + w_f > width or y + h_f > height:
+                raise ValueError("fcTL region exceeds the canvas")
         if wanted is None:
-            idxs = range(n)
+            idxs = list(range(n))
         else:
             req = wanted(n) if callable(wanted) else wanted
             idxs = [i for i in req if 0 <= i < n]
 
-        def one(stream):
+        def one(stream, w_f, h_f):
+            sub_ihdr = struct.pack(">II", w_f, h_f) + ihdr[8:]
             mini = (
                 b"\x89PNG\r\n\x1a\n"
-                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IHDR", sub_ihdr)
                 + _chunk(b"IDAT", bytes(stream))
                 + _chunk(b"IEND", b"")
             )
             return decode_png(mini)
 
-        return {i: one(streams[i]) for i in idxs}, width, height, n
+        independent = all(
+            (w_f, h_f, x, y) == (width, height, 0, 0) and blend == 0
+            for w_f, h_f, x, y, _d, blend in regions
+        )
+        if independent:
+            # Fast path (encode_apng's output shape): each frame is a
+            # self-contained full canvas — inflate ONLY the wanted ones.
+            return (
+                {i: one(streams[i], width, height) for i in idxs},
+                width, height, n,
+            )
+
+        has_alpha = len(ihdr) >= 10 and ihdr[9] == 6
+        out = {}
+        canvas = None
+        for k in range(0, (max(idxs) + 1) if idxs else 0):
+            w_f, h_f, x, y, dispose, blend = regions[k]
+            if blend == 1 and has_alpha:
+                raise NotImplementedError(
+                    "APNG blend OVER onto RGBA is not supported — "
+                    "compositing would not be engine-exact"
+                )
+            sub = one(streams[k], w_f, h_f)
+            if sub.ndim == 2:
+                sub = sub[:, :, None]
+            if canvas is None:
+                # Spec: canvas starts fully transparent black (zeros).
+                canvas = np.zeros(
+                    (height, width, sub.shape[2]), dtype=np.uint8
+                )
+            before = canvas[y : y + h_f, x : x + w_f].copy()
+            canvas[y : y + h_f, x : x + w_f] = sub  # SOURCE (OVER==SOURCE sans alpha)
+            if k in idxs:
+                snap = canvas.copy()
+                out[k] = snap[:, :, 0] if snap.shape[2] == 1 else snap
+            if dispose == 1:  # BACKGROUND: clear the region
+                canvas[y : y + h_f, x : x + w_f] = 0
+            elif dispose == 2:  # PREVIOUS: revert the region
+                # Spec: dispose PREVIOUS on frame 0 acts as BACKGROUND
+                # (`before` is the zero canvas then — same effect).
+                canvas[y : y + h_f, x : x + w_f] = before
+        return out, width, height, n
 
     return encode_apng, decode_apng_frames
 

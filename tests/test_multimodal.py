@@ -504,3 +504,116 @@ def test_png_roundtrip_property(w, h, ch, seed, data):
     px = _pixels(w, h, seed=seed, ch=None if ch == 1 else ch)
     out = decode_png(encode_png(px, filters=filters))
     assert np.array_equal(out, px)
+
+
+# ---- APNG delta (sub-frame) compositing ----------------------------------
+
+
+def _idat_payload(png_bytes):
+    import struct
+
+    pos, out = 8, bytearray()
+    while pos + 12 <= len(png_bytes):
+        (length,) = struct.unpack(">I", png_bytes[pos : pos + 4])
+        if png_bytes[pos + 4 : pos + 8] == b"IDAT":
+            out += png_bytes[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    return bytes(out)
+
+
+def _delta_apng(canvas_wh, frames, color_type=0):
+    """Hand-built APNG with per-frame (pixels, x, y, dispose, blend)."""
+    import struct
+
+    w, h = canvas_wh
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for k, (px, x, y, dispose, blend) in enumerate(frames):
+        fh, fw = px.shape[:2]
+        out += _chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, fw, fh, x, y, 1, 10, dispose, blend),
+        )
+        seq += 1
+        stream = _idat_payload(encode_png(px))
+        if k == 0:
+            out += _chunk(b"IDAT", stream)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + stream)
+            seq += 1
+    return bytes(out + _chunk(b"IEND", b""))
+
+
+def test_apng_delta_frames_composite_on_canvas():
+    """Sub-rectangle SOURCE frames with dispose NONE accumulate; every
+    returned frame is the full composited canvas."""
+    base = _pixels(8, 6, seed=1)
+    patch = _pixels(3, 2, seed=2)  # (2 rows, 3 cols)
+    data = _delta_apng(
+        (8, 6),
+        [(base, 0, 0, 0, 0), (patch, 4, 3, 0, 0)],
+    )
+    out, w, h, n = decode_apng_frames(data)
+    assert (w, h, n) == (8, 6, 2)
+    assert np.array_equal(out[0], base)
+    expect = base.copy()
+    expect[3:5, 4:7] = patch
+    assert np.array_equal(out[1], expect)
+
+
+def test_apng_delta_dispose_background_and_previous():
+    base = _pixels(6, 6, seed=3)
+    p1 = _pixels(2, 2, seed=4)
+    p2 = _pixels(2, 2, seed=5)
+    # frame 1 disposes to BACKGROUND: its region is cleared before f2.
+    data = _delta_apng(
+        (6, 6),
+        [(base, 0, 0, 0, 0), (p1, 1, 1, 1, 0), (p2, 4, 4, 0, 0)],
+    )
+    out, _, _, _ = decode_apng_frames(data, wanted=[2])
+    expect = base.copy()
+    expect[1:3, 1:3] = 0  # p1's region cleared by its dispose
+    expect[4:6, 4:6] = p2
+    assert np.array_equal(out[2], expect)
+
+    # dispose PREVIOUS reverts p1's region to the base content.
+    data = _delta_apng(
+        (6, 6),
+        [(base, 0, 0, 0, 0), (p1, 1, 1, 2, 0), (p2, 4, 4, 0, 0)],
+    )
+    out, _, _, _ = decode_apng_frames(data, wanted=[2])
+    expect = base.copy()
+    expect[4:6, 4:6] = p2
+    assert np.array_equal(out[2], expect)
+
+
+def test_apng_delta_blend_over_rules():
+    # OVER on an alpha-free type == SOURCE (accepted).
+    base = _pixels(5, 5, seed=6, ch=3)
+    patch = _pixels(2, 2, seed=7, ch=3)
+    data = _delta_apng(
+        (5, 5), [(base, 0, 0, 0, 0), (patch, 2, 2, 0, 1)], color_type=2
+    )
+    out, _, _, _ = decode_apng_frames(data)
+    expect = base.copy()
+    expect[2:4, 2:4] = patch
+    assert np.array_equal(out[1], expect)
+
+    # OVER onto RGBA needs alpha compositing -> loud rejection.
+    base4 = _pixels(5, 5, seed=8, ch=4)
+    patch4 = _pixels(2, 2, seed=9, ch=4)
+    data = _delta_apng(
+        (5, 5), [(base4, 0, 0, 0, 0), (patch4, 2, 2, 0, 1)], color_type=6
+    )
+    with pytest.raises(NotImplementedError, match="OVER"):
+        decode_apng_frames(data)
+
+
+def test_apng_delta_region_bounds_checked():
+    base = _pixels(4, 4, seed=10)
+    patch = _pixels(3, 3, seed=11)
+    data = _delta_apng((4, 4), [(base, 0, 0, 0, 0), (patch, 2, 2, 0, 0)])
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        decode_apng_frames(data, wanted=[])
