@@ -617,3 +617,30 @@ def test_apng_delta_region_bounds_checked():
     data = _delta_apng((4, 4), [(base, 0, 0, 0, 0), (patch, 2, 2, 0, 0)])
     with pytest.raises(ValueError, match="exceeds the canvas"):
         decode_apng_frames(data, wanted=[])
+
+
+def test_sample_frames_on_delta_apng_payload(spark):
+    """The Spark-side frame sampler must handle delta-encoded APNG
+    payloads end-to-end: sampled frames report stats of the full
+    COMPOSITED canvas, not the raw sub-rectangle."""
+    base = _pixels(8, 6, seed=21)
+    patch = _pixels(3, 2, seed=22)
+    data = _delta_apng(
+        (8, 6),
+        [(base, 0, 0, 0, 0), (patch, 4, 3, 0, 0), (patch, 0, 0, 0, 0)],
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    mm = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in sample_frames(mm, every_nth=2).collect()}
+    assert sorted(rows) == [0, 2]
+    assert rows[0].pixel_sum == int(base.astype(np.int64).sum())
+    canvas2 = base.copy()
+    canvas2[3:5, 4:7] = patch
+    canvas2[0:2, 0:3] = patch
+    assert rows[2].pixel_sum == int(canvas2.astype(np.int64).sum())
+    assert (rows[2].width, rows[2].height, rows[2].n_frames) == (8, 6, 3)
