@@ -345,10 +345,12 @@ def make_apng_codec():
         (each frame depends on the canvas before it); the inflate-only-
         sampled property holds exactly when every frame is an
         independent full-canvas SOURCE frame, which is what
-        ``encode_apng`` emits. Blend OVER is accepted only for
-        alpha-free color types (where the spec makes it equal SOURCE);
-        OVER onto RGBA would need cross-engine-exact alpha compositing
-        and is rejected loudly."""
+        ``encode_apng`` emits. Blend OVER on alpha-free color types
+        equals SOURCE (spec); OVER onto RGBA composites with EXACT
+        integer arithmetic over the 255-denominator rationals
+        (round-half-up at the final division), so the result is
+        bit-identical on every platform — the determinism contract the
+        whole codec keeps."""
         import struct
         import zlib
 
@@ -430,15 +432,32 @@ def make_apng_codec():
             )
 
         has_alpha = len(ihdr) >= 10 and ihdr[9] == 6
+
+        def over_rgba(dst, src):
+            """Exact integer source-over: alphas are a/255 rationals,
+            so out_a*255 = src_a*255 + dst_a*(255-src_a) is an exact
+            integer, and out_c = (src_a*src_c*255 + dst_a*dst_c*
+            (255-src_a)) / (out_a*255) rounds half-up — one
+            deterministic rounding rule, no floats anywhere."""
+            sa = src[:, :, 3].astype(np.int64)
+            da = dst[:, :, 3].astype(np.int64)
+            na = sa * 255 + da * (255 - sa)  # = out_a * 255
+            out = np.empty_like(src)
+            for c in range(3):
+                num = (
+                    sa * src[:, :, c].astype(np.int64) * 255
+                    + da * dst[:, :, c].astype(np.int64) * (255 - sa)
+                )
+                out[:, :, c] = np.where(
+                    na > 0, (num + na // 2) // np.maximum(na, 1), 0
+                ).astype(np.uint8)
+            out[:, :, 3] = ((na + 127) // 255).astype(np.uint8)
+            return out
+
         out = {}
         canvas = None
         for k in range(0, (max(idxs) + 1) if idxs else 0):
             w_f, h_f, x, y, dispose, blend = regions[k]
-            if blend == 1 and has_alpha:
-                raise NotImplementedError(
-                    "APNG blend OVER onto RGBA is not supported — "
-                    "compositing would not be engine-exact"
-                )
             sub = one(streams[k], w_f, h_f)
             if sub.ndim == 2:
                 sub = sub[:, :, None]
@@ -448,7 +467,11 @@ def make_apng_codec():
                     (height, width, sub.shape[2]), dtype=np.uint8
                 )
             before = canvas[y : y + h_f, x : x + w_f].copy()
-            canvas[y : y + h_f, x : x + w_f] = sub  # SOURCE (OVER==SOURCE sans alpha)
+            if blend == 1 and has_alpha:
+                canvas[y : y + h_f, x : x + w_f] = over_rgba(before, sub)
+            else:
+                # SOURCE; OVER == SOURCE for alpha-free color types.
+                canvas[y : y + h_f, x : x + w_f] = sub
             if k in idxs:
                 snap = canvas.copy()
                 out[k] = snap[:, :, 0] if snap.shape[2] == 1 else snap

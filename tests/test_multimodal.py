@@ -601,14 +601,41 @@ def test_apng_delta_blend_over_rules():
     expect[2:4, 2:4] = patch
     assert np.array_equal(out[1], expect)
 
-    # OVER onto RGBA needs alpha compositing -> loud rejection.
+    # OVER onto RGBA composites with exact integer source-over math —
+    # verify cell-by-cell against an independent pure-Python model.
     base4 = _pixels(5, 5, seed=8, ch=4)
     patch4 = _pixels(2, 2, seed=9, ch=4)
     data = _delta_apng(
         (5, 5), [(base4, 0, 0, 0, 0), (patch4, 2, 2, 0, 1)], color_type=6
     )
-    with pytest.raises(NotImplementedError, match="OVER"):
-        decode_apng_frames(data)
+    out, _, _, _ = decode_apng_frames(data)
+
+    def py_over(dst_px, src_px):
+        sa, da = src_px[3], dst_px[3]
+        na = sa * 255 + da * (255 - sa)  # out_a * 255, exact
+        chans = []
+        for c in range(3):
+            num = sa * src_px[c] * 255 + da * dst_px[c] * (255 - sa)
+            chans.append((num + na // 2) // na if na else 0)
+        return chans + [(na + 127) // 255]
+
+    expect = base4.astype(np.int64).copy()
+    for yy in range(2):
+        for xx in range(2):
+            expect[2 + yy, 2 + xx] = py_over(
+                [int(v) for v in base4[2 + yy, 2 + xx]],
+                [int(v) for v in patch4[yy, xx]],
+            )
+    assert np.array_equal(out[1], expect.astype(np.uint8))
+
+    # A fully-opaque OVER source must degenerate to SOURCE exactly.
+    opaque = patch4.copy()
+    opaque[:, :, 3] = 255
+    data = _delta_apng(
+        (5, 5), [(base4, 0, 0, 0, 0), (opaque, 1, 1, 0, 1)], color_type=6
+    )
+    out, _, _, _ = decode_apng_frames(data)
+    assert np.array_equal(out[1][1:3, 1:3], opaque)
 
 
 def test_apng_delta_region_bounds_checked():
