@@ -671,3 +671,22 @@ def test_sample_frames_on_delta_apng_payload(spark):
     canvas2[0:2, 0:3] = patch
     assert rows[2].pixel_sum == int(canvas2.astype(np.int64).sum())
     assert (rows[2].width, rows[2].height, rows[2].n_frames) == (8, 6, 3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """Any (frames, channels, rate) PCM16 clip roundtrips losslessly
+    through the interleaved container."""
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    if ch == 1:
+        s = s[:, 0]
+    out, r = decode_wav(encode_wav(s, rate=rate))
+    assert r == rate
+    assert np.array_equal(out, s)
