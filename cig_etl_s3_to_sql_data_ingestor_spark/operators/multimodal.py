@@ -83,9 +83,9 @@ def make_png_codec():
         if pixels.ndim == 2:
             pixels = pixels[:, :, None]
         height, width, bpp = pixels.shape
-        color_type = {1: 0, 3: 2, 4: 6}.get(bpp)
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(bpp)
         if color_type is None:
-            raise ValueError(f"unsupported channel count {bpp} (want 1/3/4)")
+            raise ValueError(f"unsupported channel count {bpp} (want 1/2/3/4)")
         raw = bytearray()
         nb = width * bpp
         prev = np.zeros(nb, dtype=np.int32)
@@ -174,11 +174,11 @@ def make_png_codec():
                 paletted = color == 3
                 # Paletted rows are 1 byte per pixel (the index) for
                 # the filter stride; expansion happens after unfilter.
-                bpp = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+                bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
                 if depth != 8 or bpp is None or comp != 0 or interlace != 0:
                     raise NotImplementedError(
-                        "codec supports 8-bit grayscale/RGB/RGBA/palette "
-                        "non-interlaced PNG only"
+                        "codec supports 8-bit grayscale/gray+alpha/RGB/"
+                        "RGBA/palette non-interlaced PNG only"
                     )
             elif tag == b"PLTE":
                 if length % 3 or length == 0:
@@ -299,7 +299,7 @@ def make_apng_codec():
 
         height, width = frames[0].shape[:2]
         ch = 1 if frames[0].ndim == 2 else frames[0].shape[2]
-        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
         out = bytearray(b"\x89PNG\r\n\x1a\n")
         out += _chunk(
             b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
@@ -431,19 +431,22 @@ def make_apng_codec():
                 width, height, n,
             )
 
-        has_alpha = len(ihdr) >= 10 and ihdr[9] == 6
+        # Color types with an alpha channel (always stored LAST):
+        # 4 = gray+alpha, 6 = RGBA.
+        has_alpha = len(ihdr) >= 10 and ihdr[9] in (4, 6)
 
-        def over_rgba(dst, src):
-            """Exact integer source-over: alphas are a/255 rationals,
-            so out_a*255 = src_a*255 + dst_a*(255-src_a) is an exact
-            integer, and out_c = (src_a*src_c*255 + dst_a*dst_c*
-            (255-src_a)) / (out_a*255) rounds half-up — one
-            deterministic rounding rule, no floats anywhere."""
-            sa = src[:, :, 3].astype(np.int64)
-            da = dst[:, :, 3].astype(np.int64)
+        def over_alpha(dst, src):
+            """Exact integer source-over for alpha-last layouts (GA or
+            RGBA): alphas are a/255 rationals, so out_a*255 = src_a*255
+            + dst_a*(255-src_a) is an exact integer, and each color
+            channel out_c = (src_a*src_c*255 + dst_a*dst_c*(255-src_a))
+            / (out_a*255) rounds half-up — one deterministic rounding
+            rule, no floats anywhere."""
+            sa = src[:, :, -1].astype(np.int64)
+            da = dst[:, :, -1].astype(np.int64)
             na = sa * 255 + da * (255 - sa)  # = out_a * 255
             out = np.empty_like(src)
-            for c in range(3):
+            for c in range(src.shape[2] - 1):
                 num = (
                     sa * src[:, :, c].astype(np.int64) * 255
                     + da * dst[:, :, c].astype(np.int64) * (255 - sa)
@@ -451,7 +454,7 @@ def make_apng_codec():
                 out[:, :, c] = np.where(
                     na > 0, (num + na // 2) // np.maximum(na, 1), 0
                 ).astype(np.uint8)
-            out[:, :, 3] = ((na + 127) // 255).astype(np.uint8)
+            out[:, :, -1] = ((na + 127) // 255).astype(np.uint8)
             return out
 
         out = {}
@@ -468,7 +471,7 @@ def make_apng_codec():
                 )
             before = canvas[y : y + h_f, x : x + w_f].copy()
             if blend == 1 and has_alpha:
-                canvas[y : y + h_f, x : x + w_f] = over_rgba(before, sub)
+                canvas[y : y + h_f, x : x + w_f] = over_alpha(before, sub)
             else:
                 # SOURCE; OVER == SOURCE for alpha-free color types.
                 canvas[y : y + h_f, x : x + w_f] = sub

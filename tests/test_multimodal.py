@@ -121,14 +121,23 @@ def _chunk(tag, payload):
     )
 
 
-def test_decoder_rejects_unsupported_color_type():
+def test_decoder_rejects_unsupported_depth():
     import struct
 
-    # color type 4 (gray+alpha) — valid PNG, outside the codec's subset.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)
+    # 16-bit grayscale — valid PNG, outside the codec's 8-bit subset.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="grayscale"):
+    with pytest.raises(NotImplementedError, match="8-bit"):
         decode_png(data)
+
+
+def test_gray_alpha_roundtrip():
+    """Color type 4 (gray+alpha, bpp=2) roundtrips through every filter."""
+    for ft in range(5):
+        px = _pixels(14, 9, seed=60 + ft, ch=2)
+        out = decode_png(encode_png(px, filters=[ft] * 9))
+        assert out.shape == (9, 14, 2)
+        assert np.array_equal(out, px), f"filter {ft}"
 
 
 def _palette_png(idxs, palette, with_trns=False, drop_plte=False):
@@ -690,3 +699,29 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     out, r = decode_wav(encode_wav(s, rate=rate))
     assert r == rate
     assert np.array_equal(out, s)
+
+
+def test_apng_delta_over_gray_alpha():
+    """Blend OVER onto gray+alpha composites with the same exact
+    integer source-over as RGBA (alpha is the LAST channel)."""
+    base = _pixels(4, 4, seed=70, ch=2)
+    patch = _pixels(2, 2, seed=71, ch=2)
+    data = _delta_apng(
+        (4, 4), [(base, 0, 0, 0, 0), (patch, 1, 1, 0, 1)], color_type=4
+    )
+    out, _, _, _ = decode_apng_frames(data)
+
+    def py_over(dst_px, src_px):
+        sa, da = src_px[1], dst_px[1]
+        na = sa * 255 + da * (255 - sa)
+        num = sa * src_px[0] * 255 + da * dst_px[0] * (255 - sa)
+        return [(num + na // 2) // na if na else 0, (na + 127) // 255]
+
+    expect = base.astype(np.int64).copy()
+    for yy in range(2):
+        for xx in range(2):
+            expect[1 + yy, 1 + xx] = py_over(
+                [int(v) for v in base[1 + yy, 1 + xx]],
+                [int(v) for v in patch[yy, xx]],
+            )
+    assert np.array_equal(out[1], expect.astype(np.uint8))
