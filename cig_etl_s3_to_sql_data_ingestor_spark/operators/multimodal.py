@@ -362,6 +362,7 @@ def make_apng_codec():
         height = None
         streams = []
         regions = []  # (w_f, h_f, x, y, dispose, blend) per fcTL
+        default_stream = bytearray()  # IDAT seen before any fcTL
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
             tag = bytes(data[pos + 4 : pos + 8])
@@ -381,22 +382,30 @@ def make_apng_codec():
                 streams.append(bytearray())
                 regions.append((w_f, h_f, x_off, y_off, dispose, blend))
             elif tag == b"IDAT":
-                if not streams:  # plain PNG without animation chunks
-                    streams.append(bytearray())
-                    regions.append((width, height, 0, 0, 0, 0))
-                streams[-1] += payload
+                # IDAT belongs to the animation only when an fcTL
+                # preceded it (the spec's frame-0-in-IDAT form). IDAT
+                # before any fcTL is the DEFAULT IMAGE — a standalone
+                # still that is NOT part of the animation (or simply a
+                # plain PNG when no animation chunks exist at all).
+                if streams:
+                    streams[-1] += payload
+                else:
+                    default_stream += payload
             elif tag == b"fdAT":
                 if not streams:
-                    # Malformed container: frame data before any fcTL /
-                    # IDAT stream. Raise the codec's documented error
+                    # Malformed container: animation frame data before
+                    # any fcTL. Raise the codec's documented error
                     # type, not a bare IndexError from streams[-1].
-                    raise ValueError("fdAT before any fcTL/IDAT stream")
+                    raise ValueError("fdAT before any fcTL stream")
                 streams[-1] += payload[4:]  # strip the sequence number
             elif tag == b"IEND":
                 break
             pos += 12 + length
         if ihdr is None:
             raise ValueError("missing IHDR")
+        if not streams:  # plain PNG (no fcTL anywhere)
+            streams.append(default_stream)
+            regions.append((width, height, 0, 0, 0, 0))
         n = n_frames if n_frames is not None else len(streams)
         if len(streams) != n:
             raise ValueError(f"acTL declares {n} frames, found {len(streams)}")

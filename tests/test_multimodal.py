@@ -725,3 +725,36 @@ def test_apng_delta_over_gray_alpha():
                 [int(v) for v in patch[yy, xx]],
             )
     assert np.array_equal(out[1], expect.astype(np.uint8))
+
+
+def test_apng_default_image_excluded_from_animation():
+    """The spec's default-image form — IDAT before any fcTL is a
+    standalone still, with the animation carried entirely in fdAT —
+    must decode to exactly the fcTL frames, not count the still."""
+    import struct
+
+    still = _pixels(5, 4, seed=80)
+    f0 = _pixels(5, 4, seed=81)
+    f1 = _pixels(5, 4, seed=82)
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", 2, 0))
+    out += _chunk(b"IDAT", _idat_payload(encode_png(still)))  # default image
+    seq = 0
+    for fr in (f0, f1):
+        out += _chunk(
+            b"fcTL", struct.pack(">IIIIIHHBB", seq, 5, 4, 0, 0, 1, 10, 0, 0)
+        )
+        seq += 1
+        out += _chunk(
+            b"fdAT", struct.pack(">I", seq) + _idat_payload(encode_png(fr))
+        )
+        seq += 1
+    data = bytes(out + _chunk(b"IEND", b""))
+
+    frames, w, h, n = decode_apng_frames(data)
+    assert (w, h, n) == (5, 4, 2)
+    assert np.array_equal(frames[0], f0)
+    assert np.array_equal(frames[1], f1)
+    # the plain-PNG decoder still sees the default image (frame-0 path)
+    assert np.array_equal(decode_png(data), still)
