@@ -175,10 +175,15 @@ def make_png_codec():
                 # Paletted rows are 1 byte per pixel (the index) for
                 # the filter stride; expansion happens after unfilter.
                 bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-                if depth != 8 or bpp is None or comp != 0 or interlace != 0:
+                # Sub-8-bit depths (1/2/4) are legal for gray and
+                # palette — the icon/thumbnail formats; samples unpack
+                # MSB-first after unfiltering.
+                depth_ok = depth == 8 or (depth in (1, 2, 4) and color in (0, 3))
+                if not depth_ok or bpp is None or comp != 0 or interlace != 0:
                     raise NotImplementedError(
                         "codec supports 8-bit grayscale/gray+alpha/RGB/"
-                        "RGBA/palette non-interlaced PNG only"
+                        "RGBA/palette (plus 1/2/4-bit gray and palette) "
+                        "non-interlaced PNG only"
                     )
             elif tag == b"PLTE":
                 if length % 3 or length == 0:
@@ -199,7 +204,15 @@ def make_png_codec():
         if paletted and palette is None:
             raise ValueError("paletted PNG missing PLTE")
         raw = zlib.decompress(bytes(idat))
-        nb = width * bpp  # bytes per scanline (sans filter byte)
+        if depth == 8:
+            nb = width * bpp  # bytes per scanline (sans filter byte)
+            f_units, f_bpp = width, bpp  # filter geometry: pixels x bytes
+        else:
+            # Sub-8-bit: the scanline packs ceil(w*d/8) bytes and the
+            # filter's "left neighbor" is ONE byte back (spec: bpp
+            # rounds up to 1 byte).
+            nb = (width * depth + 7) // 8
+            f_units, f_bpp = nb, 1
         stride = nb + 1
         if len(raw) != stride * height:
             raise ValueError("PNG decoded stream length mismatch")
@@ -213,25 +226,25 @@ def make_png_codec():
             if ft == 0:  # None
                 rec = line
             elif ft == 1:  # Sub: per-channel prefix sum of filtered bytes
-                rec = (np.cumsum(line.reshape(width, bpp), axis=0) % 256).reshape(nb)
+                rec = (np.cumsum(line.reshape(f_units, f_bpp), axis=0) % 256).reshape(nb)
             elif ft == 2:  # Up
                 rec = (line + prev) % 256
             elif ft == 3:  # Average (left recurrence -> per pixel, channels vectorized)
-                ln = line.reshape(width, bpp)
-                pv = prev.reshape(width, bpp)
-                rec2 = np.empty((width, bpp), dtype=np.int64)
-                left = np.zeros(bpp, dtype=np.int64)
-                for x in range(width):
+                ln = line.reshape(f_units, f_bpp)
+                pv = prev.reshape(f_units, f_bpp)
+                rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
+                left = np.zeros(f_bpp, dtype=np.int64)
+                for x in range(f_units):
                     left = (ln[x] + ((left + pv[x]) >> 1)) % 256
                     rec2[x] = left
                 rec = rec2.reshape(nb)
             elif ft == 4:  # Paeth (left recurrence -> per pixel, channels vectorized)
-                ln = line.reshape(width, bpp)
-                pv = prev.reshape(width, bpp)
-                rec2 = np.empty((width, bpp), dtype=np.int64)
-                left = np.zeros(bpp, dtype=np.int64)
-                ul = np.zeros(bpp, dtype=np.int64)
-                for x in range(width):
+                ln = line.reshape(f_units, f_bpp)
+                pv = prev.reshape(f_units, f_bpp)
+                rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
+                left = np.zeros(f_bpp, dtype=np.int64)
+                ul = np.zeros(f_bpp, dtype=np.int64)
+                for x in range(f_units):
                     up = pv[x]
                     p = left + up - ul
                     pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
@@ -246,6 +259,19 @@ def make_png_codec():
                 raise ValueError(f"unknown PNG filter type {ft}")
             out[y] = rec.astype(np.uint8)
             prev = rec
+        if depth < 8:
+            # Unpack MSB-first d-bit samples; drop the row's padding bits.
+            bits = np.unpackbits(out, axis=1)[:, : width * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+            samples = (
+                bits.reshape(height, width, depth).astype(np.int64) * weights
+            ).sum(axis=2)
+            if paletted:
+                if int(samples.max(initial=0)) >= len(palette):
+                    raise ValueError("palette index out of range")
+                return palette[samples]
+            # Gray scaling: left-bit replication == exact v*255/(2^d-1).
+            return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
         if paletted:
             idxs = out.reshape(height, width)
             if int(idxs.max(initial=0)) >= len(palette):

@@ -758,3 +758,71 @@ def test_apng_default_image_excluded_from_animation():
     assert np.array_equal(frames[1], f1)
     # the plain-PNG decoder still sees the default image (frame-0 path)
     assert np.array_equal(decode_png(data), still)
+
+
+def _sub8_png(samples, depth, color_type, palette=None, filters=None):
+    """Hand-built sub-8-bit PNG: pack d-bit samples MSB-first per row,
+    then apply byte-level filters (bpp=1 per spec)."""
+    import struct
+    import zlib
+
+    h, w = samples.shape
+    nb = (w * depth + 7) // 8
+    rows = []
+    for y in range(h):
+        bits = np.zeros(nb * 8, dtype=np.uint8)
+        for x in range(w):
+            v = int(samples[y, x])
+            for b in range(depth):
+                bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+        rows.append(np.packbits(bits)[:nb].astype(np.int64))
+    raw = bytearray()
+    prev = np.zeros(nb, dtype=np.int64)
+    for y, row in enumerate(rows):
+        ft = 0 if filters is None else filters[y]
+        left = np.concatenate(([0], row[:-1])) if nb > 1 else np.zeros(nb, dtype=np.int64)
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - ((left + prev) // 2)
+        else:
+            ul = np.concatenate(([0], prev[:-1])) if nb > 1 else np.zeros(nb, dtype=np.int64)
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8bit_gray_png_decodes_with_bit_replication(depth):
+    """1/2/4-bit grayscale unpacks MSB-first and scales by the exact
+    255/(2^d-1) replication factor, across all filters."""
+    rng = np.random.default_rng(depth)
+    samples = rng.integers(0, 1 << depth, size=(7, 19), dtype=np.uint8)
+    filters = [(y % 5) for y in range(7)]
+    out = decode_png(_sub8_png(samples, depth, 0, filters=filters))
+    assert out.shape == (7, 19)
+    assert np.array_equal(out, samples * (255 // ((1 << depth) - 1)))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub8bit_palette_png_decodes_through_plte(depth):
+    rng = np.random.default_rng(10 + depth)
+    palette = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    samples = rng.integers(0, 1 << depth, size=(5, 13), dtype=np.uint8)
+    out = decode_png(_sub8_png(samples, depth, 3, palette=palette))
+    assert out.shape == (5, 13, 3)
+    assert np.array_equal(out, palette[samples])
