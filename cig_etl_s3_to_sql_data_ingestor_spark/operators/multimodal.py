@@ -143,9 +143,11 @@ def make_png_codec():
         spec's ``bpp``-strided left neighbor. Palette images (color
         type 3) decode through the PLTE lookup to ``(h, w, 3)`` RGB —
         their indices filter as bpp=1 per the spec. A tRNS chunk is
-        rejected loudly for EVERY color type (palette alpha table, or
-        the single transparent color on gray/RGB): decoding such a file
-        as opaque would silently drop its alpha semantics."""
+        DECODED, never dropped: palette alpha tables yield
+        ``(h, w, 4)`` RGBA (missing entries default to opaque per
+        spec), and the single transparent sample on gray/RGB adds an
+        explicit alpha channel (``(h, w, 2)`` / ``(h, w, 4)``) with 0
+        at matching pixels — alpha semantics always survive decode."""
         import struct
         import zlib
 
@@ -157,6 +159,8 @@ def make_png_codec():
         width = height = bpp = None
         paletted = False
         palette = None
+        trns = None
+        color = None
         idat = bytearray()
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -190,10 +194,11 @@ def make_png_codec():
                     raise ValueError("PLTE length must be a positive multiple of 3")
                 palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"tRNS":
-                raise NotImplementedError(
-                    "tRNS transparency is not supported (any color type) "
-                    "— decoding it as opaque would silently drop alpha"
-                )
+                if color in (4, 6):
+                    raise ValueError(
+                        "tRNS is invalid on color types with an alpha channel"
+                    )
+                trns = payload
             elif tag == b"IDAT":
                 idat.extend(payload)
             elif tag == b"IEND":
@@ -259,6 +264,27 @@ def make_png_codec():
                 raise ValueError(f"unknown PNG filter type {ft}")
             out[y] = rec.astype(np.uint8)
             prev = rec
+        def palette_expand(idxs):
+            if int(idxs.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            rgb = palette[idxs]
+            if trns is None:
+                return rgb  # (h, w, 3)
+            # Per-index alpha table; entries beyond it are opaque (spec).
+            at = np.full(len(palette), 255, dtype=np.uint8)
+            k = min(len(trns), len(palette))
+            at[:k] = np.frombuffer(trns[:k], dtype=np.uint8)
+            return np.dstack([rgb, at[idxs]])  # (h, w, 4)
+
+        def gray_alpha(samples_raw, gray8):
+            if trns is None:
+                return gray8  # (h, w)
+            # 2-byte big-endian transparent SAMPLE value, compared at
+            # the stored sample depth (pre-scaling).
+            (tv,) = struct.unpack(">H", trns[:2])
+            alpha = np.where(samples_raw == tv, 0, 255).astype(np.uint8)
+            return np.dstack([gray8, alpha])  # (h, w, 2)
+
         if depth < 8:
             # Unpack MSB-first d-bit samples; drop the row's padding bits.
             bits = np.unpackbits(out, axis=1)[:, : width * depth]
@@ -267,19 +293,29 @@ def make_png_codec():
                 bits.reshape(height, width, depth).astype(np.int64) * weights
             ).sum(axis=2)
             if paletted:
-                if int(samples.max(initial=0)) >= len(palette):
-                    raise ValueError("palette index out of range")
-                return palette[samples]
+                return palette_expand(samples)
             # Gray scaling: left-bit replication == exact v*255/(2^d-1).
-            return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            gray8 = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            return gray_alpha(samples, gray8)
         if paletted:
-            idxs = out.reshape(height, width)
-            if int(idxs.max(initial=0)) >= len(palette):
-                raise ValueError("palette index out of range")
-            return palette[idxs]  # (h, w, 3) RGB expansion
+            return palette_expand(out.reshape(height, width))
         if bpp == 1:
-            return out.reshape(height, width)
-        return out.reshape(height, width, bpp)
+            gray8 = out.reshape(height, width)
+            return gray_alpha(gray8.astype(np.int64), gray8)
+        rgb = out.reshape(height, width, bpp)
+        if bpp == 3 and trns is not None:
+            # 3 x 2-byte big-endian transparent RGB sample (low bytes
+            # carry the 8-bit values); a pixel is transparent only when
+            # all three channels match.
+            tr, tg, tb = struct.unpack(">HHH", trns[:6])
+            match = (
+                (rgb[:, :, 0] == (tr & 0xFF))
+                & (rgb[:, :, 1] == (tg & 0xFF))
+                & (rgb[:, :, 2] == (tb & 0xFF))
+            )
+            alpha = np.where(match, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])  # (h, w, 4)
+        return rgb
 
     return encode_png, decode_png
 

@@ -168,18 +168,69 @@ def test_palette_png_decodes_through_plte():
     assert np.array_equal(out, palette[idxs])
 
 
+def test_palette_trns_decodes_to_rgba():
+    """A palette tRNS alpha table (the common transparent-web-PNG form)
+    decodes to RGBA — alpha semantics survive, never dropped."""
+    rng = np.random.default_rng(6)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 4, size=(3, 3), dtype=np.uint8)
+    out = decode_png(_palette_png(idxs, palette, with_trns=True))
+    assert out.shape == (3, 3, 4)
+    assert np.array_equal(out[:, :, :3], palette[idxs])
+    assert (out[:, :, 3] == 128).all()  # the test table sets every alpha
+
+
 def test_palette_png_rejections_are_loud():
     rng = np.random.default_rng(6)
     palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
     idxs = rng.integers(0, 4, size=(3, 3), dtype=np.uint8)
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        decode_png(_palette_png(idxs, palette, with_trns=True))
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(_palette_png(idxs, palette, drop_plte=True))
     bad = idxs.copy()
     bad[0, 0] = 9  # beyond the 4-entry palette
     with pytest.raises(ValueError, match="index out of range"):
         decode_png(_palette_png(bad, palette))
+
+
+def test_gray_and_rgb_trns_add_alpha_channel():
+    """Gray/RGB single-transparent-sample tRNS decodes to an explicit
+    alpha channel with 0 exactly at matching pixels."""
+    import struct
+    import zlib
+
+    # Gray depth 8: transparent value 7.
+    g = np.array([[7, 8], [9, 7]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"tRNS", struct.pack(">H", 7))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 2)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], np.where(g == 7, 0, 255))
+
+    # RGB depth 8: transparent color (1, 2, 3).
+    px = np.array(
+        [[[1, 2, 3], [1, 2, 4]], [[9, 9, 9], [1, 2, 3]]], dtype=np.uint8
+    )
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 4)
+    assert np.array_equal(out[:, :, :3], px)
+    assert np.array_equal(
+        out[:, :, 3], np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    )
 
 
 def test_attach_png_payloads_are_real_pngs(spark, sf_dir):
