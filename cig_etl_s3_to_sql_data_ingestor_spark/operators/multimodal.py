@@ -68,8 +68,10 @@ def make_png_codec():
     """
 
     def encode_png(pixels, filters=None):
-        """pixels: uint8 array, ``(h, w)`` grayscale or ``(h, w, ch)``
-        with ch in {1, 3, 4} → PNG bytes (color type 0/0/2/6).
+        """pixels: ``(h, w)`` grayscale or ``(h, w, ch)`` with ch in
+        {1, 2, 3, 4} → PNG bytes (color type 0/4/2/6). uint8 input
+        encodes at depth 8; uint16 input encodes at depth 16 (big-
+        endian samples per spec).
 
         ``filters``: optional per-row filter-type list; default cycles
         y % 3 over None/Sub/Up so decoding always exercises real
@@ -82,16 +84,24 @@ def make_png_codec():
 
         if pixels.ndim == 2:
             pixels = pixels[:, :, None]
-        height, width, bpp = pixels.shape
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(bpp)
+        height, width, ch = pixels.shape
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
         if color_type is None:
-            raise ValueError(f"unsupported channel count {bpp} (want 1/2/3/4)")
+            raise ValueError(f"unsupported channel count {ch} (want 1/2/3/4)")
+        depth = 16 if pixels.dtype == np.uint16 else 8
+        # Filters operate on the BYTE stream; bpp is bytes per pixel.
+        bpp = ch * (depth // 8)
         raw = bytearray()
         nb = width * bpp
         prev = np.zeros(nb, dtype=np.int32)
         zeros = np.zeros(bpp, dtype=np.int32)
         for y in range(height):
-            row = pixels[y].astype(np.int32).reshape(nb)
+            if depth == 16:
+                row = np.frombuffer(
+                    pixels[y].astype(">u2").tobytes(), dtype=np.uint8
+                ).astype(np.int32)
+            else:
+                row = pixels[y].astype(np.int32).reshape(nb)
             ft = (y % 3) if filters is None else filters[y]
             left = np.concatenate((zeros, row[:-bpp])) if nb > bpp else (
                 np.zeros(nb, dtype=np.int32)
@@ -128,7 +138,7 @@ def make_png_codec():
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
@@ -176,17 +186,20 @@ def make_png_codec():
                     ">IIBBBBB", payload
                 )
                 paletted = color == 3
-                # Paletted rows are 1 byte per pixel (the index) for
-                # the filter stride; expansion happens after unfilter.
+                # Channel count per color type (palette = 1 index).
                 bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-                # Sub-8-bit depths (1/2/4) are legal for gray and
-                # palette — the icon/thumbnail formats; samples unpack
-                # MSB-first after unfiltering.
-                depth_ok = depth == 8 or (depth in (1, 2, 4) and color in (0, 3))
+                # Legal depths: 8 everywhere; 1/2/4 for gray and
+                # palette (icons — MSB-first unpack after unfilter);
+                # 16 for the non-palette types (big-endian samples).
+                depth_ok = (
+                    depth == 8
+                    or (depth in (1, 2, 4) and color in (0, 3))
+                    or (depth == 16 and color in (0, 2, 4, 6))
+                )
                 if not depth_ok or bpp is None or comp != 0 or interlace != 0:
                     raise NotImplementedError(
-                        "codec supports 8-bit grayscale/gray+alpha/RGB/"
-                        "RGBA/palette (plus 1/2/4-bit gray and palette) "
+                        "codec supports 8/16-bit grayscale/gray+alpha/RGB/"
+                        "RGBA and 1/2/4/8-bit palette or gray, "
                         "non-interlaced PNG only"
                     )
             elif tag == b"PLTE":
@@ -209,9 +222,11 @@ def make_png_codec():
         if paletted and palette is None:
             raise ValueError("paletted PNG missing PLTE")
         raw = zlib.decompress(bytes(idat))
-        if depth == 8:
-            nb = width * bpp  # bytes per scanline (sans filter byte)
-            f_units, f_bpp = width, bpp  # filter geometry: pixels x bytes
+        if depth in (8, 16):
+            # bytes per scanline (sans filter byte); the filter's left
+            # neighbor sits a full PIXEL of bytes back.
+            nb = width * bpp * (depth // 8)
+            f_units, f_bpp = width, bpp * (depth // 8)
         else:
             # Sub-8-bit: the scanline packs ceil(w*d/8) bytes and the
             # filter's "left neighbor" is ONE byte back (spec: bpp
@@ -297,6 +312,27 @@ def make_png_codec():
             # Gray scaling: left-bit replication == exact v*255/(2^d-1).
             gray8 = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
             return gray_alpha(samples, gray8)
+        if depth == 16:
+            u16 = (
+                (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
+            ).reshape(height, width, bpp)
+            if bpp == 1:
+                g = u16[:, :, 0]
+                if trns is not None:
+                    (tv,) = struct.unpack(">H", trns[:2])
+                    alpha = np.where(g == tv, 0, 65535).astype(np.uint16)
+                    return np.dstack([g, alpha])
+                return g
+            if bpp == 3 and trns is not None:
+                tr, tg, tb = struct.unpack(">HHH", trns[:6])
+                match = (
+                    (u16[:, :, 0] == tr)
+                    & (u16[:, :, 1] == tg)
+                    & (u16[:, :, 2] == tb)
+                )
+                alpha = np.where(match, 0, 65535).astype(np.uint16)
+                return np.dstack([u16, alpha])
+            return u16
         if paletted:
             return palette_expand(out.reshape(height, width))
         if bpp == 1:

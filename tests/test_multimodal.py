@@ -121,14 +121,33 @@ def _chunk(tag, payload):
     )
 
 
-def test_decoder_rejects_unsupported_depth():
+def test_decoder_rejects_interlace_and_bad_depth_combos():
     import struct
 
-    # 16-bit grayscale — valid PNG, outside the codec's 8-bit subset.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # Adam7 interlace — valid PNG, outside the codec's subset.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="8-bit"):
+    with pytest.raises(NotImplementedError, match="non-interlaced"):
         decode_png(data)
+
+    # depth 2 RGB — illegal combination per the spec.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
+    data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(data)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_16bit_roundtrip_all_color_types(ch):
+    """Depth-16 (big-endian samples, 2-byte-strided filters) roundtrips
+    for every non-palette color type; gray returns 2-D uint16."""
+    rng = np.random.default_rng(90 + ch)
+    shape = (5, 11) if ch == 1 else (5, 11, ch)
+    px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    for ft in range(5):
+        out = decode_png(encode_png(px, filters=[ft] * 5))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, px), f"ch {ch} filter {ft}"
 
 
 def test_gray_alpha_roundtrip():
