@@ -10,9 +10,11 @@ batches. This generalizes the reference's binary-column neutralization
 (`/root/reference/CigEolHostingIngestionLogic.py:120-128` turns `Logo`/
 `Picture` into constants) into genuine byte→pixel work.
 
-The image path is REAL: a pure-stdlib (zlib/struct) + numpy PNG codec —
-8-bit grayscale/RGB/RGBA/palette (color types 0/2/6/3; palette expands
-through PLTE to RGB on decode), filters 0–4
+The image path is REAL: a pure-stdlib (zlib/struct) + numpy PNG codec
+covering the full integer-PNG matrix — all five color types
+(gray/gray+alpha/RGB/RGBA/palette-via-PLTE) at 8-bit, 1/2/4-bit gray
+and palette, 16-bit non-palette, tRNS transparency decoded to an
+explicit alpha channel, Adam7 interlace, filters 0–4
 (None/Sub/Up/Average/Paeth) over the bpp-strided byte stream, per-chunk
 CRC validation — decodes actual pixel data inside the batch functions,
 and every downstream statistic (pixel sums, nearest-neighbor resize,
@@ -171,6 +173,7 @@ def make_png_codec():
         palette = None
         trns = None
         color = None
+        interlace = 0
         idat = bytearray()
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -196,11 +199,11 @@ def make_png_codec():
                     or (depth in (1, 2, 4) and color in (0, 3))
                     or (depth == 16 and color in (0, 2, 4, 6))
                 )
-                if not depth_ok or bpp is None or comp != 0 or interlace != 0:
+                if not depth_ok or bpp is None or comp != 0 or interlace not in (0, 1):
                     raise NotImplementedError(
                         "codec supports 8/16-bit grayscale/gray+alpha/RGB/"
-                        "RGBA and 1/2/4/8-bit palette or gray, "
-                        "non-interlaced PNG only"
+                        "RGBA and 1/2/4/8-bit palette or gray PNG only "
+                        "(non-interlaced or Adam7)"
                     )
             elif tag == b"PLTE":
                 if length % 3 or length == 0:
@@ -222,63 +225,127 @@ def make_png_codec():
         if paletted and palette is None:
             raise ValueError("paletted PNG missing PLTE")
         raw = zlib.decompress(bytes(idat))
-        if depth in (8, 16):
-            # bytes per scanline (sans filter byte); the filter's left
-            # neighbor sits a full PIXEL of bytes back.
-            nb = width * bpp * (depth // 8)
-            f_units, f_bpp = width, bpp * (depth // 8)
+
+        def scan_geometry(w_px):
+            """(scanline bytes, filter units, filter stride) for a
+            w_px-pixel-wide image or interlace pass."""
+            if depth in (8, 16):
+                # The filter's left neighbor sits a full PIXEL of
+                # bytes back.
+                return w_px * bpp * (depth // 8), w_px, bpp * (depth // 8)
+            # Sub-8-bit: ceil(w*d/8) packed bytes; the "left neighbor"
+            # is ONE byte back (spec: bpp rounds up to 1 byte).
+            return (w_px * depth + 7) // 8, (w_px * depth + 7) // 8, 1
+
+        def unfilter(buf, off, n_rows, w_px):
+            """Reverse filters 0-4 over ``n_rows`` scanlines of a
+            ``w_px``-wide image/pass starting at byte ``off``; returns
+            ((n_rows, nb) reconstructed bytes, bytes consumed)."""
+            nb, f_units, f_bpp = scan_geometry(w_px)
+            stride = nb + 1
+            if off + stride * n_rows > len(buf):
+                raise ValueError("PNG decoded stream length mismatch")
+            out = np.empty((n_rows, nb), dtype=np.uint8)
+            prev = np.zeros(nb, dtype=np.int64)
+            for y in range(n_rows):
+                ft = buf[off + y * stride]
+                line = np.frombuffer(
+                    buf, dtype=np.uint8, count=nb, offset=off + y * stride + 1
+                ).astype(np.int64)
+                if ft == 0:  # None
+                    rec = line
+                elif ft == 1:  # Sub: per-channel prefix sum of filtered bytes
+                    rec = (
+                        np.cumsum(line.reshape(f_units, f_bpp), axis=0) % 256
+                    ).reshape(nb)
+                elif ft == 2:  # Up
+                    rec = (line + prev) % 256
+                elif ft == 3:  # Average (left recurrence -> per pixel)
+                    ln = line.reshape(f_units, f_bpp)
+                    pv = prev.reshape(f_units, f_bpp)
+                    rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
+                    left = np.zeros(f_bpp, dtype=np.int64)
+                    for x in range(f_units):
+                        left = (ln[x] + ((left + pv[x]) >> 1)) % 256
+                        rec2[x] = left
+                    rec = rec2.reshape(nb)
+                elif ft == 4:  # Paeth (left recurrence -> per pixel)
+                    ln = line.reshape(f_units, f_bpp)
+                    pv = prev.reshape(f_units, f_bpp)
+                    rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
+                    left = np.zeros(f_bpp, dtype=np.int64)
+                    ul = np.zeros(f_bpp, dtype=np.int64)
+                    for x in range(f_units):
+                        up = pv[x]
+                        p = left + up - ul
+                        pa, pb, pc = (
+                            np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                        )
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, up, ul),
+                        )
+                        left = (ln[x] + pred) % 256
+                        rec2[x] = left
+                        ul = up
+                    rec = rec2.reshape(nb)
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                out[y] = rec.astype(np.uint8)
+                prev = rec
+            return out, stride * n_rows
+
+        def rows_to_samples(rows_bytes, n_rows, w_px):
+            """(n_rows, nb) reconstructed bytes → int64 sample array at
+            STORAGE resolution: (n_rows, w_px) for 1-channel/palette,
+            (n_rows, w_px, channels) otherwise."""
+            if depth < 8:
+                bits = np.unpackbits(rows_bytes, axis=1)[:, : w_px * depth]
+                weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+                return (
+                    bits.reshape(n_rows, w_px, depth).astype(np.int64) * weights
+                ).sum(axis=2)
+            if depth == 16:
+                u16 = (
+                    (rows_bytes[:, 0::2].astype(np.int64) << 8)
+                    | rows_bytes[:, 1::2]
+                ).reshape(n_rows, w_px, bpp)
+                return u16[:, :, 0] if bpp == 1 else u16
+            s8 = rows_bytes.astype(np.int64)
+            return (
+                s8.reshape(n_rows, w_px)
+                if bpp == 1
+                else s8.reshape(n_rows, w_px, bpp)
+            )
+
+        if interlace == 0:
+            full, used = unfilter(raw, 0, height, width)
+            if used != len(raw):
+                raise ValueError("PNG decoded stream length mismatch")
+            samples = rows_to_samples(full, height, width)
         else:
-            # Sub-8-bit: the scanline packs ceil(w*d/8) bytes and the
-            # filter's "left neighbor" is ONE byte back (spec: bpp
-            # rounds up to 1 byte).
-            nb = (width * depth + 7) // 8
-            f_units, f_bpp = nb, 1
-        stride = nb + 1
-        if len(raw) != stride * height:
-            raise ValueError("PNG decoded stream length mismatch")
-        out = np.empty((height, nb), dtype=np.uint8)
-        prev = np.zeros(nb, dtype=np.int64)
-        for y in range(height):
-            ft = raw[y * stride]
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=nb, offset=y * stride + 1
-            ).astype(np.int64)
-            if ft == 0:  # None
-                rec = line
-            elif ft == 1:  # Sub: per-channel prefix sum of filtered bytes
-                rec = (np.cumsum(line.reshape(f_units, f_bpp), axis=0) % 256).reshape(nb)
-            elif ft == 2:  # Up
-                rec = (line + prev) % 256
-            elif ft == 3:  # Average (left recurrence -> per pixel, channels vectorized)
-                ln = line.reshape(f_units, f_bpp)
-                pv = prev.reshape(f_units, f_bpp)
-                rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
-                left = np.zeros(f_bpp, dtype=np.int64)
-                for x in range(f_units):
-                    left = (ln[x] + ((left + pv[x]) >> 1)) % 256
-                    rec2[x] = left
-                rec = rec2.reshape(nb)
-            elif ft == 4:  # Paeth (left recurrence -> per pixel, channels vectorized)
-                ln = line.reshape(f_units, f_bpp)
-                pv = prev.reshape(f_units, f_bpp)
-                rec2 = np.empty((f_units, f_bpp), dtype=np.int64)
-                left = np.zeros(f_bpp, dtype=np.int64)
-                ul = np.zeros(f_bpp, dtype=np.int64)
-                for x in range(f_units):
-                    up = pv[x]
-                    p = left + up - ul
-                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                    )
-                    left = (ln[x] + pred) % 256
-                    rec2[x] = left
-                    ul = up
-                rec = rec2.reshape(nb)
-            else:
-                raise ValueError(f"unknown PNG filter type {ft}")
-            out[y] = rec.astype(np.uint8)
-            prev = rec
+            # Adam7: seven passes, each an independently-filtered
+            # sub-image; scatter each pass's samples onto the canvas.
+            shape = (
+                (height, width) if bpp == 1 else (height, width, bpp)
+            )
+            samples = np.zeros(shape, dtype=np.int64)
+            off = 0
+            for x0, y0, xs, ys in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                pw = max(0, (width - x0 + xs - 1) // xs)
+                ph = max(0, (height - y0 + ys - 1) // ys)
+                if pw == 0 or ph == 0:
+                    continue  # empty pass contributes no scanlines
+                rows_bytes, used = unfilter(raw, off, ph, pw)
+                off += used
+                samples[y0::ys, x0::xs] = rows_to_samples(rows_bytes, ph, pw)
+            if off != len(raw):
+                raise ValueError("PNG decoded stream length mismatch")
+
         def palette_expand(idxs):
             if int(idxs.max(initial=0)) >= len(palette):
                 raise ValueError("palette index out of range")
@@ -301,28 +368,19 @@ def make_png_codec():
             return np.dstack([gray8, alpha])  # (h, w, 2)
 
         if depth < 8:
-            # Unpack MSB-first d-bit samples; drop the row's padding bits.
-            bits = np.unpackbits(out, axis=1)[:, : width * depth]
-            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
-            samples = (
-                bits.reshape(height, width, depth).astype(np.int64) * weights
-            ).sum(axis=2)
             if paletted:
                 return palette_expand(samples)
             # Gray scaling: left-bit replication == exact v*255/(2^d-1).
             gray8 = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
             return gray_alpha(samples, gray8)
         if depth == 16:
-            u16 = (
-                (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
-            ).reshape(height, width, bpp)
+            u16 = samples.astype(np.uint16)
             if bpp == 1:
-                g = u16[:, :, 0]
                 if trns is not None:
                     (tv,) = struct.unpack(">H", trns[:2])
-                    alpha = np.where(g == tv, 0, 65535).astype(np.uint16)
-                    return np.dstack([g, alpha])
-                return g
+                    alpha = np.where(u16 == tv, 0, 65535).astype(np.uint16)
+                    return np.dstack([u16, alpha])
+                return u16
             if bpp == 3 and trns is not None:
                 tr, tg, tb = struct.unpack(">HHH", trns[:6])
                 match = (
@@ -334,11 +392,11 @@ def make_png_codec():
                 return np.dstack([u16, alpha])
             return u16
         if paletted:
-            return palette_expand(out.reshape(height, width))
+            return palette_expand(samples)
         if bpp == 1:
-            gray8 = out.reshape(height, width)
-            return gray_alpha(gray8.astype(np.int64), gray8)
-        rgb = out.reshape(height, width, bpp)
+            gray8 = samples.astype(np.uint8)
+            return gray_alpha(samples, gray8)
+        rgb = samples.astype(np.uint8)
         if bpp == 3 and trns is not None:
             # 3 x 2-byte big-endian transparent RGB sample (low bytes
             # carry the 8-bit values); a pixel is transparent only when

@@ -121,20 +121,71 @@ def _chunk(tag, payload):
     )
 
 
-def test_decoder_rejects_interlace_and_bad_depth_combos():
+def test_decoder_rejects_bad_depth_combos():
     import struct
-
-    # Adam7 interlace — valid PNG, outside the codec's subset.
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="non-interlaced"):
-        decode_png(data)
 
     # depth 2 RGB — illegal combination per the spec.
     ihdr = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
     data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(data)
+
+
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_png(px, filters_cycle=True):
+    """Hand-built Adam7-interlaced PNG (8-bit, any channel layout):
+    split pixels into the seven passes, filter each pass's scanlines
+    independently (cycling None/Sub/Up when filters_cycle)."""
+    import struct
+    import zlib
+
+    if px.ndim == 2:
+        px3 = px[:, :, None]
+    else:
+        px3 = px
+    h, w, ch = px3.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    for x0, y0, xs, ys in ADAM7:
+        sub = px3[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        nb = pw * ch
+        prev = np.zeros(nb, dtype=np.int64)
+        for y in range(ph):
+            row = sub[y].astype(np.int64).reshape(nb)
+            ft = (y % 3) if filters_cycle else 0
+            left = (
+                np.concatenate((np.zeros(ch, dtype=np.int64), row[:-ch]))
+                if nb > ch
+                else np.zeros(nb, dtype=np.int64)
+            )
+            filt = (row, row - left, row - prev)[ft]
+            raw.append(ft)
+            raw.extend((filt % 256).astype(np.uint8).tobytes())
+            prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_adam7_interlaced_decode(ch):
+    """Adam7 passes deinterlace back to the original image for gray,
+    RGB and RGBA — including canvases smaller than one 8x8 tile."""
+    for w, h in [(13, 9), (3, 2), (8, 8), (1, 1)]:
+        px = _pixels(w, h, seed=ch * 100 + w, ch=None if ch == 1 else ch)
+        out = decode_png(_adam7_png(px))
+        assert np.array_equal(out, px), (ch, w, h)
 
 
 @pytest.mark.parametrize("ch", [1, 2, 3, 4])
