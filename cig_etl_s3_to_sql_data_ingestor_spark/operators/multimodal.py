@@ -705,10 +705,20 @@ def make_wav_codec():
                 fmt_code, channels, rate, _brate, _align, bits = struct.unpack(
                     "<HHIIHH", payload[:16]
                 )
+                if fmt_code == 0xFFFE and len(payload) >= 40:
+                    # WAVE_FORMAT_EXTENSIBLE (how >2-channel and 24-bit
+                    # files are typically written): the real format is
+                    # the SubFormat GUID; its first two bytes are the
+                    # wrapped format code (1 = integer PCM). wValidBits
+                    # (payload[18:20]) may be below the container width
+                    # — samples are already MSB-aligned, so the integer
+                    # decode is unchanged.
+                    (fmt_code,) = struct.unpack("<H", payload[24:26])
                 if fmt_code != 1 or bits not in (8, 16, 24) or channels < 1:
                     raise NotImplementedError(
                         "codec supports integer PCM 8/16/24-bit only "
-                        "(PCM16 is the native encode width)"
+                        "(plain or WAVE_FORMAT_EXTENSIBLE; PCM16 is the "
+                        "native encode width)"
                     )
             elif tag == b"data":
                 pcm = payload

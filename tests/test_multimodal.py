@@ -947,3 +947,32 @@ def test_sub8bit_palette_png_decodes_through_plte(depth):
     out = decode_png(_sub8_png(samples, depth, 3, palette=palette))
     assert out.shape == (5, 13, 3)
     assert np.array_equal(out, palette[samples])
+
+
+def test_wav_extensible_pcm_decodes():
+    """WAVE_FORMAT_EXTENSIBLE wrapping integer PCM (the typical 24-bit
+    and >2-channel container) decodes like plain PCM; extensible
+    wrapping a float SubFormat stays rejected."""
+    import struct
+
+    def ext_container(sub_fmt, channels, bits, payload, rate=48000):
+        # 40-byte fmt: base(16) + cbSize(2) + validbits(2) + mask(4) + GUID(16)
+        guid = struct.pack("<H", sub_fmt) + bytes(14)
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + guid
+        return (
+            b"RIFF" + struct.pack("<I", 36 + 24 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    s = (np.arange(12, dtype=np.int64) * 997 % 65536 - 32768).astype(np.int16)
+    stereo = s.reshape(6, 2)
+    out, rate = decode_wav(ext_container(1, 2, 16, stereo.tobytes()))
+    assert rate == 48000
+    assert np.array_equal(out, stereo)
+
+    with pytest.raises(NotImplementedError, match="integer PCM"):
+        decode_wav(ext_container(3, 2, 32, b""))  # IEEE float SubFormat
