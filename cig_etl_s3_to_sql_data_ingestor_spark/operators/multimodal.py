@@ -90,6 +90,13 @@ def make_png_codec():
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
         if color_type is None:
             raise ValueError(f"unsupported channel count {ch} (want 1/2/3/4)")
+        if pixels.dtype not in (np.uint8, np.uint16):
+            # Depth is dispatched on dtype; any other integer dtype
+            # would silently wrap mod 256 below — reject instead.
+            raise ValueError(
+                f"encode_png wants uint8 (depth 8) or uint16 (depth 16) "
+                f"pixels, got {pixels.dtype}"
+            )
         depth = 16 if pixels.dtype == np.uint16 else 8
         # Filters operate on the BYTE stream; bpp is bytes per pixel.
         bpp = ch * (depth // 8)
@@ -519,6 +526,8 @@ def make_apng_codec():
         streams = []
         regions = []  # (w_f, h_f, x, y, dispose, blend) per fcTL
         default_stream = bytearray()  # IDAT seen before any fcTL
+        plte = None  # ancillary-but-critical chunks the per-frame
+        trns_chunk = None  # mini-PNGs must carry (palette, transparency)
         while pos + 12 <= len(data):
             (length,) = struct.unpack(">I", data[pos : pos + 4])
             tag = bytes(data[pos + 4 : pos + 8])
@@ -531,6 +540,10 @@ def make_apng_codec():
                 width, height = struct.unpack(">II", payload[:8])
             elif tag == b"acTL":
                 (n_frames,) = struct.unpack(">I", payload[:4])
+            elif tag == b"PLTE":
+                plte = payload
+            elif tag == b"tRNS":
+                trns_chunk = payload
             elif tag == b"fcTL":
                 _seq, w_f, h_f, x_off, y_off, _dn, _dd, dispose, blend = (
                     struct.unpack(">IIIIIHHBB", payload[:26])
@@ -576,12 +589,16 @@ def make_apng_codec():
 
         def one(stream, w_f, h_f):
             sub_ihdr = struct.pack(">II", w_f, h_f) + ihdr[8:]
-            mini = (
-                b"\x89PNG\r\n\x1a\n"
-                + _chunk(b"IHDR", sub_ihdr)
-                + _chunk(b"IDAT", bytes(stream))
-                + _chunk(b"IEND", b"")
-            )
+            mini = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", sub_ihdr)
+            # Forward the image-wide ancillary chunks: palette frames
+            # crash without PLTE, and tRNS-derived alpha must survive
+            # the per-frame rebuild (the codec's no-silent-alpha-drop
+            # contract).
+            if plte is not None:
+                mini += _chunk(b"PLTE", plte)
+            if trns_chunk is not None:
+                mini += _chunk(b"tRNS", trns_chunk)
+            mini += _chunk(b"IDAT", bytes(stream)) + _chunk(b"IEND", b"")
             return decode_png(mini)
 
         independent = all(
@@ -596,51 +613,58 @@ def make_apng_codec():
                 width, height, n,
             )
 
-        # Color types with an alpha channel (always stored LAST):
-        # 4 = gray+alpha, 6 = RGBA.
-        has_alpha = len(ihdr) >= 10 and ihdr[9] in (4, 6)
+        # An alpha channel is present when the color type carries one
+        # (4 = gray+alpha, 6 = RGBA) OR a tRNS chunk derives one — the
+        # decoded arrays then always store alpha LAST, and OVER must
+        # composite with it (OVER == SOURCE only when truly alpha-free).
+        has_alpha = (len(ihdr) >= 10 and ihdr[9] in (4, 6)) or (
+            trns_chunk is not None
+        )
 
         def over_alpha(dst, src):
-            """Exact integer source-over for alpha-last layouts (GA or
-            RGBA): alphas are a/255 rationals, so out_a*255 = src_a*255
-            + dst_a*(255-src_a) is an exact integer, and each color
-            channel out_c = (src_a*src_c*255 + dst_a*dst_c*(255-src_a))
-            / (out_a*255) rounds half-up — one deterministic rounding
-            rule, no floats anywhere."""
+            """Exact integer source-over for alpha-last layouts: with
+            sample maximum M (255 or 65535 by dtype), alphas are a/M
+            rationals, so out_a*M = src_a*M + dst_a*(M-src_a) is an
+            exact integer, and each color channel out_c = (src_a*src_c*M
+            + dst_a*dst_c*(M-src_a)) / (out_a*M) rounds half-up — one
+            deterministic rounding rule, no floats anywhere."""
+            m = 65535 if src.dtype == np.uint16 else 255
             sa = src[:, :, -1].astype(np.int64)
             da = dst[:, :, -1].astype(np.int64)
-            na = sa * 255 + da * (255 - sa)  # = out_a * 255
+            na = sa * m + da * (m - sa)  # = out_a * m
             out = np.empty_like(src)
             for c in range(src.shape[2] - 1):
                 num = (
-                    sa * src[:, :, c].astype(np.int64) * 255
-                    + da * dst[:, :, c].astype(np.int64) * (255 - sa)
+                    sa * src[:, :, c].astype(np.int64) * m
+                    + da * dst[:, :, c].astype(np.int64) * (m - sa)
                 )
                 out[:, :, c] = np.where(
                     na > 0, (num + na // 2) // np.maximum(na, 1), 0
-                ).astype(np.uint8)
-            out[:, :, -1] = ((na + 127) // 255).astype(np.uint8)
+                ).astype(src.dtype)
+            out[:, :, -1] = ((na + m // 2) // m).astype(src.dtype)
             return out
 
         out = {}
         canvas = None
+        wanted_set = set(idxs)
         for k in range(0, (max(idxs) + 1) if idxs else 0):
             w_f, h_f, x, y, dispose, blend = regions[k]
             sub = one(streams[k], w_f, h_f)
             if sub.ndim == 2:
                 sub = sub[:, :, None]
             if canvas is None:
-                # Spec: canvas starts fully transparent black (zeros).
+                # Spec: canvas starts fully transparent black (zeros);
+                # dtype follows the decoded samples (uint8 or uint16).
                 canvas = np.zeros(
-                    (height, width, sub.shape[2]), dtype=np.uint8
+                    (height, width, sub.shape[2]), dtype=sub.dtype
                 )
             before = canvas[y : y + h_f, x : x + w_f].copy()
             if blend == 1 and has_alpha:
                 canvas[y : y + h_f, x : x + w_f] = over_alpha(before, sub)
             else:
-                # SOURCE; OVER == SOURCE for alpha-free color types.
+                # SOURCE; OVER == SOURCE for truly alpha-free layouts.
                 canvas[y : y + h_f, x : x + w_f] = sub
-            if k in idxs:
+            if k in wanted_set:
                 snap = canvas.copy()
                 out[k] = snap[:, :, 0] if snap.shape[2] == 1 else snap
             if dispose == 1:  # BACKGROUND: clear the region

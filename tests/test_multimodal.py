@@ -652,12 +652,16 @@ def _idat_payload(png_bytes):
 
 
 def _delta_apng(canvas_wh, frames, color_type=0):
-    """Hand-built APNG with per-frame (pixels, x, y, dispose, blend)."""
+    """Hand-built APNG with per-frame (pixels, x, y, dispose, blend);
+    depth follows the frame dtype (uint16 -> 16)."""
     import struct
 
     w, h = canvas_wh
+    depth = 16 if frames[0][0].dtype == np.uint16 else 8
     out = bytearray(b"\x89PNG\r\n\x1a\n")
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
     out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
     seq = 0
     for k, (px, x, y, dispose, blend) in enumerate(frames):
@@ -976,3 +980,101 @@ def test_wav_extensible_pcm_decodes():
 
     with pytest.raises(NotImplementedError, match="integer PCM"):
         decode_wav(ext_container(3, 2, 32, b""))  # IEEE float SubFormat
+
+
+# ---- review-pass regressions: ancillary chunks through the APNG path ----
+
+
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (  # noqa: E402
+    frame_sample_plan,  # noqa: F401  (import guard: module must stay importable)
+)
+
+
+def test_apng_path_forwards_plte_and_trns():
+    """Per-frame mini-PNG rebuilds must carry PLTE and tRNS: paletted
+    payloads decode (not crash) and tRNS-derived alpha survives the
+    APNG path exactly as it does the plain-PNG path."""
+    rng = np.random.default_rng(30)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 8, size=(4, 6), dtype=np.uint8)
+    data = _palette_png(idxs, palette)
+    frames, w, h, n = decode_apng_frames(data)
+    assert (w, h, n) == (6, 4, 1)
+    assert np.array_equal(frames[0], palette[idxs])
+
+    # palette + tRNS -> RGBA through the frame path too
+    data = _palette_png(idxs, palette, with_trns=True)
+    frames, _, _, _ = decode_apng_frames(data)
+    assert frames[0].shape == (4, 6, 4)
+    assert (frames[0][:, :, 3] == 128).all()
+
+    # gray + tRNS keeps its alpha plane through the frame path
+    import struct
+    import zlib
+
+    g = np.array([[7, 8], [9, 7]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"tRNS", struct.pack(">H", 7))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    frames, _, _, _ = decode_apng_frames(data)
+    assert frames[0].shape == (2, 2, 2)
+    assert np.array_equal(frames[0][:, :, 1], np.where(g == 7, 0, 255))
+
+
+def test_apng_delta_16bit_canvas_not_truncated():
+    """A 16-bit delta animation must composite on a uint16 canvas —
+    values above 255 survive (previously cast-wrapped to uint8)."""
+    base = (
+        (np.arange(24, dtype=np.int64).reshape(4, 6) * 4096) % 65536
+    ).astype(np.uint16)
+    patch = np.full((2, 2), 60000, dtype=np.uint16)
+    data = _delta_apng((6, 4), [(base, 0, 0, 0, 0), (patch, 1, 1, 0, 0)])
+    frames, _, _, _ = decode_apng_frames(data)
+    assert frames[0].dtype == np.uint16
+    assert np.array_equal(frames[0], base)
+    expect = base.copy()
+    expect[1:3, 1:3] = patch
+    assert np.array_equal(frames[1], expect)
+
+
+def test_apng_delta_over_uses_trns_derived_alpha():
+    """blend OVER on a gray+tRNS animation composites with the DERIVED
+    alpha: a patch pixel equal to the transparent sample leaves the
+    canvas pixel unchanged instead of pasting it."""
+    import struct
+    import zlib
+
+    base = np.full((3, 3), 50, dtype=np.uint8)
+    patch = np.array([[7, 200]], dtype=np.uint8)  # 7 = transparent value
+
+    def frame_stream(px):
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(px.shape[0]))
+        return zlib.compress(raw)
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0))
+    out += _chunk(b"tRNS", struct.pack(">H", 7))
+    out += _chunk(b"acTL", struct.pack(">II", 2, 0))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 3, 3, 0, 0, 1, 10, 0, 0))
+    out += _chunk(b"IDAT", frame_stream(base))
+    out += _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 1, 2, 1, 1, 1, 1, 10, 0, 1))
+    out += _chunk(b"fdAT", struct.pack(">I", 2) + frame_stream(patch))
+    data = bytes(out + _chunk(b"IEND", b""))
+
+    frames, _, _, _ = decode_apng_frames(data)
+    f1 = frames[1]
+    assert f1.shape == (3, 3, 2)
+    # transparent patch pixel -> canvas keeps the base gray value
+    assert f1[1, 1, 0] == 50 and f1[1, 1, 1] == 255
+    # opaque patch pixel -> pasted
+    assert f1[1, 2, 0] == 200 and f1[1, 2, 1] == 255
+
+
+def test_encode_png_rejects_wrapping_dtypes():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.array([[300, 5]], dtype=np.int32))
