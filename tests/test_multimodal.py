@@ -1078,3 +1078,41 @@ def test_apng_delta_over_uses_trns_derived_alpha():
 def test_encode_png_rejects_wrapping_dtypes():
     with pytest.raises(ValueError, match="uint8"):
         encode_png(np.array([[300, 5]], dtype=np.int32))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_adam7_sub8bit_palette_decode(depth):
+    """Interlaced sub-8-bit palette (legacy icon form): per-pass bit
+    packing + scatter must reproduce the image through PLTE."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(40 + depth)
+    palette = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    w, h = 11, 9
+    samples = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, xs, ys in ADAM7:
+        sub = samples[y0::ys, x0::xs]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        nb = (pw * depth + 7) // 8
+        for y in range(ph):
+            bits = np.zeros(nb * 8, dtype=np.uint8)
+            for x in range(pw):
+                v = int(sub[y, x])
+                for b in range(depth):
+                    bits[x * depth + b] = (v >> (depth - 1 - b)) & 1
+            raw.append(0)  # filter None
+            raw.extend(np.packbits(bits)[:nb].tobytes())
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1))
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, palette[samples])
