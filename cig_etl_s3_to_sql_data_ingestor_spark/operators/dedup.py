@@ -573,12 +573,114 @@ def ngram_shingles_col(text_col: str = "text", n: int = 3):
     )
 
 
+def key_item_sets_grouped(
+    sets: DataFrame, key_col: str, item_col: str = "shingle"
+) -> DataFrame:
+    """ONE-shuffle inverted index for BOUNDED key cardinality: group the
+    (key, item) membership rows by item and collect the DISTINCT key set
+    per item (``collect_set`` dedups, so the input needs no prior
+    ``.distinct()`` — its shuffle is folded into this one). Returns a
+    persisted ``(item_col, keys: array)`` frame from which
+    :func:`jaccard_pairs_from_grouped` derives set sizes, the stop-item
+    cap, AND the pair intersections without any further scan of the raw
+    membership rows.
+
+    Safe ONLY when the number of distinct keys is bounded (e.g. corpus
+    SOURCES — thousands at crawl scale): the largest per-item set is at
+    most that bound, a few KB per aggregation buffer. For UNBOUNDED keys
+    (doc ids) a universal item would collect the whole corpus into one
+    buffer — use :func:`jaccard_overlap_pairs`'s join strategy there.
+
+    NOT persisted: :func:`jaccard_pairs_from_grouped` consumes it
+    through a single downstream shuffle, so Spark's exchange reuse
+    already computes this aggregation once per materialization — a
+    cache would only add a write barrier (and at 100 TB, eviction risk
+    turning the second branch into a full recompute)."""
+    return sets.groupBy(item_col).agg(F.collect_set(key_col).alias("keys"))
+
+
+def jaccard_pairs_from_grouped(
+    grouped: DataFrame, max_item_df: int | None = None
+) -> DataFrame:
+    """Pairwise Jaccard from a :func:`key_item_sets_grouped` index —
+    value-identical to the join strategy (pinned by
+    ``tests/test_dedup.py::test_jaccard_strategies_and_callers_agree``),
+    but pair candidates come from in-row array combinations (pure
+    codegen: sort the key set, emit ordered pairs) instead of an
+    inverted-index self-join. The stop-item cap becomes a plain
+    ``size(keys) <= cap`` filter; per-key set sizes are derived from the
+    SAME grouped frame BEFORE the cap filter, so capped Jaccard remains
+    the conservative underestimate the join strategy reports."""
+    key_type = grouped.schema["keys"].dataType.elementType
+    ks = F.array_sort(F.col("keys"))
+    # ONE scan of the grouped index emits both row kinds through a
+    # single explode + tiny aggregate: (a, b) pair structs from sets at
+    # or under the cap, and (k, NULL) size-marker structs from EVERY set
+    # (sizes count capped items — that is what keeps capped Jaccard a
+    # conservative underestimate). Splitting the aggregate afterwards is
+    # free: it is at most #keys² + #keys rows.
+    capped_ks = (
+        ks
+        if max_item_df is None
+        else F.when(F.size("keys") <= max_item_df, ks).otherwise(
+            F.slice(ks, 1, 0)
+        )
+    )
+    pair_col = F.flatten(
+        F.transform(
+            capped_ks,
+            lambda x, i: F.transform(
+                F.slice(capped_ks, i + F.lit(2), F.size(capped_ks)),
+                lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+            ),
+        )
+    )
+    size_col = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.alias("key_a"), F.lit(None).cast(key_type).alias("key_b")
+        ),
+    )
+    agg = (
+        grouped.select(F.explode(F.concat(pair_col, size_col)).alias("p"))
+        .groupBy(F.col("p.key_a").alias("key_a"), F.col("p.key_b").alias("key_b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    shared = agg.filter(F.col("key_b").isNotNull()).withColumnRenamed(
+        "cnt", "shared"
+    )
+    counts = agg.filter(F.col("key_b").isNull()).select(
+        F.col("key_a").alias("key"), F.col("cnt").alias("n_items")
+    )
+    # agg is at most #keys² + #keys rows — the size branches are
+    # broadcast by construction (hinted, not left to AQE replanning).
+    # The three agg references share one canonical shuffle, so exchange
+    # reuse computes the upstream aggregation exactly once per
+    # materialization — no persist barrier needed.
+    ca = F.broadcast(
+        counts.select(F.col("key").alias("key_a"), F.col("n_items").alias("n_a"))
+    )
+    cb = F.broadcast(
+        counts.select(F.col("key").alias("key_b"), F.col("n_items").alias("n_b"))
+    )
+    return (
+        shared.join(ca, "key_a")
+        .join(cb, "key_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+    )
+
+
 def jaccard_overlap_pairs(
     sets: DataFrame,
     key_col: str,
     item_col: str = "shingle",
     max_item_df: int | None = None,
     hot_items: DataFrame | None = None,
+    strategy: str = "join",
 ) -> DataFrame:
     """The shared inverted-index pairwise-Jaccard core: from a DISTINCT
     (key, item) membership frame, produce (key_a, key_b, shared, n_a,
@@ -598,7 +700,23 @@ def jaccard_overlap_pairs(
     ``hot_items`` lets a caller that already computed (and typically
     persisted, e.g. to log its count) the over-cap item frame pass it
     in instead of paying the df aggregation twice.
+
+    ``strategy="grouped"`` routes through :func:`key_item_sets_grouped`
+    + :func:`jaccard_pairs_from_grouped` — ONE shuffle over the raw
+    membership rows instead of distinct + df-agg + anti-join +
+    self-join, value-identical, but only safe when key cardinality is
+    bounded (see that function's docstring); ``hot_items`` does not
+    apply there (the cap is a size filter on the grouped sets).
     """
+    if strategy == "grouped":
+        if hot_items is not None:
+            raise ValueError(
+                "hot_items applies only to strategy='join' — the grouped "
+                "strategy caps via size(keys) on the grouped index"
+            )
+        return jaccard_pairs_from_grouped(
+            key_item_sets_grouped(sets, key_col, item_col), max_item_df
+        )
     counts = sets.groupBy(key_col).agg(F.count("*").alias("n_items"))
     idx = sets
     if max_item_df is not None or hot_items is not None:

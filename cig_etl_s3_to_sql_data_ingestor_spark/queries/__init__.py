@@ -34,73 +34,19 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 5 scored window (exactly 50 names, asserted in
+    # ---- round 6 scored window (exactly 50 names, asserted in
     # tests/test_sql_surface.py), computed by scripts/rotation_plan.py:
-    # (1) the 25 late-round-4 queries that have never carried a driver
-    # CORRECTNESS row (the round-4 verdict's #1 task), (2) every query
-    # round 5 touches (color-PNG / multi-channel-WAV codecs, the
-    # cross_source_overlap hot-shingle cap), (3) the oldest r3-green
-    # re-scores, SURVEY-§2-proving ones first.
-    # -- (1) never driver-scored (in-repo oracle-verified in r4):
-    "discount_band_revenue",
-    "small_quantity_revenue",
-    "heavy_hitter_keys",
-    "bpe_merge_steps",
-    "bpe_corpus_compression",
-    "cms_word_frequency",
-    "bloom_decontamination",
-    "conversion_funnel",
-    "cohort_retention",
-    "event_transition_matrix",
-    "knn_label_eval",
-    "approx_quantile_envelope",
-    "source_token_divergence",
-    "ann_pq_topk",            # also touched r5: true-lowest-id seeding
-    "ann_ivf_pq_topk",        # also touched r5: same seeding fix
-    "incremental_agg_merge",
-    "cdc_snapshot",
-    "part_copurchase_pagerank",  # also touched r5: per-iter checkpoint
-    "char_entropy",
-    "image_ahash_groups",     # also touched r5: color-PNG fixtures
-    "audio_fingerprint_groups",  # also touched r5: stereo-WAV fixtures
-    "curation_decisions",
-    "priority_sample",
-    "price_quantity_stats",
-    "weekday_event_chi2",
-    # -- (2) r4-green queries whose substance round 5 changes:
-    "multimodal_meta",        # RGB/RGBA PNG decode
-    "multimodal_resize",      # per-channel resample
-    "multimodal_features",    # per-channel stats
-    "multimodal_frame_sample",  # color APNG frames
-    "audio_features",         # multi-channel PCM16
-    "cross_source_overlap",   # max_shingle_df hot-key cap
-    # -- (3) oldest green evidence (r3), SURVEY-§2-proving first:
-    "ordered_projection",     # P1
-    "verification_query",     # W1 / T13
-    "timestamp_truncation",   # A3 / T8
-    "topk_per_group",         # W3
-    "customer_activity_setops",  # set ops
-    "env_derivation",         # T1
-    "sessionize",             # §2.8 batch analog
-    "ann_ivf_topk",      # touched r5: true-lowest-id centroid seeding
-    "embedding_clusters",  # touched r5: same seeding fix + SQL mirror
-    "dedup_exact",
-    "dedup_minhash",
-    "budget_select",
-    "deterministic_split",
-    "json_props_stats",
-    "repetition_stats",
-    "source_mixture_plan",
-    "exact_substring_overlap",
-    "dedup_ngram_jaccard",  # touched r5: shared jaccard_overlap_pairs core
-    "ann_incremental",   # touched r5: true-lowest-id centroid seeding
-]
-# 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
-# unscored set is EXACTLY the declared tail, so any change to what goes
-# unscored fails loudly.
-_TAIL = [
-    # r3-green, function-level untouched since their row (next-oldest
-    # evidence — these lead the r6 head's re-score block):
+    # (1) every query round 6 touches (the grouped-strategy
+    # cross-source-overlap rewrite + the shared jaccard_overlap_pairs
+    # core, and the PQ/IVF-PQ search-path profiling), (2) the 29
+    # queries whose newest driver row is round 3 (the round-5 verdict's
+    # #1 task), (3) oldest r4-green re-scores to fill the window.
+    # -- (1) touched this round:
+    "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
+    "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
+    "ann_pq_topk",            # search-path profiling (r5 verdict #4)
+    "ann_ivf_pq_topk",        # same
+    # -- (2) r3-evidence backlog (two rounds stale):
     "weekly_range_revenue",
     "dedup_simhash",
     "sole_return_supplier",
@@ -127,7 +73,10 @@ _TAIL = [
     "region_nation_revenue",
     "top_returned_customers",
     "nation_trade_volume",
-    # r4-green (driver-scored last round, function-level untouched in r5):
+    "quality_score",
+    "token_count",
+    "dominant_part_suppliers",
+    # -- (3) oldest r4-green fills:
     "pricing_summary",
     "sentinel_cleaning",
     "worklist_semi_join",
@@ -145,33 +94,84 @@ _TAIL = [
     "pack_sequences",
     "stratified_sample",
     "interleave_sources",
-    "pii_redaction",
-    "lang_id",
-    "lang_id_confusion",
-    "doc_fingerprint",
-    "embedding_norms",
+]
+# 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly.
+_TAIL = [
+    # r4-green, untouched this round (oldest remaining evidence —
+    # these lead the r7 head's re-score block):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "quality_score",
-    "token_count",
-    "embedding_neardup",
-    "tfidf_top_terms",
     "approx_distinct_stats",
-    "config_enrich_join",
-    "partition_prune_counts",
-    "char_lm_surprisal",
-    "ngram_diversity",
-    "text_normalize_stats",
     "boilerplate_prefix_groups",
-    "vocab_stats",
-    "customer_order_distribution",
-    "quarterly_top_supplier",
-    "nation_quarterly_growth",
+    "char_lm_surprisal",
     "cheapest_supplier_per_part",
+    "config_enrich_join",
+    "customer_order_distribution",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "embedding_norms",
     "fulfillment_lag_quantiles",
-    "source_quality_funnel",
+    "lang_id",
+    "lang_id_confusion",
     "market_share_by_year",
-    "dominant_part_suppliers",
+    "nation_quarterly_growth",
+    "ngram_diversity",
+    "partition_prune_counts",
+    "pii_redaction",
+    "quarterly_top_supplier",
+    "source_quality_funnel",
+    "text_normalize_stats",
+    "tfidf_top_terms",
+    "vocab_stats",
+    # r5-green, untouched this round:
+    "ann_incremental",
+    "ann_ivf_topk",
+    "approx_quantile_envelope",
+    "audio_features",
+    "audio_fingerprint_groups",
+    "bloom_decontamination",
+    "bpe_corpus_compression",
+    "bpe_merge_steps",
+    "budget_select",
+    "cdc_snapshot",
+    "char_entropy",
+    "cms_word_frequency",
+    "cohort_retention",
+    "conversion_funnel",
+    "curation_decisions",
+    "customer_activity_setops",
+    "dedup_exact",
+    "dedup_minhash",
+    "deterministic_split",
+    "discount_band_revenue",
+    "embedding_clusters",
+    "env_derivation",
+    "event_transition_matrix",
+    "exact_substring_overlap",
+    "heavy_hitter_keys",
+    "image_ahash_groups",
+    "incremental_agg_merge",
+    "json_props_stats",
+    "knn_label_eval",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "ordered_projection",
+    "part_copurchase_pagerank",
+    "price_quantity_stats",
+    "priority_sample",
+    "repetition_stats",
+    "sessionize",
+    "small_quantity_revenue",
+    "source_mixture_plan",
+    "source_token_divergence",
+    "timestamp_truncation",
+    "topk_per_group",
+    "verification_query",
+    "weekday_event_chi2",
 ]
 
 _order = (

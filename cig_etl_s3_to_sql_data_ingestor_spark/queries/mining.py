@@ -61,20 +61,21 @@ def _sql_kgrams(k: int) -> str:
 # ---------------------------------------------------------------------------
 # Cross-source overlap: pairwise shingle-set Jaccard between sources —
 # the "how much does source A duplicate source B" matrix that decides
-# cross-source dedup ordering. Distinct (source, shingle) pairs are the
-# unit of work: one shuffle to build them, one shingle-keyed equi-join
-# for intersections (never all-pairs of documents), and the per-source
-# set sizes are a tiny aggregate broadcast back onto the pair frame.
-# Fan-out per shingle is bounded by #sources², not by corpus size —
-# but a UNIVERSAL shingle (boilerplate shared by every source) still
-# contributes |sources|² rows, which at crawl scale (thousands of
-# sources) dominates the join. ``max_shingle_df`` is the same
-# stop-shingle guard as operators.dedup.ngram_jaccard_pairs: shingles
-# present in more than that many sources are dropped from the
+# cross-source dedup ordering. Sources are a BOUNDED key set (thousands
+# at crawl scale), so the whole computation folds into ONE shuffle over
+# the exploded (source, shingle) rows: groupBy(shingle) +
+# collect_set(source) builds the deduped inverted index, from which the
+# per-source set sizes (explode + count), the stop-shingle cap
+# (size(keys) <= cap), and the pair intersections (in-row sorted-array
+# combinations — pure codegen, never a self-join or all-pairs of
+# documents) all derive without rescanning the corpus. A UNIVERSAL
+# shingle (boilerplate shared by every source) would still fan out
+# |sources|² pair rows; ``max_shingle_df`` drops such shingles from the
 # intersection index (per-source set sizes still count them, so the
 # reported Jaccard is exact when no shingle exceeds the cap and a
 # conservative underestimate otherwise), and the dropped count is
-# LOGGED — never a silent cap.
+# ALWAYS computed and logged at WARNING when non-zero — never a silent
+# cap.
 # ---------------------------------------------------------------------------
 
 
@@ -86,45 +87,57 @@ def source_overlap(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram-shingle Jaccard between values of ``source_col``
-    — the source-keyed instantiation of the SAME inverted-index core as
-    the doc-keyed dedup verifier (operators.dedup.jaccard_overlap_pairs),
-    so the stop-shingle guard semantics cannot drift between the two."""
+    — the source-keyed instantiation of the SAME capped-Jaccard
+    semantics as the doc-keyed dedup verifier (pinned value-identical by
+    ``tests/test_dedup.py::test_jaccard_strategies_and_callers_agree``),
+    via the GROUPED strategy: sources are a bounded key set, so one
+    ``groupBy(shingle).collect_set(source)`` shuffle replaces the r4/r5
+    distinct + df-aggregate + anti-join + self-join lineage. The
+    stop-shingle cap becomes a ``size(keys) <= cap`` filter, and the
+    dropped-shingle count rides the SAME job as an observed metric
+    (``df.observe`` — no extra pass, no cache dependence at 100 TB),
+    logged at WARNING when non-zero by a watcher thread as soon as the
+    returned frame's first action completes — never a silent cap."""
     import logging
+    import threading
 
-    from ..operators.dedup import _persist, jaccard_overlap_pairs
+    from pyspark.sql import Observation
 
-    ss = _persist(
-        d.select(
-            F.col(source_col).alias("source"),
-            F.explode(ngram_shingles_col(text_col, n)).alias("shingle"),
-        ).distinct()
+    from ..operators.dedup import jaccard_pairs_from_grouped, key_item_sets_grouped
+
+    ss = d.select(
+        F.col(source_col).alias("source"),
+        F.explode(ngram_shingles_col(text_col, n)).alias("shingle"),
     )
-    hot = None
+    grouped = key_item_sets_grouped(ss, "source", "shingle")
     if max_shingle_df is not None:
-        hot = _persist(
-            ss.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        obs = Observation()
+        grouped = grouped.observe(
+            obs,
+            F.sum(
+                F.when(F.size("keys") > max_shingle_df, 1).otherwise(0)
+            ).alias("n_hot"),
         )
-        # The cap must never be silent — but counting the dropped
-        # shingles is a Spark job, so only pay it when someone is
-        # listening (the cap itself is also visible structurally: the
-        # anti-join is in the plan and the oracle mirrors it). The
-        # count materializes the persisted frame the anti-join reuses,
-        # so the df aggregation runs once either way.
-        log = logging.getLogger(__name__)
-        if log.isEnabledFor(logging.INFO):
-            log.info(
-                "source_overlap: dropping %d shingles with source-df > %d "
-                "from the intersection index",
-                hot.count(),
-                max_shingle_df,
-            )
+
+        def _log_cap(cap: int = max_shingle_df) -> None:
+            try:
+                n_hot = obs.get["n_hot"]  # blocks until the first action
+            except Exception:  # session torn down before materialization
+                return
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "source_overlap: dropped %d shingles with source-df > %d "
+                    "from the intersection index (reported Jaccard is a "
+                    "conservative underestimate for pairs sharing them)",
+                    n_hot,
+                    cap,
+                )
+
+        threading.Thread(
+            target=_log_cap, daemon=True, name="source-overlap-cap-log"
+        ).start()
     return (
-        jaccard_overlap_pairs(
-            ss, "source", max_item_df=max_shingle_df, hot_items=hot
-        )
+        jaccard_pairs_from_grouped(grouped, max_item_df=max_shingle_df)
         .select(
             F.col("key_a").alias("source_a"),
             F.col("key_b").alias("source_b"),

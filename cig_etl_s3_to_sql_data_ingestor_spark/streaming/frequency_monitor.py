@@ -90,7 +90,36 @@ def _finish_compaction(fs, jvm, store_path: str, upto: int) -> None:
         name = st.getPath().getName()
         if name.startswith("epoch=") and int(name.split("=", 1)[1]) <= upto:
             fs.delete(st.getPath(), True)
-    fs.rename(tmp, Path(f"{store_path}/epoch={upto}"))
+    # Hadoop FS rename reports failure via its boolean, not an
+    # exception. At this point the folded epoch dirs are GONE — a
+    # silently failed rename would leave the store missing all
+    # compacted history, and batches reading the understated sketch
+    # could suppress a true heavy-hitter alert. Raise so the caller
+    # (or the next recovery scan) retries the promotion instead.
+    if not fs.rename(tmp, Path(f"{store_path}/epoch={upto}")):
+        raise IOError(
+            f"compaction rename failed: {store_path}/.compact_tmp_upto="
+            f"{upto} -> epoch={upto}; folded dirs are already deleted — "
+            "the tmp dir holds the complete sum, re-run recovery"
+        )
+
+
+def recover_pending_compactions(spark: SparkSession, store_path: str) -> None:
+    """Finish (or discard) any ``.compact_tmp_upto=K`` left by a crash
+    in the delete→rename window. Called from the READ side of each
+    batch, not only from the next compact call: a monitor batch that
+    runs between a crashed compaction and the next compact would
+    otherwise read a store missing all compacted history and could
+    suppress a true heavy-hitter alert."""
+    fs, jvm = _store_fs(spark, store_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(store_path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".compact_tmp_upto="):
+            _finish_compaction(fs, jvm, store_path, int(name.split("=", 1)[1]))
 
 
 def _compact_epoch_store(
@@ -113,10 +142,7 @@ def _compact_epoch_store(
     root = Path(store_path)
     if not fs.exists(root):
         return 0
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith(".compact_tmp_upto="):
-            _finish_compaction(fs, jvm, store_path, int(name.split("=", 1)[1]))
+    recover_pending_compactions(spark, store_path)
     epochs = sorted(
         int(st.getPath().getName().split("=", 1)[1])
         for st in fs.listStatus(root)
@@ -217,6 +243,12 @@ class FrequencyMonitor:
     threshold: int = 100
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # A crash inside a compaction's delete→rename window leaves the
+        # compacted history only in the tmp dir; promote it BEFORE this
+        # batch reads the store, or the merged sketch understates and a
+        # true heavy hitter can slip below threshold.
+        recover_pending_compactions(self.spark, self.store_path)
+        recover_pending_compactions(self.spark, self.alerts_path)
         delta = cms_build(
             batch_df, self.key_col, depth=self.depth, width=self.width
         )

@@ -28,7 +28,16 @@ def load_rounds(repo_root: str) -> dict[str, dict[str, float]]:
     """label -> {query: sec}; truncated driver files are salvaged by
     regex over whatever per-query pairs survived."""
     out: dict[str, dict[str, float]] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
+
+    def _round_no(p: str) -> int:
+        # Numeric sort: BENCH_r9 must precede BENCH_r10 even if the
+        # two-digit zero padding is ever dropped (lexicographic would
+        # silently compare against the wrong "previous" round).
+        m = re.search(r"BENCH_r0*(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")),
+                       key=_round_no):
         label = os.path.basename(path)[: -len(".json")]
         text = open(path).read()
         try:

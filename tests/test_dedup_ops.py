@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
@@ -362,3 +363,49 @@ def test_source_overlap_hot_shingle_cap(spark):
     # dropped universal shingles, set sizes did not -> jaccard < exact.
     a, b = capped[("s1", "s2")], exact[("s1", "s2")]
     assert a[0] < b[0] and a[1] < b[1]
+
+
+def test_jaccard_strategies_and_callers_agree(spark):
+    """The capped-Jaccard semantics live in ONE place: the join strategy
+    (doc-keyed dedup verifier) and the grouped strategy (source-keyed
+    corpus overlap) must produce IDENTICAL (shared, n_a, n_b, jaccard)
+    for every key pair on the same membership fixture, capped and
+    uncapped — so the two callers' guard semantics cannot drift apart."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        jaccard_overlap_pairs,
+    )
+
+    # Membership fixture with a universal item (df=4), a df=3 item, and
+    # pair-private items — exercises cap boundaries at max_item_df=2,3.
+    rows = [
+        ("k1", "common"), ("k2", "common"), ("k3", "common"), ("k4", "common"),
+        ("k1", "trio"), ("k2", "trio"), ("k3", "trio"),
+        ("k1", "ab"), ("k2", "ab"),
+        ("k3", "cd"), ("k4", "cd"),
+        ("k1", "solo1"), ("k4", "solo4"),
+    ]
+    sets = spark.createDataFrame(rows, ["key", "item"])
+
+    def snap(df):
+        return {
+            (r.key_a, r.key_b): (r.shared, r.n_a, r.n_b, round(r.jaccard, 12))
+            for r in df.collect()
+        }
+
+    for cap in (None, 2, 3):
+        joined = snap(
+            jaccard_overlap_pairs(sets, "key", "item", max_item_df=cap)
+        )
+        grouped = snap(
+            jaccard_overlap_pairs(
+                sets, "key", "item", max_item_df=cap, strategy="grouped"
+            )
+        )
+        assert joined == grouped, (cap, joined, grouped)
+        assert joined, "fixture must produce at least one pair"
+
+    # hot_items is a join-strategy-only contract.
+    with pytest.raises(ValueError, match="hot_items"):
+        jaccard_overlap_pairs(
+            sets, "key", "item", hot_items=sets.select("item"), strategy="grouped"
+        )

@@ -993,6 +993,102 @@ def test_frequency_monitor_store_compaction(spark, tmp_path):
     assert compact_sketch_store(spark, store, upto_epoch=1) == 0
 
 
+def test_frequency_monitor_recovers_crashed_compaction_on_read(spark, tmp_path):
+    """A crash in compaction's delete→rename window leaves the summed
+    history only in ``.compact_tmp_upto=K``. The NEXT monitor batch must
+    promote it before reading the store — otherwise the merged sketch
+    understates and a true heavy hitter slips below threshold."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.frequency_monitor import (
+        FrequencyMonitor,
+        read_sketch_store,
+        recover_pending_compactions,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    store = str(tmp_path / "sketch")
+    mon = FrequencyMonitor(
+        spark,
+        store_path=store,
+        alerts_path=str(tmp_path / "alerts"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=10,
+    )
+    for i, batch in enumerate(
+        (
+            [(j, "a") for j in range(7)],
+            [(100 + j, "a") for j in range(2)],
+            [(200 + j, "c") for j in range(1)],
+        )
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+        mon.start(f"{src}/*", schema).awaitTermination(120)
+
+    # Simulate the crash window: fold epochs 0..1 into the tmp dir
+    # (complete, _SUCCESS present), delete the folded epoch dirs, and
+    # DIE before the rename promotes the tmp to epoch=1.
+    folded = (
+        spark.read.option("basePath", store)
+        .parquet(f"{store}/epoch=0", f"{store}/epoch=1")
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.col("row_idx").cast("int"),
+            F.col("bucket").cast("long"),
+            F.col("cnt").cast("long"),
+        )
+    )
+    folded.write.mode("overwrite").parquet(f"{store}/.compact_tmp_upto=1")
+    import shutil
+
+    shutil.rmtree(tmp_path / "sketch" / "epoch=0")
+    shutil.rmtree(tmp_path / "sketch" / "epoch=1")
+
+    # The raw store now understates: 'a' mass (9) lives only in the tmp.
+    keys = spark.createDataFrame([("a",)], ["event_type"])
+    raw = (
+        read_sketch_store(spark, store)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    understated = {
+        r.event_type: r.cms_estimate
+        for r in cms_estimate(raw, keys, "event_type").collect()
+    }
+    assert understated["a"] == 0
+
+    # Next batch: one more 'a'. With recovery, merged a=10 >= 10 →
+    # alert; without the read-path recovery the estimate would be 1.
+    spark.createDataFrame([(300, "a")], schema).coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+    mon.start(f"{src}/*", schema).awaitTermination(120)
+    alerts = {
+        r.event_type
+        for r in spark.read.parquet(
+            str(tmp_path / "alerts" / "epoch=3")
+        ).collect()
+    }
+    assert alerts == {"a"}, (
+        "crashed compaction's history was not recovered on the read path"
+    )
+    assert not (tmp_path / "sketch" / ".compact_tmp_upto=1").exists()
+
+    # Direct recovery entry point is idempotent on a clean store.
+    recover_pending_compactions(spark, store)
+
+
 def test_vector_ingest_in_batch_gate_is_local_minima(spark, tmp_path):
     """The within-batch near-dup policy, pinned: a vector is rejected
     iff a LOWER-ID same-cell near-duplicate exists in the batch —
