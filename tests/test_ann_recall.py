@@ -159,3 +159,64 @@ def test_prebuilt_index_search_identical_to_full_path(ground_truth):
     ) == rows(S.ivf_pq_topk(e, q, k=K, kmeans_sample_mod=4))
     for df in (subs, cb, codes, centroids, assigned):
         df.unpersist()
+
+
+def test_packed_search_identical_to_join_path(ground_truth):
+    """The latency path (dense packed codes, driver-computed distance
+    tables and probes, in-row ADC) must return BIT-IDENTICAL results to
+    the join-based search for BOTH plain PQ and IVF+PQ — the Python LUT
+    fold replicates Spark's l2sq/dot IEEE fold exactly, and a packing or
+    dense-remap bug would break this, not just slow it down. Also pins
+    the raw-rows input forms (queries/codebooks/centroids as collected
+    tuples, the deployed client-resident shape)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+
+    e, q, _gt = ground_truth
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.cand_id, r.rank, r.cosine_sim) for r in df.collect()
+        )
+
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = _persist(S.pq_encode(e, cb, subs=subs))
+    cb_rows = [tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()]
+    packed = _persist(S.pq_pack_codes(codes, cb_rows))
+    q_rows = [tuple(r) for r in q.select("vec_id", "embedding").collect()]
+
+    assert rows(S.pq_search_packed(e, q_rows, cb_rows, packed, k=K)) == rows(
+        S.pq_topk(e, q, k=K, codebooks=cb, codes=codes)
+    )
+    # DataFrame inputs must behave identically to pre-collected rows.
+    assert rows(S.pq_search_packed(e, q, cb, packed, k=K)) == rows(
+        S.pq_topk(e, q, k=K, codebooks=cb, codes=codes)
+    )
+
+    centroids = _persist(
+        S.kmeans_centroids(e, n_cells=16, n_iters=2, sample_mod=4).select(
+            F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+        )
+    )
+    assigned = _persist(
+        S.ivf_assign(e, centroids, "vec_id", "embedding", n_probe=1).select(
+            "cand_id", "cell_id"
+        )
+    )
+    packed_cells = _persist(packed.join(assigned, "cand_id"))
+    cent_rows = [
+        tuple(r) for r in centroids.select("vec_id", "embedding").collect()
+    ]
+    assert rows(
+        S.pq_search_packed(
+            e, q_rows, cb_rows, packed_cells, k=K,
+            centroids=cent_rows, n_probe=12,
+        )
+    ) == rows(
+        S.ivf_pq_topk(
+            e, q, k=K,
+            centroids=centroids, assigned=assigned, codebooks=cb, codes=codes,
+        )
+    )
+    for df in (subs, cb, codes, packed, centroids, assigned, packed_cells):
+        df.unpersist()

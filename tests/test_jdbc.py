@@ -299,3 +299,54 @@ def test_write_parallelism_bound_and_batch_delivery(spark, url):
     back = read_query(spark, url, "SELECT K FROM t_par")
     got = sorted(r.K for r in back.collect())
     assert got == list(range(1000))  # exactly once, no loss, no dupes
+
+
+def test_read_table_partitioned_parallel(spark, url):
+    """S11 read parallelism (round-5 verdict #2): read_table with a
+    partition column produces a MULTI-partition scan plan (one JDBC
+    connection per stride, not one for the table) and row-identical
+    results vs the single-partition path — in every mode: explicit
+    bounds, discovered bounds, and caller-supplied predicates."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.jdbc import read_table
+
+    df = spark.range(500).select(
+        F.col("id").alias("K"), (F.col("id") % 7).alias("V")
+    )
+    write_table(df, url, "t_pread", mode="overwrite")
+    expected = sorted((r.K, r.V) for r in read_query(
+        spark, url, "SELECT K, V FROM t_pread").collect())
+
+    explicit = read_table(
+        spark, url, "t_pread",
+        partition_column="K", lower_bound=0, upper_bound=500,
+        num_partitions=6,
+    )
+    assert explicit.rdd.getNumPartitions() == 6
+    assert sorted((r.K, r.V) for r in explicit.collect()) == expected
+
+    # Bounds discovered by the MIN/MAX probe; rows outside any
+    # mis-specified bounds would still be read (stride semantics), but
+    # here we pin the discovery path end-to-end.
+    discovered = read_table(
+        spark, url, "t_pread", partition_column="K", num_partitions=4
+    )
+    assert discovered.rdd.getNumPartitions() == 4
+    assert sorted((r.K, r.V) for r in discovered.collect()) == expected
+
+    preds = read_table(
+        spark, url, "t_pread",
+        predicates=["K < 100", "K >= 100 AND K < 400", "K >= 400"],
+    )
+    assert preds.rdd.getNumPartitions() == 3
+    assert sorted((r.K, r.V) for r in preds.collect()) == expected
+
+    # Single-connection fallback still works and matches.
+    single = read_table(spark, url, "t_pread")
+    assert single.rdd.getNumPartitions() == 1
+    assert sorted((r.K, r.V) for r in single.collect()) == expected
+
+    with pytest.raises(ValueError, match="not both"):
+        read_table(
+            spark, url, "t_pread",
+            partition_column="K", predicates=["K < 1"],
+        )
