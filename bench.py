@@ -138,6 +138,29 @@ HEADLINE = [
     # so a regression in SEARCH is not masked by training noise.
     "ann_pq_search",
     "ann_ivf_pq_search",
+    # round 6: the previously-unbenched remainder of the registry — all
+    # cheap, but a perf regression anywhere should be visible
+    # (round-5 verdict #5). Every queries() entry now has a bench row.
+    "dedup_clusters",
+    "median_order_value",
+    "daily_event_pivot",
+    "above_brand_average",
+    "distinct_keys",
+    "length_histogram",
+    "order_priority_count",
+    "worklist_semi_join",
+    "latest_per_group",
+    "staleness_tiered",
+    "integrity_audit",
+    "approx_distinct_stats",
+    "embedding_norms",
+    "lang_id",
+    "lang_id_confusion",
+    "deterministic_split",
+    "env_derivation",
+    "json_props_stats",
+    "ordered_projection",
+    "timestamp_truncation",
 ]
 
 

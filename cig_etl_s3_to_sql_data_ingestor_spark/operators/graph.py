@@ -76,6 +76,16 @@ def undirected_pagerank(
     the caller wants a pure lazily-planned frame). Disabling it is
     rejected in ``tol`` mode: the per-round delta action would re-run
     the whole uncheckpointed lineage each round — quadratic total work.
+
+    Two trades of checkpointing, both deliberate: (1) this function
+    EXECUTES Spark jobs at call time (the edges frame plus every k-th
+    round materializes eagerly) rather than returning a fully lazy
+    plan — callers composing the result into a larger lazy pipeline pay
+    those jobs when building it; (2) ``localCheckpoint`` stores blocks
+    on executors without lineage, so on a real cluster an executor loss
+    mid-computation fails the job (not silently recomputed) — swap in
+    reliable ``checkpoint()`` with a checkpoint dir if executor churn
+    is expected at your scale.
     """
     if tol is not None and not checkpoint_every:
         raise ValueError(

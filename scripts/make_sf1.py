@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Generate a 10x scaling-rehearsal dataset at .benchdata/sf1 from the
+driver's sf0.1 tables (round-5 verdict #7).
+
+This data exists ONLY to measure how query wall-time scales with input
+size (sf0.1 -> sf1 should be ~linear for scale-correct plans); it is
+NOT oracle-verified and never feeds CORRECTNESS. Ten replicas of each
+fact table with key offsets keep join relationships intact within a
+replica; dimension tables (nation, region) stay single-copy, mirroring
+how TPC-H scales.
+
+Per-replica perturbations keep the data shape honest instead of
+manufacturing pathologies the operators would rightly choke on:
+
+- documents: replica r rotates the text's vowels r times (translate —
+  token sizes and counts unchanged) so replicas are NOT near-duplicates
+  of each other; otherwise every dedup/overlap query would see 10-deep
+  duplicate groups and the pair fan-out would grow quadratically — a
+  data artifact, not an operator regression.
+- embeddings: replica r adds r * 1e-3 to every component — vectors stay
+  in-distribution but are distinct, so ANN/near-dup candidate counts
+  scale linearly.
+- events/orders/lineitem/customer/supplier/part: key columns offset by
+  r * 10^9 (ids stay bigint-safe and join-consistent); value columns
+  untouched so aggregates keep their distributions.
+
+Usage: python scripts/make_sf1.py  (writes ~6M lineitem rows, ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".benchdata",
+    "sf1",
+)
+N_REPLICAS = 10
+OFF = 1_000_000_000
+
+KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["nation", "region"]
+
+VOWELS = "aeiou"
+
+
+def _rotate_vowels(col, r: int):
+    rot = VOWELS[r % 5:] + VOWELS[: r % 5]
+    return F.translate(col, VOWELS + VOWELS.upper(), rot + rot.upper())
+
+
+def main() -> None:
+    spark = get_spark(app_name="make-sf1")
+    os.makedirs(OUT, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{t}.parquet")
+        print(f"{t}: copied")
+    for t, keys in KEY_COLS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for r in range(N_REPLICAS):
+            rep = base
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * OFF))
+            if t == "documents" and r:
+                rep = rep.withColumn("text", _rotate_vowels(F.col("text"), r))
+            if t == "embeddings" and r:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (x + F.lit(r * 1e-3)).cast("float"),
+                    ),
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        print(f"{t}: x{N_REPLICAS}")
+    print(f"sf1 rehearsal data at {OUT}")
+
+
+if __name__ == "__main__":
+    main()

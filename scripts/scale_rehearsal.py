@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""sf0.1 -> sf1 scaling rehearsal for the most expensive bench queries
+(round-5 verdict #7).
+
+local[32] at sf0.1 cannot see super-linear blowups (quadratic shingle
+joins, KMeans paths that degrade with corpus size); one 10x run can.
+For each query this times min-of-N runs at sf0.1 and at the replicated
+.benchdata/sf1 (scripts/make_sf1.py), prints the wall-time ratio, and
+flags anything scaling worse than ~12x (10x rows + scheduling slack) as
+super-linear. Results are recorded in NOTES.md.
+
+Usage: python scripts/scale_rehearsal.py [runs=2]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES  # noqa: E402
+from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark  # noqa: E402
+
+# The 10 most expensive r5 bench entries + the shingle-join family the
+# verdict specifically called out as invisible-at-sf0.1 risks.
+TOP = [
+    "ann_ivf_pq_topk",
+    "part_copurchase_pagerank",
+    "ann_pq_topk",
+    "ann_incremental",
+    "cross_source_overlap",
+    "bpe_merge_steps",
+    "bpe_corpus_compression",
+    "embedding_clusters",
+    "image_ahash_groups",
+    "multimodal_features",
+    "exact_substring_overlap",
+    "dedup_ngram_jaccard",
+]
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".benchdata",
+    "sf1",
+)
+SUPERLINEAR = 12.0
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if not os.path.isdir(SF1):
+        print("run scripts/make_sf1.py first", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="scale-rehearsal")
+    # warmup
+    QUERIES["distinct_keys"](spark, SF01).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(f"{'query':28} {'sf0.1':>8} {'sf1':>8} {'ratio':>7}")
+    flagged = []
+    for name in TOP:
+        a = time_query(spark, name, SF01, runs)
+        b = time_query(spark, name, SF1, runs)
+        r = b / max(a, 1e-9)
+        flag = "  <-- SUPER-LINEAR" if r > SUPERLINEAR else ""
+        if r > SUPERLINEAR:
+            flagged.append(name)
+        print(f"{name:28} {a:8.2f} {b:8.2f} {r:7.2f}{flag}", flush=True)
+    try:
+        print("loadavg:", os.getloadavg())
+    except OSError:
+        pass
+    if flagged:
+        print("super-linear outliers to diagnose:", ", ".join(flagged))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,6 +68,26 @@ def test_registry_rotation_invariants():
     assert not set(_HEAD) & set(_TAIL)
 
 
+def test_every_registered_query_is_benched():
+    """bench.py's HEADLINE must cover the ENTIRE registry (plus the two
+    amortized-search variants) — an unbenched query is one whose perf
+    regressions are invisible (round-5 verdict #5)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = set(QUERIES) - set(bench.HEADLINE)
+    assert not missing, f"queries with no bench row: {sorted(missing)}"
+    extras = set(bench.HEADLINE) - set(QUERIES)
+    assert extras == {"ann_pq_search", "ann_ivf_pq_search"}, extras
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench rows"
+
+
 @pytest.mark.parametrize("name", PORTABLE)
 def test_oracle_sql_runs_on_spark_sql(spark, sf_dir, name):
     register_views(spark, sf_dir)
