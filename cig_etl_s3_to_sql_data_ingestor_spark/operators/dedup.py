@@ -579,8 +579,8 @@ def key_item_sets_grouped(
     """ONE-shuffle inverted index for BOUNDED key cardinality: group the
     (key, item) membership rows by item and collect the DISTINCT key set
     per item (``collect_set`` dedups, so the input needs no prior
-    ``.distinct()`` — its shuffle is folded into this one). Returns a
-    persisted ``(item_col, keys: array)`` frame from which
+    ``.distinct()`` — its shuffle is folded into this one). Returns the
+    ``(item_col, keys: array)`` frame from which
     :func:`jaccard_pairs_from_grouped` derives set sizes, the stop-item
     cap, AND the pair intersections without any further scan of the raw
     membership rows.
@@ -604,7 +604,7 @@ def jaccard_pairs_from_grouped(
 ) -> DataFrame:
     """Pairwise Jaccard from a :func:`key_item_sets_grouped` index —
     value-identical to the join strategy (pinned by
-    ``tests/test_dedup.py::test_jaccard_strategies_and_callers_agree``),
+    ``tests/test_dedup_ops.py::test_jaccard_strategies_and_callers_agree``),
     but pair candidates come from in-row array combinations (pure
     codegen: sort the key set, emit ordered pairs) instead of an
     inverted-index self-join. The stop-item cap becomes a plain
@@ -716,6 +716,11 @@ def jaccard_overlap_pairs(
             )
         return jaccard_pairs_from_grouped(
             key_item_sets_grouped(sets, key_col, item_col), max_item_df
+        )
+    if strategy != "join":
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use 'join' (unbounded keys) "
+            "or 'grouped' (bounded key cardinality)"
         )
     counts = sets.groupBy(key_col).agg(F.count("*").alias("n_items"))
     idx = sets

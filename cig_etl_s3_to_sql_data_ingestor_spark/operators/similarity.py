@@ -904,6 +904,17 @@ def pq_search_packed(
         else queries
     )
     qvecs = {r[0]: [float(v) for v in r[1]] for r in qrows}
+    # Ids are interpolated as bigint SQL literals ({id}L) — a loud
+    # precondition, not a silent parse failure downstream. The join-path
+    # pq_topk keeps ids untyped through its joins; use it for
+    # non-integer id columns.
+    bad = [q for q in qvecs if not isinstance(q, int)]
+    if bad:
+        raise TypeError(
+            f"pq_search_packed requires integer ids; got {bad[:3]!r} — "
+            "use the join path (pq_topk/ivf_pq_topk) for non-integer id "
+            "columns"
+        )
     cbrows = (
         codebooks.select("m", "code_id", "code_vec").collect()
         if isinstance(codebooks, DataFrame)
@@ -945,6 +956,11 @@ def pq_search_packed(
             else centroids
         )
         cents = {r[0]: [float(v) for v in r[1]] for r in crows}
+        if any(not isinstance(c, int) for c in cents):
+            raise TypeError(
+                "pq_search_packed requires integer cell ids (interpolated "
+                "as bigint SQL literals)"
+            )
         cnorms = {c: math.sqrt(_fold_dot(v, v)) for c, v in cents.items()}
         probes = {}
         for qid, vec in qvecs.items():

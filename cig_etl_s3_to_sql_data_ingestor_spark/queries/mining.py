@@ -89,7 +89,7 @@ def source_overlap(
     """Pairwise n-gram-shingle Jaccard between values of ``source_col``
     — the source-keyed instantiation of the SAME capped-Jaccard
     semantics as the doc-keyed dedup verifier (pinned value-identical by
-    ``tests/test_dedup.py::test_jaccard_strategies_and_callers_agree``),
+    ``tests/test_dedup_ops.py::test_jaccard_strategies_and_callers_agree``),
     via the GROUPED strategy: sources are a bounded key set, so one
     ``groupBy(shingle).collect_set(source)`` shuffle replaces the r4/r5
     distinct + df-aggregate + anti-join + self-join lineage. The
@@ -120,18 +120,33 @@ def source_overlap(
         )
 
         def _log_cap(cap: int = max_shingle_df) -> None:
+            # Poll the non-blocking JVM accessor instead of the blocking
+            # Observation.get: a frame that is built but never
+            # materialized (plan audits, discarded branches) must not
+            # leak a permanently-blocked thread per call — after the
+            # deadline the watcher exits silently (the cap stays
+            # structurally visible in the plan and the oracle).
+            import time
+
+            deadline = time.monotonic() + 3600.0
             try:
-                n_hot = obs.get["n_hot"]  # blocks until the first action
-            except Exception:  # session torn down before materialization
+                while time.monotonic() < deadline:
+                    jrow = obs._jo.getRowOrEmpty() if obs._jo is not None else None
+                    if jrow is not None and jrow.isDefined():
+                        n_hot = jrow.get().getLong(0)
+                        if n_hot:
+                            logging.getLogger(__name__).warning(
+                                "source_overlap: dropped %d shingles with "
+                                "source-df > %d from the intersection index "
+                                "(reported Jaccard is a conservative "
+                                "underestimate for pairs sharing them)",
+                                n_hot,
+                                cap,
+                            )
+                        return
+                    time.sleep(0.2)
+            except Exception:  # session torn down mid-poll
                 return
-            if n_hot:
-                logging.getLogger(__name__).warning(
-                    "source_overlap: dropped %d shingles with source-df > %d "
-                    "from the intersection index (reported Jaccard is a "
-                    "conservative underestimate for pairs sharing them)",
-                    n_hot,
-                    cap,
-                )
 
         threading.Thread(
             target=_log_cap, daemon=True, name="source-overlap-cap-log"

@@ -270,8 +270,12 @@ def read_table(
         ).first()
         lower_bound = probe[0] if lower_bound is None else lower_bound
         upper_bound = probe[1] if upper_bound is None else upper_bound
-        if lower_bound is None:  # empty table: any stride works
-            lower_bound, upper_bound = 0, 1
+        if lower_bound is None or upper_bound is None:
+            # Empty table / all-NULL partition column: a NULL probe
+            # would otherwise reach Spark as the string "None" (even
+            # with ONE caller-given bound). Nothing to parallelize —
+            # fall back to the single-connection read.
+            return reader.option("dbtable", table).load()
     return (
         reader.option("dbtable", table)
         .option("partitionColumn", partition_column)

@@ -60,11 +60,30 @@ KEY_COLS = {
 DIMS = ["nation", "region"]
 
 VOWELS = "aeiou"
+CONSONANTS = "nrtls"  # high-frequency consonants: second rotation axis
 
 
 def _rotate_vowels(col, r: int):
-    rot = VOWELS[r % 5:] + VOWELS[: r % 5]
-    return F.translate(col, VOWELS + VOWELS.upper(), rot + rot.upper())
+    """Distinct per-replica letter substitution for all r in 1..9: the
+    vowel rotation alone has period 5 (replica 5 would be byte-identical
+    to replica 0 — exactly the cross-replica duplicate artifact this
+    script exists to avoid), so replicas 5+ additionally rotate a
+    consonant set (period 5 x 2 covers N_REPLICAS=10)."""
+    rv = r % 5
+    out = F.translate(
+        col,
+        VOWELS + VOWELS.upper(),
+        VOWELS[rv:] + VOWELS[:rv] + (VOWELS[rv:] + VOWELS[:rv]).upper(),
+    )
+    rc = (r // 5) % 5
+    if rc:
+        out = F.translate(
+            out,
+            CONSONANTS + CONSONANTS.upper(),
+            CONSONANTS[rc:] + CONSONANTS[:rc]
+            + (CONSONANTS[rc:] + CONSONANTS[:rc]).upper(),
+        )
+    return out
 
 
 def main() -> None:

@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES  # noqa: E402
 from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark  # noqa: E402
 
-# The 10 most expensive r5 bench entries + the shingle-join family the
-# verdict specifically called out as invisible-at-sf0.1 risks.
+# 12 entries: the most expensive r5 bench queries + the shingle-join
+# family the verdict specifically called out as invisible-at-sf0.1 risks.
 TOP = [
     "ann_ivf_pq_topk",
     "part_copurchase_pagerank",

@@ -350,3 +350,18 @@ def test_read_table_partitioned_parallel(spark, url):
             spark, url, "t_pread",
             partition_column="K", predicates=["K < 1"],
         )
+
+    # Empty table: the MIN/MAX probe returns NULLs — must fall back to a
+    # single-connection read (never send the string "None" as a bound),
+    # including with only ONE caller-given bound.
+    empty = spark.range(0).select(F.col("id").alias("K"))
+    write_table(empty, url, "t_pread_empty", mode="overwrite")
+    for kwargs in (
+        {},
+        {"lower_bound": 0},  # one-sided: upper still comes back NULL
+    ):
+        got = read_table(
+            spark, url, "t_pread_empty",
+            partition_column="K", num_partitions=4, **kwargs,
+        )
+        assert got.count() == 0
