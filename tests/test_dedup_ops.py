@@ -365,6 +365,41 @@ def test_source_overlap_hot_shingle_cap(spark):
     assert a[0] < b[0] and a[1] < b[1]
 
 
+def test_source_overlap_cap_is_logged_on_materialization(spark):
+    """The stop-shingle cap must never be silent: materializing a capped
+    source_overlap frame fires the WARNING (via the observed metric's
+    watcher thread) with the dropped-shingle count — within a bounded
+    wait, since the log rides an async watcher, not the action itself."""
+    import logging
+    import time
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import source_overlap
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("cig_etl_s3_to_sql_data_ingestor_spark.queries.mining")
+    handler = Capture(level=logging.WARNING)
+    logger.addHandler(handler)
+    try:
+        rows = [
+            ("s1", "alpha beta gamma terms of service"),
+            ("s2", "alpha beta gamma terms of service"),
+            ("s3", "delta epsilon zeta terms of service"),
+        ]
+        d = spark.createDataFrame(rows, ["source", "text"])
+        source_overlap(d, max_shingle_df=2).collect()
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline and not records:
+            time.sleep(0.1)
+    finally:
+        logger.removeHandler(handler)
+    assert records and "dropped" in records[0], records
+
+
 def test_jaccard_strategies_and_callers_agree(spark):
     """The capped-Jaccard semantics live in ONE place: the join strategy
     (doc-keyed dedup verifier) and the grouped strategy (source-keyed

@@ -153,3 +153,67 @@ def test_pagerank_matches_python_model(spark, edges):
     df = spark.createDataFrame(sorted(edges), ["src", "dst"])
     got = {r.node: r.pr for r in undirected_pagerank(df).collect()}
     assert got == _py_pagerank(edges)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_overlap_pairs: grouped strategy == join strategy == a Python
+# set model, for random membership frames and caps. The fixture test
+# (test_dedup_ops) pins known cap boundaries; this reaches arbitrary
+# df distributions, singleton keys, and all-hot-item shapes.
+# ---------------------------------------------------------------------------
+
+memberships = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 8)),  # (key, item)
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_capped_jaccard(pairs, cap):
+    items_by_key: dict[int, set[int]] = {}
+    for k, i in pairs:
+        items_by_key.setdefault(k, set()).add(i)
+    df_by_item: dict[int, int] = {}
+    for k, s in items_by_key.items():
+        for i in s:
+            df_by_item[i] = df_by_item.get(i, 0) + 1
+    keys = sorted(items_by_key)
+    out = {}
+    for a_idx, a in enumerate(keys):
+        for b in keys[a_idx + 1:]:
+            shared = {
+                i
+                for i in items_by_key[a] & items_by_key[b]
+                if cap is None or df_by_item[i] <= cap
+            }
+            if shared:
+                na, nb = len(items_by_key[a]), len(items_by_key[b])
+                out[(a, b)] = (
+                    len(shared),
+                    na,
+                    nb,
+                    len(shared) / (na + nb - len(shared)),
+                )
+    return out
+
+
+@SETTINGS
+@given(pairs=memberships, cap=st.sampled_from([None, 1, 2, 3]))
+def test_jaccard_strategies_match_python_set_model(spark, pairs, cap):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        jaccard_overlap_pairs,
+    )
+
+    # The join strategy's contract requires a DISTINCT membership frame
+    # (the grouped strategy's collect_set dedups implicitly either way).
+    pairs = sorted(set(pairs))
+    sets = spark.createDataFrame(pairs, ["key", "item"])
+    want = _py_capped_jaccard(pairs, cap)
+    for strategy in ("join", "grouped"):
+        got = {
+            (r.key_a, r.key_b): (r.shared, r.n_a, r.n_b, r.jaccard)
+            for r in jaccard_overlap_pairs(
+                sets, "key", "item", max_item_df=cap, strategy=strategy
+            ).collect()
+        }
+        assert got == want, (strategy, cap)
