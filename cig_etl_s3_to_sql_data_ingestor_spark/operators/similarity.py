@@ -915,6 +915,11 @@ def pq_search_packed(
             "use the join path (pq_topk/ivf_pq_topk) for non-integer id "
             "columns"
         )
+    # Query vectors round-trip through repr() -> string->double cast,
+    # which is exact for FINITE doubles only ('inf'/'nan' cast to NULL
+    # silently — a wrong cosine, not an error).
+    if any(not math.isfinite(v) for vec in qvecs.values() for v in vec):
+        raise ValueError("pq_search_packed requires finite query vectors")
     cbrows = (
         codebooks.select("m", "code_id", "code_vec").collect()
         if isinstance(codebooks, DataFrame)

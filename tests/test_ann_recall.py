@@ -218,5 +218,28 @@ def test_packed_search_identical_to_join_path(ground_truth):
             centroids=centroids, assigned=assigned, codebooks=cb, codes=codes,
         )
     )
+    # Plan shape: the literal-LUT explode must never plan a cartesian,
+    # and the exact re-rank join must be broadcast (packed search is not
+    # a registered query, so scripts/plan_audit.py never sees it).
+    plan = (
+        S.pq_search_packed(e, q_rows, cb_rows, packed, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    # Guards: non-integer ids and non-finite vectors fail loudly (both
+    # are silently wrong through the SQL-literal path otherwise).
+    with pytest.raises(TypeError, match="integer ids"):
+        S.pq_search_packed(
+            e, [("q1", [0.0] * 64)], cb_rows, packed, k=K
+        )
+    with pytest.raises(ValueError, match="finite"):
+        S.pq_search_packed(
+            e, [(0, [float("inf")] * 64)], cb_rows, packed, k=K
+        )
+
     for df in (subs, cb, codes, packed, centroids, assigned, packed_cells):
         df.unpersist()
