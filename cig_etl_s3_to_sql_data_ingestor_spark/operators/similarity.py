@@ -920,6 +920,17 @@ def pq_search_packed(
     # silently — a wrong cosine, not an error).
     if any(not math.isfinite(v) for vec in qvecs.values() for v in vec):
         raise ValueError("pq_search_packed requires finite query vectors")
+    # The documented boundary, enforced: plan size grows linearly with
+    # the query batch (one LUT column + struct per query), so a bulk
+    # offline sweep through this path would build a megabyte-scale plan
+    # and stall the driver rather than fail. Route it to the join path.
+    if len(qvecs) > 512:
+        raise ValueError(
+            f"pq_search_packed got {len(qvecs)} queries — it is the "
+            "interactive-batch path (plan size grows per query); use "
+            "pq_topk/ivf_pq_topk with prebuilt codebooks+codes for bulk "
+            "offline sweeps"
+        )
     cbrows = (
         codebooks.select("m", "code_id", "code_vec").collect()
         if isinstance(codebooks, DataFrame)
