@@ -161,6 +161,8 @@ HEADLINE = [
     "json_props_stats",
     "ordered_projection",
     "timestamp_truncation",
+    # round 6: bench-only scale-path entry (see _neardup_cells_bench).
+    "embedding_neardup_cells",
 ]
 
 
@@ -177,8 +179,28 @@ def _profile_default_mode(spark, sf_dir):
     return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
 
 
-# name -> callable overriding QUERIES[name] for timing purposes only.
-BENCH_OVERRIDES = {"profile_table": _profile_default_mode}
+def _neardup_cells_bench(spark, sf_dir):
+    """Cell-blocked near-dup at sqrt(n) cells — the scale path for the
+    label-blocked embedding_neardup query (whose fixed-cardinality
+    blocking is quadratic by semantics: the 10x rehearsal measured it at
+    ~13x wall, this at ~2x; scaling_sweep.json `scale_paths`). Benched
+    so a regression in the path users should actually run at scale is
+    visible per-round."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cell_blocked_near_duplicates(e, n_cells=45, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# name -> callable overriding (or, for bench-only entries like
+# embedding_neardup_cells, supplying) the timed body.
+BENCH_OVERRIDES = {
+    "profile_table": _profile_default_mode,
+    "embedding_neardup_cells": _neardup_cells_bench,
+}
 
 
 def _pq_search_prepare(spark, sf_dir):
@@ -313,9 +335,15 @@ def main() -> None:
             if prep is not None:
                 materialize(thunk())
             else:
-                # QUERIES[name], not .get: a typo'd HEADLINE entry must
-                # fail loudly with the name, not as a late NoneType call.
-                fn = BENCH_OVERRIDES.get(name, QUERIES[name])
+                # Explicit lookup (not dict.get(name, QUERIES[name]) —
+                # the default arg evaluates eagerly, so a bench-only
+                # override name would KeyError); a typo'd HEADLINE entry
+                # still fails loudly with the name.
+                fn = (
+                    BENCH_OVERRIDES[name]
+                    if name in BENCH_OVERRIDES
+                    else QUERIES[name]
+                )
                 materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

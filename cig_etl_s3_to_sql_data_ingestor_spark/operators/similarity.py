@@ -425,6 +425,51 @@ def cosine_near_duplicates(
     )
 
 
+def cell_blocked_near_duplicates(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.9,
+    sample_mod: int | None = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs blocked by trained KMeans CELLS — the scale
+    path :func:`cosine_near_duplicates`'s docstring mandates.
+
+    Blocking on a FIXED-cardinality attribute (labels, sources) is
+    quadratic in corpus growth: block sizes are n/|blocks|, so candidate
+    pairs grow as (n/|blocks|)² per block — the 10x scaling rehearsal
+    measured label-blocked near-dup at ~13x wall time for 10x vectors.
+    Cells are a DIAL: with ``n_cells ~ sqrt(n)`` the per-cell membership
+    is ~sqrt(n) and total candidate pairs stay O(n) — measured ~3x wall
+    for 10x vectors at sqrt-scaled cells (scaling_sweep.json
+    ``scale_paths``). Same recall caveat as any single-probe blocking:
+    pairs straddling a cell boundary are missed (the streaming gate
+    variant in streaming/vector_ingest shares this contract); raise
+    ``n_iters``/``n_cells`` quality, or run the LSH verifier family for
+    guarantees."""
+    cent = kmeans_centroids(
+        df,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_mod=sample_mod,
+    ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    assigned = ivf_assign(df, cent, id_col, vec_col, n_probe=1).select(
+        F.col("cand_id").alias(id_col), "cell_id"
+    )
+    blocked = df.select(id_col, vec_col).join(assigned, id_col)
+    return cosine_near_duplicates(
+        blocked,
+        block_col="cell_id",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )
+
+
 def l2_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return df.select(F.col(id_col), norm(F.col(vec_col)).alias("l2_norm"))
 

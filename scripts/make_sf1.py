@@ -17,9 +17,11 @@ manufacturing pathologies the operators would rightly choke on:
   of each other; otherwise every dedup/overlap query would see 10-deep
   duplicate groups and the pair fan-out would grow quadratically — a
   data artifact, not an operator regression.
-- embeddings: replica r adds r * 1e-3 to every component — vectors stay
-  in-distribution but are distinct, so ANN/near-dup candidate counts
-  scale linearly.
+- embeddings: replica r cyclically rotates the component order by r —
+  norms and the component distribution are EXACTLY preserved while
+  cross-replica cosine decorrelates (an epsilon shift, tried first,
+  left replicas cosine~1 near-duplicates of each other and inflated
+  every near-dup/kNN measurement ~10-deep).
 - events/orders/lineitem/customer/supplier/part: key columns offset by
   r * 10^9 (ids stay bigint-safe and join-consistent); value columns
   untouched so aggregates keep their distributions.
@@ -106,9 +108,9 @@ def main() -> None:
             if t == "embeddings" and r:
                 rep = rep.withColumn(
                     "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x: (x + F.lit(r * 1e-3)).cast("float"),
+                    F.concat(
+                        F.slice(F.col("embedding"), r + 1, 10_000),
+                        F.slice(F.col("embedding"), 1, r),
                     ),
                 )
             parts.append(rep)

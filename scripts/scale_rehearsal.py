@@ -9,7 +9,10 @@ For each query this times min-of-N runs at sf0.1 and at the replicated
 flags anything scaling worse than ~12x (10x rows + scheduling slack) as
 super-linear. Results are recorded in NOTES.md.
 
-Usage: python scripts/scale_rehearsal.py [runs=2]
+Usage: python scripts/scale_rehearsal.py [runs=2] [--all]
+  --all sweeps the ENTIRE registry (120 queries) instead of the
+  expensive-tail TOP list, and writes scaling_sweep.json next to the
+  repo's bench_full.json with per-query (sf0.1, sf1, ratio) rows.
 """
 
 from __future__ import annotations
@@ -62,7 +65,9 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
 
 
 def main() -> int:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sweep_all = "--all" in sys.argv[1:]
+    runs = int(args[0]) if args else 2
     if not os.path.isdir(SF1):
         print("run scripts/make_sf1.py first", file=sys.stderr)
         return 1
@@ -71,12 +76,14 @@ def main() -> int:
     QUERIES["distinct_keys"](spark, SF01).write.format("noop").mode(
         "overwrite"
     ).save()
+    names = list(QUERIES) if sweep_all else TOP
     print(f"{'query':28} {'sf0.1':>8} {'sf1':>8} {'ratio':>7}")
-    flagged = []
-    for name in TOP:
+    flagged, rows = [], {}
+    for name in names:
         a = time_query(spark, name, SF01, runs)
         b = time_query(spark, name, SF1, runs)
         r = b / max(a, 1e-9)
+        rows[name] = {"sf0_1": round(a, 3), "sf1": round(b, 3), "ratio": round(r, 2)}
         flag = "  <-- SUPER-LINEAR" if r > SUPERLINEAR else ""
         if r > SUPERLINEAR:
             flagged.append(name)
@@ -85,6 +92,21 @@ def main() -> int:
         print("loadavg:", os.getloadavg())
     except OSError:
         pass
+    if sweep_all:
+        import json
+
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scaling_sweep.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(
+                {"runs": runs, "superlinear_threshold": SUPERLINEAR,
+                 "flagged": flagged, "queries": rows},
+                fh, indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+        print("wrote", out)
     if flagged:
         print("super-linear outliers to diagnose:", ", ".join(flagged))
     return 0

@@ -158,3 +158,34 @@ def test_seeding_survives_rekeyed_corpus(spark, sf_dir):
         n_codes=8,
     )
     assert hits.count() == 15
+
+
+def test_cell_blocked_near_duplicates_subset_of_exact(spark, sf_dir):
+    """The cell-blocked scale path reports only TRUE near-dup pairs
+    (every pair meets the threshold and appears in the exact all-pairs
+    result — blocking can only remove candidates, never invent them),
+    and finds the obvious ones: vectors assigned to the same cell that
+    really are near-duplicates."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        cell_blocked_near_duplicates,
+        cosine_near_duplicates,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cell_blocked_near_duplicates(
+            e, n_cells=8, threshold=0.4
+        ).collect()
+    }
+    # Exact all-pairs reference: one constant block.
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_near_duplicates(
+            e.withColumn("_all", F.lit(1)), block_col="_all", threshold=0.4
+        ).collect()
+    }
+    assert got, "cell-blocked near-dup found nothing at threshold 0.4"
+    assert set(got) <= set(exact), "blocking invented a pair"
+    for p, sim in got.items():
+        assert sim == exact[p] and sim >= 0.4

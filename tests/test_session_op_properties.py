@@ -217,3 +217,79 @@ def test_jaccard_strategies_match_python_set_model(spark, pairs, cap):
             ).collect()
         }
         assert got == want, (strategy, cap)
+
+
+# ---------------------------------------------------------------------------
+# pq_search_packed == pq_topk on random corpora: the packed path
+# replicates Spark's l2sq/dot IEEE folds in driver-side Python — any
+# fold-order or quantization drift shows up as a rank flip somewhere in
+# a randomized corpus long before a user sees it. The fixture test
+# (test_ann_recall) pins the real embeddings table; this reaches
+# arbitrary value distributions (incl. negatives and near-ties).
+# ---------------------------------------------------------------------------
+
+vec_corpora = st.lists(
+    st.lists(
+        st.floats(-4, 4, allow_nan=False, allow_infinity=False, width=32),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=12,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(vecs=vec_corpora)
+def test_packed_search_matches_join_path_on_random_vectors(spark, vecs):
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import (
+        _persist,
+        unpersist_all,
+    )
+
+    # Degenerate all-equal corpora still exercise the tie-break chain.
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    n_sub, n_codes, k = 4, 4, 3
+    try:
+        subs = _persist(S._subvectors(e, n_sub, "vec_id", "embedding"))
+        cb = _persist(
+            S.pq_train_codebooks(e, n_sub=n_sub, n_codes=n_codes, subs=subs)
+        )
+        codes = _persist(
+            S.pq_encode(e, cb, n_sub=n_sub, subs=subs)
+        )
+        cb_rows = [
+            tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()
+        ]
+        packed = _persist(S.pq_pack_codes(codes, cb_rows))
+        q = e.filter("vec_id < 3")
+        q_rows = [
+            tuple(r) for r in q.select("vec_id", "embedding").collect()
+        ]
+        want = sorted(
+            tuple(r)
+            for r in S.pq_topk(
+                e, q, k=k, n_sub=n_sub, n_codes=n_codes,
+                codebooks=cb, codes=codes,
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in S.pq_search_packed(
+                e, q_rows, cb_rows, packed, k=k, n_sub=n_sub
+            ).collect()
+        )
+        assert got == want
+    finally:
+        unpersist_all()

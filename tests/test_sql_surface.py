@@ -84,7 +84,14 @@ def test_every_registered_query_is_benched():
     missing = set(QUERIES) - set(bench.HEADLINE)
     assert not missing, f"queries with no bench row: {sorted(missing)}"
     extras = set(bench.HEADLINE) - set(QUERIES)
-    assert extras == {"ann_pq_search", "ann_ivf_pq_search"}, extras
+    assert extras == {
+        "ann_pq_search",
+        "ann_ivf_pq_search",
+        "embedding_neardup_cells",
+    }, extras
+    # Bench-only entries must have a timed body (prepare or override).
+    for name in extras:
+        assert name in bench.BENCH_PREPARE or name in bench.BENCH_OVERRIDES, name
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate bench rows"
 
 
