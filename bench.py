@@ -161,8 +161,11 @@ HEADLINE = [
     "json_props_stats",
     "ordered_projection",
     "timestamp_truncation",
-    # round 6: bench-only scale-path entry (see _neardup_cells_bench).
+    # round 6: bench-only scale-path entries (see _neardup_cells_bench /
+    # _knn_label_eval_ann_bench) — the linear counterparts to the two
+    # quadratic-by-semantics queries the 10x scaling sweep flagged.
     "embedding_neardup_cells",
+    "knn_label_eval_ann",
 ]
 
 
@@ -195,11 +198,61 @@ def _neardup_cells_bench(spark, sf_dir):
     )
 
 
+def _knn_label_eval_ann_bench(spark, sf_dir):
+    """ANN-based label eval over a FIXED-size query sample — the scale
+    path for the registered knn_label_eval, whose corpus-proportional
+    sample x brute-force kernel is quadratic by construction (24x wall
+    at 10x rows in the scaling sweep; its own docstring names this
+    swap). ivf_topk replaces brute_force_topk (accuracy degrades by
+    exactly the pinned recall gap, tests/test_ann_recall.py) and the
+    sample is capped at 400 queries regardless of corpus size. The
+    vote/accuracy tail mirrors the registered query."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(400)
+    topk = S.ivf_topk(e, q, k=10, n_cells=16, n_probe=12, kmeans_sample_mod=4)
+    labels = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(labels, "cand_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("predicted"))
+    )
+    correct = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+        )
+        .orderBy("label")
+    )
+
+
 # name -> callable overriding (or, for bench-only entries like
 # embedding_neardup_cells, supplying) the timed body.
 BENCH_OVERRIDES = {
     "profile_table": _profile_default_mode,
     "embedding_neardup_cells": _neardup_cells_bench,
+    "knn_label_eval_ann": _knn_label_eval_ann_bench,
 }
 
 
