@@ -442,8 +442,8 @@ def cell_blocked_near_duplicates(
     pairs grow as (n/|blocks|)² per block — the 10x scaling rehearsal
     measured label-blocked near-dup at ~13x wall time for 10x vectors.
     Cells are a DIAL: with ``n_cells ~ sqrt(n)`` the per-cell membership
-    is ~sqrt(n) and total candidate pairs stay O(n) — measured ~3x wall
-    for 10x vectors at sqrt-scaled cells (scaling_sweep.json
+    is ~sqrt(n) and total candidate pairs stay O(n) — measured 2.07x
+    wall for 10x vectors at sqrt-scaled cells (scaling_sweep.json
     ``scale_paths``). Same recall caveat as any single-probe blocking:
     pairs straddling a cell boundary are missed (the streaming gate
     variant in streaming/vector_ingest shares this contract); raise
@@ -457,10 +457,13 @@ def cell_blocked_near_duplicates(
         vec_col=vec_col,
         sample_mod=sample_mod,
     ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
-    assigned = ivf_assign(df, cent, id_col, vec_col, n_probe=1).select(
-        F.col("cand_id").alias(id_col), "cell_id"
+    # ivf_assign's n_probe=1 aggregate already carries the vector
+    # through — no corpus re-join to fetch it back.
+    blocked = ivf_assign(df, cent, id_col, vec_col, n_probe=1).select(
+        F.col("cand_id").alias(id_col),
+        F.col("cand_vec").alias(vec_col),
+        "cell_id",
     )
-    blocked = df.select(id_col, vec_col).join(assigned, id_col)
     return cosine_near_duplicates(
         blocked,
         block_col="cell_id",

@@ -73,9 +73,11 @@ def _sql_kgrams(k: int) -> str:
 # |sources|² pair rows; ``max_shingle_df`` drops such shingles from the
 # intersection index (per-source set sizes still count them, so the
 # reported Jaccard is exact when no shingle exceeds the cap and a
-# conservative underestimate otherwise), and the dropped count is
-# ALWAYS computed and logged at WARNING when non-zero — never a silent
-# cap.
+# conservative underestimate otherwise), and the dropped count rides
+# the job as an observed metric, logged at WARNING when non-zero by a
+# bounded 24h watcher (see source_overlap's docstring for the window
+# caveat) — the cap is additionally always visible structurally, in
+# both the plan and the oracle.
 # ---------------------------------------------------------------------------
 
 
@@ -97,7 +99,11 @@ def source_overlap(
     dropped-shingle count rides the SAME job as an observed metric
     (``df.observe`` — no extra pass, no cache dependence at 100 TB),
     logged at WARNING when non-zero by a watcher thread as soon as the
-    returned frame's first action completes — never a silent cap."""
+    returned frame's first action completes. Bounded-window caveat: the
+    watcher polls for 24h and then exits (so a never-materialized frame
+    cannot leak a blocked thread); a frame whose FIRST action lands
+    later than that logs nothing — the cap itself remains structurally
+    visible in the plan and the oracle regardless."""
     import logging
     import threading
 
@@ -120,33 +126,43 @@ def source_overlap(
         )
 
         def _log_cap(cap: int = max_shingle_df) -> None:
-            # Poll the non-blocking JVM accessor instead of the blocking
-            # Observation.get: a frame that is built but never
-            # materialized (plan audits, discarded branches) must not
-            # leak a permanently-blocked thread per call — after the
-            # deadline the watcher exits silently (the cap stays
-            # structurally visible in the plan and the oracle).
+            # Classic sessions: poll the non-blocking JVM accessor so a
+            # frame that is built but never materialized (plan audits,
+            # discarded branches) cannot leak a permanently-blocked
+            # thread — the watcher gives up after 24h (a frame whose
+            # FIRST action lands later than that logs nothing; see the
+            # docstring's bounded-window caveat). Where those internals
+            # don't exist (Spark Connect's Observation has no _jo),
+            # fall back to the blocking get — contract kept, with the
+            # never-materialized thread leak as the documented price.
             import time
 
-            deadline = time.monotonic() + 3600.0
             try:
-                while time.monotonic() < deadline:
-                    jrow = obs._jo.getRowOrEmpty() if obs._jo is not None else None
-                    if jrow is not None and jrow.isDefined():
-                        n_hot = jrow.get().getLong(0)
-                        if n_hot:
-                            logging.getLogger(__name__).warning(
-                                "source_overlap: dropped %d shingles with "
-                                "source-df > %d from the intersection index "
-                                "(reported Jaccard is a conservative "
-                                "underestimate for pairs sharing them)",
-                                n_hot,
-                                cap,
-                            )
+                jo = getattr(obs, "_jo", None)
+                if jo is None or not hasattr(jo, "getRowOrEmpty"):
+                    n_hot = obs.get["n_hot"]  # blocking fallback
+                else:
+                    deadline = time.monotonic() + 24 * 3600.0
+                    n_hot = None
+                    while time.monotonic() < deadline:
+                        jrow = jo.getRowOrEmpty()
+                        if jrow is not None and jrow.isDefined():
+                            n_hot = jrow.get().getLong(0)
+                            break
+                        time.sleep(0.2)
+                    if n_hot is None:
                         return
-                    time.sleep(0.2)
             except Exception:  # session torn down mid-poll
                 return
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "source_overlap: dropped %d shingles with "
+                    "source-df > %d from the intersection index "
+                    "(reported Jaccard is a conservative "
+                    "underestimate for pairs sharing them)",
+                    n_hot,
+                    cap,
+                )
 
         threading.Thread(
             target=_log_cap, daemon=True, name="source-overlap-cap-log"

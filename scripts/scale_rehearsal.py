@@ -99,12 +99,22 @@ def main() -> int:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "scaling_sweep.json",
         )
+        # Merge over the existing artifact: the `scale_paths` section
+        # (bench-only counterparts like embedding_neardup_cells /
+        # knn_label_eval_ann, measured out-of-band) and any notes are
+        # NOT produced by this sweep and must survive a re-run.
+        payload = {}
+        if os.path.exists(out):
+            try:
+                payload = json.load(open(out))
+            except json.JSONDecodeError:
+                pass
+        payload.update(
+            {"runs": runs, "superlinear_threshold": SUPERLINEAR,
+             "flagged": flagged, "queries": rows}
+        )
         with open(out, "w") as fh:
-            json.dump(
-                {"runs": runs, "superlinear_threshold": SUPERLINEAR,
-                 "flagged": flagged, "queries": rows},
-                fh, indent=1, sort_keys=True,
-            )
+            json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
         print("wrote", out)
     if flagged:
