@@ -166,6 +166,9 @@ HEADLINE = [
     # quadratic-by-semantics queries the 10x scaling sweep flagged.
     "embedding_neardup_cells",
     "knn_label_eval_ann",
+    # round 6 additions: BM25 retrieval + SemDeDup decisions
+    "bm25_search",
+    "semdedup_keep",
 ]
 
 

@@ -473,6 +473,117 @@ def cell_blocked_near_duplicates(
     )
 
 
+def semdedup_decisions(
+    df: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.9,
+    sample_mod: int | None = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): per-vector
+    keep/drop decisions for semantic deduplication — cluster the corpus,
+    then within each cluster drop every vector that is cosine-similar
+    (>= ``threshold``) to a higher-ranked cluster member, where rank is
+    (similarity to the cluster centroid DESC, id ASC). The survivor of
+    each tight semantic group is therefore its most *central* member — a
+    deterministic representative any engine reproduces bit-for-bit.
+
+    One-pass (non-transitive) variant: a vector is dropped if ANY
+    higher-ranked member is within ``threshold``, whether or not that
+    member itself survives — the standard SQL-expressible form (the
+    greedy sequential variant needs per-cluster iteration and changes
+    results only inside chains of borderline pairs).
+
+    Scale shape is identical to :func:`cell_blocked_near_duplicates`:
+    broadcast-assign to trained cells (corpus never shuffles for
+    assignment), then a cell-keyed self-join whose candidate pairs stay
+    O(n) when ``n_cells ~ sqrt(n)``; pairs straddling a cell boundary
+    are not compared (same single-probe contract as every IVF-blocked
+    operator here).
+
+    Returns (id_col, cell_id, centroid_sim, kept, dup_of): ``kept`` is
+    1/0, ``dup_of`` the highest-ranked member that evicted the row
+    (NULL for survivors).
+    """
+    cent = kmeans_centroids(
+        df,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_mod=sample_mod,
+    )
+    assigned = ivf_assign(
+        df,
+        cent.select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)),
+        id_col,
+        vec_col,
+        n_probe=1,
+    )
+    centn = cent.select(
+        "cell_id", "cell_vec", norm(F.col("cell_vec")).alias("cell_norm")
+    )
+    sims = assigned.join(F.broadcast(centn), "cell_id").select(
+        "cell_id",
+        F.col("cand_id"),
+        F.col("cand_vec"),
+        F.col("cand_norm"),
+        (
+            dot(F.col("cand_vec"), F.col("cell_vec"))
+            / (F.col("cand_norm") * F.col("cell_norm"))
+        ).alias("centroid_sim"),
+    )
+    a = sims.select(
+        "cell_id",
+        F.col("cand_id").alias("id_a"),
+        F.col("cand_vec").alias("vec_a"),
+        F.col("cand_norm").alias("norm_a"),
+        F.col("centroid_sim").alias("sim_a"),
+    )
+    b = sims.select(
+        "cell_id",
+        F.col("cand_id").alias("id_b"),
+        F.col("cand_vec").alias("vec_b"),
+        F.col("cand_norm").alias("norm_b"),
+        F.col("centroid_sim").alias("sim_b"),
+    )
+    # a strictly outranks b: closer to the centroid, id-ascending on ties
+    # (exact double comparison is deterministic — both sides fold the
+    # same dot-product expression).
+    pairs = fan_out(
+        a.join(b, "cell_id").filter(
+            (F.col("sim_a") > F.col("sim_b"))
+            | ((F.col("sim_a") == F.col("sim_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+    )
+    killers = (
+        pairs.withColumn(
+            "pair_sim",
+            dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("pair_sim") >= threshold)
+        .groupBy("id_b")
+        .agg(
+            F.max_by(
+                F.col("id_a"), F.struct(F.col("sim_a"), -F.col("id_a"))
+            ).alias("dup_of")
+        )
+    )
+    return sims.join(
+        killers, sims["cand_id"] == killers["id_b"], "left"
+    ).select(
+        F.col("cand_id").alias(id_col),
+        "cell_id",
+        "centroid_sim",
+        F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+        "dup_of",
+    )
+
+
 def l2_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return df.select(F.col(id_col), norm(F.col(vec_col)).alias("l2_norm"))
 

@@ -13,6 +13,7 @@ pass is a single scan-project-filter-write stage.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..partitioning import fan_out
@@ -355,4 +356,102 @@ def char_entropy(
         (
             F.col("entropy_q").cast("double") / (F.col("t") * F.lit(LM_QUANT))
         ).alias("entropy_nats"),
+    )
+
+
+BM25_QUANT = 1_000_000  # idf quantization (micro-nats)
+
+# BM25 constants as exact integer ratios (k1 = 1.2 = 12/10, b = 0.75 =
+# 3/4), folded into the integer numerator/denominator below:
+#   tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/L))
+#           = 88*tf*L / (40*L*tf + 12*L + 36*dl*N)
+# so both sides of the division are exact BIGINTs on any engine (fits
+# int64 while 88*tf*L < 2^63 — ~1e3 tf x ~1e13 corpus tokens; beyond
+# that, scale L down by a fixed power of two on both sides).
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked keyword retrieval: top-``k`` documents per query.
+
+    ``terms`` is a small (query_id: long, term: string) frame — the
+    interactive/search-request side, broadcast everywhere it appears.
+    Engine-reproducible scoring: the Robertson idf is quantized to
+    integer micro-nats (``floor(ln((2N+1)/(2df+1)) * 1e6)`` — the +0.5
+    smoothing terms cleared to the exact integer ratio (2N+1)/(2df+1)),
+    the tf normalization is an exact-integer ratio (see BM25_QUANT note
+    above), and the per-(doc, term) contribution is floor-quantized so
+    the final score is an order-independent integer SUM.
+
+    Scale shape: one scan computes per-doc length (map-only aggregate),
+    a second scan explodes tokens and semi-joins the broadcast term set
+    — only matching (doc, term) rows survive to the tf shuffle, so the
+    shuffle volume is bounded by corpus hits on the query vocabulary,
+    not corpus size. df/N/L are tiny broadcast frames. The final top-k
+    window partitions by query_id; for thousand-query offline sweeps
+    repartition on query_id first (same boundary as pq_search_packed).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_len"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tset = terms.select("term").distinct()
+    tf = (
+        exploded.join(F.broadcast(tset), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf_q = F.floor(
+        F.log(
+            (F.lit(2).cast("long") * F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.lit(2).cast("long") * F.col("df") + F.lit(1)).cast("double")
+        )
+        * F.lit(BM25_QUANT)
+    ).cast("long")
+    num = (F.lit(88).cast("long") * F.col("tf") * F.col("total_len")).cast("long")
+    den = (
+        F.lit(40).cast("long") * F.col("total_len") * F.col("tf")
+        + F.lit(12).cast("long") * F.col("total_len")
+        + F.lit(36).cast("long") * F.col("dl") * F.col("n_docs")
+    ).cast("long")
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(terms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf_q.cast("double") * num.cast("double") / den.cast("double"))
+            .cast("long")
+            .alias("contrib_q"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_q").cast("long").alias("score_q")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(BM25_QUANT)).alias("score"),
+            "rank",
+        )
     )

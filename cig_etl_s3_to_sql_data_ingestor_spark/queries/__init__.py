@@ -41,7 +41,10 @@ _HEAD = [
     # core, and the PQ/IVF-PQ search-path profiling), (2) the 29
     # queries whose newest driver row is round 3 (the round-5 verdict's
     # #1 task), (3) oldest r4-green re-scores to fill the window.
-    # -- (1) touched this round:
+    # -- (1) touched this round (incl. NEW queries — never scored, so
+    # they outrank every re-score):
+    "bm25_search",            # NEW: BM25 ranked keyword retrieval
+    "semdedup_keep",          # NEW: SemDeDup per-vector curation decisions
     "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
     "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
     "ann_pq_topk",            # search-path profiling (r5 verdict #4)
@@ -92,15 +95,15 @@ _HEAD = [
     "profile_table",
     "chunk_documents",
     "pack_sequences",
-    "stratified_sample",
-    "interleave_sources",
 ]
-# 120 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 122 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly.
 _TAIL = [
     # r4-green, untouched this round (oldest remaining evidence —
-    # these lead the r7 head's re-score block):
+    # these lead the r7 head's re-score block; stratified_sample and
+    # interleave_sources were displaced from the r6 fill block by the
+    # two NEW queries and stay r4-green):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "approx_distinct_stats",
@@ -122,6 +125,8 @@ _TAIL = [
     "pii_redaction",
     "quarterly_top_supplier",
     "source_quality_funnel",
+    "stratified_sample",
+    "interleave_sources",
     "text_normalize_stats",
     "tfidf_top_terms",
     "vocab_stats",

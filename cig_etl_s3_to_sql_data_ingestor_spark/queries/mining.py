@@ -950,3 +950,95 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Fixed retrieval workload for the BM25 query: four keyword queries over
+# the corpus vocabulary, shared verbatim by the Spark frame and the
+# oracle's VALUES list so the two cannot drift.
+BM25_QUERY_TERMS: tuple[tuple[int, str], ...] = (
+    (0, "hash"),
+    (0, "join"),
+    (1, "window"),
+    (1, "agg"),
+    (1, "group"),
+    (2, "vector"),
+    (2, "scan"),
+    (3, "slow"),
+    (3, "customer"),
+    (3, "merge"),
+)
+
+_SQL_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH qt AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, term
+      FROM (VALUES {_SQL_BM25_VALUES}) AS v(query_id, term)
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOK}) AS BIGINT) AS dl,
+             unnest({_SQL_TOK}) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_SQL_TOK})) AS BIGINT) AS total_len
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             MIN(dl) AS dl
+      FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY doc_id, term
+    ),
+    dfr AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               CAST(CAST(floor(ln(CAST(2 * s.n_docs + 1 AS DOUBLE)
+                                  / CAST(2 * d.df + 1 AS DOUBLE))
+                               * 1000000) AS BIGINT) AS DOUBLE)
+               * CAST(88 * tf.tf * s.total_len AS DOUBLE)
+               / CAST(40 * s.total_len * tf.tf + 12 * s.total_len
+                      + 36 * tf.dl * s.n_docs AS DOUBLE)
+             ) AS BIGINT) AS contrib_q
+      FROM tf
+      JOIN dfr d USING (term)
+      JOIN qt USING (term)
+      CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_q,
+           CAST(score_q AS DOUBLE) / 1000000 AS score, rank
+    FROM (
+      SELECT query_id, doc_id, score_q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_q DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM scores
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword retrieval (top-10 docs per query) — the
+    search/decontamination modality the curation surface lacked:
+    tfidf_top_terms extracts per-doc terms, this RANKS documents for a
+    query. Integer-exact scoring (quantized idf, exact-ratio tf
+    normalization — see operators/text.bm25_topk) keeps the top-k
+    hash-stable across engines."""
+    from ..operators.text import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    return bm25_topk(d, terms, k=10).orderBy("query_id", "rank")

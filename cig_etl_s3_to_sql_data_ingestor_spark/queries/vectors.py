@@ -715,3 +715,65 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(e, queries, k=5, kmeans_sample_mod=4).orderBy(
         "query_id", "rank"
     )
+
+
+SEMDEDUP_THRESHOLD = 0.33  # within-cell cosine: ~p99 of the synthetic
+# within-cell pair distribution at sf0.01 (max ~0.49), so decisions are
+# non-degenerate — ~23% of vectors evicted, 77% kept.
+
+
+@register(
+    "semdedup_keep",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {{kmeans}},
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    sims AS (
+      SELECT a.cand_id, a.cand_vec, a.cell_id,
+             {_sql_cosine('a.cand_vec', 'cent.cell_vec')} AS centroid_sim
+      FROM assigned a JOIN cent ON a.cell_id = cent.cell_id
+    ),
+    pairs AS (
+      SELECT b.cand_id AS id_b, a.cand_id AS id_a, a.centroid_sim AS sim_a
+      FROM sims a JOIN sims b ON a.cell_id = b.cell_id
+       AND (a.centroid_sim > b.centroid_sim
+            OR (a.centroid_sim = b.centroid_sim AND a.cand_id < b.cand_id))
+      WHERE {_sql_cosine('a.cand_vec', 'b.cand_vec')} >= 0.33
+    ),
+    killers AS (
+      SELECT id_b, id_a AS dup_of FROM (
+        SELECT id_b, id_a,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY sim_a DESC, id_a ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT s.cand_id AS vec_id, s.cell_id, s.centroid_sim,
+           CAST(CASE WHEN k.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           k.dup_of
+    FROM sims s LEFT JOIN killers k ON s.cand_id = k.id_b
+    ORDER BY vec_id
+    """.format(kmeans=_sql_kmeans_ctes(sample_mod=2)),
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decisions (Abbas et al. 2023): cluster with
+    the deterministic sampled KMeans, evict any vector cosine-similar
+    (>= 0.33) to a higher-ranked member of its cell — rank = closeness
+    to the centroid, so each tight semantic group keeps its most central
+    representative. Complements embedding_neardup (pairs, fixed blocks)
+    and embedding_clusters (summaries) with per-vector curation
+    DECISIONS — the frame a training-data pipeline anti-joins against
+    the corpus. Cell-blocked self-join: O(n) candidate pairs at
+    n_cells ~ sqrt(n) (see operators/similarity.semdedup_decisions)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_decisions(
+        e, n_cells=16, n_iters=2, threshold=SEMDEDUP_THRESHOLD, sample_mod=2
+    ).orderBy("vec_id")

@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "curation_decisions",
     "idle_customers",         # 1-row average-balance cutoff
     "heavy_hitter_keys",      # 1-row corpus-context stats
+    "bm25_search",            # 1-row corpus stats (N, total_len)
+    "semdedup_keep",          # 16-row broadcast centroid frame
 }
 
 # Queries whose single unpartitioned window runs over a BOUNDED frame

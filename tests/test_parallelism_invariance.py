@@ -32,6 +32,8 @@ CASES = [
     "price_quantity_stats",       # exact integer moments, one double per stat
     "image_ahash_groups",         # r5: multi-channel decode -> signature groupBy
     "audio_fingerprint_groups",   # r5: interleaved-PCM energies -> signature join
+    "bm25_search",                # r6: quantized-idf integer score sums + top-k
+    "semdedup_keep",              # r6: double-exact eviction rank tie-breaks
 ]
 
 

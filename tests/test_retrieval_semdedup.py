@@ -1,0 +1,166 @@
+"""Behavioral tests for the round-6 additions: BM25 ranked keyword
+retrieval (operators/text.bm25_topk) and SemDeDup per-vector curation
+decisions (operators/similarity.semdedup_decisions).
+
+The registry sweep (test_queries_oracle) proves oracle parity; these
+tests pin the SEMANTICS on hand-built corpora where the right answer is
+known by construction — term-density and idf ordering for BM25, and the
+keep-most-central / evict-by-higher-rank contract for SemDeDup.
+"""
+
+from __future__ import annotations
+
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+    semdedup_decisions,
+)
+from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import bm25_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _terms(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def test_bm25_ranks_by_term_density(spark):
+    # Same doc length everywhere; the doc repeating the query term most
+    # must rank first, and a doc without the term must not appear.
+    docs = _docs(
+        spark,
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog dog dog"),
+            (3, "dog dog dog dog"),
+            (4, "cat cat dog dog"),
+        ],
+    )
+    out = bm25_topk(docs, _terms(spark, [(0, "cat")]), k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 4, 2]  # tf 3 > 2 > 1; doc 3 never matches
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_shorter_doc_wins_at_equal_tf(spark):
+    # Equal tf, different lengths: BM25's length normalization must
+    # favor the shorter document.
+    docs = _docs(
+        spark,
+        [
+            (1, "cat dog"),
+            (2, "cat dog dog dog dog dog dog dog"),
+        ],
+    )
+    out = bm25_topk(docs, _terms(spark, [(0, "cat")]), k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2]
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # "rare" appears in one doc, "common" in all four: with one query
+    # containing both terms, the rare-term doc must outrank docs that
+    # match only the ubiquitous term.
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare pad pad"),
+            (2, "common pad pad pad"),
+            (3, "common pad pad pad"),
+            (4, "common pad pad pad"),
+        ],
+    )
+    out = bm25_topk(docs, _terms(spark, [(0, "common"), (0, "rare")]), k=10).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.doc_id == 1
+    # Every doc matches "common", so all four rank.
+    assert len(out) == 4
+
+
+def test_bm25_multiple_queries_are_independent(spark):
+    docs = _docs(spark, [(1, "cat cat"), (2, "dog dog")])
+    terms = _terms(spark, [(0, "cat"), (1, "dog")])
+    out = bm25_topk(docs, terms, k=10).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r.doc_id)
+    assert by_query == {0: [1], 1: [2]}
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_lowest_id_of_exact_duplicates(spark):
+    # Two identical vectors tie on centroid_sim, so the id-ascending
+    # tie-break must keep the lower id and evict the higher, recording
+    # the keeper in dup_of. The third vector is orthogonal: kept.
+    e = _vecs(
+        spark,
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0, 0.0]),
+            (12, [0.0, 1.0, 0.0, 0.0]),
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup_decisions(
+            e, n_cells=2, n_iters=1, threshold=0.9, sample_mod=None
+        ).collect()
+    }
+    assert out[10].kept == 1 and out[10].dup_of is None
+    assert out[11].kept == 0 and out[11].dup_of == 10
+    assert out[12].kept == 1
+
+
+def test_semdedup_keeps_most_central_member(spark):
+    # Cell seeded at id 0 (sorted init); among near-parallel vectors the
+    # one most similar to the trained centroid survives, others are
+    # evicted with dup_of pointing at the survivor. The far vector in
+    # the second cell is untouched.
+    e = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.1, 0.0, 0.0]),
+            (3, [1.0, -0.1, 0.0, 0.0]),
+        ],
+    )
+    rows = semdedup_decisions(
+        e, n_cells=2, n_iters=1, threshold=0.95, sample_mod=None
+    ).collect()
+    out = {r.vec_id: r for r in rows}
+    cell_of_0 = out[0].cell_id
+    same_cell = [r for r in rows if r.cell_id == cell_of_0]
+    kept = [r for r in same_cell if r.kept == 1]
+    dropped = [r for r in same_cell if r.kept == 0]
+    # Exactly one survivor per tight group, and every evicted row points
+    # at a member that outranks it (closer to the centroid, or tied with
+    # a lower id).
+    assert len(kept) >= 1 and dropped, (kept, dropped)
+    best = max(same_cell, key=lambda r: (r.centroid_sim, -r.vec_id))
+    assert out[best.vec_id].kept == 1
+    for r in dropped:
+        killer = out[r.dup_of]
+        assert killer.cell_id == r.cell_id
+        assert (killer.centroid_sim, -killer.vec_id) > (
+            r.centroid_sim,
+            -r.vec_id,
+        )
+    # The orthogonal vector's cell is independent.
+    assert out[1].kept == 1
+
+
+def test_semdedup_every_vector_gets_exactly_one_decision(spark, sf_dir):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semdedup_decisions(e, n_cells=8, n_iters=2, threshold=0.33)
+    n = e.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    for r in rows:
+        assert (r.kept == 1) == (r.dup_of is None)
