@@ -204,36 +204,25 @@ def ivf_assign(
         # max over (sim, id) structs == ORDER BY sim DESC, id DESC LIMIT 1.
         # cand_vec/cand_norm are constant within the group (the group key
         # is the vector's id), so any-value semantics of first() are exact.
-        if with_sim:
-            # ``with_sim`` keeps the winning cell's similarity — callers
-            # that need the centroid distance (SemDeDup's rank) get it
-            # from THIS pass instead of re-joining the centroid frame,
-            # whose lazy KMeans lineage would otherwise retrain. The
-            # whole-struct max picks the identical winner as max_by.
-            return (
-                scored.groupBy("cand_id")
-                .agg(
-                    F.first("cand_vec").alias("cand_vec"),
-                    F.first("cand_norm").alias("cand_norm"),
-                    F.max(F.struct(F.col("cell_sim"), F.col("cell_id"))).alias(
-                        "m"
-                    ),
-                )
-                .select(
-                    "cand_id",
-                    "cand_vec",
-                    "cand_norm",
-                    F.col("m.cell_id").alias("cell_id"),
-                    F.col("m.cell_sim").alias("cell_sim"),
-                )
-            )
-        return scored.groupBy("cand_id").agg(
+        # ONE winner expression serves both shapes; ``with_sim``
+        # additionally keeps the winning cell's similarity — callers that
+        # need the centroid distance (SemDeDup's rank) get it from THIS
+        # pass instead of re-joining the centroid frame, whose lazy
+        # KMeans lineage would otherwise retrain.
+        winner = scored.groupBy("cand_id").agg(
             F.first("cand_vec").alias("cand_vec"),
             F.first("cand_norm").alias("cand_norm"),
-            F.max_by(
-                F.col("cell_id"), F.struct(F.col("cell_sim"), F.col("cell_id"))
-            ).alias("cell_id"),
+            F.max(F.struct(F.col("cell_sim"), F.col("cell_id"))).alias("m"),
         )
+        out_cols = [
+            F.col("cand_id"),
+            F.col("cand_vec"),
+            F.col("cand_norm"),
+            F.col("m.cell_id").alias("cell_id"),
+        ]
+        if with_sim:
+            out_cols.append(F.col("m.cell_sim").alias("cell_sim"))
+        return winner.select(*out_cols)
     w = W.partitionBy("cand_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell_id").desc()
     )
@@ -598,8 +587,12 @@ def semdedup_decisions(
         .filter(F.col("pair_sim") >= threshold)
         .groupBy("id_b")
         .agg(
-            F.max_by(
-                F.col("id_a"), F.struct(F.col("sim_a"), -F.col("id_a"))
+            # (sim_a DESC, id_a ASC) winner as min over (-sim_a, id_a):
+            # negating the DOUBLE (never the id) keeps the generic
+            # id_col contract — string ids order fine, unary minus on
+            # them would not.
+            F.min_by(
+                F.col("id_a"), F.struct(-F.col("sim_a"), F.col("id_a"))
             ).alias("dup_of")
         )
     )

@@ -381,12 +381,17 @@ def bm25_topk(
 
     ``terms`` is a small (query_id: long, term: string) frame — the
     interactive/search-request side, broadcast everywhere it appears.
-    Engine-reproducible scoring: the Robertson idf is quantized to
-    integer micro-nats (``floor(ln((2N+1)/(2df+1)) * 1e6)`` — the +0.5
-    smoothing terms cleared to the exact integer ratio (2N+1)/(2df+1)),
-    the tf normalization is an exact-integer ratio (see BM25_QUANT note
-    above), and the per-(doc, term) contribution is floor-quantized so
-    the final score is an order-independent integer SUM.
+    Duplicate (query_id, term) rows are deduplicated (set semantics: a
+    repeated query term does not multiply its contribution).
+    Engine-reproducible scoring: the smoothed non-negative idf
+    ``ln((N + 0.5)/(df + 0.5))`` (NOT the Robertson–Spärck Jones
+    ``ln((N - df + 0.5)/(df + 0.5))``, which goes negative for terms in
+    more than half the corpus and would break the integer-sum design)
+    is quantized to integer micro-nats — the +0.5 smoothing cleared to
+    the exact integer ratio ``(2N+1)/(2df+1)``; the tf normalization is
+    an exact-integer ratio (see BM25_QUANT note above), and the
+    per-(doc, term) contribution is floor-quantized so the final score
+    is an order-independent integer SUM.
 
     Scale shape: one scan computes per-doc length (map-only aggregate),
     a second scan explodes tokens and semi-joins the broadcast term set
@@ -431,7 +436,7 @@ def bm25_topk(
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(terms), "term")
+        .join(F.broadcast(terms.distinct()), "term")
         .select(
             "query_id",
             "doc_id",

@@ -726,7 +726,7 @@ SEMDEDUP_THRESHOLD = 0.33  # within-cell cosine: ~p99 of the synthetic
     "semdedup_keep",
     oracle=f"""
     WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
-    {{kmeans}},
+    {_sql_kmeans_ctes(sample_mod=2)},
     assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
@@ -746,7 +746,7 @@ SEMDEDUP_THRESHOLD = 0.33  # within-cell cosine: ~p99 of the synthetic
       FROM sims a JOIN sims b ON a.cell_id = b.cell_id
        AND (a.centroid_sim > b.centroid_sim
             OR (a.centroid_sim = b.centroid_sim AND a.cand_id < b.cand_id))
-      WHERE {_sql_cosine('a.cand_vec', 'b.cand_vec')} >= 0.33
+      WHERE {_sql_cosine('a.cand_vec', 'b.cand_vec')} >= {SEMDEDUP_THRESHOLD}
     ),
     killers AS (
       SELECT id_b, id_a AS dup_of FROM (
@@ -761,7 +761,7 @@ SEMDEDUP_THRESHOLD = 0.33  # within-cell cosine: ~p99 of the synthetic
            k.dup_of
     FROM sims s LEFT JOIN killers k ON s.cand_id = k.id_b
     ORDER BY vec_id
-    """.format(kmeans=_sql_kmeans_ctes(sample_mod=2)),
+    """,
 )
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decisions (Abbas et al. 2023): cluster with

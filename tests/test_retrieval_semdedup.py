@@ -77,6 +77,19 @@ def test_bm25_idf_favors_rare_terms(spark):
     assert len(out) == 4
 
 
+def test_bm25_duplicate_query_terms_count_once(spark):
+    # Set semantics: a repeated (query_id, term) row must not multiply
+    # the term's contribution — query 0 (with the duplicate) and query 1
+    # (without) must produce identical scores.
+    docs = _docs(spark, [(1, "cat cat dog"), (2, "cat dog dog")])
+    terms = _terms(spark, [(0, "cat"), (0, "cat"), (1, "cat")])
+    out = bm25_topk(docs, terms, k=10).collect()
+    scores = {}
+    for r in out:
+        scores.setdefault(r.query_id, {})[r.doc_id] = r.score_q
+    assert scores[0] == scores[1]
+
+
 def test_bm25_multiple_queries_are_independent(spark):
     docs = _docs(spark, [(1, "cat cat"), (2, "dog dog")])
     terms = _terms(spark, [(0, "cat"), (1, "dog")])
