@@ -41,6 +41,9 @@ TOP = [
     "multimodal_features",
     "exact_substring_overlap",
     "dedup_ngram_jaccard",
+    # r6 additions: BM25 retrieval + SemDeDup decisions
+    "bm25_search",
+    "semdedup_keep",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
