@@ -166,9 +166,12 @@ HEADLINE = [
     # quadratic-by-semantics queries the 10x scaling sweep flagged.
     "embedding_neardup_cells",
     "knn_label_eval_ann",
-    # round 6 additions: BM25 retrieval + SemDeDup decisions
+    # round 6 additions: BM25 retrieval + SemDeDup decisions, plus the
+    # amortized indexed-search variant (index built OUTSIDE the timer —
+    # the build-once/search-many deployment shape, like ann_pq_search).
     "bm25_search",
     "semdedup_keep",
+    "bm25_search_indexed",
 ]
 
 
@@ -342,6 +345,39 @@ def _ivf_pq_search_prepare(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _bm25_search_indexed_prepare(spark, sf_dir):
+    """BM25 with the inverted index prebuilt OUTSIDE the timer — the
+    build-once/search-many retrieval deployment shape. The thunk is
+    pure search: broadcast query-vocabulary semi-joins against the
+    persisted postings/df plus the shared scoring tail, pinned
+    row-identical to the direct bm25_search path by
+    tests/test_retrieval_semdedup.py."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_build_index,
+        bm25_search_indexed,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, dfreq, stats = bm25_build_index(docs)
+    postings = _persist(postings)
+    postings.count()
+    dfreq = _persist(dfreq)
+    dfreq.count()
+    stats = _persist(stats)
+    stats.count()
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    return lambda: bm25_search_indexed(postings, dfreq, stats, terms, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 # name -> prepare(spark, sf_dir) -> thunk. The prepare step runs ONCE
 # per query, outside the timer; cache-clearing is skipped for these
 # (the persisted index is the point), and the run body creates no
@@ -349,6 +385,7 @@ def _ivf_pq_search_prepare(spark, sf_dir):
 BENCH_PREPARE = {
     "ann_pq_search": _pq_search_prepare,
     "ann_ivf_pq_search": _ivf_pq_search_prepare,
+    "bm25_search_indexed": _bm25_search_indexed_prepare,
 }
 
 

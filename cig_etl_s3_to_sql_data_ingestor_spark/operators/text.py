@@ -419,7 +419,83 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
     )
+    # df restricted to query terms equals the full-vocabulary df for
+    # those terms, so the direct and indexed paths score identically.
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return _bm25_rank(tf, dfreq, stats, terms, k)
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the at-rest BM25 index: the build-once/search-many shape
+    (the retrieval twin of pq_pack_codes). Returns
+    ``(postings, dfreq, stats)``:
+
+    - ``postings`` (term, doc_id, tf, dl) over the FULL vocabulary —
+      the corpus-sized frame a deployment writes ONCE (bucket/partition
+      it by term so a search's semi-join prunes at the scan);
+    - ``dfreq`` (term, df) — vocabulary-sized;
+    - ``stats`` — one row (n_docs, total_len).
+
+    One corpus shuffle total (the tf groupBy; df derives from it), paid
+    at build time so searches touch no document text at all —
+    :func:`bm25_search_indexed` is then a broadcast semi-join against
+    the postings plus the shared scoring tail, bit-identical to
+    :func:`bm25_topk` on the same corpus (pinned by
+    tests/test_retrieval_semdedup.py).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    stats = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_len"),
+    )
+    postings = (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return postings, dfreq, stats
+
+
+def bm25_search_indexed(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Search a prebuilt BM25 index (:func:`bm25_build_index`): restrict
+    postings and df to the broadcast query vocabulary (an equi-join the
+    term-bucketed at-rest layout prunes at the scan), then the SAME
+    scoring tail as the direct path — one spelling of the formula, so
+    the two paths cannot drift."""
+    tset = terms.select("term").distinct()
+    matched = postings.join(F.broadcast(tset), "term")
+    dq = dfreq.join(F.broadcast(tset), "term")
+    return _bm25_rank(matched, dq, stats, terms, k)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    terms: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: quantized-idf contributions over
+    matched (doc_id, term, tf, dl) rows, integer score sums, per-query
+    top-k. ``dfreq``/``stats`` are tiny and broadcast; ``terms`` is
+    deduplicated here (set semantics for repeated query terms)."""
     idf_q = F.floor(
         F.log(
             (F.lit(2).cast("long") * F.col("n_docs") + F.lit(1)).cast("double")

@@ -100,6 +100,32 @@ def test_bm25_multiple_queries_are_independent(spark):
     assert by_query == {0: [1], 1: [2]}
 
 
+def test_bm25_indexed_path_identical_to_direct(spark, sf_dir):
+    # The build-once/search-many path (bm25_build_index +
+    # bm25_search_indexed) must produce the exact rows of the direct
+    # path — both share _bm25_rank, and a full-vocabulary df equals the
+    # query-restricted df for the searched terms.
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_build_index,
+        bm25_search_indexed,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    direct = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    postings, dfreq, stats = bm25_build_index(docs)
+    indexed = sorted(
+        map(tuple, bm25_search_indexed(postings, dfreq, stats, terms, k=10).collect())
+    )
+    assert direct == indexed and len(direct) > 0
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 

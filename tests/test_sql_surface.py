@@ -89,6 +89,7 @@ def test_every_registered_query_is_benched():
         "ann_ivf_pq_search",
         "embedding_neardup_cells",
         "knn_label_eval_ann",
+        "bm25_search_indexed",
     }, extras
     # Bench-only entries must have a timed body (prepare or override).
     for name in extras:
