@@ -172,6 +172,7 @@ HEADLINE = [
     "bm25_search",
     "semdedup_keep",
     "bm25_search_indexed",
+    "bm25_incremental",
 ]
 
 

@@ -467,6 +467,41 @@ def bm25_build_index(
     return postings, dfreq, stats
 
 
+def bm25_merge_index(
+    postings_a: DataFrame,
+    dfreq_a: DataFrame,
+    stats_a: DataFrame,
+    postings_b: DataFrame,
+    dfreq_b: DataFrame,
+    stats_b: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Merge two BM25 indexes over DISJOINT document sets into the index
+    a full rebuild over the union would produce — bit-for-bit (the
+    incremental-ETL pattern of operators/maintenance.aggregate_state):
+    postings rows are per-(doc, term) and the corpora are disjoint, so
+    the union IS the rebuilt postings; df and the corpus stats are
+    integer sums, exactly additive. A new crawl batch therefore costs
+    O(batch) index work, never O(corpus) — pinned merge-equals-recompute
+    by tests/test_retrieval_semdedup.py and by the ``bm25_incremental``
+    query's oracle, which scores the FULL corpus directly.
+
+    Caller contract: the two document sets must not share a doc_id
+    (same contract as every incremental operator here); overlapping ids
+    would double-count df and duplicate postings.
+    """
+    postings = postings_a.unionByName(postings_b)
+    dfreq = (
+        dfreq_a.unionByName(dfreq_b)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats = stats_a.unionByName(stats_b).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+    )
+    return postings, dfreq, stats
+
+
 def bm25_search_indexed(
     postings: DataFrame,
     dfreq: DataFrame,

@@ -44,6 +44,7 @@ _HEAD = [
     # -- (1) touched this round (incl. NEW queries — never scored, so
     # they outrank every re-score):
     "bm25_search",            # NEW: BM25 ranked keyword retrieval
+    "bm25_incremental",       # NEW: O(batch) index merge == full rebuild
     "semdedup_keep",          # NEW: SemDeDup per-vector curation decisions
     "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
     "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
@@ -94,9 +95,8 @@ _HEAD = [
     "order_cube",
     "profile_table",
     "chunk_documents",
-    "pack_sequences",
 ]
-# 122 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 123 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly.
 _TAIL = [
@@ -121,6 +121,7 @@ _TAIL = [
     "market_share_by_year",
     "nation_quarterly_growth",
     "ngram_diversity",
+    "pack_sequences",
     "partition_prune_counts",
     "pii_redaction",
     "quarterly_top_supplier",

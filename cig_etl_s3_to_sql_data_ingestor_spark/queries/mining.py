@@ -971,9 +971,11 @@ BM25_QUERY_TERMS: tuple[tuple[int, str], ...] = (
 _SQL_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
 
 
-@register(
-    "bm25_search",
-    oracle=f"""
+# ONE oracle spelling for the whole BM25 family: the direct query, and
+# the incremental query (split -> build -> merge -> search), whose
+# merge-equals-recompute contract means the FULL-corpus SQL is exactly
+# its expected answer.
+_SQL_BM25_ORACLE = f"""
     WITH qt AS (
       SELECT CAST(query_id AS BIGINT) AS query_id, term
       FROM (VALUES {_SQL_BM25_VALUES}) AS v(query_id, term)
@@ -1026,8 +1028,10 @@ _SQL_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
                   AS BIGINT) AS rank
       FROM scores
     ) WHERE rank <= 10 ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("bm25_search", oracle=_SQL_BM25_ORACLE)
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked keyword retrieval (top-10 docs per query) — the
     search/decontamination modality the curation surface lacked:
@@ -1042,3 +1046,33 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(BM25_QUERY_TERMS), "query_id long, term string"
     )
     return bm25_topk(d, terms, k=10).orderBy("query_id", "rank")
+
+
+@register("bm25_incremental", oracle=_SQL_BM25_ORACLE)
+def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance, proven by construction: the
+    corpus splits into an 'existing' store (md5-bucket != 0, ~3/4) and
+    a 'new crawl batch' (bucket 0), each builds its own index
+    (operators/text.bm25_build_index), the two merge in O(batch) work
+    (bm25_merge_index: postings union + integer df/stat sums), and the
+    merged index is searched. The oracle scores the FULL corpus
+    directly — so any deviation of merge-from-rebuild (double-counted
+    df, lost postings, stat drift) fails the value hash."""
+    from ..functions.hashing import md5_bucket
+    from ..operators.text import (
+        bm25_build_index,
+        bm25_merge_index,
+        bm25_search_indexed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id"), 4)
+    existing = d.filter(bucket != 0)
+    batch = d.filter(bucket == 0)
+    merged = bm25_merge_index(
+        *bm25_build_index(existing), *bm25_build_index(batch)
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    return bm25_search_indexed(*merged, terms, k=10).orderBy("query_id", "rank")

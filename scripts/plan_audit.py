@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "idle_customers",         # 1-row average-balance cutoff
     "heavy_hitter_keys",      # 1-row corpus-context stats
     "bm25_search",            # 1-row corpus stats (N, total_len)
+    "bm25_incremental",       # same 1-row merged stats frame
     "semdedup_keep",          # 16-row broadcast centroid frame
 }
 

@@ -126,6 +126,28 @@ def test_bm25_indexed_path_identical_to_direct(spark, sf_dir):
     assert direct == indexed and len(direct) > 0
 
 
+def test_bm25_merge_equals_rebuild(spark, sf_dir):
+    # Merging disjoint-split indexes must reproduce the full rebuild
+    # EXACTLY — postings rows, per-term df, and corpus stats.
+    from cig_etl_s3_to_sql_data_ingestor_spark.functions.hashing import md5_bucket
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_build_index,
+        bm25_merge_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_bucket(F.col("doc_id"), 4)
+    merged = bm25_merge_index(
+        *bm25_build_index(docs.filter(bucket != 0)),
+        *bm25_build_index(docs.filter(bucket == 0)),
+    )
+    rebuilt = bm25_build_index(docs)
+    for m, r in zip(merged, rebuilt):
+        assert sorted(map(tuple, m.collect())) == sorted(map(tuple, r.collect()))
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
