@@ -148,6 +148,26 @@ def test_bm25_merge_equals_rebuild(spark, sf_dir):
         assert sorted(map(tuple, m.collect())) == sorted(map(tuple, r.collect()))
 
 
+def test_bm25_merge_with_empty_batch_is_identity(spark, sf_dir):
+    # An empty crawl batch must leave the index unchanged — including
+    # the stats row, where the empty side's SUM(total_len) is NULL and
+    # the merge's integer sum must skip it, not null the total.
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_build_index,
+        bm25_merge_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merged = bm25_merge_index(
+        *bm25_build_index(docs), *bm25_build_index(docs.filter(F.lit(False)))
+    )
+    rebuilt = bm25_build_index(docs)
+    for m, r in zip(merged, rebuilt):
+        assert sorted(map(tuple, m.collect())) == sorted(map(tuple, r.collect()))
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
