@@ -101,9 +101,10 @@ _HEAD = [
 # unscored fails loudly.
 _TAIL = [
     # r4-green, untouched this round (oldest remaining evidence —
-    # these lead the r7 head's re-score block; stratified_sample and
-    # interleave_sources were displaced from the r6 fill block by the
-    # two NEW queries and stay r4-green):
+    # these lead the r7 head's re-score block; stratified_sample,
+    # interleave_sources, and pack_sequences were displaced from the r6
+    # fill block by the three NEW queries and stay r4-green — 27
+    # r4-green entries total):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "approx_distinct_stats",
