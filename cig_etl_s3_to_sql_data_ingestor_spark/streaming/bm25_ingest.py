@@ -1,0 +1,137 @@
+"""Streaming BM25 index maintenance: an availableNow-drained stream of
+documents keeps a searchable inverted index current — the retrieval
+twin of ``vector_ingest`` (which maintains the ANN index) built on the
+batch merge proof of ``operators.text.bm25_merge_index``.
+
+The 100 TB shape: each arriving micro-batch builds its OWN index parts
+(``bm25_build_index`` — one batch-bounded shuffle, the batch never
+joins the accumulated store) and appends them as the epoch's store
+dirs. Because the merged index over disjoint document sets equals a
+full rebuild bit-for-bit (postings are per-(doc, term) rows; df and
+corpus stats are exactly-additive integer sums — pinned by
+tests/test_retrieval_semdedup.py), the accumulated store needs no
+read-modify-write: the global df derives from the stored postings at
+search time (``groupBy(term).count`` — docs are disjoint across
+epochs, so the count IS the sum of per-epoch dfs) and the corpus stats
+are an integer SUM over the per-epoch stats sidecar (which also counts
+zero-token documents that produce no postings rows).
+
+Search is :func:`operators.text.bm25_search_indexed` over the
+accumulated parts — the same shared scoring tail as the batch query
+surface, so streamed-index results are bit-identical to a batch
+rebuild over the same documents (pinned end-to-end by
+tests/test_streaming.py).
+
+Disjointness contract: batches must not re-deliver a doc_id — upstream
+this is exactly what the file-source checkpoint (exactly-once file
+tracking, see ``ingest_stream``) guarantees; content-level duplicates
+are the dedup gates' job (``dedup_ingest``), run BEFORE indexing.
+Idempotency (same unit rule as every gate here): the store write is an
+epoch-addressed overwrite, so a crash between the store write and the
+checkpoint commit replays to byte-identical epoch dirs — the
+checkpoint and the store are one unit, wipe both or neither. Unlike
+the gated stores, a replayed batch here has no read-dependence on the
+store at all, so no ``exclude_epoch`` dance is needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.text import bm25_build_index, bm25_search_indexed
+
+
+# bm25_build_index canonicalizes the id column to "doc_id" whatever the
+# caller's id_col is, so the store schema is fixed.
+_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_len", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class Bm25IndexIngest:
+    """availableNow-drained streaming inverted-index builder."""
+
+    spark: SparkSession
+    store_path: str
+    checkpoint_path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        postings, _dfreq, stats = bm25_build_index(
+            batch_df, self.id_col, self.text_col
+        )
+        # df is NOT stored: it derives exactly from the accumulated
+        # postings at read time (disjoint docs), so there is no second
+        # store to keep transactionally in step with the first. The
+        # stats sidecar IS stored — zero-token docs leave no postings
+        # row but must still count toward N and total_len.
+        postings.select("doc_id", "term", "tf", "dl").write.mode(
+            "overwrite"
+        ).parquet(f"{self.store_path}/postings/epoch={epoch_id}")
+        stats.write.mode("overwrite").parquet(
+            f"{self.store_path}/stats/epoch={epoch_id}"
+        )
+
+    def start(
+        self,
+        source_glob: str,
+        schema: T.StructType,
+        max_files_per_trigger: int | None = None,
+    ):
+        reader = self.spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_glob)
+        return (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def read_index(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """The accumulated (postings, dfreq, stats) — the exact shape
+        ``bm25_build_index`` returns for the union corpus."""
+        from ._store import read_epoch_store
+
+        postings = read_epoch_store(
+            self.spark, f"{self.store_path}/postings", _POSTINGS_SCHEMA
+        )
+        epoch_stats = read_epoch_store(
+            self.spark, f"{self.store_path}/stats", _STATS_SCHEMA
+        )
+        stats = epoch_stats.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        dfreq = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        return postings, dfreq, stats
+
+    def search(self, terms: DataFrame, k: int = 10) -> DataFrame:
+        """BM25 top-k over the accumulated index — bit-identical to a
+        batch rebuild over the same documents."""
+        postings, dfreq, stats = self.read_index()
+        return bm25_search_indexed(postings, dfreq, stats, terms, k=k)

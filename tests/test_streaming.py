@@ -1283,3 +1283,85 @@ def test_compaction_sweeps_all_empty_foldable_dirs(spark, tmp_path):
 
     dirs = sorted(p.rsplit("=", 1)[1] for p in _glob.glob(f"{store}/epoch=*"))
     assert dirs == ["2"], dirs
+
+
+def test_bm25_ingest_matches_batch_rebuild(spark, tmp_path, sf_dir):
+    """Streaming BM25 index maintenance: two drained batches accumulate
+    a postings/stats store whose search is BIT-IDENTICAL to the direct
+    batch path over the union corpus — the merge-equals-recompute
+    contract carried into the streaming store. Re-draining with no new
+    files changes nothing (exactly-once file tracking)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import bm25_topk
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    got1 = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    want1 = sorted(map(tuple, bm25_topk(b1, terms, k=10).collect()))
+    assert got1 == want1 and got1
+
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    got2 = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    want2 = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    assert got2 == want2
+
+    # Idempotent re-drain: no new files -> index unchanged.
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want2
+
+
+def test_bm25_ingest_replayed_epoch_is_idempotent(spark, tmp_path, sf_dir):
+    """A crash between store write and checkpoint commit replays the
+    batch with the SAME epoch id; the epoch-addressed overwrite must
+    leave the accumulated index exactly as after the first attempt."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    ingest._process_batch(batch, 0)
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    first = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    postings1 = sorted(map(tuple, ingest.read_index()[0].collect()))
+    ingest._process_batch(batch, 0)  # replay, same epoch
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == first
+    assert sorted(map(tuple, ingest.read_index()[0].collect())) == postings1
