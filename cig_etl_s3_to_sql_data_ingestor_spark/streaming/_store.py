@@ -27,19 +27,36 @@ def read_epoch_store(
     path: str,
     schema: T.StructType,
     exclude_epoch: int | None = None,
+    keep_epoch: bool = False,
 ) -> DataFrame:
+    """``keep_epoch=True`` retains the ``epoch`` partition column (as a
+    long) — for stores whose readers must cross-check epoch membership
+    between sibling dirs (e.g. bm25_ingest's stats-as-commit-witness);
+    an empty/missing store then still carries the column."""
     from pyspark.errors import AnalysisException
 
     cols = [f.name for f in schema.fields]
+    if keep_epoch:
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("epoch", T.LongType())]
+        )
+        cols = cols + ["epoch"]
+    else:
+        out_schema = schema
     try:
         df = spark.read.schema(schema).parquet(path)
         # `epoch` is the store layout's virtual partition column; it is
         # absent when the path exists but no epoch dir ever committed a
-        # part file — nothing to exclude then.
-        if exclude_epoch is not None and "epoch" in df.columns:
+        # part file — nothing to exclude (or keep) then.
+        if "epoch" not in df.columns:
+            if keep_epoch:
+                df = df.withColumn("epoch", F.lit(None).cast("long"))
+        elif exclude_epoch is not None:
             df = df.filter(F.col("epoch") != exclude_epoch)
+        if keep_epoch:
+            df = df.withColumn("epoch", F.col("epoch").cast("long"))
         return df.select(cols)
     except AnalysisException as ex:
         if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], out_schema)
         raise

@@ -76,20 +76,39 @@ class Bm25IndexIngest:
     text_col: str = "text"
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        postings, _dfreq, stats = bm25_build_index(
-            batch_df, self.id_col, self.text_col
-        )
-        # df is NOT stored: it derives exactly from the accumulated
-        # postings at read time (disjoint docs), so there is no second
-        # store to keep transactionally in step with the first. The
-        # stats sidecar IS stored — zero-token docs leave no postings
-        # row but must still count toward N and total_len.
-        postings.select("doc_id", "term", "tf", "dl").write.mode(
-            "overwrite"
-        ).parquet(f"{self.store_path}/postings/epoch={epoch_id}")
-        stats.write.mode("overwrite").parquet(
-            f"{self.store_path}/stats/epoch={epoch_id}"
-        )
+        # Persist the batch for the duration of the two writes — the
+        # postings and stats lineages would otherwise each re-read the
+        # epoch's source files.
+        batch_df = batch_df.persist()
+        try:
+            postings, _dfreq, stats = bm25_build_index(
+                batch_df, self.id_col, self.text_col
+            )
+            # df is NOT stored: it derives exactly from the accumulated
+            # postings at read time (disjoint docs), so there is no
+            # second store to keep transactionally in step with the
+            # first. The stats sidecar IS stored — zero-token docs leave
+            # no postings row but must still count toward N/total_len —
+            # and it is written LAST as the epoch's COMMIT WITNESS:
+            # readers only see epochs whose stats row exists, so a crash
+            # between the two writes leaves a torn epoch INVISIBLE (not
+            # silently half-scored) until the checkpoint replays it.
+            # The id is cast long to honor the pinned store schema for
+            # any numeric id_col (int32 ids would otherwise desync the
+            # reader's LongType pin).
+            postings.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "term",
+                "tf",
+                "dl",
+            ).write.mode("overwrite").parquet(
+                f"{self.store_path}/postings/epoch={epoch_id}"
+            )
+            stats.write.mode("overwrite").parquet(
+                f"{self.store_path}/stats/epoch={epoch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     def start(
         self,
@@ -110,17 +129,34 @@ class Bm25IndexIngest:
             .start()
         )
 
-    def read_index(self) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """The accumulated (postings, dfreq, stats) — the exact shape
-        ``bm25_build_index`` returns for the union corpus."""
+    def _committed(self) -> tuple[DataFrame, DataFrame]:
+        """Accumulated (postings, per-epoch stats) restricted to
+        COMMITTED epochs — those whose stats sidecar (written last, the
+        commit witness) exists. A torn epoch (crash between the two
+        writes) is invisible until its replay completes both halves."""
         from ._store import read_epoch_store
 
         postings = read_epoch_store(
-            self.spark, f"{self.store_path}/postings", _POSTINGS_SCHEMA
+            self.spark,
+            f"{self.store_path}/postings",
+            _POSTINGS_SCHEMA,
+            keep_epoch=True,
         )
         epoch_stats = read_epoch_store(
-            self.spark, f"{self.store_path}/stats", _STATS_SCHEMA
+            self.spark, f"{self.store_path}/stats", _STATS_SCHEMA, keep_epoch=True
         )
+        committed = epoch_stats.select("epoch").distinct()
+        postings = postings.join(F.broadcast(committed), "epoch").drop("epoch")
+        return postings, epoch_stats.drop("epoch")
+
+    def read_index(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """The accumulated (postings, dfreq, stats) — the exact shape
+        ``bm25_build_index`` returns for the union corpus. The
+        full-vocabulary dfreq here is the INDEX shape; interactive
+        searches should use :meth:`search`, which derives df from the
+        query-restricted postings instead of shuffling the whole
+        store's vocabulary."""
+        postings, epoch_stats = self._committed()
         stats = epoch_stats.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_len").cast("long").alias("total_len"),
@@ -132,6 +168,20 @@ class Bm25IndexIngest:
 
     def search(self, terms: DataFrame, k: int = 10) -> DataFrame:
         """BM25 top-k over the accumulated index — bit-identical to a
-        batch rebuild over the same documents."""
-        postings, dfreq, stats = self.read_index()
-        return bm25_search_indexed(postings, dfreq, stats, terms, k=k)
+        batch rebuild over the same documents. The broadcast query
+        vocabulary restricts the postings BEFORE the df aggregate, so a
+        search's shuffle is bounded by query-term hits, never the
+        accumulated vocabulary (df restricted to the searched terms
+        equals the full-vocabulary df for those terms — disjoint docs;
+        same equivalence the batch paths pin)."""
+        postings, epoch_stats = self._committed()
+        stats = epoch_stats.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        tset = terms.select("term").distinct()
+        matched = postings.join(F.broadcast(tset), "term")
+        dfreq = matched.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        return bm25_search_indexed(matched, dfreq, stats, terms, k=k)

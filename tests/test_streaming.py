@@ -1365,3 +1365,43 @@ def test_bm25_ingest_replayed_epoch_is_idempotent(spark, tmp_path, sf_dir):
     ingest._process_batch(batch, 0)  # replay, same epoch
     assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == first
     assert sorted(map(tuple, ingest.read_index()[0].collect())) == postings1
+
+
+def test_bm25_ingest_torn_epoch_is_invisible_until_replayed(spark, tmp_path, sf_dir):
+    """A crash BETWEEN the postings write and the stats write (the
+    commit witness) must leave the torn epoch invisible to search —
+    scoring postings without their stats would silently understate
+    N/total_len — and the epoch's replay completes it."""
+    import shutil
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import bm25_topk
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+    ingest._process_batch(b1, 0)
+    want_b1 = sorted(map(tuple, bm25_topk(b1, terms, k=10).collect()))
+    # Simulate the crash: epoch 1 wrote postings but not its stats row.
+    ingest._process_batch(b2, 1)
+    shutil.rmtree(str(tmp_path / "bm25_index" / "stats" / "epoch=1"))
+    got = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    assert got == want_b1  # torn epoch invisible, not half-scored
+    # Replay completes the epoch; the union corpus scores correctly.
+    ingest._process_batch(b2, 1)
+    want_all = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want_all
