@@ -173,6 +173,7 @@ HEADLINE = [
     "semdedup_keep",
     "bm25_search_indexed",
     "bm25_incremental",
+    "ann_mmr_topk",
 ]
 
 

@@ -1266,3 +1266,124 @@ def pq_search_packed(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
+    diversified top-``k`` — each step picks the candidate maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected``, so
+    near-duplicate results cannot crowd the head of the list (the
+    retrieval-side twin of SemDeDup's corpus-side eviction).
+
+    Exact greedy MMR is inherently sequential in ``k``; this is the
+    bounded UNROLLED form (the provable shape ``bpe_merge_steps``
+    established): step 1 is the pure-relevance winner, then ``k - 1``
+    rounds each join the REMAINING shortlist rows (<= ``shortlist`` per
+    query) against the selected set (<= k per query), take the
+    max-similarity fold, and pick the (mmr DESC, cand_id ASC)
+    row_number winner. Work per round is |Q| x shortlist x k rows —
+    query-bounded, never corpus-bounded; the corpus appears only in the
+    initial exact shortlist (:func:`brute_force_topk` here; swap in
+    ``ivf_topk``/``pq_topk`` at scale) and one equi-join to fetch the
+    shortlist's vectors. The accumulated-picks frame is
+    localCheckpointed every round (it feeds TWO branches of the next
+    round, which would otherwise double the plan tree per round) — so
+    the rounds execute eagerly at call time, the same documented trade
+    as ``undirected_pagerank``.
+
+    All scoring is IEEE-deterministic for the oracle: relevance is the
+    shared cosine fold, MAX over doubles is order-independent, and the
+    ``lam``/``1 - lam`` literals parse to identical binary64 on both
+    engines. Returns (query_id, cand_id, mmr_score, rank).
+    """
+    base = brute_force_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    scored = base.join(vecs, "cand_id").select(
+        "query_id",
+        "cand_id",
+        F.col("cosine_sim").alias("rel"),
+        "cand_vec",
+        "cand_norm",
+    )
+    # The shortlist feeds every round: persist it (|Q| x shortlist rows,
+    # bounded) so the exact scoring pass runs once, not k times.
+    from .dedup import _persist
+
+    scored = _persist(scored)
+    w1 = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    picked = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).cast("long").alias("rank"),
+            "cand_vec",
+            "cand_norm",
+        )
+    )
+    # Each round references the accumulated picks TWICE (selected side +
+    # anti-join), so a lazy union chain doubles the plan tree per round
+    # (~2^k copies of the shortlist lineage — measured 144 s at sf0.1
+    # for k=5 before this). localCheckpoint truncates the tree to the
+    # materialized picks (<= |Q| rows per round) — the same bounded-plan
+    # trade as undirected_pagerank: rounds execute EAGERLY at call time
+    # and are not recomputable on executor loss.
+    out = picked.localCheckpoint()
+    for step in range(2, k + 1):
+        sel = out.select(
+            "query_id",
+            F.col("cand_id").alias("sel_id"),
+            F.col("cand_vec").alias("sel_vec"),
+            F.col("cand_norm").alias("sel_norm"),
+        )
+        rem = scored.join(
+            out.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        sims = (
+            rem.join(sel, "query_id")
+            .withColumn(
+                "sim",
+                dot(F.col("cand_vec"), F.col("sel_vec"))
+                / (F.col("cand_norm") * F.col("sel_norm")),
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(
+                F.max("sim").alias("max_sim"),
+                F.first("rel").alias("rel"),
+                F.first("cand_vec").alias("cand_vec"),
+                F.first("cand_norm").alias("cand_norm"),
+            )
+        )
+        mmr = sims.withColumn(
+            "mmr",
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sim"),
+        )
+        wk = W.partitionBy("query_id").orderBy(F.col("mmr").desc(), F.col("cand_id"))
+        pick = (
+            mmr.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.col("mmr").alias("mmr_score"),
+                F.lit(step).cast("long").alias("rank"),
+                "cand_vec",
+                "cand_norm",
+            )
+        )
+        out = out.unionByName(pick).localCheckpoint()
+    return out.select("query_id", "cand_id", "mmr_score", "rank")

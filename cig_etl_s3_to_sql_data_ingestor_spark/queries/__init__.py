@@ -46,6 +46,7 @@ _HEAD = [
     "bm25_search",            # NEW: BM25 ranked keyword retrieval
     "bm25_incremental",       # NEW: O(batch) index merge == full rebuild
     "semdedup_keep",          # NEW: SemDeDup per-vector curation decisions
+    "ann_mmr_topk",           # NEW: MMR-diversified retrieval
     "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
     "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
     "ann_pq_topk",            # search-path profiling (r5 verdict #4)
@@ -94,23 +95,23 @@ _HEAD = [
     "integrity_audit",
     "order_cube",
     "profile_table",
-    "chunk_documents",
 ]
-# 123 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 124 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly.
 _TAIL = [
     # r4-green, untouched this round (oldest remaining evidence —
     # these lead the r7 head's re-score block; stratified_sample,
-    # interleave_sources, and pack_sequences were displaced from the r6
-    # fill block by the three NEW queries and stay r4-green — 27
-    # r4-green entries total):
+    # interleave_sources, pack_sequences, and chunk_documents were
+    # displaced from the r6 fill block by the four NEW queries and stay
+    # r4-green — 28 r4-green entries total):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "approx_distinct_stats",
     "boilerplate_prefix_groups",
     "char_lm_surprisal",
     "cheapest_supplier_per_part",
+    "chunk_documents",
     "config_enrich_join",
     "customer_order_distribution",
     "doc_fingerprint",

@@ -777,3 +777,112 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_decisions(
         e, n_cells=16, n_iters=2, threshold=SEMDEDUP_THRESHOLD, sample_mod=2
     ).orderBy("vec_id")
+
+
+def _sql_mmr_ctes(k: int, shortlist: int, lam_num: str, one_minus_lam: str) -> str:
+    """Unrolled MMR CTE chain mirroring operators.similarity.mmr_rerank
+    step for step: exact shortlist, pure-relevance step 1, then k-1
+    rounds of remaining-vs-selected max-sim folds and (mmr DESC,
+    cand_id) winners. ``lam``/``1-lam`` are passed as SQL literals the
+    caller guarantees parse to the exact doubles the Spark side uses
+    (0.75/0.25 — exact binary fractions)."""
+    ctes = [
+        f"""scored AS (
+      SELECT q.query_id, c.cand_id,
+             {_sql_cosine('q.query_vec', 'c.cand_vec')} AS rel, c.cand_vec
+      FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
+    )""",
+        f"""short AS (
+      SELECT query_id, cand_id, rel, cand_vec FROM (
+        SELECT query_id, cand_id, rel, cand_vec,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {shortlist}
+    )""",
+        """acc1 AS (
+      SELECT query_id, cand_id, rel AS mmr_score, CAST(1 AS BIGINT) AS rank,
+             cand_vec
+      FROM (
+        SELECT query_id, cand_id, rel, cand_vec,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rn
+        FROM short
+      ) WHERE rn = 1
+    )""",
+    ]
+    for i in range(2, k + 1):
+        prev = f"acc{i - 1}"
+        ctes.append(
+            f"""rem{i} AS (
+      SELECT s.query_id, s.cand_id, s.rel, s.cand_vec
+      FROM short s LEFT JOIN {prev} a
+        ON s.query_id = a.query_id AND s.cand_id = a.cand_id
+      WHERE a.cand_id IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""sims{i} AS (
+      SELECT r.query_id, r.cand_id,
+             MAX({_sql_cosine('r.cand_vec', 'a.cand_vec')}) AS max_sim,
+             MIN(r.rel) AS rel
+      FROM rem{i} r JOIN {prev} a ON r.query_id = a.query_id
+      GROUP BY r.query_id, r.cand_id
+    )"""
+        )
+        ctes.append(
+            f"""pick{i} AS (
+      SELECT query_id, cand_id, mmr AS mmr_score FROM (
+        SELECT query_id, cand_id, mmr,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, cand_id) AS rn
+        FROM (SELECT query_id, cand_id,
+                     {lam_num} * rel - {one_minus_lam} * max_sim AS mmr
+              FROM sims{i})
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""acc{i} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT p.query_id, p.cand_id, p.mmr_score,
+             CAST({i} AS BIGINT) AS rank, s.cand_vec
+      FROM pick{i} p JOIN short s
+        ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+# lam = 0.75 so both lam and 1 - lam are EXACT binary fractions — the
+# Spark side computes 1.0 - lam in Python and the oracle parses a
+# literal; 0.75/0.25 make those the same double on any engine (0.7/0.3
+# would not: 1.0 - 0.7 = 0.30000000000000004 != parsed 0.3).
+MMR_LAM = 0.75
+
+
+@register(
+    "ann_mmr_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_mmr_ctes(k=5, shortlist=20, lam_num='0.75', one_minus_lam='0.25')}
+    SELECT query_id, cand_id, mmr_score, rank FROM acc5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 over the exact top-20 shortlist — the
+    retrieval-side redundancy control (Carbonell & Goldstein 1998):
+    each rank trades relevance against similarity to the already-picked
+    set, so a cluster of near-identical candidates yields one result,
+    not five. Unrolled provable form (operators/similarity.mmr_rerank);
+    per-round work is query-bounded (shortlist x selected), the corpus
+    appears only in the exact shortlist pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.mmr_rerank(e, queries, k=5, shortlist=20, lam=MMR_LAM).orderBy(
+        "query_id", "rank"
+    )

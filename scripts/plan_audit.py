@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "heavy_hitter_keys",      # 1-row corpus-context stats
     "bm25_search",            # 1-row corpus stats (N, total_len)
     "bm25_incremental",       # same 1-row merged stats frame
+    "ann_mmr_topk",           # broadcast query set (bounded by caller)
     "semdedup_keep",          # 16-row broadcast centroid frame
 }
 

@@ -172,6 +172,46 @@ def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_mmr_demotes_redundant_candidates(spark):
+    # Query along e1. Candidates: two near-identical vectors hugging e1
+    # (ids 1, 2 — the pure-relevance top-2) and a diverse one at ~45
+    # degrees (id 3). MMR must pick one twin first, then the DIVERSE
+    # candidate — relevance-only ranking would pick both twins.
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    # Geometry note: the twins must NOT sit on the query's own axis —
+    # if the first pick equals the query direction, MMR algebraically
+    # reduces to (2*lam - 1) * rel and can never reorder anything. Off-
+    # axis twins ([1, .49] twice) vs a same-relevance-class diverse
+    # candidate mirrored across the query axis ([1, -.5], sim to the
+    # twins ~0.61) give diversity a real penalty gap to win on.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # the query itself
+        (1, [1.0, 0.49, 0.0, 0.0]),
+        (2, [1.0, 0.49, 0.001, 0.0]),
+        (3, [1.0, -0.5, 0.0, 0.0]),
+    ]
+    e = _vecs(spark, rows)
+    q = e.filter("vec_id = 0")
+    rel_order = [
+        r.cand_id
+        for r in brute_force_topk(e, q, k=3).orderBy("rank").collect()
+    ]
+    assert rel_order[:2] in ([1, 2], [2, 1])  # twins lead on relevance
+    mmr_order = [
+        r.cand_id
+        for r in mmr_rerank(e, q, k=3, shortlist=3, lam=0.75)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert mmr_order[0] in (1, 2)
+    assert mmr_order[1] == 3  # diversity beats the redundant twin
+    assert set(mmr_order) == {1, 2, 3}
+
+
 def test_semdedup_keeps_lowest_id_of_exact_duplicates(spark):
     # Two identical vectors tie on centroid_sim, so the id-ascending
     # tie-break must keep the lower id and evict the higher, recording
