@@ -34,6 +34,7 @@ CASES = [
     "audio_fingerprint_groups",   # r5: interleaved-PCM energies -> signature join
     "bm25_search",                # r6: quantized-idf integer score sums + top-k
     "semdedup_keep",              # r6: double-exact eviction rank tie-breaks
+    "ann_mmr_topk",               # r6: per-round (mmr DESC, id) winners
 ]
 
 
