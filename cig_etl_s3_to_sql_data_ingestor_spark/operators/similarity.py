@@ -1273,7 +1273,10 @@ def mmr_rerank(
     queries: DataFrame,
     k: int = 5,
     shortlist: int = 20,
-    lam: float = 0.7,
+    # 0.75 on purpose: both lam and 1 - lam are exact binary fractions,
+    # so a SQL mirror's parsed literals match the Python-computed
+    # doubles bit-for-bit (0.7 would not: 1.0 - 0.7 != parsed 0.3).
+    lam: float = 0.75,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1322,6 +1325,15 @@ def mmr_rerank(
     from .dedup import _persist
 
     scored = _persist(scored)
+    if k < 1:
+        # k is a hard bound like every other topk operator here — an
+        # empty result, not a phantom rank-1 row.
+        return scored.limit(0).select(
+            "query_id",
+            "cand_id",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).cast("long").alias("rank"),
+        )
     w1 = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
     picked = (
         scored.withColumn("rn", F.row_number().over(w1))

@@ -81,6 +81,18 @@ class Bm25IndexIngest:
         # epoch's source files.
         batch_df = batch_df.persist()
         try:
+            # Replay of an ALREADY-COMMITTED epoch (crash after both
+            # writes but before the checkpoint commit): un-commit first
+            # — delete the stats witness BEFORE the postings overwrite
+            # tears the epoch dir down, or a concurrent/interrupted
+            # search would see the witness and score missing postings.
+            from ..fsutil import hadoop_fs
+
+            witness = f"{self.store_path}/stats/epoch={epoch_id}"
+            fs, jvm = hadoop_fs(self.spark, witness)
+            wpath = jvm.org.apache.hadoop.fs.Path(witness)
+            if fs.exists(wpath) and not fs.delete(wpath, True):
+                raise IOError(f"could not un-commit epoch witness {witness}")
             postings, _dfreq, stats = bm25_build_index(
                 batch_df, self.id_col, self.text_col
             )
@@ -130,7 +142,7 @@ class Bm25IndexIngest:
         )
 
     def _committed(self) -> tuple[DataFrame, DataFrame]:
-        """Accumulated (postings, per-epoch stats) restricted to
+        """Accumulated (postings, 1-row corpus stats) restricted to
         COMMITTED epochs — those whose stats sidecar (written last, the
         commit witness) exists. A torn epoch (crash between the two
         writes) is invisible until its replay completes both halves."""
@@ -147,7 +159,11 @@ class Bm25IndexIngest:
         )
         committed = epoch_stats.select("epoch").distinct()
         postings = postings.join(F.broadcast(committed), "epoch").drop("epoch")
-        return postings, epoch_stats.drop("epoch")
+        stats = epoch_stats.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        return postings, stats
 
     def read_index(self) -> tuple[DataFrame, DataFrame, DataFrame]:
         """The accumulated (postings, dfreq, stats) — the exact shape
@@ -156,11 +172,7 @@ class Bm25IndexIngest:
         searches should use :meth:`search`, which derives df from the
         query-restricted postings instead of shuffling the whole
         store's vocabulary."""
-        postings, epoch_stats = self._committed()
-        stats = epoch_stats.agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_len").cast("long").alias("total_len"),
-        )
+        postings, stats = self._committed()
         dfreq = postings.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
@@ -174,11 +186,7 @@ class Bm25IndexIngest:
         accumulated vocabulary (df restricted to the searched terms
         equals the full-vocabulary df for those terms — disjoint docs;
         same equivalence the batch paths pin)."""
-        postings, epoch_stats = self._committed()
-        stats = epoch_stats.agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_len").cast("long").alias("total_len"),
-        )
+        postings, stats = self._committed()
         tset = terms.select("term").distinct()
         matched = postings.join(F.broadcast(tset), "term")
         dfreq = matched.groupBy("term").agg(

@@ -1405,3 +1405,48 @@ def test_bm25_ingest_torn_epoch_is_invisible_until_replayed(spark, tmp_path, sf_
     ingest._process_batch(b2, 1)
     want_all = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
     assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want_all
+
+
+def test_bm25_ingest_replay_of_committed_epoch_uncommits_first(spark, tmp_path, sf_dir):
+    """Replaying an epoch whose FIRST attempt fully committed (crash
+    after both writes, before the checkpoint commit) must first delete
+    the stats witness — otherwise a crash or concurrent search during
+    the postings rewrite would see the witness and score an epoch whose
+    postings dir is mid-rewrite. Simulate the dangerous window: after a
+    committed epoch, un-commit + tear the postings dir down (what
+    overwrite does first) and assert search ignores the epoch."""
+    import shutil
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import bm25_topk
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 != 0)
+    ingest._process_batch(b1, 0)
+    ingest._process_batch(b2, 1)  # fully committed first attempt
+    # Replay crashes right after the un-commit delete + postings
+    # teardown: emulate by doing exactly those two steps by hand.
+    shutil.rmtree(str(tmp_path / "bm25_index" / "stats" / "epoch=1"))
+    shutil.rmtree(str(tmp_path / "bm25_index" / "postings" / "epoch=1"))
+    want_b1 = sorted(map(tuple, bm25_topk(b1, terms, k=10).collect()))
+    got = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    assert got == want_b1  # the torn replay is invisible
+    # The replay completes: full-union scores return.
+    ingest._process_batch(b2, 1)
+    want_all = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want_all
