@@ -174,6 +174,7 @@ HEADLINE = [
     "bm25_search_indexed",
     "bm25_incremental",
     "ann_mmr_topk",
+    "collocation_pmi",
 ]
 
 

@@ -1076,3 +1076,120 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(BM25_QUERY_TERMS), "query_id long, term string"
     )
     return bm25_search_indexed(*merged, terms, k=10).orderBy("query_id", "rank")
+
+
+PMI_QUANT = 1_000_000  # micro-nat quantization for the PMI score
+PMI_MIN_COUNT = 5  # collocation floor: rare bigrams have unstable PMI
+
+
+@register(
+    "collocation_pmi",
+    oracle=f"""
+    WITH tok AS (SELECT {_SQL_TOK} AS tokens FROM documents),
+    uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_sql_kgrams(1)}) AS w FROM tok) GROUP BY w
+    ),
+    bc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT unnest({_sql_kgrams(2)}) AS bigram FROM tok)
+      GROUP BY bigram
+    ),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc),
+    bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM bc),
+    j AS (
+      SELECT bc.bigram, bc.c12, u1.c AS c1, u2.c AS c2, tt.t, bt.b
+      FROM bc
+      CROSS JOIN tt CROSS JOIN bt
+      JOIN uc u1 ON string_split(bc.bigram, ' ')[1] = u1.w
+      JOIN uc u2 ON string_split(bc.bigram, ' ')[2] = u2.w
+      WHERE bc.c12 >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT bigram, c12, c1, c2,
+             CAST(floor(ln(
+               (CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE) / CAST(b AS DOUBLE))
+               * (CAST(t AS DOUBLE)
+                  / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+             ) * {PMI_QUANT}) AS BIGINT) AS pmi_q
+      FROM j
+    )
+    SELECT bigram, c12, c1, c2, pmi_q,
+           CAST(pmi_q AS DOUBLE) / {PMI_QUANT} AS pmi_nats
+    FROM scored ORDER BY pmi_q DESC, bigram LIMIT 25
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 token-bigram collocations by pointwise mutual information
+    — the word-ASSOCIATION view the frequency queries (vocab_stats,
+    ngram_diversity) don't give: which adjacent pairs co-occur more
+    than their unigram frequencies predict. Integer counts throughout;
+    PMI = ln((c12/B)/((c1/T)(c2/T))) evaluated as one fixed-order
+    double expression over exact integer inputs (scale-safe: no
+    integer product of counts, so no int64 ceiling) and floor-quantized
+    to micro-nats; ties break on the bigram text. Scale shape: two
+    corpus token shuffles (unigram + bigram counts), vocabulary-keyed
+    equi-joins, TakeOrdered top-k — never a corpus self-join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        tokens_col("text").alias("toks")
+    )
+    d = d.withColumn("n_toks", F.size("toks"))
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    big = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.col("n_toks") >= 2,
+                    token_kgrams_col(F.col("toks"), F.col("n_toks"), 2),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    tt = uni.agg(F.sum("c").cast("long").alias("t"))
+    bt = big.agg(F.sum("c12").cast("long").alias("b"))
+    parts = F.split(F.col("bigram"), " ")
+    j = (
+        big.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(bt))
+    )
+    pmi = F.log(
+        (
+            F.col("c12").cast("double")
+            * F.col("t").cast("double")
+            / F.col("b").cast("double")
+        )
+        * (
+            F.col("t").cast("double")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        )
+    )
+    scored = j.select(
+        "bigram",
+        "c12",
+        "c1",
+        "c2",
+        F.floor(pmi * F.lit(PMI_QUANT)).cast("long").alias("pmi_q"),
+    )
+    return (
+        scored.orderBy(F.col("pmi_q").desc(), "bigram")
+        .limit(25)
+        .select(
+            "bigram",
+            "c12",
+            "c1",
+            "c2",
+            "pmi_q",
+            (F.col("pmi_q").cast("double") / F.lit(PMI_QUANT)).alias("pmi_nats"),
+        )
+    )

@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "bm25_search",            # 1-row corpus stats (N, total_len)
     "bm25_incremental",       # same 1-row merged stats frame
     "ann_mmr_topk",           # broadcast query set (bounded by caller)
+    "collocation_pmi",        # two 1-row corpus totals (T, B)
     "semdedup_keep",          # 16-row broadcast centroid frame
 }
 
