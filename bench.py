@@ -175,6 +175,7 @@ HEADLINE = [
     "bm25_incremental",
     "ann_mmr_topk",
     "collocation_pmi",
+    "phrase_search",
 ]
 
 

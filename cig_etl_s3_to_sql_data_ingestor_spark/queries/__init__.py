@@ -48,6 +48,7 @@ _HEAD = [
     "semdedup_keep",          # NEW: SemDeDup per-vector curation decisions
     "ann_mmr_topk",           # NEW: MMR-diversified retrieval
     "collocation_pmi",        # NEW: PMI collocation mining
+    "phrase_search",          # NEW: exact-phrase retrieval
     "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
     "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
     "ann_pq_topk",            # search-path profiling (r5 verdict #4)
@@ -94,17 +95,17 @@ _HEAD = [
     "brand_supplier_counts",
     "disjunctive_revenue",
     "integrity_audit",
-    "order_cube",
 ]
-# 125 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 126 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly.
 _TAIL = [
     # r4-green, untouched this round (oldest remaining evidence —
     # these lead the r7 head's re-score block; stratified_sample,
-    # interleave_sources, pack_sequences, chunk_documents, and
-    # profile_table were displaced from the r6 fill block by the five
-    # NEW queries and stay r4-green — 29 r4-green entries total):
+    # interleave_sources, pack_sequences, chunk_documents,
+    # profile_table, and order_cube were displaced from the r6 fill
+    # block by the six NEW queries and stay r4-green — 30 r4-green
+    # entries total):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "approx_distinct_stats",
@@ -123,6 +124,7 @@ _TAIL = [
     "market_share_by_year",
     "nation_quarterly_growth",
     "ngram_diversity",
+    "order_cube",
     "pack_sequences",
     "partition_prune_counts",
     "pii_redaction",

@@ -1193,3 +1193,91 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pmi_q").cast("double") / F.lit(PMI_QUANT)).alias("pmi_nats"),
         )
     )
+
+
+# Fixed exact-phrase workload: four 2-token phrases plus one 3-token
+# phrase (different lengths exercise the per-length k-gram paths).
+# Shared verbatim by the Spark frame and the oracle's VALUES list.
+PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "hash join"),
+    (1, "slow query"),
+    (2, "table scan"),
+    (3, "key value"),
+    (4, "slow hash batch"),
+)
+
+_SQL_PHRASE_VALUES = ", ".join(f"({q}, '{p}')" for q, p in PHRASE_QUERIES)
+
+
+@register(
+    "phrase_search",
+    oracle=f"""
+    WITH pq AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, phrase
+      FROM (VALUES {_SQL_PHRASE_VALUES}) AS v(query_id, phrase)
+    ),
+    tok AS (SELECT doc_id, {_SQL_TOK} AS tokens FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({_sql_kgrams(2)}) AS phrase FROM tok
+      UNION ALL
+      SELECT doc_id, unnest({_sql_kgrams(3)}) AS phrase FROM tok
+    ),
+    hits AS (
+      SELECT g.doc_id, g.phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM grams g
+      WHERE g.phrase IN (SELECT phrase FROM pq)
+      GROUP BY g.doc_id, g.phrase
+    )
+    SELECT query_id, doc_id, n_occurrences, rank FROM (
+      SELECT pq.query_id, h.doc_id, h.n_occurrences,
+             CAST(ROW_NUMBER() OVER (PARTITION BY pq.query_id
+                                     ORDER BY h.n_occurrences DESC,
+                                              h.doc_id) AS BIGINT) AS rank
+      FROM hits h JOIN pq ON h.phrase = pq.phrase
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval: top-10 documents per phrase by exact
+    adjacent-token occurrence count — the exact-match modality
+    complementing bag-of-words BM25 (a doc scoring high on 'hash' AND
+    'join' separately is not a 'hash join' hit). Phrases of length n
+    are n-grams, so matching is the proven zip_with k-gram chain + a
+    broadcast semi-join on the phrase set: one scan, shuffle bounded
+    by phrase hits (never corpus size), no positional index needed
+    for the bounded phrase lengths a query carries. Ties break on
+    doc_id; the 3-token phrase exercises the second k-gram length."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    d = d.withColumn("n_toks", F.size("toks"))
+
+    def grams_for(n: int) -> DataFrame:
+        g = F.when(
+            F.col("n_toks") >= n,
+            token_kgrams_col(F.col("toks"), F.col("n_toks"), n),
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select("doc_id", F.explode(g).alias("phrase"))
+
+    lengths = sorted({len(p.split()) for _, p in PHRASE_QUERIES})
+    grams = grams_for(lengths[0])
+    for n in lengths[1:]:
+        grams = grams.unionByName(grams_for(n))
+    pq = spark.createDataFrame(list(PHRASE_QUERIES), "query_id long, phrase string")
+    hits = (
+        grams.join(F.broadcast(pq.select("phrase").distinct()), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_occurrences").desc(), F.col("doc_id")
+    )
+    return (
+        hits.join(F.broadcast(pq), "phrase")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
+        .orderBy("query_id", "rank")
+    )
