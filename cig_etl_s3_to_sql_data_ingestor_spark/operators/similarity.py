@@ -1092,7 +1092,14 @@ def pq_search_packed(
     # precondition, not a silent parse failure downstream. The join-path
     # pq_topk keeps ids untyped through its joins; use it for
     # non-integer id columns.
-    bad = [q for q in qvecs if not isinstance(q, int)]
+    # bool is an int subclass but formats as the literal 'TrueL' — an
+    # opaque parse failure later; exclude it here with the same loud
+    # TypeError as any other non-integer id.
+    bad = [
+        q
+        for q in qvecs
+        if not isinstance(q, int) or isinstance(q, bool)
+    ]
     if bad:
         raise TypeError(
             f"pq_search_packed requires integer ids; got {bad[:3]!r} — "
@@ -1104,17 +1111,6 @@ def pq_search_packed(
     # silently — a wrong cosine, not an error).
     if any(not math.isfinite(v) for vec in qvecs.values() for v in vec):
         raise ValueError("pq_search_packed requires finite query vectors")
-    # The documented boundary, enforced: plan size grows linearly with
-    # the query batch (one LUT column + struct per query), so a bulk
-    # offline sweep through this path would build a megabyte-scale plan
-    # and stall the driver rather than fail. Route it to the join path.
-    if len(qvecs) > 512:
-        raise ValueError(
-            f"pq_search_packed got {len(qvecs)} queries — it is the "
-            "interactive-batch path (plan size grows per query); use "
-            "pq_topk/ivf_pq_topk with prebuilt codebooks+codes for bulk "
-            "offline sweeps"
-        )
     cbrows = (
         codebooks.select("m", "code_id", "code_vec").collect()
         if isinstance(codebooks, DataFrame)
@@ -1123,6 +1119,24 @@ def pq_search_packed(
     books: dict = {}
     for r in cbrows:
         books.setdefault(r[0], {})[r[1]] = [float(v) for v in r[2]]
+    # The documented boundary, enforced: plan size grows with
+    # #queries x n_sub x n_codes bigint LUT literals, so the cap is a
+    # TOTAL-entries budget (131072 = 512 queries at the 16x16 default
+    # book — a larger codebook proportionally shrinks the admitted
+    # batch), not a flat query count that would still admit
+    # megabyte-scale plans on a 16x256 book. A bulk offline sweep
+    # through this path would stall the driver rather than fail —
+    # route it to the join path.
+    n_codes_actual = max((len(v) for v in books.values()), default=0)
+    if len(qvecs) * n_sub * n_codes_actual > 131_072:
+        raise ValueError(
+            f"pq_search_packed got {len(qvecs)} queries x n_sub={n_sub} "
+            f"x n_codes={n_codes_actual} = "
+            f"{len(qvecs) * n_sub * n_codes_actual} LUT literals "
+            "(budget 131072) — it is the interactive-batch path (plan "
+            "size grows per query x codebook); use pq_topk/ivf_pq_topk "
+            "with prebuilt codebooks+codes for bulk offline sweeps"
+        )
 
     luts: dict = {}
     for qid, vec in qvecs.items():

@@ -132,28 +132,50 @@ def source_overlap(
             # thread — the watcher gives up after 24h (a frame whose
             # FIRST action lands later than that logs nothing; see the
             # docstring's bounded-window caveat). Where those internals
-            # don't exist (Spark Connect's Observation has no _jo),
-            # fall back to the blocking get — contract kept, with the
+            # don't exist (Spark Connect's Observation has no _jo, and
+            # py4j answers hasattr-style probes for ANY name, so only an
+            # actual call proves the private method exists), fall back
+            # to the blocking get — contract kept, with the
             # never-materialized thread leak as the documented price.
             import time
 
-            try:
-                jo = getattr(obs, "_jo", None)
-                if jo is None or not hasattr(jo, "getRowOrEmpty"):
-                    n_hot = obs.get["n_hot"]  # blocking fallback
+            from py4j.protocol import Py4JError
+
+            jo = getattr(obs, "_jo", None)
+            n_hot = None
+            if jo is not None:
+                try:
+                    # Probe call: py4j returns a JavaMember for any
+                    # attribute name, so hasattr() is always True — the
+                    # first real invocation is the existence check.
+                    jrow = jo.getRowOrEmpty()
+                except Py4JError:
+                    jo = None  # Spark build without the private method
                 else:
                     deadline = time.monotonic() + 24 * 3600.0
-                    n_hot = None
-                    while time.monotonic() < deadline:
-                        jrow = jo.getRowOrEmpty()
-                        if jrow is not None and jrow.isDefined():
-                            n_hot = jrow.get().getLong(0)
-                            break
-                        time.sleep(0.2)
-                    if n_hot is None:
+                    start = time.monotonic()
+                    try:
+                        while True:
+                            if jrow is not None and jrow.isDefined():
+                                n_hot = jrow.get().getLong(0)
+                                break
+                            now = time.monotonic()
+                            if now >= deadline:
+                                return
+                            # 0.2s keeps the common case (first action
+                            # lands within seconds) prompt; after the
+                            # first minute back off to 5s so a
+                            # long-idle frame costs the JVM 0.2
+                            # polls/s, not 5/s.
+                            time.sleep(0.2 if now - start < 60.0 else 5.0)
+                            jrow = jo.getRowOrEmpty()
+                    except Py4JError:  # session torn down mid-poll
                         return
-            except Exception:  # session torn down mid-poll
-                return
+            if jo is None:
+                try:
+                    n_hot = obs.get["n_hot"]  # blocking fallback
+                except Exception:  # session torn down while blocked
+                    return
             if n_hot:
                 logging.getLogger(__name__).warning(
                     "source_overlap: dropped %d shingles with "

@@ -221,7 +221,7 @@ def read_table(
     partition_column: str | None = None,
     lower_bound: int | str | None = None,
     upper_bound: int | str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     predicates: list[str] | None = None,
 ) -> DataFrame:
     """S11 at scale: partitioned/parallel JDBC read of ``table`` (which
@@ -243,6 +243,15 @@ def read_table(
       round-trip for a table-sized scan.
     - neither — single-connection fallback, same as :func:`read_query`.
 
+    ``num_partitions`` (default 8) applies ONLY to the stride mode; in
+    predicates mode the task count IS ``len(predicates)``, so passing
+    both raises rather than silently ignoring one.
+
+    Trust boundary: ``table``, ``partition_column``, and ``predicates``
+    are interpolated into SQL verbatim (the MIN/MAX probe, Spark's own
+    dbtable subselect) — they must be trusted identifiers/fragments
+    from the ingest config, never end-user input.
+
     The reference's S11 surface (`test_compare_sql_local_and_prod_data.py`
     :57-67) re-reads ingested `raw.*` tables for verification; at this
     engine's 100 TB brief such reads must not funnel through one
@@ -255,7 +264,14 @@ def read_table(
             raise ValueError(
                 "pass either predicates or partition_column, not both"
             )
+        if num_partitions is not None:
+            raise ValueError(
+                "num_partitions is meaningless with predicates (the "
+                "task count is len(predicates)) — drop one"
+            )
         return spark.read.jdbc(url, table, predicates=predicates)
+    if num_partitions is None:
+        num_partitions = 8
     if partition_column is None:
         return reader.option("dbtable", table).load()
     if lower_bound is None or upper_bound is None:

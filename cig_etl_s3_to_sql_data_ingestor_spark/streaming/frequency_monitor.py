@@ -122,8 +122,30 @@ def recover_pending_compactions(spark: SparkSession, store_path: str) -> None:
             _finish_compaction(fs, jvm, store_path, int(name.split("=", 1)[1]))
 
 
+def _has_part_files(fs, Path, path: str) -> bool:
+    """True if ``path`` holds any ``.parquet`` part file, descending
+    through partition subdirs (``bucket=B`` layouts) but not through
+    ``_temporary``/dot dirs — the flat ``endswith('.parquet')`` check
+    would misread a partitioned-but-populated epoch dir as a crashed
+    writer's empty mkdir and delete it."""
+    for st in fs.listStatus(Path(path)):
+        name = st.getPath().getName()
+        if st.isDirectory():
+            if not name.startswith(("_", ".")) and _has_part_files(
+                fs, Path, str(st.getPath())
+            ):
+                return True
+        elif name.endswith(".parquet"):
+            return True
+    return False
+
+
 def _compact_epoch_store(
-    spark: SparkSession, store_path: str, upto_epoch: int, fold
+    spark: SparkSession,
+    store_path: str,
+    upto_epoch: int,
+    fold,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Shared epoch-dir compaction: fold every ``epoch=N`` dir with
     ``N <= upto_epoch`` into ONE dir ``epoch=<upto_epoch>`` whose
@@ -165,10 +187,7 @@ def _compact_epoch_store(
     readable = [
         e
         for e in fold_epochs
-        if any(
-            st.getPath().getName().endswith(".parquet")
-            for st in fs.listStatus(Path(f"{store_path}/epoch={e}"))
-        )
+        if _has_part_files(fs, Path, f"{store_path}/epoch={e}")
     ]
     if not readable:
         # Every foldable dir is a crashed writer's empty mkdir: there
@@ -182,9 +201,13 @@ def _compact_epoch_store(
         spark.read.option("basePath", store_path)
         .parquet(*[f"{store_path}/epoch={e}" for e in readable])
     )
-    folded.write.mode("overwrite").parquet(
-        f"{store_path}/.compact_tmp_upto={upto_epoch}"
-    )
+    writer = folded.write.mode("overwrite")
+    if partition_by:
+        # Stores with a partition-local at-rest layout (bm25_ingest's
+        # term buckets) keep it through compaction so the read side's
+        # partition pruning survives the fold.
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{store_path}/.compact_tmp_upto={upto_epoch}")
     _finish_compaction(fs, jvm, store_path, upto_epoch)
     return len(fold_epochs)
 

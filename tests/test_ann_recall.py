@@ -240,6 +240,23 @@ def test_packed_search_identical_to_join_path(ground_truth):
         S.pq_search_packed(
             e, [(0, [float("inf")] * 64)], cb_rows, packed, k=K
         )
+    # bool is an int subclass but would format as the SQL literal
+    # 'TrueL' — it must hit the id guard, not an opaque parse error.
+    with pytest.raises(TypeError, match="integer ids"):
+        S.pq_search_packed(
+            e, [(True, [0.0] * 64)], cb_rows, packed, k=K
+        )
+    # The interactive-batch boundary is a TOTAL LUT-entries budget
+    # (queries x n_sub x n_codes), not a flat query count: 513 queries
+    # on the 16x16 book is 131328 entries, just over the 131072 budget.
+    with pytest.raises(ValueError, match="LUT literals"):
+        S.pq_search_packed(
+            e,
+            [(i, [0.0] * 64) for i in range(513)],
+            cb_rows,
+            packed,
+            k=K,
+        )
 
     for df in (subs, cb, codes, packed, centroids, assigned, packed_cells):
         df.unpersist()

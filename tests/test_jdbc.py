@@ -351,6 +351,14 @@ def test_read_table_partitioned_parallel(spark, url):
             partition_column="K", predicates=["K < 1"],
         )
 
+    # predicates mode's task count IS len(predicates); an explicit
+    # num_partitions alongside it would be silently ignored — raise.
+    with pytest.raises(ValueError, match="len\\(predicates\\)"):
+        read_table(
+            spark, url, "t_pread",
+            predicates=["K < 100", "K >= 100"], num_partitions=4,
+        )
+
     # Empty table: the MIN/MAX probe returns NULLs — must fall back to a
     # single-connection read (never send the string "None" as a bound),
     # including with only ONE caller-given bound.
