@@ -176,6 +176,15 @@ HEADLINE = [
     "ann_mmr_topk",
     "collocation_pmi",
     "phrase_search",
+    # round 7: index-composed retrieval — MMR over the PQ shortlist and
+    # phrase search over the k-gram posting store (both oracle-scored),
+    # plus their amortized prepared twins (index built OUTSIDE the
+    # timer): MMR over pq_search_packed against prebuilt packed codes,
+    # and phrase search over a prebuilt posting store.
+    "ann_mmr_pq",
+    "phrase_search_indexed",
+    "ann_mmr_pq_search",
+    "phrase_search_from_index",
 ]
 
 
@@ -382,6 +391,70 @@ def _bm25_search_indexed_prepare(spark, sf_dir):
     )
 
 
+def _mmr_pq_search_prepare(spark, sf_dir):
+    """MMR diversification with the ENTIRE index side prebuilt outside
+    the timer (r6 verdict #4's deployment shape): the thunk's shortlist
+    is pq_search_packed over persisted packed codes — driver-side ADC
+    tables, zero joins before the shortlist, the corpus's raw vectors
+    touched only by the shortlist's exact re-rank and MMR's vector
+    fetch (both broadcast equi-joins, never a full relevance scan)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.vectors import MMR_LAM
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = _persist(S.pq_encode(e, cb, subs=subs))
+    cb_rows = [tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()]
+    packed = _persist(S.pq_pack_codes(codes, cb_rows).coalesce(4))
+    packed.count()
+    rerank = _persist(e.coalesce(4))
+    rerank.count()
+    queries = rerank.filter(F.col("vec_id") < 8)
+    q_rows = [
+        tuple(r) for r in queries.select("vec_id", "embedding").collect()
+    ]
+
+    def thunk():
+        short = S.pq_search_packed(
+            rerank, q_rows, cb_rows, packed, k=20
+        ).select("query_id", "cand_id", "cosine_sim")
+        return S.mmr_rerank(
+            rerank, queries, k=5, lam=MMR_LAM, shortlist_df=short
+        ).orderBy("query_id", "rank")
+
+    return thunk
+
+
+def _phrase_from_index_prepare(spark, sf_dir):
+    """Phrase search with the k-gram posting store prebuilt OUTSIDE the
+    timer — the search-many shape the r6 verdict asked for (direct
+    phrase_search re-tokenizes the corpus per call). The thunk is a
+    broadcast semi-join against persisted postings + the shared top-k
+    tail; corpus text is never touched."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        phrase_build_index,
+        phrase_search_indexed,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        PHRASE_QUERIES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _persist(phrase_build_index(docs, lengths=(2, 3)))
+    postings.count()
+    pq = spark.createDataFrame(
+        list(PHRASE_QUERIES), "query_id long, phrase string"
+    )
+    return lambda: phrase_search_indexed(postings, pq, k=10, lengths=(2, 3))
+
+
 # name -> prepare(spark, sf_dir) -> thunk. The prepare step runs ONCE
 # per query, outside the timer; cache-clearing is skipped for these
 # (the persisted index is the point), and the run body creates no
@@ -390,6 +463,8 @@ BENCH_PREPARE = {
     "ann_pq_search": _pq_search_prepare,
     "ann_ivf_pq_search": _ivf_pq_search_prepare,
     "bm25_search_indexed": _bm25_search_indexed_prepare,
+    "ann_mmr_pq_search": _mmr_pq_search_prepare,
+    "phrase_search_from_index": _phrase_from_index_prepare,
 }
 
 

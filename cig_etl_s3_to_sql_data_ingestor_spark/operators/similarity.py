@@ -241,7 +241,7 @@ KMEANS_QUANT = 1_000_000  # component quantization for exact mean sums
 
 def kmeans_centroids(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -276,7 +276,20 @@ def kmeans_centroids(
     unreproducible elsewhere) that bounds the training-assign cost; at
     100 TB always set it. Init centroids stay the ``n_cells`` lowest ids
     of the FULL corpus so the sample only affects the mean updates.
+
+    ``n_cells=None`` derives the cell count as ``~sqrt(n)`` from one
+    cheap count job (r6 verdict #7): per-cell membership is then
+    ~sqrt(n) and every cell-blocked pair family stays O(n) total pairs
+    WITHOUT the caller re-deriving the dial at each corpus size — the
+    rule the blocked-operator docstrings always mandated, now coded.
+    Derived cells are a few MB of broadcast state even at 1e9 vectors
+    (~31623 cells x dim doubles). Oracle-facing queries keep explicit
+    values (the SQL mirror cannot run a count-then-parameterize step).
     """
+    if n_cells is None:
+        import math
+
+        n_cells = max(2, int(round(math.sqrt(corpus.count()))))
     train = corpus
     if sample_mod is not None:
         bucket = (
@@ -443,7 +456,7 @@ def cosine_near_duplicates(
 
 def cell_blocked_near_duplicates(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_iters: int = 2,
     threshold: float = 0.9,
     sample_mod: int | None = 2,
@@ -491,7 +504,7 @@ def cell_blocked_near_duplicates(
 
 def semdedup_decisions(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_iters: int = 2,
     threshold: float = 0.9,
     sample_mod: int | None = 2,
@@ -1293,6 +1306,7 @@ def mmr_rerank(
     lam: float = 0.75,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shortlist_df: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
     diversified top-``k`` — each step picks the candidate maximizing
@@ -1308,9 +1322,17 @@ def mmr_rerank(
     max-similarity fold, and pick the (mmr DESC, cand_id ASC)
     row_number winner. Work per round is |Q| x shortlist x k rows —
     query-bounded, never corpus-bounded; the corpus appears only in the
-    initial exact shortlist (:func:`brute_force_topk` here; swap in
-    ``ivf_topk``/``pq_topk`` at scale) and one equi-join to fetch the
-    shortlist's vectors. The accumulated-picks frame is
+    initial shortlist and one equi-join to fetch the shortlist's
+    vectors. The shortlist provider is PLUGGABLE: by default the exact
+    :func:`brute_force_topk` at size ``shortlist``; at scale pass
+    ``shortlist_df`` — any (query_id, cand_id, cosine_sim) frame from
+    an index-backed path (``pq_topk``/``ivf_pq_topk``/
+    ``pq_search_packed``, whose final exact re-rank makes cosine_sim
+    the same exact relevance the brute-force path feeds). The MMR
+    rounds are agnostic to the provider — on an identical shortlist
+    the output is bit-identical (pinned by tests/test_ann_recall.py),
+    so the only quality delta is the shortlist's own recall, already
+    bounded by the ANN recall pins. The accumulated-picks frame is
     localCheckpointed every round (it feeds TWO branches of the next
     round, which would otherwise double the plan tree per round) — so
     the rounds execute eagerly at call time, the same documented trade
@@ -1321,7 +1343,13 @@ def mmr_rerank(
     ``lam``/``1 - lam`` literals parse to identical binary64 on both
     engines. Returns (query_id, cand_id, mmr_score, rank).
     """
-    base = brute_force_topk(corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col)
+    base = (
+        shortlist_df.select("query_id", "cand_id", "cosine_sim")
+        if shortlist_df is not None
+        else brute_force_topk(
+            corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+        )
+    )
     vecs = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),

@@ -571,3 +571,148 @@ def _bm25_rank(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-phrase retrieval: direct and build-once/search-many paths.
+
+
+def _phrase_grams(
+    docs: DataFrame,
+    lengths: tuple[int, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded (doc_id, phrase) rows: every adjacent-token k-gram of
+    ``docs`` for each k in ``lengths`` — the zip_with doubling chain of
+    ``token_kgrams_col``, one corpus scan for all lengths (the unioned
+    branches share the tokenization subtree)."""
+    from .dedup import token_kgrams_col
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+
+    def grams_for(n: int) -> DataFrame:
+        g = F.when(
+            F.col("n_toks") >= n,
+            token_kgrams_col(F.col("toks"), F.col("n_toks"), n),
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select("doc_id", F.explode(g).alias("phrase"))
+
+    out = grams_for(lengths[0])
+    for n in lengths[1:]:
+        out = out.unionByName(grams_for(n))
+    return out
+
+
+def _phrase_rank(hits: DataFrame, phrases: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail over matched (doc_id, phrase, n_occurrences)
+    rows — one spelling for the direct and indexed paths, so they
+    cannot drift. Ties break on doc_id."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_occurrences").desc(), F.col("doc_id")
+    )
+    return (
+        hits.join(F.broadcast(phrases), "phrase")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _phrase_lengths(phrases: DataFrame) -> tuple[list, tuple[int, ...]]:
+    """Collect the (tiny, broadcast-anyway) phrase rows and their
+    distinct token lengths — one driver job shared by both paths."""
+    rows = phrases.select("query_id", "phrase").collect()
+    return rows, tuple(sorted({len(r[1].split()) for r in rows}))
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval, direct path: top-``k`` documents per
+    phrase by adjacent-token occurrence count. ``phrases`` is a small
+    (query_id: long, phrase: string) frame. Phrases of length n are
+    n-grams, so matching is the proven zip_with k-gram chain + a
+    broadcast semi-join on the phrase set: one corpus scan, shuffle
+    bounded by phrase hits — but the scan is paid PER CALL; a
+    deployment running many phrase queries should pay it once via
+    :func:`phrase_build_index` + :func:`phrase_search_indexed`
+    (pinned row-identical by tests/test_retrieval_semdedup.py)."""
+    rows, lengths = _phrase_lengths(phrases)
+    grams = _phrase_grams(docs, lengths, id_col, text_col)
+    pset = phrases.select("phrase").distinct()
+    hits = (
+        grams.join(F.broadcast(pset), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return _phrase_rank(hits, phrases, k)
+
+
+def phrase_build_index(
+    docs: DataFrame,
+    lengths: tuple[int, ...] = (2, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the at-rest k-gram posting store — the
+    build-once/search-many twin of :func:`phrase_topk` (the exact
+    pattern ``bm25_build_index`` established): (phrase, n, doc_id,
+    n_occurrences) rows over the FULL k-gram vocabulary for each k in
+    ``lengths``, ONE corpus shuffle at build. ``n`` (the phrase's token
+    length) rides along so a search can verify its query lengths are
+    covered without re-deriving them. A deployment writes this
+    partitioned/bucketed by phrase (the bm25 postings rule) so a
+    search's semi-join prunes at the scan."""
+    return (
+        _phrase_grams(docs, lengths, id_col, text_col)
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .withColumn(
+            "n",
+            (
+                F.lit(1)
+                + F.length("phrase")
+                - F.length(F.replace(F.col("phrase"), F.lit(" "), F.lit("")))
+            ).cast("int"),
+        )
+        .select("phrase", "n", "doc_id", "n_occurrences")
+    )
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    lengths: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Search a prebuilt k-gram posting store
+    (:func:`phrase_build_index`): broadcast semi-join of the query
+    phrases against the postings + the SAME top-k tail as the direct
+    path — row-identical to :func:`phrase_topk` on the same corpus
+    (pinned by tests/test_retrieval_semdedup.py), but the corpus text
+    is never touched: search cost is bounded by phrase hits in the
+    store. ``lengths`` must be the build's — a query phrase whose
+    token length the index never materialized would silently return
+    zero hits, so it raises instead."""
+    rows, qlengths = _phrase_lengths(phrases)
+    missing = set(qlengths) - set(lengths)
+    if missing:
+        raise ValueError(
+            f"phrase lengths {sorted(missing)} are not in the index "
+            f"(built with lengths={tuple(lengths)}) — a miss would be "
+            "silently empty, not wrong-but-plausible; rebuild the index "
+            "with the needed lengths or use phrase_topk"
+        )
+    pset = phrases.select("phrase").distinct()
+    hits = postings.join(F.broadcast(pset), "phrase").select(
+        "doc_id", "phrase", "n_occurrences"
+    )
+    return _phrase_rank(hits, phrases, k)

@@ -186,3 +186,108 @@ class BatchIngest:
             for r in self.results
         ]
         return "\n".join(lines) if lines else "nothing ingested"
+
+    def verify_sink(
+        self,
+        target: str,
+        expected: DataFrame,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        predicates: list[str] | None = None,
+        key_column: str | None = None,
+    ) -> dict:
+        """Post-ingest verification read — the reference's compare pass
+        (`test_compare_sql_local_and_prod_data.py:57-67`) re-reads the
+        ingested SQL table and checks it against the source. Routed
+        through the PARTITIONED :func:`sources.jdbc.read_table` (r6
+        verdict #6): a 100 TB verification must not funnel the whole
+        table through one connection. Parallelism, most-automatic
+        first:
+
+        - ``key_column`` — the stringified-sink default (the ingest's
+          in-flight representation is all-strings, so the table has no
+          numeric column to stride on): the read wraps ``target`` in
+          ``(SELECT t.*, CAST(key AS BIGINT) AS pb_stride FROM target t) v``
+          (via a VARCHAR hop — CLOB-typed keys cannot cast straight)
+          and stride-partitions on the cast — for the reference's
+          varchar ID keys, which are digits in string clothing. NULL
+          keys land in the first stride (Spark adds ``IS NULL`` to it),
+          so coverage is total; but the key must CAST CLEANLY on the
+          target dialect — Derby raises on a non-numeric string where
+          SQL Server's TRY_CAST would NULL — so point this at a real
+          ID column, and fall back to ``predicates`` otherwise.
+        - ``partition_column`` — a genuinely numeric column, passed
+          straight through; auto-picked as the first integral column
+          of ``expected`` when neither is given.
+        - ``predicates`` — caller-owned disjoint WHERE ranges (the only
+          mode for non-numeric non-castable keys).
+        - none usable — single-connection fallback, visible in the
+          returned ``n_partitions`` (never silent).
+
+        Returns ``{rows_match, checksum_match, n_rows, n_partitions}``.
+        The checksum is an order-insensitive SUM of per-row crc32 over
+        the canonical JSON of the compared columns — commutative, so
+        partitioning/ordering of either side cannot flip the verdict.
+        """
+        from .sources.jdbc import read_table
+
+        if self.jdbc_url is None:
+            raise ValueError("verify_sink requires a JDBC sink")
+        table = target
+        if key_column is not None:
+            if partition_column is not None or predicates is not None:
+                raise ValueError(
+                    "key_column is exclusive with partition_column/"
+                    "predicates"
+                )
+            table = (
+                # Double cast: JDBC-written string columns are CLOBs on some
+            # dialects (Derby), and CLOB->BIGINT is not a legal cast
+            # there — CLOB->VARCHAR->BIGINT is.
+            f"(SELECT t.*, CAST(CAST({key_column} AS VARCHAR(128)) "
+            f"AS BIGINT) AS pb_stride "
+                f"FROM {target} t) v"
+            )
+            partition_column = "pb_stride"
+        elif partition_column is None and predicates is None:
+            for f in expected.schema.fields:
+                if f.dataType.simpleString() in ("int", "bigint", "smallint"):
+                    partition_column = f.name
+                    break
+        got = read_table(
+            self.spark,
+            self.jdbc_url,
+            table,
+            partition_column=partition_column,
+            num_partitions=num_partitions if partition_column else None,
+            predicates=predicates,
+        ).drop("pb_stride")
+        # Compare on the expected column set (Derby uppercases unquoted
+        # identifiers; normalize by position-independent lower name).
+        gcols = {c.lower(): c for c in got.columns}
+        got = got.select(
+            *[
+                F.col(gcols[f.name.lower()]).cast(f.dataType).alias(f.name)
+                for f in expected.schema.fields
+            ]
+        )
+
+        def _sig(df: DataFrame):
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.crc32(
+                        F.to_json(F.struct(*df.columns)).cast("binary")
+                    )
+                ).alias("chk"),
+            ).first()
+            return row[0], row[1]
+
+        n_exp, chk_exp = _sig(expected)
+        n_got, chk_got = _sig(got)
+        return {
+            "rows_match": n_exp == n_got,
+            "checksum_match": chk_exp == chk_got,
+            "n_rows": n_got,
+            "n_partitions": got.rdd.getNumPartitions(),
+        }

@@ -34,78 +34,20 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 6 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py), computed by scripts/rotation_plan.py:
-    # (1) every query round 6 touches (the grouped-strategy
-    # cross-source-overlap rewrite + the shared jaccard_overlap_pairs
-    # core, and the PQ/IVF-PQ search-path profiling), (2) the 29
-    # queries whose newest driver row is round 3 (the round-5 verdict's
-    # #1 task), (3) oldest r4-green re-scores to fill the window.
-    # -- (1) touched this round (incl. NEW queries — never scored, so
-    # they outrank every re-score):
-    "bm25_search",            # NEW: BM25 ranked keyword retrieval
-    "bm25_incremental",       # NEW: O(batch) index merge == full rebuild
-    "semdedup_keep",          # NEW: SemDeDup per-vector curation decisions
-    "ann_mmr_topk",           # NEW: MMR-diversified retrieval
-    "collocation_pmi",        # NEW: PMI collocation mining
-    "phrase_search",          # NEW: exact-phrase retrieval
-    "cross_source_overlap",   # grouped one-shuffle rewrite + observe cap log
-    "dedup_ngram_jaccard",    # shared jaccard core gained the grouped strategy
-    "ann_pq_topk",            # search-path profiling (r5 verdict #4)
-    "ann_ivf_pq_topk",        # same
-    # -- (2) r3-evidence backlog (two rounds stale):
-    "weekly_range_revenue",
-    "dedup_simhash",
-    "sole_return_supplier",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_canonical",
-    "contamination_check",
-    "windowed_events",
-    "median_order_value",
-    "asof_last_click",
-    "events_in_windows",
-    "scd2_user_state",
-    "daily_event_pivot",
-    "above_brand_average",
-    "fuzzy_name_pairs",
-    "distinct_keys",
-    "idle_customers",
-    "length_histogram",
-    "order_priority_count",
-    "order_rollup",
-    "price_deciles",
-    "rolling_daily_revenue",
-    "shipping_priority",
-    "region_nation_revenue",
-    "top_returned_customers",
-    "nation_trade_volume",
-    "quality_score",
-    "token_count",
-    "dominant_part_suppliers",
-    # -- (3) oldest r4-green fills:
-    "pricing_summary",
-    "sentinel_cleaning",
-    "worklist_semi_join",
-    "marker_antijoin",
-    "latest_per_group",
-    "staleness_tiered",
-    "promo_revenue_share",
-    "large_volume_orders",
-    "brand_supplier_counts",
-    "disjunctive_revenue",
-    "integrity_audit",
-]
-# 126 queries, 50 scored slots; tests/test_sql_surface.py asserts the
-# unscored set is EXACTLY the declared tail, so any change to what goes
-# unscored fails loudly.
-_TAIL = [
-    # r4-green, untouched this round (oldest remaining evidence —
-    # these lead the r7 head's re-score block; stratified_sample,
-    # interleave_sources, pack_sequences, chunk_documents,
-    # profile_table, and order_cube were displaced from the r6 fill
-    # block by the six NEW queries and stay r4-green — 30 r4-green
-    # entries total):
+    # ---- round 7 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py): (1) the two NEW index-composed
+    # retrieval queries + every query a round-7 change could touch,
+    # (2) the 30 queries whose newest driver row is round 4 (the
+    # round-6 verdict's #1 task), (3) oldest r5-green re-scores to
+    # fill the window.
+    # -- (1) new/touched this round:
+    "ann_mmr_pq",                # NEW: MMR over the PQ index shortlist (r6 verdict #4)
+    "phrase_search_indexed",     # NEW: phrase search over the k-gram posting store (r6 verdict #5)
+    "phrase_search",             # rewritten onto the shared phrase_topk operator
+    "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
+    "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
+    "semdedup_keep",             # semdedup_decisions gained the n_cells=None auto-dial
+    # -- (2) r4-evidence backlog (two rounds stale):
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "approx_distinct_stats",
@@ -136,7 +78,7 @@ _TAIL = [
     "text_normalize_stats",
     "tfidf_top_terms",
     "vocab_stats",
-    # r5-green, untouched this round:
+    # -- (3) oldest r5-green fills:
     "ann_incremental",
     "ann_ivf_topk",
     "approx_quantile_envelope",
@@ -151,38 +93,90 @@ _TAIL = [
     "cms_word_frequency",
     "cohort_retention",
     "conversion_funnel",
+]
+# 128 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
+# is scored); kept sorted for diff stability.
+_TAIL = [
+    "above_brand_average",
+    "ann_ivf_pq_topk",
+    "ann_pq_topk",
+    "asof_last_click",
+    "bm25_incremental",
+    "bm25_search",
+    "brand_supplier_counts",
+    "collocation_pmi",
+    "contamination_check",
     "curation_decisions",
     "customer_activity_setops",
+    "daily_event_pivot",
+    "dedup_canonical",
+    "dedup_clusters",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "deterministic_split",
     "discount_band_revenue",
+    "disjunctive_revenue",
+    "distinct_keys",
+    "dominant_part_suppliers",
     "embedding_clusters",
     "env_derivation",
     "event_transition_matrix",
+    "events_in_windows",
     "exact_substring_overlap",
+    "fuzzy_name_pairs",
     "heavy_hitter_keys",
+    "idle_customers",
     "image_ahash_groups",
     "incremental_agg_merge",
+    "integrity_audit",
     "json_props_stats",
     "knn_label_eval",
+    "large_volume_orders",
+    "latest_per_group",
+    "length_histogram",
+    "marker_antijoin",
+    "median_order_value",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_meta",
     "multimodal_resize",
+    "nation_trade_volume",
+    "order_priority_count",
+    "order_rollup",
     "ordered_projection",
     "part_copurchase_pagerank",
+    "price_deciles",
     "price_quantity_stats",
+    "pricing_summary",
     "priority_sample",
+    "promo_revenue_share",
+    "quality_score",
+    "region_nation_revenue",
     "repetition_stats",
+    "rolling_daily_revenue",
+    "scd2_user_state",
+    "sentinel_cleaning",
     "sessionize",
+    "shipping_priority",
     "small_quantity_revenue",
+    "sole_return_supplier",
     "source_mixture_plan",
     "source_token_divergence",
+    "staleness_tiered",
     "timestamp_truncation",
+    "token_count",
+    "top_returned_customers",
     "topk_per_group",
     "verification_query",
     "weekday_event_chi2",
+    "weekly_range_revenue",
+    "windowed_events",
+    "worklist_semi_join",
 ]
 
 _order = (

@@ -1230,10 +1230,10 @@ PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
 
 _SQL_PHRASE_VALUES = ", ".join(f"({q}, '{p}')" for q, p in PHRASE_QUERIES)
 
-
-@register(
-    "phrase_search",
-    oracle=f"""
+# One oracle for both phrase paths: the indexed path is pinned
+# row-identical to the direct one (same semantics, amortized build), so
+# they share the SQL mirror verbatim.
+_PHRASE_ORACLE = f"""
     WITH pq AS (
       SELECT CAST(query_id AS BIGINT) AS query_id, phrase
       FROM (VALUES {_SQL_PHRASE_VALUES}) AS v(query_id, phrase)
@@ -1257,8 +1257,10 @@ _SQL_PHRASE_VALUES = ", ".join(f"({q}, '{p}')" for q, p in PHRASE_QUERIES)
                                               h.doc_id) AS BIGINT) AS rank
       FROM hits h JOIN pq ON h.phrase = pq.phrase
     ) WHERE rank <= 10 ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("phrase_search", oracle=_PHRASE_ORACLE)
 def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase retrieval: top-10 documents per phrase by exact
     adjacent-token occurrence count — the exact-match modality
@@ -1266,40 +1268,36 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     'join' separately is not a 'hash join' hit). Phrases of length n
     are n-grams, so matching is the proven zip_with k-gram chain + a
     broadcast semi-join on the phrase set: one scan, shuffle bounded
-    by phrase hits (never corpus size), no positional index needed
-    for the bounded phrase lengths a query carries. Ties break on
-    doc_id; the 3-token phrase exercises the second k-gram length."""
-    from pyspark.sql import Window as W
+    by phrase hits (never corpus size). Ties break on doc_id; the
+    3-token phrase exercises the second k-gram length. Direct path
+    (operators/text.phrase_topk) — pays the corpus scan per call; the
+    ``phrase_search_indexed`` twin amortizes it."""
+    from ..operators.text import phrase_topk
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col("text").alias("toks")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pq = spark.createDataFrame(
+        list(PHRASE_QUERIES), "query_id long, phrase string"
     )
-    d = d.withColumn("n_toks", F.size("toks"))
+    return phrase_topk(d, pq, k=10)
 
-    def grams_for(n: int) -> DataFrame:
-        g = F.when(
-            F.col("n_toks") >= n,
-            token_kgrams_col(F.col("toks"), F.col("n_toks"), n),
-        ).otherwise(F.array().cast("array<string>"))
-        return d.select("doc_id", F.explode(g).alias("phrase"))
 
-    lengths = sorted({len(p.split()) for _, p in PHRASE_QUERIES})
-    grams = grams_for(lengths[0])
-    for n in lengths[1:]:
-        grams = grams.unionByName(grams_for(n))
-    pq = spark.createDataFrame(list(PHRASE_QUERIES), "query_id long, phrase string")
-    hits = (
-        grams.join(F.broadcast(pq.select("phrase").distinct()), "phrase")
-        .groupBy("doc_id", "phrase")
-        .agg(F.count("*").cast("long").alias("n_occurrences"))
+@register("phrase_search_indexed", oracle=_PHRASE_ORACLE)
+def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the at-rest k-gram posting store
+    (r6 verdict #5): build the 2-/3-gram postings once
+    (operators/text.phrase_build_index — one corpus shuffle), search
+    via broadcast semi-join against the postings — the corpus text is
+    never touched at search time, the exact
+    bm25_build_index/bm25_search_indexed pattern. Row-identical to the
+    direct path (same oracle verbatim; also pinned head-to-head by
+    tests/test_retrieval_semdedup.py). In-query the build obviously
+    still runs; the bench twin ``phrase_search_from_index`` measures
+    search-many over a PREBUILT store."""
+    from ..operators.text import phrase_build_index, phrase_search_indexed as _psi
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pq = spark.createDataFrame(
+        list(PHRASE_QUERIES), "query_id long, phrase string"
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("n_occurrences").desc(), F.col("doc_id")
-    )
-    return (
-        hits.join(F.broadcast(pq), "phrase")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "n_occurrences", "rank")
-        .orderBy("query_id", "rank")
-    )
+    postings = phrase_build_index(d, lengths=(2, 3))
+    return _psi(postings, pq, k=10, lengths=(2, 3))

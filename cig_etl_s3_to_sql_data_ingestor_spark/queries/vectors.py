@@ -515,6 +515,7 @@ def _sql_pq_ctes(
     shortlist_factor: int = 8,
     prefix: str = "",
     candidates: str | None = None,
+    tail_cte: str | None = None,
 ) -> str:
     """CTE chain reproducing operators.similarity.pq_topk exactly:
     grouped per-subspace KMeans (sorted init, ordered L2 folds,
@@ -633,7 +634,7 @@ def _sql_pq_ctes(
       ) WHERE ar <= {k * shortlist_factor}
     )"""
     )
-    tail = f"""SELECT query_id, cand_id, cosine_sim, rank FROM (
+    tail_body = f"""SELECT query_id, cand_id, cosine_sim, rank FROM (
       SELECT s.query_id, s.cand_id,
              {_sql_cosine("q.query_vec", "c.cand_vec")} AS cosine_sim,
              ROW_NUMBER() OVER (PARTITION BY s.query_id
@@ -642,8 +643,17 @@ def _sql_pq_ctes(
       FROM {N("short")} s
       JOIN q ON q.query_id = s.query_id
       JOIN c ON c.cand_id = s.cand_id
-    ) WHERE rank <= {k} ORDER BY query_id, rank"""
-    return ",\n    ".join(ctes) + "\n    " + tail
+    ) WHERE rank <= {k}"""
+    if tail_cte is not None:
+        # Composition form: the exact-re-ranked PQ top-k becomes a named
+        # CTE (e.g. the MMR chain's shortlist source) instead of the
+        # statement's final SELECT. MATERIALIZED: the consumer (MMR's
+        # unrolled rounds) references it many times, and DuckDB would
+        # otherwise re-inline the whole KMeans+ADC chain per reference
+        # (measured >120 s at sf0.01 vs seconds materialized).
+        ctes.append(f"{tail_cte} AS MATERIALIZED (\n      {tail_body}\n    )")
+        return ",\n    ".join(ctes)
+    return ",\n    ".join(ctes) + "\n    " + tail_body + " ORDER BY query_id, rank"
 
 
 @register(
@@ -779,20 +789,41 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _sql_mmr_ctes(k: int, shortlist: int, lam_num: str, one_minus_lam: str) -> str:
+def _sql_mmr_ctes(
+    k: int,
+    shortlist: int,
+    lam_num: str,
+    one_minus_lam: str,
+    shortlist_from: str | None = None,
+) -> str:
     """Unrolled MMR CTE chain mirroring operators.similarity.mmr_rerank
     step for step: exact shortlist, pure-relevance step 1, then k-1
     rounds of remaining-vs-selected max-sim folds and (mmr DESC,
     cand_id) winners. ``lam``/``1-lam`` are passed as SQL literals the
     caller guarantees parse to the exact doubles the Spark side uses
-    (0.75/0.25 — exact binary fractions)."""
-    ctes = [
-        f"""scored AS (
+    (0.75/0.25 — exact binary fractions).
+
+    ``shortlist_from`` mirrors mmr_rerank's pluggable ``shortlist_df``:
+    a (query_id, cand_id, cosine_sim) CTE (e.g. the PQ tail) replaces
+    the brute-force scored/short pair; ``shortlist`` is then unused —
+    the provider already bounded the list."""
+    if shortlist_from is not None:
+        # MATERIALIZED for the same reason as the PQ tail: every MMR
+        # round references short twice (remaining + vector fetch).
+        ctes = [
+            f"""short AS MATERIALIZED (
+      SELECT p.query_id, p.cand_id, p.cosine_sim AS rel, c.cand_vec
+      FROM {shortlist_from} p JOIN c ON c.cand_id = p.cand_id
+    )""",
+        ]
+    else:
+        ctes = [
+            f"""scored AS (
       SELECT q.query_id, c.cand_id,
              {_sql_cosine('q.query_vec', 'c.cand_vec')} AS rel, c.cand_vec
       FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id
     )""",
-        f"""short AS (
+            f"""short AS (
       SELECT query_id, cand_id, rel, cand_vec FROM (
         SELECT query_id, cand_id, rel, cand_vec,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -800,6 +831,8 @@ def _sql_mmr_ctes(k: int, shortlist: int, lam_num: str, one_minus_lam: str) -> s
         FROM scored
       ) WHERE rnk <= {shortlist}
     )""",
+        ]
+    ctes.append(
         """acc1 AS (
       SELECT query_id, cand_id, rel AS mmr_score, CAST(1 AS BIGINT) AS rank,
              cand_vec
@@ -809,8 +842,8 @@ def _sql_mmr_ctes(k: int, shortlist: int, lam_num: str, one_minus_lam: str) -> s
                                   ORDER BY rel DESC, cand_id) AS rn
         FROM short
       ) WHERE rn = 1
-    )""",
-    ]
+    )"""
+    )
     for i in range(2, k + 1):
         prev = f"acc{i - 1}"
         ctes.append(
@@ -886,3 +919,38 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(e, queries, k=5, shortlist=20, lam=MMR_LAM).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "ann_mmr_pq",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE vec_id < 8),
+    {_sql_pq_ctes(k=20, prefix='pq_', tail_cte='pq_out')},
+    {_sql_mmr_ctes(k=5, shortlist=20, lam_num='0.75', one_minus_lam='0.25',
+                   shortlist_from='pq_out')}
+    SELECT query_id, cand_id, mmr_score, rank FROM acc5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_mmr_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification composed over the PQ index shortlist (r6
+    verdict #4): the deployment shape where the corpus is touched only
+    through the compressed-code ADC scan + the shortlist's exact
+    re-rank — never a brute-force relevance pass. The MMR rounds are
+    provider-agnostic (bit-identical on an identical shortlist, pinned
+    by tests/test_ann_recall.py), so the only quality delta vs
+    ann_mmr_topk is the PQ shortlist's own recall (0.93@10 at these
+    defaults, tests/test_ann_recall.py). The oracle rebuilds the SAME
+    index end-to-end (PQ CTE tail as the MMR chain's shortlist CTE) —
+    merge of the two proven mirrors. Bench twin ``ann_mmr_pq_search``
+    runs this over PREBUILT packed codes via pq_search_packed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    short = S.pq_topk(e, queries, k=20).select(
+        "query_id", "cand_id", "cosine_sim"
+    )
+    return S.mmr_rerank(
+        e, queries, k=5, lam=MMR_LAM, shortlist_df=short
+    ).orderBy("query_id", "rank")

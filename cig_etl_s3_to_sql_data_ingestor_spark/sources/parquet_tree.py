@@ -13,6 +13,10 @@ expressions (`regexp_extract` over the path), mirroring what Spark's own
 partition discovery does for hive-style keys. The data files themselves
 are NOT opened here — pruning happens on the work-list before any read
 (the reference's whole point: skip files before reading, `main.py:41-48`).
+
+Real-bucket deployment: see ``S3A_DEPLOYMENT.md`` in this directory for
+the committer / multipart / listing / retry configuration recipe (the
+sandbox has no network, so that recipe is design-verified only).
 """
 
 from __future__ import annotations

@@ -373,3 +373,58 @@ def test_read_table_partitioned_parallel(spark, url):
             partition_column="K", num_partitions=4, **kwargs,
         )
         assert got.count() == 0
+
+
+def test_verify_sink_partitioned_read(spark, tmp_path, url):
+    """r6 verdict #6: the pipeline's post-ingest verification read goes
+    through the PARTITIONED read_table — >1 input partition on the
+    verification read (here: stride on the CAST of the varchar ID key,
+    the stringified-sink shape), row+checksum verdicts correct, and a
+    tampered expectation actually fails the checksum."""
+    root = str(tmp_path / "data")
+    rows = [(str(i), f"n{i}") for i in range(40)] + [("nan", "nullkey")]
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet", rows)
+    ingest = BatchIngest(
+        spark,
+        {"Widgets": SPEC},
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+        jdbc_url=url,
+    )
+    ingest.run(root, dt.date(2024, 1, 5))
+
+    sink_rows = read_query(
+        spark, url,
+        'SELECT "ID", "Name", "Environment" FROM HOST_CIG_Widgets',
+    )
+    # Localize: a filter on the JDBC-backed frame would push a
+    # CLOB-vs-CHAR comparison down to Derby (unsupported there); the
+    # pipeline's real caller passes its own computed frame anyway.
+    expected = spark.createDataFrame(sink_rows.collect(), sink_rows.schema)
+    res = ingest.verify_sink(
+        "HOST_CIG_Widgets", expected, key_column='"ID"', num_partitions=4
+    )
+    assert res["rows_match"] and res["checksum_match"]
+    assert res["n_rows"] == 41
+    assert res["n_partitions"] > 1, res  # the verdict's gate
+    # The NULL-key row ('nan' -> T4 'None' -> T12 NULL) is still covered
+    # by the stride read (NULLs ride the first partition) — n_rows above
+    # already proves it; now prove a real divergence is caught.
+    tampered = expected.filter(F.col("Name") != "n7")
+    bad = ingest.verify_sink(
+        "HOST_CIG_Widgets", tampered, key_column='"ID"', num_partitions=4
+    )
+    assert not bad["rows_match"] and not bad["checksum_match"]
+
+    # predicates mode parallelizes too and agrees.
+    res2 = ingest.verify_sink(
+        "HOST_CIG_Widgets",
+        expected,
+        # Derby cannot compare CLOB columns to CHAR literals directly.
+        predicates=[
+            'CAST("Environment" AS VARCHAR(128)) = \'NL\'',
+            'CAST("Environment" AS VARCHAR(128)) <> \'NL\'',
+        ],
+    )
+    assert res2["rows_match"] and res2["checksum_match"]
+    assert res2["n_partitions"] == 2

@@ -189,3 +189,30 @@ def test_cell_blocked_near_duplicates_subset_of_exact(spark, sf_dir):
     assert set(got) <= set(exact), "blocking invented a pair"
     for p, sim in got.items():
         assert sim == exact[p] and sim >= 0.4
+
+
+def test_kmeans_auto_cell_dial(spark, sf_dir):
+    """n_cells=None derives ~sqrt(n) from a count (r6 verdict #7): the
+    dial scales with the corpus instead of being frozen at a
+    size-chosen constant — 4x the vectors gives ~2x the cells, so
+    per-cell membership (and with it every cell-blocked pair family's
+    per-cell cost) grows as sqrt(n) without the caller re-deriving the
+    number. Bounds are loose only for trained-away empty cells."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_decisions,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")  # 500 vectors
+    small = e.filter(F.col("vec_id") % 4 == 0)  # 125 vectors
+    big_cells = kmeans_centroids(e, n_cells=None, n_iters=1).count()
+    small_cells = kmeans_centroids(small, n_cells=None, n_iters=1).count()
+    assert 15 <= big_cells <= 22, big_cells  # sqrt(500) ~ 22
+    assert 8 <= small_cells <= 11, small_cells  # sqrt(125) ~ 11
+    assert 1.5 <= big_cells / small_cells <= 2.8
+
+    # The blocked operators run end-to-end on the default dial and
+    # still produce one decision per vector.
+    out = semdedup_decisions(small, n_iters=1, threshold=0.9, sample_mod=None)
+    assert out.count() == 125

@@ -10,6 +10,8 @@ keep-most-central / evict-by-higher-rank contract for SemDeDup.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
     semdedup_decisions,
 )
@@ -285,3 +287,120 @@ def test_semdedup_every_vector_gets_exactly_one_decision(spark, sf_dir):
     assert len({r.vec_id for r in rows}) == n
     for r in rows:
         assert (r.kept == 1) == (r.dup_of is None)
+
+
+def test_mmr_shortlist_plugin_identical(spark, sf_dir):
+    """mmr_rerank's pluggable shortlist (r6 verdict #4): handing it the
+    brute-force top-20 as an explicit shortlist_df must be BIT-IDENTICAL
+    to the built-in brute-force path — the MMR rounds are provider-
+    agnostic, so swapping in an index-backed shortlist changes only the
+    shortlist's own recall, nothing in the re-rank."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    builtin = sorted(
+        map(tuple, mmr_rerank(e, q, k=4, shortlist=15).collect())
+    )
+    plugged = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                e,
+                q,
+                k=4,
+                shortlist_df=brute_force_topk(e, q, k=15).select(
+                    "query_id", "cand_id", "cosine_sim"
+                ),
+            ).collect(),
+        )
+    )
+    assert builtin == plugged and builtin
+
+
+def test_mmr_over_packed_pq_equals_mmr_over_pq_topk(spark, sf_dir):
+    """The bench twin's composition (pq_search_packed shortlist) equals
+    the scored query's (pq_topk shortlist) — the two PQ search paths are
+    already pinned bit-identical, so MMR over them must be too; this
+    pins the COMPOSITION end-to-end (corpus never brute-force scanned
+    in either)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.vectors import MMR_LAM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    via_topk = sorted(
+        map(
+            tuple,
+            S.mmr_rerank(
+                e, q, k=4, lam=MMR_LAM,
+                shortlist_df=S.pq_topk(e, q, k=15).select(
+                    "query_id", "cand_id", "cosine_sim"
+                ),
+            ).collect(),
+        )
+    )
+    subs = _persist(S._subvectors(e, 16, "vec_id", "embedding"))
+    cb = _persist(S.pq_train_codebooks(e, subs=subs))
+    codes = S.pq_encode(e, cb, subs=subs)
+    cb_rows = [tuple(r) for r in cb.select("m", "code_id", "code_vec").collect()]
+    packed = _persist(S.pq_pack_codes(codes, cb_rows))
+    via_packed = sorted(
+        map(
+            tuple,
+            S.mmr_rerank(
+                e, q, k=4, lam=MMR_LAM,
+                shortlist_df=S.pq_search_packed(
+                    e, q, cb_rows, packed, k=15
+                ).select("query_id", "cand_id", "cosine_sim"),
+            ).collect(),
+        )
+    )
+    for df in (subs, cb, packed):
+        df.unpersist()
+    assert via_topk == via_packed and via_topk
+
+
+def test_phrase_indexed_path_identical_to_direct(spark, sf_dir):
+    """phrase_build_index + phrase_search_indexed vs the direct
+    phrase_topk (r6 verdict #5): row-identical on the same corpus —
+    same bm25 build-once/search-many proof shape. Also pins the
+    uncovered-length guard (silent empties are the failure mode)."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        phrase_build_index,
+        phrase_search_indexed,
+        phrase_topk,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        PHRASE_QUERIES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pq = spark.createDataFrame(
+        list(PHRASE_QUERIES), "query_id long, phrase string"
+    )
+    direct = sorted(map(tuple, phrase_topk(docs, pq, k=10).collect()))
+    postings = phrase_build_index(docs, lengths=(2, 3))
+    indexed = sorted(
+        map(tuple, phrase_search_indexed(postings, pq, k=10).collect())
+    )
+    assert direct == indexed and direct
+    # postings carry the phrase length for coverage checks
+    assert sorted(
+        r.n for r in postings.select("n").distinct().collect()
+    ) == [2, 3]
+
+    four = spark.createDataFrame(
+        [(9, "a b c d")], "query_id long, phrase string"
+    )
+    with pytest.raises(ValueError, match="lengths"):
+        phrase_search_indexed(postings, four, k=10, lengths=(2, 3))

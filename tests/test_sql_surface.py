@@ -53,7 +53,7 @@ def test_registry_rotation_invariants():
     head, and the unscored set EXACTLY the declared tail — any edit that
     silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 126
+    assert len(names) == len(set(names)) == 128
     # Round 4: every query carries a DuckDB oracle (the HLL sketch query
     # now emits an exact anchor + deterministic envelope boolean).
     assert set(ORACLES) == set(QUERIES)
@@ -90,6 +90,8 @@ def test_every_registered_query_is_benched():
         "embedding_neardup_cells",
         "knn_label_eval_ann",
         "bm25_search_indexed",
+        "ann_mmr_pq_search",
+        "phrase_search_from_index",
     }, extras
     # Bench-only entries must have a timed body (prepare or override).
     for name in extras:
