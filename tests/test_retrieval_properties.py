@@ -41,6 +41,9 @@ QUERIES_UNDER_TEST = (
     "bm25_search",
     "bm25_incremental",
     "phrase_search",
+    "phrase_search_indexed",  # r7: must agree with the oracle (and thus
+    # the direct path) on every generated corpus shape, not just the
+    # fixtures — empty docs, sub-phrase-length docs, all-identical docs.
     "collocation_pmi",
 )
 
