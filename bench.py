@@ -185,6 +185,14 @@ HEADLINE = [
     "phrase_search_indexed",
     "ann_mmr_pq_search",
     "phrase_search_from_index",
+    # round 7: curation operators — Gopher rule filter, MOSS winnowing
+    # (site selection + cross-doc groups), Efraimidis–Spirakis weighted
+    # sampling, DSIR importance weights.
+    "gopher_quality_rules",
+    "winnowing_sites",
+    "winnowing_groups",
+    "weighted_sample",
+    "dsir_importance_weights",
 ]
 
 

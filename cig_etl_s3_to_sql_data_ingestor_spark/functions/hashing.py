@@ -31,6 +31,18 @@ def md5_bucket(col: Column, mod: int) -> Column:
     )
 
 
+def sql_md5_int6(arg: str) -> str:
+    """SQL mirror of the raw 6-hex-digit md5 integer in [0, 16^6):
+    the strpos-polynomial decode WITHOUT the mod — the uniform-draw
+    source for the weighted-sampling key (Efraimidis–Spirakis)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({digits})"
+
+
 def sql_md5_mod(arg: str, mod: int) -> str:
     """The ANSI/DuckDB mirror of :func:`md5_bucket` for an arbitrary
     string expression: strpos-polynomial decode of md5's first 6 hex
@@ -38,9 +50,4 @@ def sql_md5_mod(arg: str, mod: int) -> str:
     (corpus split buckets, CMS cells, bloom bits, IVF sampling) must
     all call this, or a tweak to the hashing spelling silently desyncs
     an oracle from the Spark-side function."""
-    digits = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (5 - i)}"
-        for i in range(6)
-    )
-    return f"(({digits}) % {mod})"
+    return f"({sql_md5_int6(arg)} % {mod})"

@@ -407,3 +407,163 @@ def budget_select(
         .filter(F.col("cum_" + weight_col) <= budget)
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+# Efraimidis–Spirakis key quantization: NANO-units (1e9), finer than
+# the BM25 micro-nat convention because the key ln(u)/w carries a
+# 1/weight factor — at weight ~1e3 a micro-unit floor collapses the
+# top of the key distribution onto a handful of integers and the
+# id tie-break (not the weights) would decide the sample. ln of an
+# engine-identical double, floor-quantized so the comparison key is
+# an integer on both engines; |ln(u)| <= ln(16^6+1) ~ 16.6, so the
+# key magnitude is bounded by 1.7e10/w — comfortably int64.
+ES_QUANT = 1_000_000_000
+# DSIR log-ratio quantization keeps the package-wide micro-nat scale.
+DSIR_QUANT = 1_000_000
+_ES_HASH_SPACE = 16**6  # md5 first-6-hex-digit decode, [0, 16^6)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: the ``k`` rows with the
+    largest Efraimidis–Spirakis keys ``u_i^(1/w_i)`` (equivalently
+    ``ln(u_i)/w_i`` — monotone transform), where ``u_i`` is a
+    deterministic uniform derived from md5(id). Items are drawn with
+    probability proportional to ``weight_col`` (the classic A-ES
+    one-pass weighted reservoir scheme, Efraimidis & Spirakis 2006),
+    but with NO RNG: a rerun, a different engine, or a different
+    partitioning reproduces the exact same sample — the property every
+    other sampling operator in this module pins.
+
+    Exactness: ``u = (h6 + 1) / (16^6 + 1)`` is a ratio of two exact
+    integers (identical double on any engine); the key is
+    ``floor(ln(u) * 1e6 / w)`` — floor-quantized micro-units with the
+    id as tie-break, the same quantized-ln discipline as BM25's idf.
+    Rows with NULL or non-positive weight cannot be weighted and are
+    excluded up front (ln(u)/w flips sign at w<0 and divides by zero
+    at w=0 — silence here would be a wrong sample, not an error).
+
+    Scale: one scan + TakeOrdered(k) — no window, no shuffle of the
+    corpus; the only data movement is each partition's local top-k
+    (the reference's sampling surface is driver-side pandas,
+    extract_data_from_parquet.py:21-38 loads whole files — this keeps
+    selection distributed and the result tiny).
+    """
+    h6 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    u = (h6 + F.lit(1)).cast("double") / F.lit(float(_ES_HASH_SPACE + 1))
+    key_q = F.floor(
+        F.log(u) * F.lit(float(ES_QUANT)) / F.col(weight_col).cast("double")
+    ).cast("long")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.col(weight_col).cast("long").alias("weight"),
+            key_q.alias("key_q"),
+        )
+        .orderBy(F.col("key_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    importance weights: per-document log-likelihood ratio of a hashed
+    unigram bag-of-words model of the TARGET distribution (rows where
+    ``target`` is true) against the full-corpus SOURCE distribution.
+    Documents that look like the target domain score high; the weights
+    feed :func:`weighted_sample` / top-k selection to build an
+    in-domain training subset from a general corpus.
+
+    Tokens hash into ``n_buckets`` md5 buckets (DSIR's hashed n-gram
+    features — the model size is fixed at ``n_buckets`` regardless of
+    corpus vocabulary). Per-bucket add-one-smoothed log-ratio
+    ``ln(((c_T+1)·(N_S+B)) / ((c_S+1)·(N_T+B)))`` is floor-quantized
+    to integer micro-nats (BM25_QUANT discipline; the ratio is built
+    from int64 counts cast to double with a pinned op order, so both
+    engines see identical ln inputs), and the per-doc weight is the
+    integer SUM of its tokens' quantized ratios — order-independent,
+    partitioning-invariant. One final double division yields the
+    human-facing ``weight`` in nats.
+
+    Scale: two token scans. Scan 1 aggregates (bucket → target/source
+    counts): map-side combine collapses each partition to ≤``n_buckets``
+    partials, so the shuffle is O(buckets × partitions), not corpus
+    tokens. The λ table (``n_buckets`` rows) broadcasts; scan 2
+    explodes tokens, joins λ broadcast (map-side), and the only
+    corpus-sized shuffle is the per-doc partial-sum groupBy. No
+    persisted corpus-sized intermediate — at 100 TB two scans beat
+    caching an exploded token frame.
+    """
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        target.alias("_is_target"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    exploded = toks.select(
+        id_col,
+        *keep,
+        "_is_target",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.explode("_toks").alias("_t"),
+    )
+    bucketed = exploded.withColumn(
+        "_bkt",
+        (F.conv(F.substring(F.md5(F.col("_t")), 1, 6), 16, 10).cast("long"))
+        % n_buckets,
+    )
+    counts = bucketed.groupBy("_bkt").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("_ct"),
+        F.count("*").cast("long").alias("_cs"),
+    )
+    totals = counts.agg(
+        F.sum("_ct").cast("long").alias("_nt"),
+        F.sum("_cs").cast("long").alias("_ns"),
+    )
+    # Pinned op order: (a·b)/(c·d) in DOUBLE — int64 products would
+    # overflow at corpus scale (1e13 tokens squared), doubles with a
+    # fixed association are engine-identical.
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "_bkt",
+        F.floor(
+            F.log(
+                (
+                    (F.col("_ct") + F.lit(1)).cast("double")
+                    * (F.col("_ns") + F.lit(n_buckets)).cast("double")
+                )
+                / (
+                    (F.col("_cs") + F.lit(1)).cast("double")
+                    * (F.col("_nt") + F.lit(n_buckets)).cast("double")
+                )
+            )
+            * F.lit(float(DSIR_QUANT))
+        )
+        .cast("long")
+        .alias("_lam_q"),
+    )
+    return (
+        bucketed.join(F.broadcast(lam), "_bkt")
+        .groupBy(id_col, *keep, "n_tokens")
+        .agg(F.sum("_lam_q").cast("long").alias("weight_q"))
+        .withColumn(
+            "weight", F.col("weight_q").cast("double") / F.lit(float(DSIR_QUANT))
+        )
+    )

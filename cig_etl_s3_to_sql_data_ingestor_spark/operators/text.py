@@ -716,3 +716,226 @@ def phrase_search_indexed(
         "doc_id", "phrase", "n_occurrences"
     )
     return _phrase_rank(hits, phrases, k)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + MOSS winnowing.
+
+# Gopher rule-filter stopword set (Rae et al. 2021 §A1.1: "must contain
+# at least 2 of: the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A1.1): the
+    word-level document filters, each surfaced as its own boolean so a
+    curation pass can audit WHICH rule rejected a document, plus the
+    conjunction ``passes_gopher``. The repetition-family rules live in
+    :func:`repetition_stats` (same paper, separate table there so each
+    side stays a pure projection).
+
+    Rules (paper defaults; ``min_words``/``max_words`` and the mean-word
+    -length band are dials because corpus token statistics vary wildly
+    by domain):
+
+    - ``word_count_ok``:    min_words <= n_tokens <= max_words
+    - ``mean_word_len_ok``: mean token length in [min_mean, max_mean]
+    - ``symbol_ratio_ok``:  (# '#' + # '...') / n_tokens < 0.1
+    - ``alpha_ratio_ok``:   >= 80% of tokens contain an alphabetic char
+    - ``stopword_ok``:      >= 2 hits on the paper's 8-word stop set
+
+    Exactness: every ratio test is cross-multiplied to an INTEGER
+    comparison (mean token length uses the exact identity
+    sum(len) = n_chars - (n_tokens - 1) over single-space-joined
+    tokens), so no float ever decides a boolean — any engine agrees.
+
+    Scale: pure projection (map-only, no shuffle) — the 100 TB quality
+    pass pipelines with the scan and the downstream filter/write, same
+    contract as :func:`quality_scores`.
+    """
+    toks = F.col("_toks")
+    n = F.col("_n")
+    staged = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.col(text_col).alias("_text"),
+            tokens_col(text_col).alias("_toks"),
+        )
+        .withColumn("_n", F.size(toks).cast("long"))
+        .withColumn(
+            # Sum of token lengths: chars minus the single separators
+            # between tokens (tokens_col splits trimmed text on \s+).
+            "_sum_len",
+            (F.length(F.concat_ws(" ", toks)) - (n - 1)).cast("long"),
+        )
+        .withColumn(
+            "_alpha_toks",
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(t.rlike("[A-Za-z]"), F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+        .withColumn(
+            "_symbols",
+            (
+                F.regexp_count(F.col("_text"), F.lit(r"#"))
+                + F.regexp_count(F.col("_text"), F.lit(r"\.\.\."))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_stop_hits",
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(t.isin(*GOPHER_STOPWORDS), F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+    )
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_len_ok = (F.col("_sum_len") >= F.lit(min_mean_word_len) * n) & (
+        F.col("_sum_len") <= F.lit(max_mean_word_len) * n
+    )
+    symbol_ok = F.lit(10) * F.col("_symbols") < n
+    alpha_ok = F.lit(5) * F.col("_alpha_toks") >= F.lit(4) * n
+    stop_ok = F.col("_stop_hits") >= 2
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        n.alias("n_tokens"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_ratio_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & alpha_ok & stop_ok).alias(
+            "passes_gopher"
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken 2003): per document,
+    hash every ``k``-char shingle, slide a ``window``-wide window over
+    the hash sequence, and select each window's MINIMUM hash — on ties,
+    the RIGHTMOST minimum (the paper's robust-winnowing tie rule, which
+    makes consecutive windows reuse the same selection and bounds the
+    fingerprint density at ~2/(window+1)). The selected (position, hash)
+    pairs are the document's fingerprints: a guarantee-backed sparse
+    digest — any shared substring of length >= k + window - 1 produces
+    at least one IDENTICAL selected hash in both documents, which is
+    what :func:`fingerprints` (global-min, winnowing-lite) cannot
+    promise. Output: one row per selected site
+    ``(id, pos, fingerprint)``.
+
+    md5 keeps hashes engine-reproducible (doc_fingerprint's pinned
+    convention). Documents shorter than ``k`` chars hash their whole
+    text once (one degenerate shingle — same floor as doc_fingerprint's
+    ``greatest(L-k+1, 1)``); hash sequences shorter than ``window``
+    winnow over one truncated window (select their global min).
+
+    Scale: pure projection — arrays of hashes live per-row, windows are
+    index arithmetic inside ONE higher-order-function chain, and only
+    the selected ~2n/(w+1) sites survive to the output, so the corpus
+    never shuffles here. The pair-finding consumer groups the OUTPUT by
+    fingerprint (bounded by selected sites, not shingles) — the same
+    inverted-index shape as every dedup operator in this package.
+
+    Plan-shape constraint (the repetition_stats lesson, hardened twice):
+    Catalyst inlines projected array columns into consumers (no CSE
+    across Project boundaries), and an expensive expression inlined
+    into a lambda BODY is re-evaluated once per element. Two rejected
+    formulations, measured at sf0.1 (5k docs, ~300 chars):
+
+    - naive argmin (``element_at(h, i) == array_min(slice(h, j, w))``
+      inside a filter lambda): the md5 array re-computes per window
+      element — O(L^2.3), 46 s for ONE 800-char document;
+    - zip_with over ``window`` shifted slices of a (hash, pos) struct
+      array: algorithmically O(w·L), but the pair array inlines into
+      13 plan sites (slices, size() bounds) and the interpreted
+      struct-CASE chains run per element per zip level — 60 s for the
+      corpus.
+
+    This implementation is ONE ``aggregate`` fold over a pair array
+    built inline (single reference — nothing for Catalyst to
+    duplicate): the accumulator carries the last ``window - 1`` pairs
+    and appends each completed window's rightmost-min. 2 s on the same
+    corpus (30x). The ``out`` append copies the accumulator array per
+    step — O(sites · L) within a row — so winnow CHUNKS, not
+    multi-megabyte monoliths (chunk_documents upstream), which a
+    fingerprinting pass wants anyway for locality of match evidence.
+    """
+    if window < 2:
+        raise ValueError("winnowing window must be >= 2")
+    lower = F.lower(F.col(text_col))
+    n_sh = F.greatest(F.length(lower) - (k - 1), F.lit(1))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.struct(
+            F.md5(F.substr(lower, i, F.lit(k))).alias("v"), i.alias("i")
+        ),
+    )
+    empty = F.array().cast("array<struct<v:string,i:int>>")
+
+    def pairmin(a, b):
+        # Min by hash; ties keep the LARGER position (rightmost rule).
+        return (
+            F.when(a["v"] < b["v"], a)
+            .when(b["v"] < a["v"], b)
+            .when(a["i"] >= b["i"], a)
+            .otherwise(b)
+        )
+
+    def step(acc, x):
+        buf, out = acc["buf"], acc["out"]
+        full = F.size(buf) == (window - 1)
+        winmin = F.aggregate(buf, x, pairmin)
+        return F.struct(
+            F.when(full, F.concat(F.slice(buf, 2, window - 2), F.array(x)))
+            .otherwise(F.concat(buf, F.array(x)))
+            .alias("buf"),
+            F.when(full, F.concat(out, F.array(winmin)))
+            .otherwise(out)
+            .alias("out"),
+        )
+
+    def finish(acc):
+        # Hash sequence shorter than the window: one truncated window
+        # (its rightmost-min over everything buffered).
+        buf, out = acc["buf"], acc["out"]
+        allmin = F.aggregate(
+            F.slice(buf, 2, F.greatest(F.size(buf) - 1, F.lit(0))),
+            F.element_at(buf, 1),
+            pairmin,
+        )
+        return F.when(F.size(out) == 0, F.array(allmin)).otherwise(out)
+
+    sel = F.aggregate(
+        pairs, F.struct(empty.alias("buf"), empty.alias("out")), step, finish
+    )
+    picked = F.col("_pick")
+    return fan_out(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sel)).alias("_pick")
+    ).select(
+        F.col(id_col),
+        picked["i"].cast("long").alias("pos"),
+        picked["v"].alias("fingerprint"),
+    )

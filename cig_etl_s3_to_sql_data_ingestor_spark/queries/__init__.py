@@ -35,14 +35,20 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #          scored them.
 _HEAD = [
     # ---- round 7 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the two NEW index-composed
-    # retrieval queries + every query a round-7 change could touch,
-    # (2) the 30 queries whose newest driver row is round 4 (the
-    # round-6 verdict's #1 task), (3) oldest r5-green re-scores to
-    # fill the window.
+    # tests/test_sql_surface.py): (1) the seven NEW queries (two
+    # index-composed retrieval, five curation: Gopher rules, MOSS
+    # winnowing ×2, E–S weighted sample, DSIR weights) + every query
+    # a round-7 change could touch, (2) the 30 queries whose newest
+    # driver row is round 4 (the round-6 verdict's #1 task),
+    # (3) oldest r5-green re-scores to fill the window.
     # -- (1) new/touched this round:
     "ann_mmr_pq",                # NEW: MMR over the PQ index shortlist (r6 verdict #4)
     "phrase_search_indexed",     # NEW: phrase search over the k-gram posting store (r6 verdict #5)
+    "gopher_quality_rules",      # NEW: Gopher rule-filter audit table (Rae et al. 2021)
+    "winnowing_sites",           # NEW: MOSS winnowing selected sites (rightmost-min rule)
+    "winnowing_groups",          # NEW: cross-doc winnowing fingerprint groups
+    "weighted_sample",           # NEW: Efraimidis–Spirakis weighted sample, RNG-free
+    "dsir_importance_weights",   # NEW: DSIR hashed-unigram importance weights
     "phrase_search",             # rewritten onto the shared phrase_topk operator
     "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
     "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
@@ -78,7 +84,10 @@ _HEAD = [
     "text_normalize_stats",
     "tfidf_top_terms",
     "vocab_stats",
-    # -- (3) oldest r5-green fills:
+    # -- (3) oldest r5-green fills (five displaced to the tail by the
+    # five NEW round-7 queries above — never-scored outranks re-score;
+    # the displaced five were scored green in r5 and stay ≤2 rounds
+    # stale through r7):
     "ann_incremental",
     "ann_ivf_topk",
     "approx_quantile_envelope",
@@ -88,13 +97,8 @@ _HEAD = [
     "bpe_corpus_compression",
     "bpe_merge_steps",
     "budget_select",
-    "cdc_snapshot",
-    "char_entropy",
-    "cms_word_frequency",
-    "cohort_retention",
-    "conversion_funnel",
 ]
-# 128 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 133 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -106,8 +110,13 @@ _TAIL = [
     "bm25_incremental",
     "bm25_search",
     "brand_supplier_counts",
+    "cdc_snapshot",
+    "char_entropy",
+    "cms_word_frequency",
+    "cohort_retention",
     "collocation_pmi",
     "contamination_check",
+    "conversion_funnel",
     "curation_decisions",
     "customer_activity_setops",
     "daily_event_pivot",

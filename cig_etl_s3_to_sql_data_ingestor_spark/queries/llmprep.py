@@ -310,3 +310,85 @@ def _budget_select_oracle() -> str:
 
 
 ORACLES["budget_select"] = _budget_select_oracle()
+
+
+# --- Weighted sampling + DSIR importance weights (round 7) -----------------
+
+from ..functions.hashing import sql_md5_int6, sql_md5_mod  # noqa: E402
+
+_ES_SQL_U = (
+    f"(CAST({sql_md5_int6('CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE)"
+    " / 16777217.0)"
+)
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST(FLOOR(ln({_ES_SQL_U}) * 1000000000.0
+                      / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY key_q DESC, doc_id LIMIT 60
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: the 60
+    documents drawn with probability proportional to length — longer
+    docs more likely, but every doc reachable, and NO RNG (md5-derived
+    uniforms), so the sample is engine/partitioning/rerun-identical.
+    The selection shape for token-budget subsampling where pure top-k
+    by weight would collapse onto one domain's longest documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.weighted_sample(d, 60, weight_col="n_chars", keep=("source",))
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOK}) AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, {sql_md5_mod("t", 1024)} AS bkt FROM tok
+    ),
+    counts AS (
+      SELECT bkt,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(COUNT(*) AS BIGINT) AS cs
+      FROM b GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns
+      FROM counts
+    ),
+    lam AS (
+      SELECT bkt,
+             CAST(FLOOR(ln((CAST(ct + 1 AS DOUBLE) * CAST(ns + 1024 AS DOUBLE))
+                           / (CAST(cs + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)))
+                        * 1000000.0) AS BIGINT) AS lam_q
+      FROM counts, tot
+    ),
+    w AS (
+      SELECT b.doc_id, b.source, CAST(SUM(lam.lam_q) AS BIGINT) AS weight_q
+      FROM b JOIN lam USING (bkt) GROUP BY b.doc_id, b.source
+    )
+    SELECT w.doc_id, w.source,
+           CAST(len({_SQL_TOK}) AS BIGINT) AS n_tokens,
+           w.weight_q,
+           CAST(w.weight_q AS DOUBLE) / 1000000.0 AS weight
+    FROM w JOIN documents USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights against the 'src0'
+    target domain: per-doc log-likelihood ratio of hashed-unigram
+    target vs corpus language models, micro-nat quantized (integer-sum
+    exact). High-weight docs look like the target domain — the ranking
+    that feeds in-domain data selection."""
+    d = load_table(spark, sf_dir, "documents")
+    return P.dsir_weights(
+        d, F.col("source") == F.lit("src0"), n_buckets=1024, keep=("source",)
+    ).orderBy("doc_id")

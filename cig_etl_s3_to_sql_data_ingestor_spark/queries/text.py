@@ -649,3 +649,132 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "quality_score",
     ).orderBy("doc_id")
+
+
+# --- Gopher rule filter + MOSS winnowing (round 7) --------------------------
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(length(array_to_string(toks, ' ')) - (len(toks) - 1)
+                  AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS BIGINT) AS alpha_toks,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))
+                  AS BIGINT) AS symbols,
+             CAST(len(list_filter(toks,
+                  t -> list_contains([{_GOPHER_STOPS}], t)))
+                  AS BIGINT) AS stop_hits
+      FROM s
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens >= 50 AND n_tokens <= 100000) AS word_count_ok,
+           (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
+             AS mean_word_len_ok,
+           (10 * symbols < n_tokens) AS symbol_ratio_ok,
+           (5 * alpha_toks >= 4 * n_tokens) AS alpha_ratio_ok,
+           (stop_hits >= 2) AS stopword_ok,
+           ((n_tokens >= 50 AND n_tokens <= 100000)
+            AND (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
+            AND (10 * symbols < n_tokens)
+            AND (5 * alpha_toks >= 4 * n_tokens)
+            AND (stop_hits >= 2)) AS passes_gopher
+    FROM f ORDER BY doc_id
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1) at the
+    paper's word-level defaults — per-rule booleans plus the pass
+    verdict, the audit table a curation run keeps next to the filtered
+    corpus. Integer-exact: every ratio rule is cross-multiplied."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.gopher_rules(d).orderBy("doc_id")
+
+
+# Shared winnowing CTE: per-doc k-gram md5 sequence (k=5) and the
+# rightmost-min selected positions over w=4 windows.
+_WINNOW_SEL = """
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(lower(text)) - 4, 1)),
+               i -> md5(substr(lower(text), i, 5))
+             ) AS hs
+      FROM documents
+    ),
+    w AS (SELECT doc_id, hs, len(hs) AS n FROM h),
+    sel AS (
+      SELECT doc_id, hs,
+             list_distinct(list_transform(
+               generate_series(1, greatest(n - 3, 1)),
+               j -> list_max(list_filter(
+                      generate_series(j, least(j + 3, n)),
+                      i -> hs[i] = list_min(hs[j:least(j + 3, n)])))
+             )) AS ps
+      FROM w
+    )
+"""
+
+
+@register(
+    "winnowing_sites",
+    oracle=f"""
+    WITH {_WINNOW_SEL},
+    x AS (SELECT doc_id, hs, unnest(ps) AS p FROM sel)
+    SELECT doc_id, CAST(p AS BIGINT) AS pos, hs[p] AS fingerprint
+    FROM x WHERE doc_id % 10 = 0 ORDER BY doc_id, pos
+    """,
+)
+def winnowing_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing selected sites (position + fingerprint) for a
+    deterministic 10% doc slice — the site-level view that pins the
+    rightmost-minimum tie rule and the ~2/(w+1) density guarantee."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10) == 0
+    )
+    return TX.winnowing_fingerprints(d).orderBy("doc_id", "pos")
+
+
+@register(
+    "winnowing_groups",
+    oracle=f"""
+    WITH {_WINNOW_SEL},
+    x AS (SELECT doc_id, hs, unnest(ps) AS p FROM sel),
+    sites AS (SELECT doc_id, hs[p] AS fingerprint FROM x)
+    SELECT fingerprint,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sites,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sites GROUP BY fingerprint HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, fingerprint LIMIT 100
+    """,
+)
+def winnowing_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing fingerprint groups: selected hashes
+    shared by >= 2 documents — the match-candidate index MOSS builds.
+    Grouping runs over the SELECTED sites (~2/(w+1) of shingles), so
+    the shuffle is the sparse digest, never the corpus text."""
+    d = load_table(spark, sf_dir, "documents")
+    sites = TX.winnowing_fingerprints(d)
+    return (
+        sites.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_sites"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "fingerprint")
+        .limit(100)
+    )

@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "bloom_decontamination",  # bounded bit frame
     "bpe_merge_steps",        # 1-row argmax per unrolled step
     "bpe_corpus_compression",
+    "dsir_importance_weights",  # 1-row corpus token totals (N_T, N_S)
     "ann_incremental",
     "embedding_clusters",
     "ann_ivf_topk",
