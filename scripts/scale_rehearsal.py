@@ -44,6 +44,14 @@ TOP = [
     # r6 additions: BM25 retrieval + SemDeDup decisions
     "bm25_search",
     "semdedup_keep",
+    # r7 additions: winnowing (per-row HOF fold — the shape whose
+    # regressions hide at small L), DSIR (two corpus token scans),
+    # Gopher rules (map-only), E-S sample (TakeOrdered).
+    "winnowing_groups",
+    "winnowing_sites",
+    "dsir_importance_weights",
+    "gopher_quality_rules",
+    "weighted_sample",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
