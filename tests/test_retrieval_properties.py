@@ -117,3 +117,68 @@ def test_vector_curation_queries_match_oracles_on_generated_vectors(
     sf_dir = _materialize_vectors(vectors)
     for name in VECTOR_QUERIES_UNDER_TEST:
         compare(spark, sf_dir, QUERIES[name], ORACLES[name], f"{name}[gen]")
+
+
+# --- round-7 curation queries: adversarial TEXT shapes -----------------------
+#
+# The r7 operators are sensitive to text shapes the retrieval alphabet
+# never produces: unicode multi-byte chars (md5-over-UTF-8 parity and
+# char-vs-byte substr), symbol runs ('#', '...'), stopword boundaries
+# (exactly 2 Gopher stop hits), tie-heavy low-entropy shingles
+# (winnowing's rightmost-min rule), and zero-length docs (weight filter,
+# one-empty-token tokenization).
+curation_tokens = st.sampled_from(
+    [
+        "the", "of", "and",           # Gopher stopword boundary
+        "a", "zz", "word",            # mean-word-length extremes
+        "###", "...", "#tag",         # symbol-ratio rule
+        "naïve", "çédille", "日本語",   # multi-byte UTF-8 (md5 + substr parity)
+        "aaaaa", "aaaab",             # tie-heavy 5-gram shingles
+        "12345", "9",                 # non-alphabetic tokens
+    ]
+)
+curation_corpora = st.lists(
+    st.lists(curation_tokens, min_size=0, max_size=12), min_size=1, max_size=8
+)
+
+CURATION_QUERIES_UNDER_TEST = (
+    "gopher_quality_rules",
+    "winnowing_sites",
+    "winnowing_groups",
+    "weighted_sample",
+    "dsir_importance_weights",
+)
+
+
+@SETTINGS
+@given(corpus=curation_corpora)
+def test_curation_queries_match_oracles_on_generated_corpora(spark, corpus):
+    sf_dir = _materialize_mixed_sources(corpus)
+    for name in CURATION_QUERIES_UNDER_TEST:
+        compare(spark, sf_dir, QUERIES[name], ORACLES[name], f"{name}[gen]")
+
+
+def _materialize_mixed_sources(corpus: list[list[str]]) -> str:
+    """Like _materialize, but docs alternate sources (DSIR's target is
+    source='src0' — a single-source corpus would degenerate its
+    target/source split) and n_chars matches the generator convention."""
+    tmp = tempfile.mkdtemp(prefix="curation-prop-")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    for i, toks in enumerate(corpus):
+        text = " ".join(toks)
+        con.execute(
+            "INSERT INTO d VALUES (?, ?, 'en', ?, ?)",
+            [i, text, f"src{i % 3}", len(text)],
+        )
+    con.execute(f"COPY d TO '{tmp}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet"
+            )
+    return tmp
