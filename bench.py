@@ -193,6 +193,7 @@ HEADLINE = [
     "winnowing_groups",
     "weighted_sample",
     "dsir_importance_weights",
+    "winnowing_matches",
 ]
 
 

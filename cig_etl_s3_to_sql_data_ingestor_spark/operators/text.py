@@ -939,3 +939,54 @@ def winnowing_fingerprints(
         picked["i"].cast("long").alias("pos"),
         picked["v"].alias("fingerprint"),
     )
+
+
+def winnowing_matches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_group: int = 20,
+) -> DataFrame:
+    """MOSS match detection over :func:`winnowing_fingerprints`: for
+    every document pair sharing selected fingerprints, the count of
+    DISTINCT shared fingerprints — the pairwise evidence score MOSS
+    reports (a pair sharing many selected hashes shares many
+    >= k+window-1 char substrings).
+
+    ``max_group`` is DECLARED semantics, not a silent cap: fingerprints
+    selected in more than ``max_group`` documents are boilerplate
+    (ubiquitous k-grams carry no pair-specific evidence — the same
+    argument as MinHash stop-shingles and BM25 idf) and are excluded
+    from scoring on both engines, oracle included.
+
+    Scale shape (unbounded doc-id key space, so NO collect_set of doc
+    lists — a universal k-gram would buffer the corpus into one row):
+    per-fingerprint doc counts come from a partial-aggregating groupBy;
+    surviving fingerprints (2..max_group docs) semi-join back; the
+    pair fan-out is an equi-join on fingerprint whose per-key width is
+    <= max_group, so the join output is bounded by
+    sites x max_group, never corpus². The final aggregate is keyed by
+    the pair.
+    """
+    sites = winnowing_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    dfp = sites.select(F.col(id_col).alias("_id"), "fingerprint").distinct()
+    keep = (
+        dfp.groupBy("fingerprint")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+        .select("fingerprint")
+    )
+    fp = dfp.join(keep, "fingerprint")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -35,9 +35,9 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #          scored them.
 _HEAD = [
     # ---- round 7 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the seven NEW queries (two
-    # index-composed retrieval, five curation: Gopher rules, MOSS
-    # winnowing ×2, E–S weighted sample, DSIR weights) + every query
+    # tests/test_sql_surface.py): (1) the eight NEW queries (two
+    # index-composed retrieval, six curation: Gopher rules, MOSS
+    # winnowing ×3, E–S weighted sample, DSIR weights) + every query
     # a round-7 change could touch, (2) the 30 queries whose newest
     # driver row is round 4 (the round-6 verdict's #1 task),
     # (3) oldest r5-green re-scores to fill the window.
@@ -49,6 +49,7 @@ _HEAD = [
     "winnowing_groups",          # NEW: cross-doc winnowing fingerprint groups
     "weighted_sample",           # NEW: Efraimidis–Spirakis weighted sample, RNG-free
     "dsir_importance_weights",   # NEW: DSIR hashed-unigram importance weights
+    "winnowing_matches",         # NEW: MOSS pairwise match report over the winnowing index
     "phrase_search",             # rewritten onto the shared phrase_topk operator
     "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
     "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
@@ -84,10 +85,10 @@ _HEAD = [
     "text_normalize_stats",
     "tfidf_top_terms",
     "vocab_stats",
-    # -- (3) oldest r5-green fills (five displaced to the tail by the
-    # five NEW round-7 queries above — never-scored outranks re-score;
-    # the displaced five were scored green in r5 and stay ≤2 rounds
-    # stale through r7):
+    # -- (3) oldest r5-green fills (six displaced to the tail by the
+    # six NEW round-7 curation queries above — never-scored outranks
+    # re-score; the displaced six were scored green in r5 and stay
+    # ≤2 rounds stale through r7):
     "ann_incremental",
     "ann_ivf_topk",
     "approx_quantile_envelope",
@@ -96,9 +97,8 @@ _HEAD = [
     "bloom_decontamination",
     "bpe_corpus_compression",
     "bpe_merge_steps",
-    "budget_select",
 ]
-# 133 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 134 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -110,6 +110,7 @@ _TAIL = [
     "bm25_incremental",
     "bm25_search",
     "brand_supplier_counts",
+    "budget_select",
     "cdc_snapshot",
     "char_entropy",
     "cms_word_frequency",

@@ -778,3 +778,36 @@ def winnowing_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "fingerprint")
         .limit(100)
     )
+
+
+@register(
+    "winnowing_matches",
+    oracle=f"""
+    WITH {_WINNOW_SEL},
+    x AS (SELECT doc_id, hs, unnest(ps) AS p FROM sel),
+    fp AS (SELECT DISTINCT doc_id, hs[p] AS f FROM x),
+    keep AS (
+      SELECT f FROM fp GROUP BY f
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 20
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN keep USING (f) JOIN fp b USING (f)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY id_a, id_b
+    ORDER BY n_shared DESC, id_a, id_b LIMIT 50
+    """,
+)
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match report: top document pairs by count of shared
+    selected fingerprints (boilerplate k-grams in > 20 docs excluded
+    by declared semantics) — the pairwise plagiarism/near-dup evidence
+    the winnowing index exists to produce."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        TX.winnowing_matches(d, max_group=20)
+        .orderBy(F.col("n_shared").desc(), "id_a", "id_b")
+        .limit(50)
+    )

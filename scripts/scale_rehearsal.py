@@ -48,6 +48,7 @@ TOP = [
     # regressions hide at small L), DSIR (two corpus token scans),
     # Gopher rules (map-only), E-S sample (TakeOrdered).
     "winnowing_groups",
+    "winnowing_matches",
     "winnowing_sites",
     "dsir_importance_weights",
     "gopher_quality_rules",

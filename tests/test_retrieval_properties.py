@@ -145,6 +145,7 @@ CURATION_QUERIES_UNDER_TEST = (
     "gopher_quality_rules",
     "winnowing_sites",
     "winnowing_groups",
+    "winnowing_matches",
     "weighted_sample",
     "dsir_importance_weights",
 )
