@@ -194,6 +194,7 @@ HEADLINE = [
     "weighted_sample",
     "dsir_importance_weights",
     "winnowing_matches",
+    "curation_pipeline",
 ]
 
 

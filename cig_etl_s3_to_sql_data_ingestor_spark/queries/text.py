@@ -655,11 +655,10 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_STOPS = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
 
-
-@register(
-    "gopher_quality_rules",
-    oracle=f"""
-    WITH s AS (
+# Shared Gopher-rule CTE fragments (reused by the curation_pipeline
+# oracle — ONE spelling, so a rule tweak cannot desync the two).
+_GOPHER_FEATURES = f"""
+    s AS (
       SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents
     ),
     f AS (
@@ -677,6 +676,18 @@ _GOPHER_STOPS = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
                   AS BIGINT) AS stop_hits
       FROM s
     )
+"""
+_GOPHER_PASS = """((n_tokens >= 50 AND n_tokens <= 100000)
+            AND (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
+            AND (10 * symbols < n_tokens)
+            AND (5 * alpha_toks >= 4 * n_tokens)
+            AND (stop_hits >= 2))"""
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH {_GOPHER_FEATURES}
     SELECT doc_id, n_tokens,
            (n_tokens >= 50 AND n_tokens <= 100000) AS word_count_ok,
            (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
@@ -684,11 +695,7 @@ _GOPHER_STOPS = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
            (10 * symbols < n_tokens) AS symbol_ratio_ok,
            (5 * alpha_toks >= 4 * n_tokens) AS alpha_ratio_ok,
            (stop_hits >= 2) AS stopword_ok,
-           ((n_tokens >= 50 AND n_tokens <= 100000)
-            AND (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens)
-            AND (10 * symbols < n_tokens)
-            AND (5 * alpha_toks >= 4 * n_tokens)
-            AND (stop_hits >= 2)) AS passes_gopher
+           {_GOPHER_PASS} AS passes_gopher
     FROM f ORDER BY doc_id
     """,
 )
@@ -810,4 +817,81 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.winnowing_matches(d, max_group=20)
         .orderBy(F.col("n_shared").desc(), "id_a", "id_b")
         .limit(50)
+    )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH {_GOPHER_FEATURES},
+    {_WINNOW_SEL},
+    x AS (SELECT doc_id, hs, unnest(ps) AS p FROM sel),
+    fp AS (SELECT DISTINCT doc_id, hs[p] AS f FROM x),
+    keep_f AS (
+      SELECT f FROM fp GROUP BY f
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 20
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN keep_f USING (f) JOIN fp b USING (f)
+      WHERE a.doc_id < b.doc_id GROUP BY id_a, id_b
+    ),
+    dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE n_shared >= 3),
+    g AS (SELECT doc_id, {_GOPHER_PASS} AS ok FROM f)
+    SELECT d.doc_id, d.source,
+           CASE WHEN NOT g.ok THEN 'drop'
+                WHEN dup.doc_id IS NOT NULL THEN 'drop'
+                ELSE 'keep' END AS decision,
+           CASE WHEN NOT g.ok THEN 'gopher_fail'
+                WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS reason
+    FROM documents d
+    JOIN g USING (doc_id)
+    LEFT JOIN dup USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 curation capstone: one keep/drop decision per document
+    with the FIRST failing stage as the reason, composing the round's
+    proven operators the way a production curation pass chains them —
+    Gopher rule filter first (cheap map-only projection prunes before
+    any pair work), then winnowing near-dup eviction (a document
+    sharing >= 3 selected fingerprints with any EARLIER document drops;
+    earliest id is the keeper, the same keep-first discipline as
+    dedup_exact). Rule precedence is declared: a doc failing Gopher
+    reports 'gopher_fail' even if it is also a near-duplicate.
+
+    Scale: the Gopher stage is scan-pipelined; the pair stage is
+    winnowing_matches' bounded join strategy; the decision join is
+    keyed by doc_id. Nothing here exceeds the component operators'
+    audited shapes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    gopher = TX.gopher_rules(d).select("doc_id", "passes_gopher")
+    dup = (
+        TX.winnowing_matches(d, max_group=20)
+        .filter(F.col("n_shared") >= 3)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_is_dup", F.lit(True))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(gopher, "doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(~F.col("passes_gopher"), F.lit("drop"))
+            .when(F.col("_is_dup"), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            F.when(~F.col("passes_gopher"), F.lit("gopher_fail"))
+            .when(F.col("_is_dup"), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
     )

@@ -146,6 +146,7 @@ CURATION_QUERIES_UNDER_TEST = (
     "winnowing_sites",
     "winnowing_groups",
     "winnowing_matches",
+    "curation_pipeline",
     "weighted_sample",
     "dsir_importance_weights",
 )
