@@ -442,8 +442,11 @@ def weighted_sample(
 
     Exactness: ``u = (h6 + 1) / (16^6 + 1)`` is a ratio of two exact
     integers (identical double on any engine); the key is
-    ``floor(ln(u) * 1e6 / w)`` — floor-quantized micro-units with the
-    id as tie-break, the same quantized-ln discipline as BM25's idf.
+    ``floor(ln(u) * ES_QUANT / w)`` — floor-quantized NANO-units
+    (ES_QUANT = 1e9; see the module comment: a micro floor would
+    collapse the top keys at weight ~1e3 and let the id tie-break
+    decide the sample) with the id as tie-break, the same
+    quantized-ln discipline as BM25's idf.
     Rows with NULL or non-positive weight cannot be weighted and are
     excluded up front (ln(u)/w flips sign at w<0 and divides by zero
     at w=0 — silence here would be a wrong sample, not an error).
@@ -466,7 +469,10 @@ def weighted_sample(
         .select(
             F.col(id_col),
             *[F.col(c) for c in keep],
-            F.col(weight_col).cast("long").alias("weight"),
+            # Reported in the column's OWN type: a long cast would
+            # truncate fractional weights (quality scores in (0,1)) to
+            # zero while the key correctly used the exact double.
+            F.col(weight_col).alias("weight"),
             key_q.alias("key_q"),
         )
         .orderBy(F.col("key_q").desc(), F.col(id_col))

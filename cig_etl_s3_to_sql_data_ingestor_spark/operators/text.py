@@ -624,8 +624,18 @@ def _phrase_rank(hits: DataFrame, phrases: DataFrame, k: int) -> DataFrame:
 
 def _phrase_lengths(phrases: DataFrame) -> tuple[list, tuple[int, ...]]:
     """Collect the (tiny, broadcast-anyway) phrase rows and their
-    distinct token lengths — one driver job shared by both paths."""
+    distinct token lengths — one driver job shared by both paths.
+    Loud on the two inputs that would otherwise crash opaquely mid-plan
+    or mid-collect: an empty phrase frame and NULL phrase strings."""
     rows = phrases.select("query_id", "phrase").collect()
+    if not rows:
+        raise ValueError(
+            "phrases frame is empty — phrase retrieval needs at least "
+            "one (query_id, phrase) row"
+        )
+    if any(r[1] is None for r in rows):
+        bad = sorted(r[0] for r in rows if r[1] is None)
+        raise ValueError(f"NULL phrase for query_id(s) {bad}")
     return rows, tuple(sorted({len(r[1].split()) for r in rows}))
 
 
@@ -699,17 +709,23 @@ def phrase_search_indexed(
     path — row-identical to :func:`phrase_topk` on the same corpus
     (pinned by tests/test_retrieval_semdedup.py), but the corpus text
     is never touched: search cost is bounded by phrase hits in the
-    store. ``lengths`` must be the build's — a query phrase whose
-    token length the index never materialized would silently return
-    zero hits, so it raises instead."""
+    store. Query lengths are verified against the STORE's own ``n``
+    column (one column-pruned distinct over the postings — that is what
+    ``phrase_build_index`` materializes ``n`` for), not against a
+    caller-supplied claim: a query phrase whose token length the index
+    never materialized would silently return zero hits, and a caller
+    passing the wrong ``lengths`` is exactly the mistake the guard
+    exists to catch. ``lengths`` remains as a documented default-shape
+    hint but is NOT trusted."""
     rows, qlengths = _phrase_lengths(phrases)
-    missing = set(qlengths) - set(lengths)
+    stored = {r[0] for r in postings.select("n").distinct().collect()}
+    missing = set(qlengths) - stored
     if missing:
         raise ValueError(
             f"phrase lengths {sorted(missing)} are not in the index "
-            f"(built with lengths={tuple(lengths)}) — a miss would be "
-            "silently empty, not wrong-but-plausible; rebuild the index "
-            "with the needed lengths or use phrase_topk"
+            f"(store contains lengths={tuple(sorted(stored))}) — a miss "
+            "would be silently empty, not wrong-but-plausible; rebuild "
+            "the index with the needed lengths or use phrase_topk"
         )
     pset = phrases.select("phrase").distinct()
     hits = postings.join(F.broadcast(pset), "phrase").select(
@@ -970,10 +986,21 @@ def winnowing_matches(
     sites x max_group, never corpus². The final aggregate is keyed by
     the pair.
     """
+    from .dedup import _persist
+
     sites = winnowing_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, window=window
     )
-    dfp = sites.select(F.col(id_col).alias("_id"), "fingerprint").distinct()
+    # Persisted: three consumers (the keep-filter aggregate and BOTH
+    # sides of the pair self-join) share this frame, and its lineage is
+    # the corpus-wide winnowing fold — the dominant cost. Exchange
+    # reuse usually collapses the identical subtrees, but AQE
+    # re-optimization can break ReusedExchange, and a re-executed fold
+    # triples the expensive stage. Released by
+    # operators.dedup.unpersist_all() like every other cached stage.
+    dfp = _persist(
+        sites.select(F.col(id_col).alias("_id"), "fingerprint").distinct()
+    )
     keep = (
         dfp.groupBy("fingerprint")
         .agg(F.count("*").alias("_n"))

@@ -250,7 +250,22 @@ class BatchIngest:
             )
             partition_column = "pb_stride"
         elif partition_column is None and predicates is None:
-            for f in expected.schema.fields:
+            # Auto-pick must consult the SINK's JDBC schema, not
+            # ``expected``'s: the ingest stringifies every column, so a
+            # source-side integral column is typically VARCHAR/CLOB in
+            # the table — striding on it would crash the MIN/MAX probe
+            # (Derby raises on MIN over CLOB) and fail Spark's
+            # numeric-partition-column validation, instead of the
+            # documented single-connection fallback. One WHERE 1=0
+            # round-trip reflects the remote types.
+            sink_schema = (
+                self.spark.read.format("jdbc")
+                .option("url", self.jdbc_url)
+                .option("query", f"SELECT * FROM {target} WHERE 1=0")
+                .load()
+                .schema
+            )
+            for f in sink_schema.fields:
                 if f.dataType.simpleString() in ("int", "bigint", "smallint"):
                     partition_column = f.name
                     break

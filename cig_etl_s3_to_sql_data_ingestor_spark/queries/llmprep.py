@@ -325,7 +325,7 @@ _ES_SQL_U = (
 @register(
     "weighted_sample",
     oracle=f"""
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+    SELECT doc_id, source, n_chars AS weight,
            CAST(FLOOR(ln({_ES_SQL_U}) * 1000000000.0
                       / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_q
     FROM documents

@@ -60,3 +60,62 @@ def read_epoch_store(
         if "PATH_NOT_FOUND" in str(ex):
             return spark.createDataFrame([], out_schema)
         raise
+    except Exception as ex:  # noqa: BLE001 — re-raised unless layout-mix
+        # A store carrying BOTH flat epochs (a pre-partitioned-layout
+        # writer version) and partition-subdir epochs (e.g. bm25's
+        # bucket= dirs) defeats Spark's tree-wide partition discovery
+        # with CONFLICTING_PARTITION_COLUMN_NAMES. The store is still
+        # well-formed — each epoch dir is internally consistent — so
+        # fall back to reading per epoch dir (bounded count: compaction
+        # keeps the dir list short) and unioning; the pinned schema
+        # fills columns a legacy dir lacks with NULL, which the reader
+        # treats as "no at-rest layout: scan, don't prune".
+        if "CONFLICTING_PARTITION_COLUMN_NAMES" not in str(ex):
+            raise
+        df = read_epoch_dirs_union(spark, path, schema)
+        if df is None:
+            return spark.createDataFrame([], out_schema)
+        if exclude_epoch is not None:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        if not keep_epoch:
+            df = df.drop("epoch")
+        return df.select(cols)
+
+
+def list_epoch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+    """(epoch, dir) pairs under an epoch-addressed store, sorted."""
+    from ..fsutil import hadoop_fs
+
+    fs, jvm = hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            out.append((int(name.split("=", 1)[1]), f"{path}/{name}"))
+    return sorted(out)
+
+
+def read_epoch_dirs_union(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame | None:
+    """Per-epoch-dir union read with a pinned schema — the mixed-layout
+    path (see read_epoch_store). Returns None for an empty store.
+    Each dir is read independently, so one dir's partition layout
+    cannot conflict with another's; the ``epoch`` column is re-derived
+    from the dir name."""
+    dirs = list_epoch_dirs(spark, path)
+    cols = [f.name for f in schema.fields]
+    parts = []
+    for e, p in dirs:
+        d = spark.read.schema(schema).parquet(p)
+        parts.append(d.select(cols).withColumn("epoch", F.lit(e).cast("long")))
+    if not parts:
+        return None
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out

@@ -336,7 +336,16 @@ class Bm25IndexIngest:
                     if r[0] is not None  # a NULL term matches nothing
                 }
             )
-            postings = postings.filter(F.col("bucket").isin(buckets))
+            # NULL-bucket rows are epochs written by a pre-bucket
+            # layout (no bucket= partition dirs; the pinned schema
+            # reads their bucket as NULL). Pruning is an OPTIMIZATION —
+            # correctness requires scanning them, so they always pass
+            # (isin() alone would drop every legacy posting and return
+            # silently-empty results). Compact() folds legacy epochs
+            # into the bucketed layout, after which nothing is NULL.
+            postings = postings.filter(
+                F.col("bucket").isin(buckets) | F.col("bucket").isNull()
+            )
         matched = postings.drop("bucket").join(F.broadcast(tset), "term")
         dfreq = matched.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
@@ -362,8 +371,20 @@ class Bm25IndexIngest:
         helper), and a torn epoch is by construction the newest, so a
         torn epoch's postings can never be folded into the committed
         base. Belt-and-braces, that invariant is still checked here."""
-        from .frequency_monitor import _compact_epoch_store
+        from .frequency_monitor import (
+            _compact_epoch_store,
+            recover_pending_compactions,
+        )
         from ..fsutil import hadoop_fs
+
+        # A compaction that crashed in its delete->rename window leaves
+        # that substore's folded epochs invisible until recovery runs;
+        # computing the torn-epoch check against the un-recovered
+        # listing would mis-diagnose those epochs as torn and wedge
+        # compact() with a spurious "replay them first". Recover FIRST
+        # (the same call the read path makes), then judge.
+        recover_pending_compactions(self.spark, f"{self.store_path}/postings")
+        recover_pending_compactions(self.spark, f"{self.store_path}/stats")
 
         fs, jvm = hadoop_fs(self.spark, self.store_path)
         Path = jvm.org.apache.hadoop.fs.Path
@@ -390,14 +411,41 @@ class Bm25IndexIngest:
                 "folding them would surface their documents without "
                 "their corpus-stats contribution; replay them first"
             )
+        # The crash-safety argument (postings fold first, stats witness
+        # set still covers every folded epoch) holds ONLY when the fold
+        # target dir epoch=<upto_epoch> is itself a witnessed epoch: a
+        # crash after folding postings into an UN-witnessed target
+        # would hide every folded document behind a witness that never
+        # existed. Folding to an arbitrary id is never needed — callers
+        # fold up to an epoch they can list — so reject it.
+        foldable = {e for e in _epochs("postings") if e <= upto_epoch}
+        if foldable and upto_epoch not in _epochs("stats"):
+            raise ValueError(
+                f"upto_epoch={upto_epoch} is not a committed epoch "
+                f"(stats witnesses: {sorted(_epochs('stats'))}) — a "
+                "crash between the two folds would strand the folded "
+                "postings without a witness; pass one of the committed "
+                "epoch ids"
+            )
 
         def fold_postings(df: DataFrame) -> DataFrame:
             # Postings rows are per-(doc, term) and epochs are
             # disjoint: the fold is concatenation. Repartition on the
             # (already materialized) bucket so the partitioned rewrite
-            # emits ~one file per bucket, not tasks x buckets.
+            # emits ~one file per bucket, not tasks x buckets. Legacy
+            # pre-bucket epochs read bucket as NULL (no bucket= dirs);
+            # the fold MIGRATES them by recomputing the hash, so one
+            # compaction upgrades a mixed store to the fully-bucketed
+            # layout and search pruning applies everywhere after.
             return df.select(
-                "doc_id", "term", "tf", "dl", "bucket"
+                "doc_id",
+                "term",
+                "tf",
+                "dl",
+                F.coalesce(
+                    F.col("bucket"),
+                    term_bucket_col(F.col("term"), self.n_buckets),
+                ).alias("bucket"),
             ).repartition(F.col("bucket"))
 
         def fold_stats(df: DataFrame) -> DataFrame:
@@ -412,6 +460,11 @@ class Bm25IndexIngest:
             upto_epoch,
             fold_postings,
             partition_by=["bucket"],
+            # Pinned: lets the fold read a store that still carries
+            # flat pre-bucket epochs (their bucket reads NULL and the
+            # fold migrates it) without tripping tree-wide partition
+            # discovery on the mixed layout.
+            schema=_POSTINGS_SCHEMA,
         )
         _compact_epoch_store(
             self.spark, f"{self.store_path}/stats", upto_epoch, fold_stats

@@ -146,6 +146,7 @@ def _compact_epoch_store(
     upto_epoch: int,
     fold,
     partition_by: list[str] | None = None,
+    schema=None,
 ) -> int:
     """Shared epoch-dir compaction: fold every ``epoch=N`` dir with
     ``N <= upto_epoch`` into ONE dir ``epoch=<upto_epoch>`` whose
@@ -197,10 +198,28 @@ def _compact_epoch_store(
         for e in fold_epochs:
             fs.delete(Path(f"{store_path}/epoch={e}"), True)
         return len(fold_epochs)
-    folded = fold(
-        spark.read.option("basePath", store_path)
-        .parquet(*[f"{store_path}/epoch={e}" for e in readable])
-    )
+    if schema is not None:
+        # Pinned-schema per-dir union: a store mixing flat (legacy
+        # writer version) and partition-subdir epoch layouts defeats
+        # the multi-path discovery read below with
+        # CONFLICTING_PARTITION_COLUMN_NAMES; reading each dir
+        # independently cannot conflict, and the pinned schema fills
+        # layout columns a legacy dir lacks with NULL for the fold to
+        # migrate (bm25's bucket recompute).
+        src = None
+        cols = [f.name for f in schema.fields]
+        for e in readable:
+            d = (
+                spark.read.schema(schema)
+                .parquet(f"{store_path}/epoch={e}")
+                .select(cols)
+            )
+            src = d if src is None else src.unionByName(d)
+    else:
+        src = spark.read.option("basePath", store_path).parquet(
+            *[f"{store_path}/epoch={e}" for e in readable]
+        )
+    folded = fold(src)
     writer = folded.write.mode("overwrite")
     if partition_by:
         # Stores with a partition-local at-rest layout (bm25_ingest's

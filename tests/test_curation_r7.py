@@ -298,3 +298,20 @@ def test_dsir_partitioning_invariance(spark):
         for r in P.dsir_weights(df.repartition(16), tgt).collect()
     )
     assert one == many
+
+
+def test_weighted_sample_fractional_weights_reported_exactly(spark):
+    """Fractional weights (quality scores in (0,1)) must be selected by
+    the exact double AND reported untruncated — the old long cast
+    reported every such weight as 0 while sampling correctly."""
+    rows = [(i, (i % 9 + 1) / 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = P.weighted_sample(df, 10, weight_col="score").collect()
+    assert len(got) == 10
+    assert all(0.0 < r.weight <= 0.9 for r in got), [r.weight for r in got]
+    want = sorted(
+        ((i, math.floor(math.log((int(hashlib.md5(str(i).encode())
+            .hexdigest()[:6], 16) + 1) / 16777217.0) * 1e9 / w)) for i, w in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r.doc_id, r.key_q) for r in got] == want

@@ -428,3 +428,44 @@ def test_verify_sink_partitioned_read(spark, tmp_path, url):
     )
     assert res2["rows_match"] and res2["checksum_match"]
     assert res2["n_partitions"] == 2
+
+
+def test_verify_sink_autopick_consults_sink_schema(spark, tmp_path, url):
+    """Auto-pick mode (no key_column/partition_column/predicates):
+    the stringified sink has NO numeric column even when the EXPECTED
+    frame does — picking from expected's schema would stride on a
+    VARCHAR/CLOB sink column and crash the MIN/MAX probe instead of
+    the documented single-connection fallback. The pick must consult
+    the sink's JDBC schema and fall back cleanly."""
+    root = str(tmp_path / "data")
+    rows = [(str(i), f"n{i}") for i in range(10)]
+    write_source(spark, root, "NL", "Widgets", "2024/01/05", "w1.parquet", rows)
+    ingest = BatchIngest(
+        spark,
+        {"Widgets": SPEC},
+        sink_root=str(tmp_path / "sink"),
+        marker_path=str(tmp_path / "marker"),
+        jdbc_url=url,
+    )
+    ingest.run(root, dt.date(2024, 1, 5))
+
+    sink_rows = read_query(
+        spark, url,
+        'SELECT "ID", "Name", "Environment" FROM HOST_CIG_Widgets',
+    )
+    # The natural caller shape: the PRE-stringify source frame, whose
+    # ID is integral — the old pick chose it from expected's schema and
+    # strode on the sink's CLOB column (Derby raises on MIN over CLOB).
+    # The comparison itself is type-normalizing (got casts to
+    # expected's types), so an int-typed expected ID is legitimate.
+    expected = spark.createDataFrame(sink_rows.collect(), sink_rows.schema)
+    expected = expected.select(
+        expected["ID"].cast("int").alias("ID"), "Name", "Environment"
+    )
+    assert [
+        f.name for f in expected.schema.fields
+        if f.dataType.simpleString() in ("int", "bigint", "smallint")
+    ] == ["ID"], "the bait column must exist for this test to bite"
+    res = ingest.verify_sink("HOST_CIG_Widgets", expected)
+    assert res["rows_match"] and res["checksum_match"]
+    assert res["n_partitions"] == 1  # single-connection fallback, visible

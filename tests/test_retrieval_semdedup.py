@@ -404,3 +404,38 @@ def test_phrase_indexed_path_identical_to_direct(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="lengths"):
         phrase_search_indexed(postings, four, k=10, lengths=(2, 3))
+
+
+def test_phrase_guards_are_loud(spark, sf_dir):
+    """Three inputs that previously crashed opaquely or silently
+    returned empty: an empty phrases frame (IndexError in the length
+    probe), a NULL phrase (AttributeError on .split), and an indexed
+    search whose query length the STORE never materialized (the old
+    guard trusted the caller's `lengths` claim — exactly the mistake
+    it existed to catch)."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        phrase_build_index,
+        phrase_search_indexed,
+        phrase_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    empty = spark.createDataFrame([], "query_id long, phrase string")
+    with pytest.raises(ValueError, match="empty"):
+        phrase_topk(docs, empty)
+    withnull = spark.createDataFrame(
+        [(0, "hash join"), (1, None)], "query_id long, phrase string"
+    )
+    with pytest.raises(ValueError, match="NULL phrase.*1"):
+        phrase_topk(docs, withnull)
+
+    postings = phrase_build_index(docs, lengths=(2,))
+    three = spark.createDataFrame(
+        [(0, "hash join scan")], "query_id long, phrase string"
+    )
+    # The caller CLAIMS the index covers 3-grams; the store says no.
+    with pytest.raises(ValueError, match="not in the index"):
+        phrase_search_indexed(postings, three, lengths=(2, 3))

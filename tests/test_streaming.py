@@ -1722,3 +1722,166 @@ def test_bm25_compact_refuses_torn_epoch_and_wrong_modulus(spark, tmp_path, sf_d
         mismatched.search(terms, k=5)
     with pytest.raises(ValueError, match="n_buckets"):
         mismatched._process_batch(docs.limit(1), 9)
+
+
+def test_bm25_search_scans_legacy_prebucket_epochs_and_compact_migrates(
+    spark, tmp_path, sf_dir
+):
+    """A store carrying epochs written by the pre-bucket (round-6)
+    layout — no bucket= partition dirs, so the pinned schema reads
+    their bucket as NULL — must still SEARCH them (pruning is an
+    optimization; isin() alone would silently drop every legacy
+    posting), and compact() must MIGRATE them into the bucketed layout
+    by recomputing the hash."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_build_index,
+        bm25_topk,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    ingest._process_batch(b0, 0)
+    # Manufacture epoch=1 in the LEGACY layout: postings parquet with
+    # no bucket column/dirs + the stats witness, exactly what a
+    # round-6 writer left behind.
+    postings, _dfreq, stats = bm25_build_index(b1)
+    postings.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "term", "tf", "dl"
+    ).write.parquet(str(tmp_path / "bm25_index" / "postings" / "epoch=1"))
+    stats.write.parquet(str(tmp_path / "bm25_index" / "stats" / "epoch=1"))
+
+    want = sorted(
+        map(
+            tuple,
+            bm25_topk(b0.unionByName(b1), terms, k=10).collect(),
+        )
+    )
+    got = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+    assert got == want and got, "legacy epoch must be scanned, not pruned away"
+
+    # One more committed epoch so 1 is not newest, then compact over
+    # the mixed range: results identical AND the fold migrated the
+    # legacy rows into bucket= dirs (search pruning applies everywhere).
+    ingest._process_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    want_all = sorted(map(tuple, bm25_topk(docs, terms, k=10).collect()))
+    assert ingest.compact(upto_epoch=1) > 0
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want_all
+    folded = tmp_path / "bm25_index" / "postings" / "epoch=1"
+    buckets = [p.name for p in folded.iterdir() if p.name.startswith("bucket=")]
+    assert buckets, "compaction must rewrite legacy rows under bucket= dirs"
+    assert not any("__HIVE_DEFAULT_PARTITION__" in b for b in buckets)
+
+
+def test_bm25_compact_rejects_unwitnessed_upto_epoch(spark, tmp_path, sf_dir):
+    """compact(upto_epoch) where upto is not a committed epoch id would
+    fold postings into a target dir whose stats witness never exists —
+    a crash between the two folds would hide every folded document. It
+    must raise, naming the committed ids."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    for e in (0, 2, 4):  # non-contiguous epoch ids (gaps after retention)
+        ingest._process_batch(docs.filter(F.col("doc_id") % 3 == e % 3), e)
+    with pytest.raises(ValueError, match="not a committed epoch"):
+        ingest.compact(upto_epoch=1)  # foldable={0}, but 1 is unwitnessed
+    assert ingest.compact(upto_epoch=2) > 0  # committed id: fine
+
+
+def test_bm25_compact_recovers_crashed_stats_fold_before_torn_check(
+    spark, tmp_path, sf_dir
+):
+    """The real crash window compact() can produce: the postings fold
+    COMPLETED (epochs 0-1 folded into epoch=1) and the stats fold
+    crashed between its delete and rename — folded stats exist only in
+    the tmp dir. The next compact() must recover that tmp BEFORE its
+    torn-epoch check (the un-recovered listing shows postings {1,2} vs
+    stats {2}, which the check would mis-diagnose as torn and wedge);
+    search must return the exact pre-crash results throughout."""
+    import os
+    import shutil
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    for e in range(3):
+        ingest._process_batch(docs.filter(F.col("doc_id") % 3 == e), e)
+    want = sorted(map(tuple, ingest.search(terms, k=10).collect()))
+
+    # Stage the crash state by hand. Postings fold completed:
+    post_store = str(tmp_path / "bm25_index" / "postings")
+    folded_p = (
+        spark.read.option("basePath", post_store)
+        .parquet(f"{post_store}/epoch=0", f"{post_store}/epoch=1")
+        .select("doc_id", "term", "tf", "dl", "bucket")
+        .repartition(F.col("bucket"))
+    )
+    folded_p.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{post_store}/.compact_tmp_upto=1"
+    )
+    shutil.rmtree(f"{post_store}/epoch=0")
+    shutil.rmtree(f"{post_store}/epoch=1")
+    os.rename(f"{post_store}/.compact_tmp_upto=1", f"{post_store}/epoch=1")
+    # Stats fold crashed mid-promotion: tmp written (with _SUCCESS),
+    # folded dirs deleted, rename never ran.
+    stats_store = str(tmp_path / "bm25_index" / "stats")
+    folded_s = (
+        spark.read.option("basePath", stats_store)
+        .parquet(f"{stats_store}/epoch=0", f"{stats_store}/epoch=1")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+    )
+    folded_s.write.mode("overwrite").parquet(
+        f"{stats_store}/.compact_tmp_upto=1"
+    )
+    shutil.rmtree(f"{stats_store}/epoch=0")
+    shutil.rmtree(f"{stats_store}/epoch=1")
+
+    # Re-running compact over the same range must recover the stats tmp
+    # FIRST (not raise "torn"); there is nothing left to fold (epochs
+    # are now {1, 2} on both stores and only one is <= upto), so it
+    # returns 0 — and search is bit-identical to pre-crash.
+    assert ingest.compact(upto_epoch=1) == 0
+    assert (tmp_path / "bm25_index" / "stats" / "epoch=1").exists()
+    assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want
