@@ -195,6 +195,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "winnowing_matches",
     "curation_pipeline",
+    "dataset_report",
 ]
 
 

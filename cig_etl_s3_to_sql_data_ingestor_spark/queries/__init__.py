@@ -51,6 +51,7 @@ _HEAD = [
     "dsir_importance_weights",   # NEW: DSIR hashed-unigram importance weights
     "winnowing_matches",         # NEW: MOSS pairwise match report over the winnowing index
     "curation_pipeline",         # NEW: capstone composing Gopher rules + winnowing near-dup
+    "dataset_report",            # NEW: per-source dataset-card statistics
     "phrase_search",             # rewritten onto the shared phrase_topk operator
     "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
     "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
@@ -96,9 +97,8 @@ _HEAD = [
     "audio_features",
     "audio_fingerprint_groups",
     "bloom_decontamination",
-    "bpe_corpus_compression",
 ]
-# 135 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 136 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -109,6 +109,7 @@ _TAIL = [
     "asof_last_click",
     "bm25_incremental",
     "bm25_search",
+    "bpe_corpus_compression",
     "bpe_merge_steps",
     "brand_supplier_counts",
     "budget_select",

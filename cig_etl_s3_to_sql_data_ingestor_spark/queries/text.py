@@ -895,3 +895,140 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dataset_report",
+    oracle=f"""
+    WITH {_GOPHER_FEATURES},
+    gsum AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN {_GOPHER_PASS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gopher_pass
+      FROM f JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    dg AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    duph AS (SELECT h FROM dg GROUP BY h HAVING COUNT(*) > 1),
+    dups AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+      FROM dg JOIN duph USING (h) GROUP BY source
+    ),
+    vocab AS (
+      SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct_tokens
+      FROM (SELECT source, unnest({SQL_TOKENS}) AS t FROM documents)
+      GROUP BY source
+    ),
+    lang_pred AS (
+      SELECT doc_id, source,
+             CASE WHEN {_EN} >= {_DE} AND {_EN} >= {_FR} AND {_EN} > 0 THEN 'en'
+                  WHEN {_DE} >= {_FR} AND {_DE} > 0 THEN 'de'
+                  WHEN {_FR} > 0 THEN 'fr'
+                  ELSE 'unk' END AS predicted_lang
+      FROM documents
+    ),
+    lang_counts AS (
+      SELECT source, predicted_lang, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, predicted_lang)
+               AS rk
+      FROM lang_pred GROUP BY source, predicted_lang
+    )
+    SELECT g.source, g.n_docs, g.n_tokens, v.n_distinct_tokens,
+           COALESCE(dp.n_dup_docs, 0) AS n_dup_docs,
+           CAST(COALESCE(dp.n_dup_docs, 0) AS DOUBLE)
+             / CAST(g.n_docs AS DOUBLE) AS dup_rate,
+           g.n_gopher_pass,
+           CAST(g.n_gopher_pass AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+             AS gopher_pass_rate,
+           lc.predicted_lang AS majority_lang
+    FROM gsum g
+    JOIN vocab v USING (source)
+    LEFT JOIN dups dp USING (source)
+    JOIN (SELECT source, predicted_lang FROM lang_counts WHERE rk = 1) lc
+      USING (source)
+    ORDER BY source
+    """,
+)
+def dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row per source with the statistics every
+    corpus release ships — doc/token counts, exact vocabulary size,
+    exact-duplicate rate (corpus-wide digest groups attributed back to
+    each source), Gopher rule pass rate, and the majority predicted
+    language. Composes the proven digest-dedup, Gopher, and lang-id
+    operators; every rate is a single integer/integer division.
+
+    Scale: four independent per-source aggregates joined on the tiny
+    source key — one digest shuffle, one (source, token)-distinct
+    shuffle, one map-only Gopher pass, one lang projection; nothing
+    pairwise, no global window (the lang majority window partitions by
+    source over a #sources x #langs frame).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    g = TX.gopher_rules(d, keep=("source",))
+    gsum = g.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("passes_gopher").cast("int"))
+        .cast("long")
+        .alias("n_gopher_pass"),
+    )
+    dg = d.select("doc_id", "source", F.md5("text").alias("h"))
+    duph = dg.groupBy("h").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") > 1
+    ).select("h")
+    dups = (
+        dg.join(duph, "h")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_dup_docs"))
+    )
+    from ..operators.dedup import tokens_col
+
+    vocab = (
+        d.select("source", F.explode(tokens_col("text")).alias("t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_distinct_tokens"))
+    )
+    langs = (
+        TX.language_id(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "predicted_lang")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("_n").desc(), F.col("predicted_lang")
+    )
+    majority = (
+        langs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("source", F.col("predicted_lang").alias("majority_lang"))
+    )
+    return (
+        gsum.join(vocab, "source")
+        .join(dups, "source", "left")
+        .join(majority, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("long")).alias(
+                "n_dup_docs"
+            ),
+            (
+                F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "n_gopher_pass",
+            (
+                F.col("n_gopher_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("gopher_pass_rate"),
+            "majority_lang",
+        )
+        .orderBy("source")
+    )

@@ -147,6 +147,7 @@ CURATION_QUERIES_UNDER_TEST = (
     "winnowing_groups",
     "winnowing_matches",
     "curation_pipeline",
+    "dataset_report",
     "weighted_sample",
     "dsir_importance_weights",
 )
