@@ -622,11 +622,19 @@ def _phrase_rank(hits: DataFrame, phrases: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _phrase_lengths(phrases: DataFrame) -> tuple[list, tuple[int, ...]]:
-    """Collect the (tiny, broadcast-anyway) phrase rows and their
-    distinct token lengths — one driver job shared by both paths.
-    Loud on the two inputs that would otherwise crash opaquely mid-plan
-    or mid-collect: an empty phrase frame and NULL phrase strings."""
+def _phrase_queries(phrases: DataFrame):
+    """Canonicalized query phrases + their distinct token lengths —
+    one driver job shared by both paths. Phrases are normalized with
+    the SAME discipline as the corpus tokenization (lower, trim,
+    \\s+ split, single-space join): grams are built from
+    ``tokens_col`` output, so an unnormalized query ('Hash Join',
+    'hash  join') would silently match nothing. Loud on the inputs
+    that would otherwise crash opaquely or return silently-empty:
+    an empty phrase frame, NULL phrases, and empty/whitespace-only
+    phrases (zero tokens — no gram length to probe).
+
+    Returns ``(norm_phrases_df, lengths)`` where the frame is
+    (query_id, phrase) with canonical phrases."""
     rows = phrases.select("query_id", "phrase").collect()
     if not rows:
         raise ValueError(
@@ -636,7 +644,15 @@ def _phrase_lengths(phrases: DataFrame) -> tuple[list, tuple[int, ...]]:
     if any(r[1] is None for r in rows):
         bad = sorted(r[0] for r in rows if r[1] is None)
         raise ValueError(f"NULL phrase for query_id(s) {bad}")
-    return rows, tuple(sorted({len(r[1].split()) for r in rows}))
+    norm = [(r[0], " ".join(r[1].lower().split())) for r in rows]
+    empty = sorted(q for q, p in norm if not p)
+    if empty:
+        raise ValueError(
+            f"empty/whitespace-only phrase for query_id(s) {empty}"
+        )
+    spark = phrases.sparkSession
+    ndf = spark.createDataFrame(norm, "query_id long, phrase string")
+    return ndf, tuple(sorted({len(p.split()) for _, p in norm}))
 
 
 def phrase_topk(
@@ -654,16 +670,18 @@ def phrase_topk(
     bounded by phrase hits — but the scan is paid PER CALL; a
     deployment running many phrase queries should pay it once via
     :func:`phrase_build_index` + :func:`phrase_search_indexed`
-    (pinned row-identical by tests/test_retrieval_semdedup.py)."""
-    rows, lengths = _phrase_lengths(phrases)
+    (pinned row-identical by tests/test_retrieval_semdedup.py).
+    Query phrases are canonicalized to the corpus tokenization
+    (lower/trim/single-space) — see :func:`_phrase_queries`."""
+    nphrases, lengths = _phrase_queries(phrases)
     grams = _phrase_grams(docs, lengths, id_col, text_col)
-    pset = phrases.select("phrase").distinct()
+    pset = nphrases.select("phrase").distinct()
     hits = (
         grams.join(F.broadcast(pset), "phrase")
         .groupBy("doc_id", "phrase")
         .agg(F.count("*").cast("long").alias("n_occurrences"))
     )
-    return _phrase_rank(hits, phrases, k)
+    return _phrase_rank(hits, nphrases, k)
 
 
 def phrase_build_index(
@@ -701,7 +719,7 @@ def phrase_search_indexed(
     postings: DataFrame,
     phrases: DataFrame,
     k: int = 10,
-    lengths: tuple[int, ...] = (2, 3),
+    stored_lengths: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Search a prebuilt k-gram posting store
     (:func:`phrase_build_index`): broadcast semi-join of the query
@@ -709,16 +727,25 @@ def phrase_search_indexed(
     path — row-identical to :func:`phrase_topk` on the same corpus
     (pinned by tests/test_retrieval_semdedup.py), but the corpus text
     is never touched: search cost is bounded by phrase hits in the
-    store. Query lengths are verified against the STORE's own ``n``
-    column (one column-pruned distinct over the postings — that is what
-    ``phrase_build_index`` materializes ``n`` for), not against a
-    caller-supplied claim: a query phrase whose token length the index
-    never materialized would silently return zero hits, and a caller
-    passing the wrong ``lengths`` is exactly the mistake the guard
-    exists to catch. ``lengths`` remains as a documented default-shape
-    hint but is NOT trusted."""
-    rows, qlengths = _phrase_lengths(phrases)
-    stored = {r[0] for r in postings.select("n").distinct().collect()}
+    store. Query phrases are canonicalized to the corpus tokenization
+    (see :func:`_phrase_queries`).
+
+    Length guard: a query phrase whose token length the index never
+    materialized would silently return zero hits, so query lengths are
+    verified against what the store actually holds. With
+    ``stored_lengths=None`` (the safe default) that is derived from
+    the STORE's own ``n`` column — ONE column-pruned distinct over the
+    postings, correct but a store-sized scan; a search-MANY deployment
+    should derive it once (``postings.select('n').distinct()``, or the
+    build call's ``lengths`` recorded as store metadata) and pass it
+    as ``stored_lengths``, which is trusted as the store's recorded
+    truth — unlike the earlier caller-claimed ``lengths`` parameter,
+    which silently ignored the store and is gone."""
+    nphrases, qlengths = _phrase_queries(phrases)
+    if stored_lengths is None:
+        stored = {r[0] for r in postings.select("n").distinct().collect()}
+    else:
+        stored = set(stored_lengths)
     missing = set(qlengths) - stored
     if missing:
         raise ValueError(
@@ -727,11 +754,11 @@ def phrase_search_indexed(
             "would be silently empty, not wrong-but-plausible; rebuild "
             "the index with the needed lengths or use phrase_topk"
         )
-    pset = phrases.select("phrase").distinct()
+    pset = nphrases.select("phrase").distinct()
     hits = postings.join(F.broadcast(pset), "phrase").select(
         "doc_id", "phrase", "n_occurrences"
     )
-    return _phrase_rank(hits, phrases, k)
+    return _phrase_rank(hits, nphrases, k)
 
 
 # ---------------------------------------------------------------------------

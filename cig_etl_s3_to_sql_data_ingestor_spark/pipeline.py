@@ -218,7 +218,9 @@ class BatchIngest:
           ID column, and fall back to ``predicates`` otherwise.
         - ``partition_column`` — a genuinely numeric column, passed
           straight through; auto-picked as the first integral column
-          of ``expected`` when neither is given.
+          of the SINK's reflected JDBC schema when neither is given
+          (never from ``expected`` — the stringified sink typically
+          has no numeric twin of a numeric source column).
         - ``predicates`` — caller-owned disjoint WHERE ranges (the only
           mode for non-numeric non-castable keys).
         - none usable — single-connection fallback, visible in the

@@ -1300,4 +1300,6 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(PHRASE_QUERIES), "query_id long, phrase string"
     )
     postings = phrase_build_index(d, lengths=(2, 3))
-    return _psi(postings, pq, k=10, lengths=(2, 3))
+    # The build call IS this query, so its lengths are store-recorded
+    # metadata here — pass them through instead of re-deriving.
+    return _psi(postings, pq, k=10, stored_lengths=(2, 3))

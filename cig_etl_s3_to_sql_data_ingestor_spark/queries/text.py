@@ -904,7 +904,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gsum AS (
       SELECT d.source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(f.n_tokens, 0)) AS BIGINT) AS n_tokens,
              CAST(SUM(CASE WHEN {_GOPHER_PASS} THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_gopher_pass
       FROM f JOIN documents d USING (doc_id) GROUP BY d.source
@@ -935,7 +935,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS rk
       FROM lang_pred GROUP BY source, predicted_lang
     )
-    SELECT g.source, g.n_docs, g.n_tokens, v.n_distinct_tokens,
+    SELECT g.source, g.n_docs, g.n_tokens,
+           COALESCE(v.n_distinct_tokens, 0) AS n_distinct_tokens,
            COALESCE(dp.n_dup_docs, 0) AS n_dup_docs,
            CAST(COALESCE(dp.n_dup_docs, 0) AS DOUBLE)
              / CAST(g.n_docs AS DOUBLE) AS dup_rate,
@@ -944,7 +945,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS gopher_pass_rate,
            lc.predicted_lang AS majority_lang
     FROM gsum g
-    JOIN vocab v USING (source)
+    LEFT JOIN vocab v USING (source)
     LEFT JOIN dups dp USING (source)
     JOIN (SELECT source, predicted_lang FROM lang_counts WHERE rk = 1) lc
       USING (source)
@@ -971,7 +972,11 @@ def dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = TX.gopher_rules(d, keep=("source",))
     gsum = g.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        # NULL text tokenizes to a NULL array: size() is -1 in Spark,
+        # NULL in SQL — the card counts such docs as 0 tokens on both.
+        F.sum(F.greatest(F.col("n_tokens"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_tokens"),
         F.sum(F.col("passes_gopher").cast("int"))
         .cast("long")
         .alias("n_gopher_pass"),
@@ -1008,14 +1013,22 @@ def dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("predicted_lang").alias("majority_lang"))
     )
     return (
-        gsum.join(vocab, "source")
+        # vocab LEFT: a source whose documents all have NULL text
+        # yields no vocab rows (explode drops NULL arrays) — it must
+        # still appear on the card with n_distinct_tokens=0, not
+        # vanish (one row per source is the contract). majority stays
+        # inner: lang_id emits 'unk' for every doc, so it covers all
+        # sources by construction.
+        gsum.join(vocab, "source", "left")
         .join(dups, "source", "left")
         .join(majority, "source")
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            "n_distinct_tokens",
+            F.coalesce(
+                F.col("n_distinct_tokens"), F.lit(0).cast("long")
+            ).alias("n_distinct_tokens"),
             F.coalesce(F.col("n_dup_docs"), F.lit(0).cast("long")).alias(
                 "n_dup_docs"
             ),

@@ -100,14 +100,21 @@ def list_epoch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
 
 
 def read_epoch_dirs_union(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    epochs: set[int] | None = None,
 ) -> DataFrame | None:
     """Per-epoch-dir union read with a pinned schema — the mixed-layout
-    path (see read_epoch_store). Returns None for an empty store.
+    path (see read_epoch_store), also reused by compaction's fold read.
+    Returns None for an empty store (or empty ``epochs`` subset).
     Each dir is read independently, so one dir's partition layout
     cannot conflict with another's; the ``epoch`` column is re-derived
-    from the dir name."""
+    from the dir name. ``epochs`` restricts to a subset of dirs AT
+    LISTING TIME (no lazily-built-then-filtered branches)."""
     dirs = list_epoch_dirs(spark, path)
+    if epochs is not None:
+        dirs = [(e, p) for e, p in dirs if e in epochs]
     cols = [f.name for f in schema.fields]
     parts = []
     for e, p in dirs:

@@ -199,22 +199,19 @@ def _compact_epoch_store(
             fs.delete(Path(f"{store_path}/epoch={e}"), True)
         return len(fold_epochs)
     if schema is not None:
-        # Pinned-schema per-dir union: a store mixing flat (legacy
+        # Pinned-schema per-dir union (the shared mixed-layout reader,
+        # _store.read_epoch_dirs_union): a store mixing flat (legacy
         # writer version) and partition-subdir epoch layouts defeats
         # the multi-path discovery read below with
         # CONFLICTING_PARTITION_COLUMN_NAMES; reading each dir
         # independently cannot conflict, and the pinned schema fills
         # layout columns a legacy dir lacks with NULL for the fold to
         # migrate (bm25's bucket recompute).
-        src = None
-        cols = [f.name for f in schema.fields]
-        for e in readable:
-            d = (
-                spark.read.schema(schema)
-                .parquet(f"{store_path}/epoch={e}")
-                .select(cols)
-            )
-            src = d if src is None else src.unionByName(d)
+        from ._store import read_epoch_dirs_union
+
+        src = read_epoch_dirs_union(
+            spark, store_path, schema, epochs=set(readable)
+        ).drop("epoch")
     else:
         src = spark.read.option("basePath", store_path).parquet(
             *[f"{store_path}/epoch={e}" for e in readable]

@@ -315,3 +315,37 @@ def test_weighted_sample_fractional_weights_reported_exactly(spark):
         key=lambda t: (-t[1], t[0]),
     )[:10]
     assert [(r.doc_id, r.key_q) for r in got] == want
+
+
+def test_dataset_report_keeps_tokenless_sources(spark, tmp_path):
+    """A source whose documents all have NULL text produces no vocab
+    rows (explode drops NULL arrays) — it must still appear on the
+    dataset card with n_distinct_tokens=0, not silently vanish."""
+    import duckdb
+    import os
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import TABLES
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare
+
+    tmp = str(tmp_path / "sf")
+    os.makedirs(tmp)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.execute("INSERT INTO d VALUES (0, 'the of and words here', 'en', 'srcA', 21)")
+    con.execute("INSERT INTO d VALUES (1, NULL, 'en', 'srcB', NULL)")
+    con.execute(f"COPY d TO '{tmp}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{tmp}/{t}.parquet")
+    n = compare(
+        spark, tmp, QUERIES["dataset_report"], ORACLES["dataset_report"],
+        "dataset_report[null-text]",
+    )
+    assert n == 2  # BOTH sources on the card
+    rows = {r.source: r for r in QUERIES["dataset_report"](spark, tmp).collect()}
+    assert rows["srcB"].n_distinct_tokens == 0

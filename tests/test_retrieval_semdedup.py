@@ -403,7 +403,7 @@ def test_phrase_indexed_path_identical_to_direct(spark, sf_dir):
         [(9, "a b c d")], "query_id long, phrase string"
     )
     with pytest.raises(ValueError, match="lengths"):
-        phrase_search_indexed(postings, four, k=10, lengths=(2, 3))
+        phrase_search_indexed(postings, four, k=10)
 
 
 def test_phrase_guards_are_loud(spark, sf_dir):
@@ -436,6 +436,49 @@ def test_phrase_guards_are_loud(spark, sf_dir):
     three = spark.createDataFrame(
         [(0, "hash join scan")], "query_id long, phrase string"
     )
-    # The caller CLAIMS the index covers 3-grams; the store says no.
+    # Derived from the STORE (no caller claim to mislead it): the
+    # 2-gram-only store cannot serve a 3-gram query.
     with pytest.raises(ValueError, match="not in the index"):
-        phrase_search_indexed(postings, three, lengths=(2, 3))
+        phrase_search_indexed(postings, three)
+    # And a WRONG stored_lengths claim passed as metadata is trusted
+    # as documented — but here the honest value also refuses:
+    with pytest.raises(ValueError, match="not in the index"):
+        phrase_search_indexed(postings, three, stored_lengths=(2,))
+
+
+def test_phrase_queries_are_canonicalized(spark, sf_dir):
+    """'Hash Join' and 'hash  join' (case / multi-space) must match the
+    same documents as the canonical 'hash join' — grams come from the
+    lowercased single-space tokenization, so an unnormalized query
+    previously matched NOTHING, silently. Whitespace-only phrases
+    raise (zero tokens — no gram length to probe)."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        phrase_build_index,
+        phrase_search_indexed,
+        phrase_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = spark.createDataFrame(
+        [(0, "hash join")], "query_id long, phrase string"
+    )
+    messy = spark.createDataFrame(
+        [(0, "  Hash  JOIN ")], "query_id long, phrase string"
+    )
+    want = sorted(map(tuple, phrase_topk(docs, canon, k=10).collect()))
+    assert want, "fixture phrase must hit something for this test to bite"
+    assert sorted(map(tuple, phrase_topk(docs, messy, k=10).collect())) == want
+    postings = phrase_build_index(docs, lengths=(2,))
+    got_idx = sorted(
+        map(tuple, phrase_search_indexed(postings, messy, k=10).collect())
+    )
+    assert got_idx == want
+
+    blank = spark.createDataFrame(
+        [(0, "hash join"), (1, "   ")], "query_id long, phrase string"
+    )
+    with pytest.raises(ValueError, match="empty/whitespace-only.*1"):
+        phrase_topk(docs, blank)
