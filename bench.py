@@ -196,6 +196,8 @@ HEADLINE = [
     "winnowing_matches",
     "curation_pipeline",
     "dataset_report",
+    "cdc_chunks",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -901,3 +901,76 @@ def exact_substring_spans(
         .filter(F.col("match_len") >= min_len)
         .select("id_a", "id_b", "a_start", "b_start", "match_len")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/rsync boundary rule over text):
+    split each document at positions where the rolling ``k``-gram hash
+    satisfies ``h % divisor == 0`` — boundaries are decided by CONTENT,
+    not offsets, so inserting or deleting a prefix shifts every byte
+    offset but leaves all downstream chunk boundaries (and therefore
+    chunk hashes) intact. That alignment robustness is what makes
+    chunk-hash equality a verbatim-reuse detector at chunk granularity
+    (mean chunk length ~``divisor`` chars) — the storage-dedup
+    complement to shingle similarity (MinHash: "how alike") and
+    winnowing (selected-site evidence): CDC answers "which exact spans
+    are shared, chunk-aligned, across the corpus" with ONE hash per
+    ~divisor chars instead of one per char.
+
+    Hash rule: a gram starting at ``i`` cuts AFTER its last char
+    (``i + k - 1``); the md5 first-6-hex-digit decode mod ``divisor``
+    is THE package hash spelling (functions/hashing.py), oracle-exact.
+    This is the pure content rule — no FastCDC min/max clamps, whose
+    skip-ahead is inherently sequential; degenerate chunk-length
+    distributions are a property of degenerate text (the quality
+    filters' job, upstream).
+
+    Plan shape (the winnowing lesson applied): ONE expression chain
+    whose lambdas reference only plain attributes (``text`` — cheap to
+    inline) and tiny per-element work, so the per-row cost is O(L)
+    md5s; map-only, pipelines with the scan. Documents shorter than
+    ``k`` chars are one whole-document chunk.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: (
+            F.conv(F.substring(F.md5(F.substr(t, i, F.lit(k))), 1, 6), 16, 10)
+            .cast("long")
+            % divisor
+            == 0
+        )
+        & (i + F.lit(k - 1) < n),  # a cut at the last char is a no-op
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda c: c + F.lit(k))
+    )
+    ends = F.concat(F.transform(cuts, lambda c: c + F.lit(k - 1)), F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start"),
+            (e - s + 1).alias("length"),
+            F.md5(F.substr(t, s, e - s + F.lit(1))).alias("chunk_hash"),
+        ),
+    )
+    ch = F.col("_ch")
+    return (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(chunks).alias("idx", "_ch"))
+        .select(
+            F.col(id_col),
+            (F.col("idx") + 1).cast("long").alias("chunk_idx"),
+            ch["start"].cast("long").alias("start"),
+            ch["length"].cast("long").alias("length"),
+            ch["chunk_hash"].alias("chunk_hash"),
+        )
+    )

@@ -52,6 +52,8 @@ _HEAD = [
     "winnowing_matches",         # NEW: MOSS pairwise match report over the winnowing index
     "curation_pipeline",         # NEW: capstone composing Gopher rules + winnowing near-dup
     "dataset_report",            # NEW: per-source dataset-card statistics
+    "cdc_chunks",                # NEW: content-defined chunk table (hash-mod boundaries)
+    "cdc_chunk_dedup",           # NEW: chunk-aligned verbatim-reuse report
     "phrase_search",             # rewritten onto the shared phrase_topk operator
     "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
     "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
@@ -95,10 +97,8 @@ _HEAD = [
     "ann_ivf_topk",
     "approx_quantile_envelope",
     "audio_features",
-    "audio_fingerprint_groups",
-    "bloom_decontamination",
 ]
-# 136 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 138 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -107,6 +107,8 @@ _TAIL = [
     "ann_ivf_pq_topk",
     "ann_pq_topk",
     "asof_last_click",
+    "audio_fingerprint_groups",
+    "bloom_decontamination",
     "bm25_incremental",
     "bm25_search",
     "bpe_corpus_compression",

@@ -471,3 +471,101 @@ def exact_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_spans(
         d, k=_SPAN_K, min_len=_SPAN_MIN_LEN, max_shingle_df=_SPAN_MAX_DF
     ).orderBy("id_a", "id_b", "a_start", "b_start")
+
+
+# --- Content-defined chunking (round 7) -------------------------------------
+
+from ..functions.hashing import sql_md5_mod as _sql_md5_mod  # noqa: E402
+
+# Shared CTE: per-doc content-defined chunk arrays (k=8, divisor=32 —
+# mean chunk ~32 chars). Mirrors operators/dedup.cdc_chunks exactly.
+_CDC_CH = f"""
+    c AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             list_filter(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> ({_sql_md5_mod("substr(text, i, 8)", 32)} = 0)
+                    AND (i + 7 < length(text))
+             ) AS cuts
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, text,
+             list_concat([CAST(1 AS BIGINT)],
+                         list_transform(cuts, c -> CAST(c + 8 AS BIGINT)))
+               AS starts,
+             list_concat(list_transform(cuts, c -> CAST(c + 7 AS BIGINT)),
+                         [n]) AS ends
+      FROM c
+    ),
+    chunk_rows AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             starts[i] AS start,
+             ends[i] - starts[i] + 1 AS length,
+             md5(substr(text, starts[i], ends[i] - starts[i] + 1))
+               AS chunk_hash
+      FROM (
+        SELECT doc_id, text, starts, ends,
+               unnest(generate_series(1, len(starts))) AS i
+        FROM ch
+      )
+    )
+"""
+
+
+@register(
+    "cdc_chunks",
+    oracle=f"""
+    WITH {_CDC_CH}
+    SELECT doc_id, chunk_idx, start, length, chunk_hash
+    FROM chunk_rows WHERE doc_id % 10 = 0
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk table (LBFS/rsync hash-mod boundary rule)
+    for a deterministic 10% doc slice — boundaries decided by content,
+    so chunk hashes survive prefix insertions that shift every byte
+    offset. The chunk-granularity complement to shingle similarity."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 10) == 0
+    )
+    return D.cdc_chunks(d).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH {_CDC_CH}
+    SELECT chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           MIN(length) AS length
+    FROM chunk_rows WHERE length >= 8
+    GROUP BY chunk_hash HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, chunk_hash LIMIT 100
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate chunks: content-defined chunks (>= one
+    gram long — sub-gram slivers carry no reuse signal) shared by >= 2
+    occurrences, the chunk-aligned verbatim-reuse report. Group key is
+    the 32-byte chunk hash, never the text: the shuffle ships digests,
+    and equal hashes imply equal length (same content), so MIN(length)
+    is exact, not a summary."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = D.cdc_chunks(d).filter(F.col("length") >= 8)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.min("length").alias("length"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(100)
+    )

@@ -50,6 +50,7 @@ TOP = [
     "winnowing_groups",
     "winnowing_matches",
     "winnowing_sites",
+    "cdc_chunk_dedup",
     "dsir_importance_weights",
     "gopher_quality_rules",
     "weighted_sample",

@@ -349,3 +349,73 @@ def test_dataset_report_keeps_tokenless_sources(spark, tmp_path):
     assert n == 2  # BOTH sources on the card
     rows = {r.source: r for r in QUERIES["dataset_report"](spark, tmp).collect()}
     assert rows["srcB"].n_distinct_tokens == 0
+
+
+# --- content-defined chunking ------------------------------------------------
+
+
+def _naive_cdc(text: str, k: int = 8, d: int = 32):
+    cuts = [
+        i
+        for i in range(1, max(len(text) - k + 1, 1) + 1)
+        if int(
+            hashlib.md5(text[i - 1 : i - 1 + k].encode()).hexdigest()[:6], 16
+        ) % d == 0
+        and i + k - 1 < len(text)
+    ]
+    starts = [1] + [c + k for c in cuts]
+    ends = [c + k - 1 for c in cuts] + [len(text)]
+    return [
+        (j + 1, s, e - s + 1,
+         hashlib.md5(text[s - 1 : e].encode()).hexdigest())
+        for j, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+def test_cdc_chunks_match_naive_and_tile_documents(spark):
+    import random
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(42)
+    docs = [
+        (i, " ".join("".join(rng.choice("abcdefgh") for _ in range(4))
+                     for _ in range(rng.randint(1, 60))))
+        for i in range(30)
+    ]
+    docs += [(90, ""), (91, "short"), (92, "exactly8")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start, r.length, r.chunk_hash)
+        )
+    for i, t in docs:
+        want = _naive_cdc(t)
+        assert sorted(got[i]) == want, (i, t, got[i], want)
+        # Chunks tile the document exactly: starts/lengths reconstruct it.
+        rebuilt = "".join(t[s - 1 : s - 1 + ln] for _, s, ln, _ in want)
+        assert rebuilt == t
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    """The point of content-defined boundaries: prepending text shifts
+    every offset but the chunk HASHES downstream of the first new
+    boundary are unchanged — fixed-size chunking would lose them all."""
+    import random
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(7)
+    body = " ".join("".join(rng.choice("abcdefgh") for _ in range(4))
+                    for _ in range(300))
+    df = spark.createDataFrame(
+        [(1, body), (2, "PREFIX INSERTED HERE " + body)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    shared = h1 & h2
+    # All but the first chunk (and the prefix chunk) should be shared.
+    assert len(shared) >= max(len(h1) - 2, 1), (len(h1), len(h2), len(shared))

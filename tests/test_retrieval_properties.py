@@ -148,6 +148,8 @@ CURATION_QUERIES_UNDER_TEST = (
     "winnowing_matches",
     "curation_pipeline",
     "dataset_report",
+    "cdc_chunks",
+    "cdc_chunk_dedup",
     "weighted_sample",
     "dsir_importance_weights",
 )
