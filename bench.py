@@ -198,6 +198,7 @@ HEADLINE = [
     "dataset_report",
     "cdc_chunks",
     "cdc_chunk_dedup",
+    "nb_quality_classifier",
 ]
 
 

@@ -573,3 +573,143 @@ def dsir_weights(
             "weight", F.col("weight_q").cast("double") / F.lit(float(DSIR_QUANT))
         )
     )
+
+
+def nb_train(
+    labeled: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a hashed-unigram Naive Bayes text classifier — the
+    exactly-reproducible stand-in for the fastText-style quality/domain
+    classifiers production pipelines train (CCNet-lineage): token
+    buckets are md5 hashes (model size fixed at ``n_buckets`` per
+    class, independent of vocabulary), per-(bucket, class) add-one
+    log-likelihoods and class log-priors are floor-quantized to integer
+    micro-nats, so training is exact counting + one quantization — any
+    engine, any partitioning, any rerun produces the identical model.
+
+    Returns ``(lam, priors)``: ``lam`` is the DENSE
+    (bucket, label, lam_q) table — every (bucket in 0..B-1) x (seen
+    label) pair, absent counts smoothed as zero — and ``priors`` is
+    (label, prior_q) from document counts. Dense matters: a test token
+    hashing to a bucket unseen in some class must contribute that
+    class's zero-count penalty, not silently drop from the sum.
+
+    Scale: one token scan aggregated map-side to <= B x |labels|
+    partials; the dense fill is a driver-free sequence explode over
+    the (tiny) label frame. Both outputs are broadcast-sized.
+    """
+    toks = labeled.select(
+        F.col(label_col).alias("label"), tokens_col(text_col).alias("_toks")
+    )
+    if toks.isEmpty():
+        # An empty training set would propagate ln(0/0) NaNs into every
+        # prediction — fail at train time with the actual problem named.
+        raise ValueError("nb_train: empty training set")
+    exploded = toks.select("label", F.explode("_toks").alias("_t"))
+    bucketed = exploded.select(
+        "label",
+        (F.conv(F.substring(F.md5(F.col("_t")), 1, 6), 16, 10).cast("long"))
+        % n_buckets,
+    ).toDF("label", "bkt")
+    counts = bucketed.groupBy("label", "bkt").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    class_tot = counts.groupBy("label").agg(F.sum("c").cast("long").alias("n_c"))
+    dense = (
+        class_tot.select(
+            "label",
+            "n_c",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1))
+            ).alias("bkt"),
+        )
+        .join(counts, ["label", "bkt"], "left")
+        .select(
+            "bkt",
+            "label",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("n_c") + F.lit(n_buckets)).cast("double")
+                )
+                * F.lit(float(DSIR_QUANT))
+            )
+            .cast("long")
+            .alias("lam_q"),
+        )
+    )
+    docs_per_class = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    priors = docs_per_class.crossJoin(
+        F.broadcast(
+            labeled.agg(F.count("*").cast("long").alias("n_total"))
+        )
+    ).select(
+        "label",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+            * F.lit(float(DSIR_QUANT))
+        )
+        .cast("long")
+        .alias("prior_q"),
+    )
+    return dense, priors
+
+
+def nb_predict(
+    df: DataFrame,
+    lam: DataFrame,
+    priors: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents under an :func:`nb_train` model and pick the
+    argmax class. Scores are integer sums of quantized log terms
+    (order-independent, engine-exact); ties break toward the GREATER
+    label under Spark struct ordering — deterministic and mirrored by
+    the oracle's window tie-break.
+
+    Scale: one token scan; the dense model (B x |labels| rows) and the
+    priors broadcast; the per-(doc, label) partial sums are the only
+    shuffle. Returns (id, *keep, label=winner, score_q).
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], tokens_col(text_col).alias("_toks")
+    )
+    bucketed = toks.select(
+        id_col,
+        *keep,
+        F.explode("_toks").alias("_t"),
+    ).select(
+        id_col,
+        *keep,
+        (F.conv(F.substring(F.md5(F.col("_t")), 1, 6), 16, 10).cast("long"))
+        % n_buckets,
+    ).toDF(id_col, *keep, "bkt")
+    scored = (
+        bucketed.join(F.broadcast(lam), "bkt")
+        .groupBy(id_col, *keep, "label")
+        .agg(F.sum("lam_q").cast("long").alias("_tok_q"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            id_col,
+            *keep,
+            "label",
+            (F.col("_tok_q") + F.col("prior_q")).cast("long").alias("score_q"),
+        )
+    )
+    best = scored.groupBy(id_col, *keep).agg(
+        F.max(F.struct(F.col("score_q"), F.col("label"))).alias("_w")
+    )
+    return best.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col("_w")["label"].alias("predicted"),
+        F.col("_w")["score_q"].alias("score_q"),
+    )

@@ -54,6 +54,7 @@ _HEAD = [
     "dataset_report",            # NEW: per-source dataset-card statistics
     "cdc_chunks",                # NEW: content-defined chunk table (hash-mod boundaries)
     "cdc_chunk_dedup",           # NEW: chunk-aligned verbatim-reuse report
+    "nb_quality_classifier",     # NEW: exact NB learned quality filter (train/test split)
     "phrase_search",             # rewritten onto the shared phrase_topk operator
     "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
     "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
@@ -96,9 +97,8 @@ _HEAD = [
     "ann_incremental",
     "ann_ivf_topk",
     "approx_quantile_envelope",
-    "audio_features",
 ]
-# 138 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 139 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -107,6 +107,7 @@ _TAIL = [
     "ann_ivf_pq_topk",
     "ann_pq_topk",
     "asof_last_click",
+    "audio_features",
     "audio_fingerprint_groups",
     "bloom_decontamination",
     "bm25_incremental",

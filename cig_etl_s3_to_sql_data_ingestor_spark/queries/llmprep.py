@@ -392,3 +392,99 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dsir_weights(
         d, F.col("source") == F.lit("src0"), n_buckets=1024, keep=("source",)
     ).orderBy("doc_id")
+
+
+# --- Naive Bayes quality classifier (round 7) --------------------------------
+
+def _nb_oracle() -> str:
+    from .text import _GOPHER_FEATURES, _GOPHER_PASS
+
+    return f"""
+    WITH {_GOPHER_FEATURES},
+    lab AS (SELECT doc_id, {_GOPHER_PASS} AS label FROM f),
+    split AS (
+      SELECT d.doc_id, d.text, lab.label,
+             ({sql_md5_mod("CAST(d.doc_id AS VARCHAR)", 5)} = 0) AS is_test
+      FROM documents d JOIN lab USING (doc_id)
+    ),
+    tok AS (
+      SELECT doc_id, label, is_test, unnest({_SQL_TOK}) AS t FROM split
+    ),
+    b AS (
+      SELECT doc_id, label, is_test, {sql_md5_mod("t", 1024)} AS bkt FROM tok
+    ),
+    counts AS (
+      SELECT label, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b WHERE NOT is_test GROUP BY label, bkt
+    ),
+    ctot AS (
+      SELECT label, CAST(SUM(c) AS BIGINT) AS n_c FROM counts GROUP BY label
+    ),
+    grid AS (SELECT unnest(generate_series(0, 1023)) AS bkt),
+    dense AS (
+      SELECT ct.label, grid.bkt,
+             CAST(FLOOR(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / CAST(ct.n_c + 1024 AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lam_q
+      FROM ctot ct CROSS JOIN grid
+      LEFT JOIN counts c ON c.label = ct.label AND c.bkt = grid.bkt
+    ),
+    prior AS (
+      SELECT n.label,
+             CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE)
+                           / CAST(t.n_total AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS prior_q
+      FROM (SELECT label, COUNT(*) AS n_docs FROM split
+            WHERE NOT is_test GROUP BY label) n,
+           (SELECT COUNT(*) AS n_total FROM split WHERE NOT is_test) t
+    ),
+    scores AS (
+      SELECT b.doc_id, d.label AS cls,
+             CAST(SUM(d.lam_q) AS BIGINT) + MIN(p.prior_q) AS score_q
+      FROM b JOIN dense d USING (bkt) JOIN prior p ON p.label = d.label
+      WHERE b.is_test GROUP BY b.doc_id, d.label
+    ),
+    pred AS (
+      SELECT doc_id, cls AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, cls DESC) AS rk
+      FROM scores
+    )
+    SELECT lab.label, pred.predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred JOIN lab USING (doc_id) WHERE rk = 1
+    GROUP BY lab.label, pred.predicted
+    ORDER BY label, predicted
+    """
+
+
+@register("nb_quality_classifier", oracle=_nb_oracle())
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, exactly reproducible: train a
+    hashed-unigram Naive Bayes classifier on an 80% md5 split with
+    Gopher-rule pass/fail as labels, evaluate on the held-out 20%, and
+    report the confusion matrix — the CCNet-style 'train a cheap text
+    classifier to generalize a rule filter' stage, with exact counting
+    + micro-nat quantization in place of SGD so both engines produce
+    the identical model and identical predictions. Tie rule: greater
+    label wins (Spark struct max == the oracle's score DESC, label
+    DESC window)."""
+    from ..operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = gopher_rules(d).select(
+        "doc_id", F.col("passes_gopher").alias("label")
+    )
+    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    is_test = _bucket_col(5) == 0
+    train = labeled.filter(~is_test).select("label", "text")
+    lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
+    test = labeled.filter(is_test)
+    pred = P.nb_predict(
+        test.select("doc_id", "text"), lam, priors, n_buckets=1024
+    )
+    return (
+        pred.join(labels, "doc_id")
+        .groupBy("label", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label", "predicted")
+    )

@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "bpe_merge_steps",        # 1-row argmax per unrolled step
     "bpe_corpus_compression",
     "dsir_importance_weights",  # 1-row corpus token totals (N_T, N_S)
+    "nb_quality_classifier",  # 1-row train-doc total for the priors
     "ann_incremental",
     "embedding_clusters",
     "ann_ivf_topk",

@@ -419,3 +419,43 @@ def test_cdc_boundaries_survive_prefix_insertion(spark):
     shared = h1 & h2
     # All but the first chunk (and the prefix chunk) should be shared.
     assert len(shared) >= max(len(h1) - 2, 1), (len(h1), len(h2), len(shared))
+
+
+# --- Naive Bayes classifier ---------------------------------------------------
+
+
+def test_nb_classifier_learns_separable_tokens(spark):
+    """Behavioral: train on docs whose class is determined by
+    distinctive vocabulary; held-out docs with the same vocabulary
+    classify correctly (exact counting, no SGD, so this is
+    deterministic, not flaky)."""
+    import random
+
+    rng = random.Random(11)
+    pos_vocab = ["alpha", "bravo", "charlie"]
+    neg_vocab = ["xray", "yankee", "zulu"]
+    rows = []
+    for i in range(200):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        rows.append(
+            (i, i % 2 == 0,
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, label boolean, text string")
+    train = df.filter(F.col("doc_id") < 160).select("label", "text")
+    test = df.filter(F.col("doc_id") >= 160)
+    lam, priors = P.nb_train(train, n_buckets=256)
+    pred = P.nb_predict(
+        test.select("doc_id", "text"), lam, priors, n_buckets=256
+    )
+    got = {r.doc_id: r.predicted for r in pred.collect()}
+    assert len(got) == 40
+    assert all(got[i] == (i % 2 == 0) for i in got), got
+
+
+def test_nb_train_empty_is_loud(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "label boolean, text string")
+    with pytest.raises(ValueError, match="empty training set"):
+        P.nb_train(empty)
