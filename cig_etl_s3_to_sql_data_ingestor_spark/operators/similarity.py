@@ -1067,10 +1067,14 @@ def pq_search_packed(
     (same fold + (sim DESC, cell_id DESC) tie-break as ``ivf_assign``)
     and each query's scan is restricted to its ``n_probe`` cells;
     ``packed_codes`` must then carry a ``cell_id`` column (pack with the
-    cell assignment joined on). Intended for bounded probe batches —
-    expression size grows with #queries x n_sub x n_codes; large
-    offline query sets should use the join path, which scales with
-    partitions instead of expression size.
+    cell assignment joined on). The interactive-batch boundary is
+    ENFORCED, not advisory: expression size grows with
+    #queries x n_sub x n_codes, so batches past the 131072
+    total-LUT-entries budget (512 queries on the default 16x16 book)
+    raise a ValueError naming the join path — bulk offline sweeps must
+    use ``pq_topk``/``ivf_pq_topk`` with prebuilt codebooks+codes,
+    which scale with partitions instead of plan size (pinned by
+    tests/test_ann_recall.py's LUT-budget regression).
 
     ``queries``, ``codebooks``, and ``centroids`` each accept either a
     DataFrame (collected here — one tiny job each) or pre-collected

@@ -875,6 +875,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    max_text_chars: int | None = 8192,
 ) -> DataFrame:
     """MOSS winnowing (Schleimer, Wilkerson & Aiken 2003): per document,
     hash every ``k``-char shingle, slide a ``window``-wide window over
@@ -925,10 +926,40 @@ def winnowing_fingerprints(
     step — O(sites · L) within a row — so winnow CHUNKS, not
     multi-megabyte monoliths (chunk_documents upstream), which a
     fingerprinting pass wants anyway for locality of match evidence.
+
+    That chunked-input mandate is ENFORCED: a document longer than
+    ``max_text_chars`` raises at execution time (per-row
+    ``raise_error``, no extra pass) instead of silently burning
+    minutes of per-row fold — measured on this box: one 4k-char doc
+    ~2 s, 10k ~6 s, 20k ~23 s (the quadratic the docstring predicts).
+    The 8192 default caps the worst single row at a few seconds;
+    callers who have pre-sized their rows can raise it explicitly or
+    pass ``None`` to disable.
     """
     if window < 2:
         raise ValueError("winnowing window must be >= 2")
-    lower = F.lower(F.col(text_col))
+    raw = F.col(text_col)
+    if max_text_chars is not None:
+        # Guarded per row inside the plan: length() is O(1) against the
+        # O(L) md5 fold it protects, and the error names the offending
+        # document and the fix.
+        raw = F.when(F.length(raw) <= F.lit(max_text_chars), raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("winnowing_fingerprints: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has "),
+                    F.length(F.col(text_col)).cast("string"),
+                    F.lit(
+                        f" chars > max_text_chars={max_text_chars}; the "
+                        "winnowing fold is O(sites*L) per row — chunk "
+                        "long documents first (corpus_prep."
+                        "chunk_documents) or raise max_text_chars"
+                    ),
+                )
+            )
+        )
+    lower = F.lower(raw)
     n_sh = F.greatest(F.length(lower) - (k - 1), F.lit(1))
     pairs = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -991,6 +1022,7 @@ def winnowing_matches(
     k: int = 5,
     window: int = 4,
     max_group: int = 20,
+    max_text_chars: int | None = 8192,
 ) -> DataFrame:
     """MOSS match detection over :func:`winnowing_fingerprints`: for
     every document pair sharing selected fingerprints, the count of
@@ -1016,7 +1048,12 @@ def winnowing_matches(
     from .dedup import _persist
 
     sites = winnowing_fingerprints(
-        df, id_col=id_col, text_col=text_col, k=k, window=window
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        window=window,
+        max_text_chars=max_text_chars,
     )
     # Persisted: three consumers (the keep-filter aggregate and BOTH
     # sides of the pair self-join) share this frame, and its lineage is
