@@ -199,6 +199,15 @@ HEADLINE = [
     "cdc_chunks",
     "cdc_chunk_dedup",
     "nb_quality_classifier",
+    # round 8: learned curation capstone (Gopher rules -> NB classifier
+    # -> winnowing near-dup, first-fail reasons), the deterministic
+    # training-shard/pack-bin plan, and the bench-only composed
+    # TERMINAL pipeline: prepare_corpus -> shard assignment ->
+    # exactly-once manifest-committed sharded write (fresh table per
+    # run — resume would make repeat runs no-ops).
+    "curation_pipeline_learned",
+    "training_shard_plan",
+    "corpus_shards_write",
 ]
 
 
@@ -280,12 +289,45 @@ def _knn_label_eval_ann_bench(spark, sf_dir):
     )
 
 
+def _corpus_shards_write_bench(spark, sf_dir):
+    """The composed terminal pipeline, timed END-TO-END including the
+    actual sharded parquet publish (the only bench entry that writes —
+    a training-data pipeline's deliverable IS the written shards):
+    prepare_corpus (exact+near dedup, quality floor, chunking) → shard
+    + pack-bin assignment → wave-committed manifest publish + verify.
+    Fresh table path per run: the writer's resume protocol would turn
+    repeat runs into no-ops against a reused table."""
+    import shutil
+    import tempfile
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import unpersist_all
+    from cig_etl_s3_to_sql_data_ingestor_spark.plans.corpus_pipeline import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bench-shards-")
+    try:
+        out = write_training_shards(
+            docs, f"{tmp}/table", n_shards=16, shards_per_commit=8
+        )
+    finally:
+        unpersist_all()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(out["written_shards"], out["rows"])],
+        "written_shards int, rows long",
+    )
+
+
 # name -> callable overriding (or, for bench-only entries like
 # embedding_neardup_cells, supplying) the timed body.
 BENCH_OVERRIDES = {
     "profile_table": _profile_default_mode,
     "embedding_neardup_cells": _neardup_cells_bench,
     "knn_label_eval_ann": _knn_label_eval_ann_bench,
+    "corpus_shards_write": _corpus_shards_write_bench,
 }
 
 

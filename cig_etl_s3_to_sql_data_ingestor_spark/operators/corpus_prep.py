@@ -162,6 +162,56 @@ def pack_sequences(
     )
 
 
+def shard_pack_assignments(
+    chunks: DataFrame,
+    n_shards: int = 16,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "n_chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Deterministic training-shard + pack-bin assignment for chunk rows
+    — the metadata a batch assembler consumes and the unit the terminal
+    shard writer (plans.corpus_pipeline.write_training_shards) commits.
+
+    ``shard_id`` is the md5 hash bucket of ``id_col`` (every chunk of a
+    document co-shards — sequence packing must never straddle a shard
+    boundary mid-document), and ``bin_id`` is contiguous-fill packing
+    WITHIN the shard: ``floor(prior_shard_tokens / budget)`` over the
+    deterministic ``order_cols`` order — :func:`pack_sequences`' rule
+    with the shard as the group. Assignment depends only on values,
+    never on partitioning, engine, or rerun — which is what makes an
+    exactly-once, resumable shard write possible at all (a re-run must
+    regenerate byte-identical shard membership to skip committed
+    shards).
+
+    Scale: one window partitioned by ``shard_id`` — the serial
+    dependency packing inherently has, confined to 1/n_shards of the
+    corpus per task; no global window, no shuffle beyond the shard
+    hash partitioning the write wants anyway.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    w = (
+        W.partitionBy("shard_id")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn("shard_id", shard)
+        .withColumn(
+            "bin_id",
+            F.floor(
+                F.coalesce(F.sum(tokens_col_name).over(w), F.lit(0))
+                / F.lit(budget)
+            ).cast("long"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata: list[str],

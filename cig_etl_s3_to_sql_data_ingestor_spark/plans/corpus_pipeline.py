@@ -186,3 +186,117 @@ def prepare_corpus(
     if with_stats:
         stats["chunks"] = chunks.count()
     return chunks, stats
+
+
+def write_training_shards(
+    docs: DataFrame,
+    table_path: str,
+    benchmark: DataFrame | None = None,
+    cfg: CorpusPrepConfig = CorpusPrepConfig(),
+    n_shards: int = 16,
+    bin_budget: int = 256,
+    shards_per_commit: int = 4,
+    verify: bool = True,
+) -> dict[str, int]:
+    """The terminal stage every training-data team actually ships:
+    dedup → filter → chunk (:func:`prepare_corpus`) → deterministic
+    shard + pack-bin assignment (corpus_prep.shard_pack_assignments) →
+    EXACTLY-ONCE sharded publish through the manifest sink.
+
+    Commit protocol (all machinery from sources.manifest_sink — data
+    dirs are write-once, readers see only manifest-listed batches):
+
+    - shards are written in WAVES of ``shards_per_commit`` disjoint
+      shard ids; each wave is one ``write_snapshot(mode="append")`` —
+      data files land first, the (tiny) manifest commit makes them
+      visible atomically;
+    - a crash between waves loses nothing: committed waves are visible,
+      the in-flight wave's data dir has no manifest entry (invisible;
+      ``vacuum`` reclaims it), and a re-run RESUMES — it recomputes the
+      deterministic assignment, reads the snapshot's already-committed
+      shard ids (one column-pruned scan of the shard_id column), and
+      writes only the missing shards;
+    - a re-run after full completion is a no-op (zero missing shards) —
+      idempotent end-to-end, because shard membership is a pure
+      function of document content/ids (md5 buckets + prefix sums, no
+      RNG, no partitioning dependence).
+
+    Single-writer assumption (same as any batch publisher): two
+    concurrent runs against one table can both commit a shard. The
+    ``verify`` pass catches that loudly — it compares per-shard row
+    counts in the final snapshot against the computed assignment and
+    raises on any duplicate or missing shard (one aggregate per side).
+
+    Returns ``{"written_shards": w, "skipped_shards": s, "rows": n}``.
+
+    Scale: the expensive lineage (prepare_corpus) is localCheckpointed
+    once and reused by every wave — without it each wave would re-run
+    dedup's LSH joins; the checkpoint also freezes the assignment
+    against any non-determinism upstream. Each wave repartitions by
+    shard_id so one shard's rows land contiguously (one output
+    partition per shard), which is the layout a training loader reads.
+    """
+    from ..sources import manifest_sink as ms
+
+    spark = docs.sparkSession
+    chunks, _ = prepare_corpus(docs, benchmark, cfg)
+    assigned = cp.shard_pack_assignments(
+        chunks, n_shards=n_shards, budget=bin_budget, id_col=cfg.id_col
+    )
+    # Materialize the assignment ONCE: every wave filters this frame,
+    # and the verify pass aggregates it. localCheckpoint truncates the
+    # prepare_corpus lineage (LSH joins, quality scans) so wave k does
+    # not re-run the whole pipeline k times.
+    assigned = assigned.localCheckpoint(eager=True)
+    try:
+        committed: set[int] = set()
+        if ms.current_version(spark, table_path) > 0:
+            committed = {
+                r[0]
+                for r in ms.read_snapshot(spark, table_path)
+                .select("shard_id")
+                .distinct()
+                .collect()
+            }
+        # Only shards that actually carry rows: an EMPTY shard id has
+        # nothing to commit, and treating it as forever-missing would
+        # append a junk batch dir on every re-run.
+        present = sorted(
+            r[0] for r in assigned.select("shard_id").distinct().collect()
+        )
+        missing = [s for s in present if s not in committed]
+        for i in range(0, len(missing), shards_per_commit):
+            wave = missing[i : i + shards_per_commit]
+            part = assigned.filter(F.col("shard_id").isin(wave)).repartition(
+                len(wave), "shard_id"
+            )
+            ms.write_snapshot(part, table_path, mode="append")
+        if verify:
+            snap_counts = {
+                (r[0], r[1])
+                for r in ms.read_snapshot(spark, table_path)
+                .groupBy("shard_id")
+                .count()
+                .collect()
+            }
+            want_counts = {
+                (r[0], r[1])
+                for r in assigned.groupBy("shard_id").count().collect()
+            }
+            if snap_counts != want_counts:
+                raise RuntimeError(
+                    "training-shard verify failed: snapshot per-shard "
+                    f"counts {sorted(snap_counts)} != computed "
+                    f"{sorted(want_counts)} — duplicate or missing "
+                    "shards (concurrent writer?); vacuum + rewrite"
+                )
+        n_rows = assigned.count()
+        return {
+            "written_shards": len(missing),
+            "skipped_shards": len(committed),
+            "rows": n_rows,
+        }
+    finally:
+        # Release the checkpointed blocks; the published table is the
+        # durable artifact.
+        assigned.unpersist()

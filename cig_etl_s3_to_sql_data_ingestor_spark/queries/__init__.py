@@ -34,162 +34,162 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 7 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the eight NEW queries (two
-    # index-composed retrieval, six curation: Gopher rules, MOSS
-    # winnowing ×3, E–S weighted sample, DSIR weights) + every query
-    # a round-7 change could touch, (2) the 30 queries whose newest
-    # driver row is round 4 (the round-6 verdict's #1 task),
-    # (3) oldest r5-green re-scores to fill the window.
-    # -- (1) new/touched this round:
-    "ann_mmr_pq",                # NEW: MMR over the PQ index shortlist (r6 verdict #4)
-    "phrase_search_indexed",     # NEW: phrase search over the k-gram posting store (r6 verdict #5)
-    "gopher_quality_rules",      # NEW: Gopher rule-filter audit table (Rae et al. 2021)
-    "winnowing_sites",           # NEW: MOSS winnowing selected sites (rightmost-min rule)
-    "winnowing_groups",          # NEW: cross-doc winnowing fingerprint groups
-    "weighted_sample",           # NEW: Efraimidis–Spirakis weighted sample, RNG-free
-    "dsir_importance_weights",   # NEW: DSIR hashed-unigram importance weights
-    "winnowing_matches",         # NEW: MOSS pairwise match report over the winnowing index
-    "curation_pipeline",         # NEW: capstone composing Gopher rules + winnowing near-dup
-    "dataset_report",            # NEW: per-source dataset-card statistics
-    "cdc_chunks",                # NEW: content-defined chunk table (hash-mod boundaries)
-    "cdc_chunk_dedup",           # NEW: chunk-aligned verbatim-reuse report
-    "nb_quality_classifier",     # NEW: exact NB learned quality filter (train/test split)
-    "phrase_search",             # rewritten onto the shared phrase_topk operator
-    "ann_mmr_topk",              # mmr_rerank gained the pluggable shortlist_df
-    "cross_source_overlap",      # cap-watcher fix (ADVICE r6)
-    "semdedup_keep",             # semdedup_decisions gained the n_cells=None auto-dial
-    # -- (2) r4-evidence backlog (two rounds stale):
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "approx_distinct_stats",
-    "boilerplate_prefix_groups",
-    "char_lm_surprisal",
-    "cheapest_supplier_per_part",
-    "chunk_documents",
-    "config_enrich_join",
-    "customer_order_distribution",
-    "doc_fingerprint",
-    "embedding_neardup",
-    "embedding_norms",
-    "fulfillment_lag_quantiles",
-    "lang_id",
-    "lang_id_confusion",
-    "market_share_by_year",
-    "nation_quarterly_growth",
-    "ngram_diversity",
-    "order_cube",
-    "pack_sequences",
-    "partition_prune_counts",
-    "pii_redaction",
-    "profile_table",
-    "quarterly_top_supplier",
-    "source_quality_funnel",
-    "stratified_sample",
-    "interleave_sources",
-    "text_normalize_stats",
-    "tfidf_top_terms",
-    "vocab_stats",
-    # -- (3) oldest r5-green fills (six displaced to the tail by the
-    # six NEW round-7 curation queries above — never-scored outranks
-    # re-score; the displaced six were scored green in r5 and stay
-    # ≤2 rounds stale through r7):
-    "ann_incremental",
-    "ann_ivf_topk",
-    "approx_quantile_envelope",
-]
-# 139 queries, 50 scored slots; tests/test_sql_surface.py asserts the
-# unscored set is EXACTLY the declared tail, so any change to what goes
-# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
-# is scored); kept sorted for diff stability.
-_TAIL = [
-    "above_brand_average",
-    "ann_ivf_pq_topk",
-    "ann_pq_topk",
-    "asof_last_click",
+    # ---- round 8 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py): (1) the two NEW round-8 queries
+    # (learned curation pipeline, training-shard plan), (2) every
+    # query a round-8 change could touch (the winnowing family gained
+    # the enforced max_text_chars input bound; curation_pipeline sits
+    # on winnowing_matches; nb_quality_classifier's oracle was
+    # refactored onto the shared _nb_core CTE), (3) the 43 queries
+    # whose newest driver row is round 5 (the r7 verdict's #1 task:
+    # oldest evidence first — includes the multimodal six, the BPE and
+    # sketch pairs, the event-analytics trio, pagerank, the dedup
+    # pair, knn_label_eval, the CDC pair, and the core-surface rows).
+    "curation_pipeline_learned",
+    "training_shard_plan",
+    "winnowing_sites",
+    "winnowing_groups",
+    "winnowing_matches",
+    "curation_pipeline",
+    "nb_quality_classifier",
     "audio_features",
     "audio_fingerprint_groups",
     "bloom_decontamination",
-    "bm25_incremental",
-    "bm25_search",
     "bpe_corpus_compression",
     "bpe_merge_steps",
-    "brand_supplier_counts",
     "budget_select",
     "cdc_snapshot",
     "char_entropy",
     "cms_word_frequency",
     "cohort_retention",
-    "collocation_pmi",
-    "contamination_check",
     "conversion_funnel",
     "curation_decisions",
     "customer_activity_setops",
-    "daily_event_pivot",
-    "dedup_canonical",
-    "dedup_clusters",
     "dedup_exact",
-    "dedup_incremental",
     "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "deterministic_split",
     "discount_band_revenue",
-    "disjunctive_revenue",
-    "distinct_keys",
-    "dominant_part_suppliers",
     "embedding_clusters",
     "env_derivation",
     "event_transition_matrix",
-    "events_in_windows",
     "exact_substring_overlap",
-    "fuzzy_name_pairs",
     "heavy_hitter_keys",
-    "idle_customers",
     "image_ahash_groups",
     "incremental_agg_merge",
-    "integrity_audit",
     "json_props_stats",
     "knn_label_eval",
-    "large_volume_orders",
-    "latest_per_group",
-    "length_histogram",
-    "marker_antijoin",
-    "median_order_value",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_meta",
     "multimodal_resize",
-    "nation_trade_volume",
-    "order_priority_count",
-    "order_rollup",
     "ordered_projection",
     "part_copurchase_pagerank",
-    "price_deciles",
     "price_quantity_stats",
-    "pricing_summary",
     "priority_sample",
-    "promo_revenue_share",
-    "quality_score",
-    "region_nation_revenue",
     "repetition_stats",
-    "rolling_daily_revenue",
-    "scd2_user_state",
-    "sentinel_cleaning",
     "sessionize",
-    "shipping_priority",
     "small_quantity_revenue",
-    "sole_return_supplier",
     "source_mixture_plan",
     "source_token_divergence",
-    "staleness_tiered",
     "timestamp_truncation",
-    "token_count",
-    "top_returned_customers",
     "topk_per_group",
     "verification_query",
     "weekday_event_chi2",
+]
+# 141 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
+# is scored); kept sorted for diff stability.
+_TAIL = [
+    "above_brand_average",
+    "ann_cosine_topk",
+    "ann_incremental",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_mmr_pq",
+    "ann_mmr_topk",
+    "ann_pq_topk",
+    "approx_distinct_stats",
+    "approx_quantile_envelope",
+    "asof_last_click",
+    "bm25_incremental",
+    "bm25_search",
+    "boilerplate_prefix_groups",
+    "brand_supplier_counts",
+    "cdc_chunk_dedup",
+    "cdc_chunks",
+    "char_lm_surprisal",
+    "cheapest_supplier_per_part",
+    "chunk_documents",
+    "collocation_pmi",
+    "config_enrich_join",
+    "contamination_check",
+    "cross_source_overlap",
+    "customer_order_distribution",
+    "daily_event_pivot",
+    "dataset_report",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "disjunctive_revenue",
+    "distinct_keys",
+    "doc_fingerprint",
+    "dominant_part_suppliers",
+    "dsir_importance_weights",
+    "embedding_neardup",
+    "embedding_norms",
+    "events_in_windows",
+    "fulfillment_lag_quantiles",
+    "fuzzy_name_pairs",
+    "gopher_quality_rules",
+    "idle_customers",
+    "integrity_audit",
+    "interleave_sources",
+    "lang_id",
+    "lang_id_confusion",
+    "large_volume_orders",
+    "latest_per_group",
+    "length_histogram",
+    "marker_antijoin",
+    "market_share_by_year",
+    "median_order_value",
+    "nation_quarterly_growth",
+    "nation_trade_volume",
+    "ngram_diversity",
+    "order_cube",
+    "order_priority_count",
+    "order_rollup",
+    "pack_sequences",
+    "partition_prune_counts",
+    "phrase_search",
+    "phrase_search_indexed",
+    "pii_redaction",
+    "price_deciles",
+    "pricing_summary",
+    "profile_table",
+    "promo_revenue_share",
+    "quality_score",
+    "quarterly_top_supplier",
+    "region_nation_revenue",
+    "rolling_daily_revenue",
+    "scd2_user_state",
+    "semdedup_keep",
+    "sentinel_cleaning",
+    "shipping_priority",
+    "sole_return_supplier",
+    "source_quality_funnel",
+    "staleness_tiered",
+    "stratified_sample",
+    "text_normalize_stats",
+    "tfidf_top_terms",
+    "token_count",
+    "top_returned_customers",
+    "vocab_stats",
     "weekly_range_revenue",
+    "weighted_sample",
     "windowed_events",
     "worklist_semi_join",
 ]

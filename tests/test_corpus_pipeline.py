@@ -127,3 +127,124 @@ def test_pipeline_token_budget_caps_survivors(spark, sf_dir):
     unpersist_all()
     assert 0 < n_capped < n_uncapped
     assert stats["after_budget"] == n_capped
+
+
+# --- terminal shard writer (round 8) ----------------------------------------
+
+
+def _shard_rows(spark, table):
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources import manifest_sink as ms
+
+    return {
+        tuple(r)
+        for r in ms.read_snapshot(spark, table)
+        .select("shard_id", "doc_id", "chunk_idx", "chunk_hash", "bin_id")
+        .collect()
+    }
+
+
+def test_write_training_shards_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
+    """The composed terminal stage: dedup→filter→chunk→shard→publish.
+    A completed table matches the deterministic assignment exactly; a
+    re-run is a no-op (zero written shards, version unchanged)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import corpus_prep as cp
+    from cig_etl_s3_to_sql_data_ingestor_spark.plans.corpus_pipeline import (
+        write_training_shards,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources import manifest_sink as ms
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = str(tmp_path / "shards")
+    try:
+        out = write_training_shards(docs, table, n_shards=8, shards_per_commit=3)
+        assert out["skipped_shards"] == 0
+        assert out["written_shards"] > 0
+        assert out["rows"] > 0
+
+        # The published rows ARE the deterministic assignment.
+        chunks, _ = prepare_corpus(docs)
+        want = {
+            tuple(r)
+            for r in cp.shard_pack_assignments(chunks, n_shards=8)
+            .select("shard_id", "doc_id", "chunk_idx", "chunk_hash", "bin_id")
+            .collect()
+        }
+        assert _shard_rows(spark, table) == want
+        # No duplicate chunk rows anywhere in the snapshot.
+        snap = ms.read_snapshot(spark, table)
+        assert snap.count() == snap.select("doc_id", "chunk_idx").distinct().count()
+
+        v1 = ms.current_version(spark, table)
+        again = write_training_shards(docs, table, n_shards=8, shards_per_commit=3)
+        assert again["written_shards"] == 0
+        assert again["skipped_shards"] == out["written_shards"]
+        assert ms.current_version(spark, table) == v1  # no empty commits
+        assert _shard_rows(spark, table) == want
+    finally:
+        unpersist_all()
+
+
+def test_write_training_shards_crash_between_waves_resumes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash drill at BOTH windows of the wave protocol: (a) between
+    waves (first wave committed, second never started) and (b) inside a
+    wave after its data landed but before its manifest commit (the
+    orphan-batch window). Resume must produce a complete table with no
+    duplicate or missing shards, and vacuum reclaims the orphan."""
+    import uuid
+
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.plans import corpus_pipeline as cpl
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources import manifest_sink as ms
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = str(tmp_path / "shards")
+    real_write = ms.write_snapshot
+    calls = {"n": 0}
+
+    def crashy(df, table_path, mode="append", **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # (b) the orphan window: data lands, manifest commit never
+            # happens (exactly what a driver death there leaves behind).
+            df.write.parquet(f"{table_path}/data/batch-{uuid.uuid4().hex}")
+            raise RuntimeError("injected crash before manifest commit")
+        return real_write(df, table_path, mode=mode, **kw)
+
+    monkeypatch.setattr(ms, "write_snapshot", crashy)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            cpl.write_training_shards(docs, table, n_shards=8, shards_per_commit=3)
+        monkeypatch.setattr(ms, "write_snapshot", real_write)
+
+        # Partial state: wave 1 visible, orphan invisible to readers.
+        partial = {
+            r[0]
+            for r in ms.read_snapshot(spark, table)
+            .select("shard_id")
+            .distinct()
+            .collect()
+        }
+        assert 0 < len(partial) <= 3
+
+        out = cpl.write_training_shards(docs, table, n_shards=8, shards_per_commit=3)
+        assert out["skipped_shards"] == len(partial)
+
+        # Complete, no duplicates (write_training_shards' verify pass
+        # already raised if not; assert independently anyway).
+        snap = ms.read_snapshot(spark, table)
+        assert snap.count() == snap.select("doc_id", "chunk_idx").distinct().count()
+        from cig_etl_s3_to_sql_data_ingestor_spark.operators import corpus_prep as cp
+
+        chunks, _ = prepare_corpus(docs)
+        assert snap.count() == cp.shard_pack_assignments(chunks, n_shards=8).count()
+
+        # The crashed wave's data dir is an orphan: reclaimed by vacuum,
+        # and the snapshot survives it intact.
+        n_before = snap.count()
+        assert ms.vacuum(spark, table, retention_seconds=0.0) >= 1
+        assert ms.read_snapshot(spark, table).count() == n_before
+    finally:
+        unpersist_all()

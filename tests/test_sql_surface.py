@@ -53,7 +53,7 @@ def test_registry_rotation_invariants():
     head, and the unscored set EXACTLY the declared tail — any edit that
     silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 139
+    assert len(names) == len(set(names)) == 141
     # Round 4: every query carries a DuckDB oracle (the HLL sketch query
     # now emits an exact anchor + deterministic envelope boolean).
     assert set(ORACLES) == set(QUERIES)
@@ -92,6 +92,7 @@ def test_every_registered_query_is_benched():
         "bm25_search_indexed",
         "ann_mmr_pq_search",
         "phrase_search_from_index",
+        "corpus_shards_write",
     }, extras
     # Bench-only entries must have a timed body (prepare or override).
     for name in extras:
