@@ -31,6 +31,20 @@ overwrites historical ``epoch=N`` dirs — wipe or archive all three
 together. Stores written by a pre-digest version of this module (raw
 shingles) are incompatible with the digest comparison and must be
 rebuilt.
+
+Optional CDC chunk gate (``cdc_store_path``): content-defined chunk
+digests (operators.dedup.cdc_chunks — LBFS/rsync hash-mod boundaries)
+of every ADMITTED doc persist alongside the signatures, and a batch doc
+sharing >= ``cdc_min_chunks`` distinct chunk hashes with the store is
+rejected as ``chunk_dup`` even when the whole-document gates miss it.
+This is the chunk-aligned verbatim-reuse modality: a re-delivered
+document with a large prepended banner drops its shingle Jaccard below
+the LSH threshold and changes its content digest, but CDC boundaries
+are decided by content, so every chunk after the insertion point keeps
+its hash — exactly the robustness the batch ``cdc_chunks`` operator is
+test-pinned for, now enforced at ingest. The CDC store follows the same
+epoch protocol (idempotent overwrite, current-epoch exclusion) and is
+one unit with the others.
 """
 
 from __future__ import annotations
@@ -92,9 +106,33 @@ def read_signature_store(
         raise
 
 
+_CDC_SCHEMA = T.StructType([T.StructField("chunk_hash", T.StringType())])
+
+
+def read_cdc_store(
+    spark: SparkSession, path: str, exclude_epoch: int | None = None
+) -> DataFrame:
+    """The accumulated chunk-hash store (one ``chunk_hash`` column, 32
+    hex chars per row — text-free like the signature store), or an empty
+    frame when it does not exist yet; same missing-path-only fallback
+    and current-epoch exclusion contract as :func:`read_signature_store`."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(_CDC_SCHEMA).parquet(path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select("chunk_hash")
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return spark.createDataFrame([], _CDC_SCHEMA)
+        raise
+
+
 @dataclass
 class DedupIngest:
-    """availableNow-drained streaming ingest with an LSH dedup gate."""
+    """availableNow-drained streaming ingest with an LSH dedup gate and
+    an optional CDC chunk-reuse gate (``cdc_store_path``)."""
 
     spark: SparkSession
     store_path: str
@@ -106,6 +144,15 @@ class DedupIngest:
     band_size: int = 2
     threshold: float = 0.4
     shingle_n: int = 3
+    # CDC chunk gate: None disables (the pre-round-8 behavior). A doc
+    # sharing >= cdc_min_chunks DISTINCT chunk hashes with the store is
+    # chunk_dup. min_chunks=3 at the divisor-32 default means ~96+
+    # verbatim chars chunk-aligned shared — deliberate reuse, not a
+    # common phrase.
+    cdc_store_path: str | None = None
+    cdc_k: int = 8
+    cdc_divisor: int = 32
+    cdc_min_chunks: int = 3
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -131,12 +178,51 @@ class DedupIngest:
             corpus_hashes=store.select("content_hash"),
             corpus_shingles_hashed=True,
         )
+        if self.cdc_store_path is not None:
+            # Chunk gate, applied AFTER the whole-doc gates (precedence:
+            # exact > near-corpus > near-batch > chunk_dup — a doc the
+            # cheaper gates already killed keeps its verdict). Join
+            # shape: the batch's chunk hashes against the store on
+            # chunk_hash — the batch side is micro-batch-bounded, so the
+            # matched rows (not the store) size the shuffle; at real
+            # scale bucket the store by chunk_hash like the BM25 term
+            # store.
+            cdc_store = read_cdc_store(
+                self.spark, self.cdc_store_path, exclude_epoch=exclude_epoch
+            )
+            hits = (
+                self._batch_chunks(batch_df)
+                .join(cdc_store, "chunk_hash")
+                .groupBy(self.id_col)
+                .agg(F.countDistinct("chunk_hash").alias("_n_shared"))
+                .filter(F.col("_n_shared") >= self.cdc_min_chunks)
+                .select(self.id_col)
+                .withColumn("_chunk_dup", F.lit(True))
+            )
+            status = status.join(hits, self.id_col, "left").select(
+                self.id_col,
+                F.when(
+                    (F.col("verdict") == "unique") & F.col("_chunk_dup"),
+                    F.lit("chunk_dup"),
+                )
+                .otherwise(F.col("verdict"))
+                .alias("verdict"),
+            )
         survivors = batch_df.join(
             status.filter(F.col("verdict") == "unique").select(self.id_col),
             self.id_col,
             "left_semi",
         )
         return status, survivors
+
+    def _batch_chunks(self, df: DataFrame) -> DataFrame:
+        return D.cdc_chunks(
+            df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            k=self.cdc_k,
+            divisor=self.cdc_divisor,
+        ).select(self.id_col, "chunk_hash")
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """One epoch: classify → write sink epoch dir → grow the store.
@@ -171,6 +257,16 @@ class DedupIngest:
         new_sigs.select(
             [f.name for f in _store_schema(self.num_hashes, self.id_col).fields]
         ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
+        if self.cdc_store_path is not None:
+            # Distinct per epoch keeps the store minimal; a hash already
+            # present from an earlier epoch just adds one row (the gate
+            # only tests existence). Same epoch-addressed idempotent
+            # overwrite as the other two writes.
+            self._batch_chunks(survivors).select(
+                "chunk_hash"
+            ).distinct().write.mode("overwrite").parquet(
+                f"{self.cdc_store_path}/epoch={epoch_id}"
+            )
         D.unpersist_all()
 
     def start(

@@ -1885,3 +1885,96 @@ def test_bm25_compact_recovers_crashed_stats_fold_before_torn_check(
     assert ingest.compact(upto_epoch=1) == 0
     assert (tmp_path / "bm25_index" / "stats" / "epoch=1").exists()
     assert sorted(map(tuple, ingest.search(terms, k=10).collect())) == want
+
+
+def test_dedup_ingest_cdc_chunk_gate_catches_prefix_insertion(spark, tmp_path):
+    """Round-8 CDC gate (r7 verdict #6): a batch-2 re-delivery of a
+    batch-1 document with a LARGE prepended banner defeats both
+    whole-document gates — the content digest changes (exact gate) and
+    the shingle Jaccard drops below the LSH threshold — but content-
+    defined chunk boundaries re-synchronize after the insertion point,
+    so the shared chunk hashes flag it as chunk_dup against batch 1's
+    store. A genuinely novel doc in the same batch is still admitted."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+        read_cdc_store,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+    )
+
+    orig = (
+        "the training corpus ingestion service deduplicates documents by "
+        "minhash signatures and content digests while chunk boundaries come "
+        "from rolling hashes over eight character grams making every chunk "
+        "hash stable under prefix insertions across delivery attempts"
+    )
+    banner = (
+        "LEGAL NOTICE " * 3
+        + "this republication carries a mandatory compliance "
+        "preamble inserted by the downstream syndication proxy containing "
+        "entirely unrelated vocabulary tokens alpha bravo charlie delta echo "
+        "foxtrot golf hotel india juliet kilo lima mike november oscar papa "
+        "quebec romeo sierra tango uniform victor whiskey xray yankee zulu "
+        "one two three four five six seven eight nine ten eleven twelve "
+    )
+    spark.createDataFrame([(1, orig)], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+
+    # Sanity: the banner defeats the whole-doc gates on purpose — the
+    # modified doc is NOT an exact dup and its Jaccard is sub-threshold.
+    toks_o, toks_m = orig.lower().split(), (banner + orig).lower().split()
+    sh = lambda t: {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    jac = len(sh(toks_o) & sh(toks_m)) / len(sh(toks_o) | sh(toks_m))
+    assert jac < ingest.threshold
+
+    spark.createDataFrame(
+        [
+            (10, banner + orig),  # chunk-level verbatim reuse -> chunk_dup
+            (11, "a genuinely novel second document with fresh content"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 11]
+    # The CDC store grew with both epochs' admitted docs' chunk hashes.
+    store = read_cdc_store(spark, str(tmp_path / "cdc"))
+    assert store.count() == store.distinct().count() > 0
+
+    # Disabled gate (pre-round-8 config) admits the banner variant —
+    # the regression the gate exists to close, pinned both ways.
+    legacy = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store2"),
+        sink_path=str(tmp_path / "accepted2"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    src2 = tmp_path / "incoming2"
+    src2.mkdir()
+    spark.createDataFrame([(1, orig)], schema).coalesce(1).write.parquet(
+        str(src2 / "b1")
+    )
+    legacy.start(f"{src2}/*", schema).awaitTermination(120)
+    spark.createDataFrame([(10, banner + orig)], schema).coalesce(1).write.parquet(
+        str(src2 / "b2")
+    )
+    legacy.start(f"{src2}/*", schema).awaitTermination(120)
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "accepted2")).collect()
+    )
+    assert got == [1, 10]
