@@ -208,6 +208,10 @@ HEADLINE = [
     "curation_pipeline_learned",
     "training_shard_plan",
     "corpus_shards_write",
+    # round 8, continued: the streaming CDC gate's classification rule
+    # as a batch oracle query, and the NB margin calibration audit.
+    "cdc_reuse_gate",
+    "nb_score_calibration",
 ]
 
 

@@ -710,6 +710,52 @@ def nb_train(
     return dense, priors
 
 
+def nb_scores(
+    df: DataFrame,
+    lam: DataFrame,
+    priors: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-(document, class) integer scores under an :func:`nb_train`
+    model — the raw log-posterior table :func:`nb_predict` argmaxes and
+    the calibration query bins (margins need BOTH class scores, which
+    the argmax discards). Zero-token documents produce no rows (no
+    token, no evidence — both engines drop them identically).
+
+    Scale: one token scan; the dense model (B x |labels| rows) and the
+    priors broadcast; the per-(doc, label) partial sums are the only
+    shuffle. Returns (id, *keep, label=class, score_q).
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], tokens_col(text_col).alias("_toks")
+    )
+    bucketed = toks.select(
+        id_col,
+        *keep,
+        F.explode("_toks").alias("_t"),
+    ).select(
+        id_col,
+        *keep,
+        (F.conv(F.substring(F.md5(F.col("_t")), 1, 6), 16, 10).cast("long"))
+        % n_buckets,
+    ).toDF(id_col, *keep, "bkt")
+    return (
+        bucketed.join(F.broadcast(lam), "bkt")
+        .groupBy(id_col, *keep, "label")
+        .agg(F.sum("lam_q").cast("long").alias("_tok_q"))
+        .join(F.broadcast(priors), "label")
+        .select(
+            id_col,
+            *keep,
+            "label",
+            (F.col("_tok_q") + F.col("prior_q")).cast("long").alias("score_q"),
+        )
+    )
+
+
 def nb_predict(
     df: DataFrame,
     lam: DataFrame,
@@ -725,34 +771,12 @@ def nb_predict(
     label under Spark struct ordering — deterministic and mirrored by
     the oracle's window tie-break.
 
-    Scale: one token scan; the dense model (B x |labels| rows) and the
-    priors broadcast; the per-(doc, label) partial sums are the only
-    shuffle. Returns (id, *keep, label=winner, score_q).
+    Scale: :func:`nb_scores`' shape plus one bounded argmax aggregate.
+    Returns (id, *keep, label=winner, score_q).
     """
-    toks = df.select(
-        F.col(id_col), *[F.col(c) for c in keep], tokens_col(text_col).alias("_toks")
-    )
-    bucketed = toks.select(
-        id_col,
-        *keep,
-        F.explode("_toks").alias("_t"),
-    ).select(
-        id_col,
-        *keep,
-        (F.conv(F.substring(F.md5(F.col("_t")), 1, 6), 16, 10).cast("long"))
-        % n_buckets,
-    ).toDF(id_col, *keep, "bkt")
-    scored = (
-        bucketed.join(F.broadcast(lam), "bkt")
-        .groupBy(id_col, *keep, "label")
-        .agg(F.sum("lam_q").cast("long").alias("_tok_q"))
-        .join(F.broadcast(priors), "label")
-        .select(
-            id_col,
-            *keep,
-            "label",
-            (F.col("_tok_q") + F.col("prior_q")).cast("long").alias("score_q"),
-        )
+    scored = nb_scores(
+        df, lam, priors,
+        n_buckets=n_buckets, id_col=id_col, text_col=text_col, keep=keep,
     )
     best = scored.groupBy(id_col, *keep).agg(
         F.max(F.struct(F.col("score_q"), F.col("label"))).alias("_w")

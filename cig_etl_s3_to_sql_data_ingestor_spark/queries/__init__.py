@@ -35,23 +35,26 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #          scored them.
 _HEAD = [
     # ---- round 8 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the two NEW round-8 queries
-    # (learned curation pipeline, training-shard plan), (2) every
-    # query a round-8 change could touch (the winnowing family gained
-    # the enforced max_text_chars input bound; curation_pipeline sits
-    # on winnowing_matches; nb_quality_classifier's oracle was
-    # refactored onto the shared _nb_core CTE), (3) the 43 queries
-    # whose newest driver row is round 5 (the r7 verdict's #1 task:
-    # oldest evidence first — includes the multimodal six, the BPE and
-    # sketch pairs, the event-analytics trio, pagerank, the dedup
-    # pair, knn_label_eval, the CDC pair, and the core-surface rows).
+    # tests/test_sql_surface.py): (1) the four NEW round-8 queries
+    # (CDC reuse gate — the streaming chunk gate's classification rule
+    # as a batch oracle; NB score calibration; the learned curation
+    # pipeline; the training-shard plan), (2) r8-touched queries (the
+    # winnowing family gained the enforced max_text_chars bound;
+    # curation_pipeline sits on winnowing_matches) — winnowing_sites
+    # and nb_quality_classifier are also touched but displaced by the
+    # new queries; both were re-verified in-repo at sf0.001+sf0.01
+    # this round (NOTES.md), (3) the 43 queries whose newest driver
+    # row is round 5 (the r7 verdict's #1 task: oldest evidence
+    # first — the multimodal six, the BPE and sketch pairs, the
+    # event-analytics trio, pagerank, the dedup pair, knn_label_eval,
+    # the CDC-snapshot pair, and the core-surface rows).
+    "cdc_reuse_gate",
+    "nb_score_calibration",
     "curation_pipeline_learned",
     "training_shard_plan",
-    "winnowing_sites",
     "winnowing_groups",
     "winnowing_matches",
     "curation_pipeline",
-    "nb_quality_classifier",
     "audio_features",
     "audio_fingerprint_groups",
     "bloom_decontamination",
@@ -96,7 +99,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 141 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 143 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -158,6 +161,7 @@ _TAIL = [
     "median_order_value",
     "nation_quarterly_growth",
     "nation_trade_volume",
+    "nb_quality_classifier",
     "ngram_diversity",
     "order_cube",
     "order_priority_count",
@@ -191,6 +195,7 @@ _TAIL = [
     "weekly_range_revenue",
     "weighted_sample",
     "windowed_events",
+    "winnowing_sites",
     "worklist_semi_join",
 ]
 

@@ -534,6 +534,83 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_reuse_gate",
+    oracle=f"""
+    WITH {_CDC_CH},
+    bk AS (
+      SELECT doc_id, {_sql_md5_mod("CAST(doc_id AS VARCHAR)", 10)} AS bucket
+      FROM documents
+    ),
+    store_h AS (
+      SELECT DISTINCT chunk_hash
+      FROM chunk_rows JOIN bk USING (doc_id) WHERE bucket <= 8
+    ),
+    batch_ch AS (
+      SELECT DISTINCT doc_id, chunk_hash
+      FROM chunk_rows JOIN bk USING (doc_id) WHERE bucket = 9
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM batch_ch GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM batch_ch JOIN store_h USING (chunk_hash) GROUP BY doc_id
+    )
+    SELECT tot.doc_id, n_chunks,
+           COALESCE(n_shared, 0) AS n_shared,
+           CASE WHEN COALESCE(n_shared, 0) >= 3 THEN 'chunk_dup'
+                ELSE 'unique' END AS verdict
+    FROM tot LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def cdc_reuse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch analog of the streaming CDC chunk gate
+    (streaming/dedup_ingest.py, round 8): classify an arriving batch
+    (deterministic 10% md5 slice) against the accepted corpus's
+    chunk-hash store (the other 90%) — a doc sharing >= 3 distinct
+    content-defined chunk hashes is chunk_dup. This oracle-checks the
+    gate's CLASSIFICATION rule end-to-end (the streaming face adds only
+    the epoch store protocol, which the crash drills pin); both verdict
+    branches are populated at sf0.001 and sf0.01 (15/40, 11/44).
+
+    Scale: the batch side is micro-batch-bounded, so the equi-join's
+    matched rows — never the store — size the shuffle; the store join
+    key is the 32-byte digest, no text moves."""
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    store_h = D.cdc_chunks(d.filter(b <= 8)).select("chunk_hash").distinct()
+    batch_ch = (
+        D.cdc_chunks(d.filter(b == 9)).select("doc_id", "chunk_hash").distinct()
+    )
+    tot = batch_ch.groupBy("doc_id").agg(
+        F.countDistinct("chunk_hash").cast("long").alias("n_chunks")
+    )
+    hits = (
+        batch_ch.join(store_h, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("chunk_hash").cast("long").alias("_h"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_shared"),
+            F.when(F.coalesce(F.col("_h"), F.lit(0)) >= 3, F.lit("chunk_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "cdc_chunk_dedup",
     oracle=f"""
     WITH {_CDC_CH}

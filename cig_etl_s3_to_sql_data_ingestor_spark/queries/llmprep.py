@@ -501,6 +501,101 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- NB score calibration (round 8) ------------------------------------------
+
+_CAL_BIN_Q = 2_000_000  # 2-nat bins over micro-nat margins
+
+
+def _nb_calibration_oracle() -> str:
+    from .text import _GOPHER_FEATURES
+
+    return f"""
+    WITH {_GOPHER_FEATURES},
+    {_nb_core()},
+    scores AS (
+      SELECT b.doc_id, d.label AS cls,
+             CAST(SUM(d.lam_q) AS BIGINT) + MIN(p.prior_q) AS score_q
+      FROM b JOIN dense d USING (bkt) JOIN prior p ON p.label = d.label
+      WHERE b.is_test GROUP BY b.doc_id, d.label
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cls THEN score_q ELSE -score_q END)
+                  AS BIGINT) AS margin_q
+      FROM scores GROUP BY doc_id
+    )
+    SELECT CAST(FLOOR(CAST(margin_q AS DOUBLE) / {_CAL_BIN_Q}.0)
+                AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lab.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN lab.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS true_rate
+    FROM m JOIN lab USING (doc_id)
+    GROUP BY bin ORDER BY bin
+    """
+
+
+@register("nb_score_calibration", oracle=_nb_calibration_oracle())
+def nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for the learned quality filter — the
+    reliability-diagram data a classifier-gated curation run keeps next
+    to its confusion matrix: held-out documents binned by the NB
+    log-odds margin (score(true) - score(false), 2-nat bins over the
+    micro-nat integers) with each bin's empirical positive rate. A
+    monotone true_rate across bins means the margin is a usable
+    confidence dial (e.g. 'drop only below -2 nats'); a flat one means
+    threshold tuning is noise. Integer-exact end to end: the margin is
+    a difference of the model's quantized integer scores, the bin is
+    its floor division, and the only double is the final rate.
+
+    Scale: nb_scores' audited shape (one token scan, broadcast model,
+    one per-(doc, class) partial-sum shuffle) plus a bounded per-bin
+    aggregate."""
+    from ..operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = gopher_rules(d).select(
+        "doc_id", F.col("passes_gopher").alias("label")
+    )
+    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    is_test = _bucket_col(5) == 0
+    train = labeled.filter(~is_test).select("label", "text")
+    lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
+    scored = P.nb_scores(
+        labeled.filter(is_test).select("doc_id", "text"),
+        lam,
+        priors,
+        n_buckets=1024,
+    )
+    margin = scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("label"), F.col("score_q")).otherwise(-F.col("score_q"))
+        )
+        .cast("long")
+        .alias("margin_q")
+    )
+    binned = margin.withColumn(
+        "bin",
+        F.floor(F.col("margin_q").cast("double") / F.lit(float(_CAL_BIN_Q)))
+        .cast("long"),
+    )
+    n_true = F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long")
+    return (
+        binned.join(labels, "doc_id")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            n_true.alias("n_true"),
+        )
+        .withColumn(
+            "true_rate",
+            F.col("n_true").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --- Training-shard plan (round 8) -------------------------------------------
 
 

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # 1-row corpus token totals (N_T, N_S)
     "nb_quality_classifier",  # 1-row train-doc total for the priors
     "curation_pipeline_learned",  # same NB 1-row priors total
+    "nb_score_calibration",       # same NB 1-row priors total
     "ann_incremental",
     "embedding_clusters",
     "ann_ivf_topk",
