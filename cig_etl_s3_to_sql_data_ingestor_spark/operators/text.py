@@ -942,8 +942,12 @@ def winnowing_fingerprints(
     if max_text_chars is not None:
         # Guarded per row inside the plan: length() is O(1) against the
         # O(L) md5 fold it protects, and the error names the offending
-        # document and the fix.
-        raw = F.when(F.length(raw) <= F.lit(max_text_chars), raw).otherwise(
+        # document and the fix. NULL text passes through (coalesce) —
+        # it winnows to the same degenerate single site as before the
+        # guard, not a spurious raise.
+        raw = F.when(
+            F.coalesce(F.length(raw), F.lit(0)) <= F.lit(max_text_chars), raw
+        ).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("winnowing_fingerprints: document "),

@@ -229,12 +229,13 @@ def write_training_shards(
 
     Returns ``{"written_shards": w, "skipped_shards": s, "rows": n}``.
 
-    Scale: the expensive lineage (prepare_corpus) is localCheckpointed
-    once and reused by every wave — without it each wave would re-run
-    dedup's LSH joins; the checkpoint also freezes the assignment
-    against any non-determinism upstream. Each wave repartitions by
-    shard_id so one shard's rows land contiguously (one output
-    partition per shard), which is the layout a training loader reads.
+    Scale: the expensive lineage (prepare_corpus) is persisted once and
+    reused by every wave — without it each wave would re-run dedup's
+    LSH joins. (Recompute of a lost block is safe: the assignment is a
+    pure md5/prefix-sum function of the input, the property
+    Q:`training_shard_plan` pins.) Each wave repartitions by shard_id
+    so one shard's rows land contiguously (one output partition per
+    shard), which is the layout a training loader reads.
     """
     from ..sources import manifest_sink as ms
 
@@ -244,10 +245,13 @@ def write_training_shards(
         chunks, n_shards=n_shards, budget=bin_budget, id_col=cfg.id_col
     )
     # Materialize the assignment ONCE: every wave filters this frame,
-    # and the verify pass aggregates it. localCheckpoint truncates the
-    # prepare_corpus lineage (LSH joins, quality scans) so wave k does
-    # not re-run the whole pipeline k times.
-    assigned = assigned.localCheckpoint(eager=True)
+    # and the verify pass aggregates it — without the persist, wave k
+    # would re-run the whole prepare_corpus lineage (LSH joins, quality
+    # scans) k times. persist + explicit unpersist in the finally keeps
+    # the release deterministic (prepare_corpus's own internal caches
+    # follow the package convention: caller runs dedup.unpersist_all()).
+    assigned = assigned.persist()
+    assigned.count()
     try:
         committed: set[int] = set()
         if ms.current_version(spark, table_path) > 0:
@@ -297,6 +301,6 @@ def write_training_shards(
             "rows": n_rows,
         }
     finally:
-        # Release the checkpointed blocks; the published table is the
+        # Release the cached assignment; the published table is the
         # durable artifact.
         assigned.unpersist()

@@ -54,6 +54,14 @@ TOP = [
     "dsir_importance_weights",
     "gopher_quality_rules",
     "weighted_sample",
+    # r8 additions: the learned curation pipeline (NB train/predict +
+    # winnowing eviction composed), the CDC reuse gate (store-sized
+    # chunk-hash join), NB margin calibration, and the shard/pack plan
+    # (the one window-partitioned-by-shard query).
+    "curation_pipeline_learned",
+    "cdc_reuse_gate",
+    "nb_score_calibration",
+    "training_shard_plan",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
