@@ -450,6 +450,11 @@ def test_dedup_ingest_soak_with_midstream_crash_recovery(spark, tmp_path):
         store_path=str(tmp_path / "store"),
         sink_path=str(tmp_path / "accepted"),
         checkpoint_path=str(tmp_path / "ckpt"),
+        # r8: the CDC chunk store rides the same crash/replay drill —
+        # outcome-neutral here (the dups are EXACT dups, caught before
+        # the chunk gate; the novel docs share < 3 chunks) but its
+        # epoch writes and replay exclusion go through the same window.
+        cdc_store_path=str(tmp_path / "cdc"),
     )
     crashing = CrashAfterWrites(spark, **paths)
     q = crashing.start(f"{src}/*", schema, max_files_per_trigger=1)
@@ -488,6 +493,16 @@ def test_dedup_ingest_soak_with_midstream_crash_recovery(spark, tmp_path):
         for p in glob.glob(f"{tmp_path}/store/epoch=*")
     }
     assert per_epoch == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    # The CDC chunk store followed the same protocol through the crash:
+    # one epoch dir per batch, each holding the admitted doc's chunk
+    # hashes, and the epoch-3 replay overwrote (not duplicated) its dir.
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        read_cdc_store,
+    )
+
+    assert len(glob.glob(f"{tmp_path}/cdc/epoch=*")) == 6
+    cdc = read_cdc_store(spark, paths["cdc_store_path"])
+    assert cdc.count() == cdc.distinct().count() > 0
 
 
 def test_signature_store_read_survives_partitionless_dir(spark, tmp_path):
