@@ -938,15 +938,20 @@ def winnowing_fingerprints(
     """
     if window < 2:
         raise ValueError("winnowing window must be >= 2")
-    raw = F.col(text_col)
+    lower = F.lower(F.col(text_col))
+    n_sh = F.greatest(F.length(lower) - (k - 1), F.lit(1))
     if max_text_chars is not None:
-        # Guarded per row inside the plan: length() is O(1) against the
-        # O(L) md5 fold it protects, and the error names the offending
-        # document and the fix. NULL text passes through (coalesce) —
-        # it winnows to the same degenerate single site as before the
-        # guard, not a spurious raise.
-        raw = F.when(
-            F.coalesce(F.length(raw), F.lit(0)) <= F.lit(max_text_chars), raw
+        # The guard wraps the SEQUENCE BOUND, which Spark evaluates
+        # exactly once per row — wrapping the text column itself would
+        # re-evaluate the CASE inside the per-element lambda (measured:
+        # +14% on winnowing_matches at sf0.1, the HOF-inlining lesson
+        # this docstring records). NULL text passes through (coalesce;
+        # `NULL <= N` is NULL, so the naive guard would raise on NULL)
+        # and winnows to the same degenerate single site as before.
+        n_sh = F.when(
+            F.coalesce(F.length(F.col(text_col)), F.lit(0))
+            <= F.lit(max_text_chars),
+            n_sh,
         ).otherwise(
             F.raise_error(
                 F.concat(
@@ -961,10 +966,8 @@ def winnowing_fingerprints(
                         "chunk_documents) or raise max_text_chars"
                     ),
                 )
-            )
+            ).cast("int")
         )
-    lower = F.lower(raw)
-    n_sh = F.greatest(F.length(lower) - (k - 1), F.lit(1))
     pairs = F.transform(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.struct(

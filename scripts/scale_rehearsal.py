@@ -113,7 +113,8 @@ def main() -> int:
         print("loadavg:", os.getloadavg())
     except OSError:
         pass
-    if sweep_all:
+    if True:  # merge measured rows in BOTH modes (TOP runs update
+        # their queries' rows in place; --all refreshes the registry)
         import json
 
         out = os.path.join(
@@ -130,10 +131,26 @@ def main() -> int:
                 payload = json.load(open(out))
             except json.JSONDecodeError:
                 pass
-        payload.update(
-            {"runs": runs, "superlinear_threshold": SUPERLINEAR,
-             "flagged": flagged, "queries": rows}
-        )
+        if sweep_all:
+            # Full refresh: the sweep just measured the whole registry.
+            payload.update(
+                {"runs": runs, "superlinear_threshold": SUPERLINEAR,
+                 "flagged": flagged, "queries": rows}
+            )
+        else:
+            # TOP run: update only the measured queries' rows in place
+            # and reconcile their flags; everything else keeps its last
+            # full-sweep value.
+            merged = dict(payload.get("queries", {}))
+            merged.update(rows)
+            keep_flags = [
+                n for n in payload.get("flagged", []) if n not in rows
+            ]
+            payload.update(
+                {"superlinear_threshold": SUPERLINEAR,
+                 "flagged": sorted(set(keep_flags) | set(flagged)),
+                 "queries": merged}
+            )
         with open(out, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
