@@ -212,6 +212,7 @@ HEADLINE = [
     # as a batch oracle query, and the NB margin calibration audit.
     "cdc_reuse_gate",
     "nb_score_calibration",
+    "dsir_domain_select",
 ]
 
 

