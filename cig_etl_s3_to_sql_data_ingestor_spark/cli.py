@@ -311,6 +311,26 @@ def main_corpus(argv: list[str] | None = None) -> int:
         )
         if k in cfg_json
     }
+    if cfg_json.get("sharded"):
+        # Terminal-stage mode: deterministic shard + pack-bin assignment
+        # published EXACTLY-ONCE in waves (crash-resumable — rerunning
+        # this entry after a mid-write death completes only the missing
+        # shards; a completed run is a no-op).
+        from .operators.dedup import unpersist_all
+        from .plans.corpus_pipeline import write_training_shards
+
+        out = write_training_shards(
+            docs,
+            cfg_json["output"],
+            benchmark=benchmark,
+            cfg=CorpusPrepConfig(**knobs),
+            n_shards=int(cfg_json.get("n_shards", 16)),
+            bin_budget=int(cfg_json.get("bin_budget", 256)),
+            shards_per_commit=int(cfg_json.get("shards_per_commit", 4)),
+        )
+        unpersist_all()
+        print(_json.dumps({"shards": out}))
+        return 0
     chunks, stats = prepare_corpus(
         docs,
         benchmark=benchmark,

@@ -232,3 +232,48 @@ def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path):
     chunks = read_snapshot(spark, out)
     assert chunks.count() == report["stats"]["chunks"]
     assert {"doc_id", "chunk_idx", "chunk_hash"} <= set(chunks.columns)
+
+
+def test_cli_corpus_sharded_mode(spark, sf_dir, tmp_path):
+    """main_corpus with "sharded": true runs the terminal shard writer:
+    the published table is the deterministic shard/pack assignment, and
+    a SECOND invocation of the same config is a resume no-op (zero
+    written shards) — the crash-recovery contract exposed at the CLI."""
+    import contextlib
+    import io as _io
+    import json
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_corpus
+    from cig_etl_s3_to_sql_data_ingestor_spark.sources.manifest_sink import (
+        read_snapshot,
+    )
+
+    out = str(tmp_path / "shards")
+    cfg = {
+        "input": f"{sf_dir}/documents.parquet",
+        "output": out,
+        "quality_floor": 0.2,
+        "sharded": True,
+        "n_shards": 8,
+        "shards_per_commit": 3,
+    }
+    cfg_path = tmp_path / "corpus_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main_corpus(["--corpus_config_filename", str(cfg_path)])
+    assert rc == 0
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])["shards"]
+    assert report["written_shards"] > 0 and report["skipped_shards"] == 0
+
+    table = read_snapshot(spark, out)
+    assert table.count() == report["rows"]
+    assert {"shard_id", "bin_id", "doc_id", "chunk_hash"} <= set(table.columns)
+
+    buf2 = _io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        assert main_corpus(["--corpus_config_filename", str(cfg_path)]) == 0
+    again = json.loads(buf2.getvalue().strip().splitlines()[-1])["shards"]
+    assert again["written_shards"] == 0
+    assert again["skipped_shards"] == report["written_shards"]
