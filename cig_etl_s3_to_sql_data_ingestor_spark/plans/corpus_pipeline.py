@@ -276,13 +276,18 @@ def write_training_shards(
             )
             ms.write_snapshot(part, table_path, mode="append")
         if verify:
-            snap_counts = {
-                (r[0], r[1])
-                for r in ms.read_snapshot(spark, table_path)
-                .groupBy("shard_id")
-                .count()
-                .collect()
-            }
+            # An all-filtered-out corpus commits nothing and the table
+            # may not exist at all — that is a correct empty publish,
+            # not a read error.
+            snap_counts: set = set()
+            if ms.current_version(spark, table_path) > 0:
+                snap_counts = {
+                    (r[0], r[1])
+                    for r in ms.read_snapshot(spark, table_path)
+                    .groupBy("shard_id")
+                    .count()
+                    .collect()
+                }
             want_counts = {
                 (r[0], r[1])
                 for r in assigned.groupBy("shard_id").count().collect()

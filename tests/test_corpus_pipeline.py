@@ -248,3 +248,24 @@ def test_write_training_shards_crash_between_waves_resumes(
         assert ms.read_snapshot(spark, table).count() == n_before
     finally:
         unpersist_all()
+
+
+def test_write_training_shards_empty_corpus_is_clean_noop(spark, tmp_path):
+    """A corpus the filters drop entirely publishes nothing and returns
+    cleanly — the verify pass must treat a table with no committed
+    version as an empty snapshot, not a read error (self-review catch:
+    read_snapshot raises FileNotFoundError on version 0)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.plans.corpus_pipeline import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ??? ###", "s")], "doc_id long, text string, source string"
+    )  # junk text -> dropped by the quality floor; nothing survives
+    try:
+        out = write_training_shards(
+            docs, str(tmp_path / "shards"), n_shards=4, shards_per_commit=2
+        )
+        assert out == {"written_shards": 0, "skipped_shards": 0, "rows": 0}
+    finally:
+        unpersist_all()
