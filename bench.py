@@ -213,6 +213,7 @@ HEADLINE = [
     "cdc_reuse_gate",
     "nb_score_calibration",
     "dsir_domain_select",
+    "nb_budget_select",
 ]
 
 

@@ -35,11 +35,11 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #          scored them.
 _HEAD = [
     # ---- round 8 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the five NEW round-8 queries
+    # tests/test_sql_surface.py): (1) the six NEW round-8 queries
     # (CDC reuse gate — the streaming chunk gate's classification rule
     # as a batch oracle; NB score calibration; the learned curation
-    # pipeline; the training-shard plan; DSIR domain select),
-    # (2) r8-touched queries (the
+    # pipeline; the training-shard plan; DSIR domain select; NB-margin
+    # token-budget select), (2) r8-touched queries (the
     # winnowing family gained the enforced max_text_chars bound;
     # curation_pipeline sits on winnowing_matches) — winnowing_sites,
     # winnowing_groups, nb_quality_classifier and
@@ -56,8 +56,8 @@ _HEAD = [
     "curation_pipeline_learned",
     "training_shard_plan",
     "dsir_domain_select",
+    "nb_budget_select",
     "winnowing_matches",
-    "curation_pipeline",
     "audio_features",
     "audio_fingerprint_groups",
     "bloom_decontamination",
@@ -102,7 +102,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 144 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 145 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -132,6 +132,7 @@ _TAIL = [
     "config_enrich_join",
     "contamination_check",
     "cross_source_overlap",
+    "curation_pipeline",
     "customer_order_distribution",
     "daily_event_pivot",
     "dataset_report",

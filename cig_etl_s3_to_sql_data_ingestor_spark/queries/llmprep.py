@@ -646,6 +646,85 @@ def nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NB_BUDGET = 8000
+
+
+def _nb_budget_oracle() -> str:
+    from .text import _GOPHER_FEATURES
+
+    return f"""
+    WITH {_GOPHER_FEATURES},
+    {_nb_core()},
+    scores AS (
+      SELECT b.doc_id, d.label AS cls,
+             CAST(SUM(d.lam_q) AS BIGINT) + MIN(p.prior_q) AS score_q
+      FROM b JOIN dense d USING (bkt) JOIN prior p ON p.label = d.label
+      GROUP BY b.doc_id, d.label
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cls THEN score_q ELSE -score_q END)
+                  AS BIGINT) AS margin_q
+      FROM scores GROUP BY doc_id
+    ),
+    st AS (
+      SELECT doc_id, CAST(len({_SQL_TOK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT m.doc_id, st.n_tokens, m.margin_q,
+             CAST(SUM(st.n_tokens) OVER (
+               ORDER BY m.margin_q DESC, m.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_tokens
+      FROM m JOIN st USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, margin_q, cum_n_tokens FROM r
+    WHERE cum_n_tokens <= {_NB_BUDGET} ORDER BY doc_id
+    """
+
+
+@register("nb_budget_select", oracle=_nb_budget_oracle())
+def nb_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection driven by the LEARNED quality signal: rank
+    every document by its NB log-odds margin (integer micro-nats, the
+    same margins nb_score_calibration proves monotone against the true
+    labels) and keep the best-ranked prefix whose cumulative token count
+    fits the budget — the learned analog of `budget_select`'s
+    heuristic-score form, i.e. "spend the training budget on the docs
+    the classifier is most confident are high-quality". Zero-token
+    documents have no margin (no tokens, no evidence) and are excluded
+    on both engines by construction.
+
+    Scale: nb_scores' audited shape + budget_select's distributed
+    prefix sum (range-partition by rank, local running sums, one
+    per-partition-totals collect — never a global window)."""
+    from ..operators.text import gopher_rules, tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = gopher_rules(d).select(
+        "doc_id", F.col("passes_gopher").alias("label")
+    )
+    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    train = labeled.filter(~(_bucket_col(5) == 0)).select("label", "text")
+    lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
+    scored = P.nb_scores(d.select("doc_id", "text"), lam, priors, n_buckets=1024)
+    margin = scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("label"), F.col("score_q")).otherwise(-F.col("score_q"))
+        )
+        .cast("long")
+        .alias("margin_q")
+    )
+    stats = d.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    ).join(margin, "doc_id")
+    return (
+        P.budget_select(stats, _NB_BUDGET, score_col="margin_q")
+        .select("doc_id", "n_tokens", "margin_q", "cum_n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # --- Training-shard plan (round 8) -------------------------------------------
 
 

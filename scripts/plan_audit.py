@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "nb_quality_classifier",  # 1-row train-doc total for the priors
     "curation_pipeline_learned",  # same NB 1-row priors total
     "nb_score_calibration",       # same NB 1-row priors total
+    "nb_budget_select",           # same NB priors + budget_select's 1-row-per-partition totals
     "ann_incremental",
     "embedding_clusters",
     "ann_ivf_topk",

@@ -62,6 +62,7 @@ TOP = [
     "cdc_reuse_gate",
     "nb_score_calibration",
     "training_shard_plan",
+    "nb_budget_select",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
