@@ -233,3 +233,61 @@ def test_budget_select_drops_null_weights(spark):
     got = {r.doc_id: r.cum_n_tokens for r in budget_select(stats, budget=100).collect()}
     # Doc 2 (unknown token count) is excluded; the running total skips it.
     assert got == {1: 40, 3: 70}
+
+
+def test_shard_pack_assignments_properties(spark):
+    """The shard writer's exactly-once resume rests on these properties:
+    (a) every chunk of a document lands in ONE shard (packing never
+    straddles a shard boundary mid-document), (b) bins tile each shard
+    contiguously from 0 in (doc_id, chunk_idx) order, and (c) the whole
+    assignment is partitioning-invariant (1 vs 16 input partitions)."""
+    import random
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.corpus_prep import (
+        chunk_documents,
+        shard_pack_assignments,
+    )
+
+    rng = random.Random(811)
+    rows = [
+        (i, " ".join(f"w{rng.randint(0, 50)}" for _ in range(rng.randint(1, 120))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_size=16, overlap=4)
+    a = shard_pack_assignments(chunks, n_shards=4, budget=64)
+    got = sorted(tuple(r) for r in a.collect())
+
+    # (a) one shard per doc.
+    per_doc = {}
+    for r in a.collect():
+        per_doc.setdefault(r["doc_id"], set()).add(r["shard_id"])
+    assert all(len(s) == 1 for s in per_doc.values())
+
+    # (b) bins start at 0 per shard, never decrease along the order,
+    # and each bin's token total (except possibly where a single chunk
+    # overshoots) stays plausible: prior-sum rule means bin_id equals
+    # floor(prefix/budget) exactly — recompute it per shard in Python.
+    by_shard = {}
+    for r in sorted(a.collect(), key=lambda r: (r["shard_id"], r["doc_id"], r["chunk_idx"])):
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        prior = 0
+        for r in rs:
+            assert r["bin_id"] == prior // 64, (shard, tuple(r))
+            prior += r["n_chunk_tokens"]
+
+    # (c) partitioning invariance.
+    one = sorted(
+        tuple(r)
+        for r in shard_pack_assignments(
+            chunks.coalesce(1), n_shards=4, budget=64
+        ).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in shard_pack_assignments(
+            chunks.repartition(16), n_shards=4, budget=64
+        ).collect()
+    )
+    assert got == one == many
