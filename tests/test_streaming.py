@@ -1993,3 +1993,50 @@ def test_dedup_ingest_cdc_chunk_gate_catches_prefix_insertion(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "accepted2")).collect()
     )
     assert got == [1, 10]
+
+
+def test_dedup_ingest_chunk_gate_precedence(spark, tmp_path):
+    """Verdict precedence: the chunk gate only relabels docs the
+    whole-document gates passed. An exact re-delivery shares EVERY chunk
+    with the store (far over cdc_min_chunks) but must stay exact_dup —
+    and a sub-threshold sharer (< 3 distinct chunk hashes) stays
+    unique."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+    )
+    base = (
+        "the training corpus ingestion service deduplicates documents by "
+        "minhash signatures and content digests while chunk boundaries come "
+        "from rolling hashes over eight character grams making every chunk "
+        "hash stable under prefix insertions across delivery attempts"
+    )
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+
+    batch = spark.createDataFrame(
+        [
+            (20, base),  # exact re-delivery: every chunk shared
+            (21, "wholly unrelated content sharing nothing with the store"),
+        ],
+        schema,
+    )
+    status, survivors = ingest._classify(batch)
+    verdicts = {r[0]: r[1] for r in status.collect()}
+    assert verdicts[20] == "exact_dup"  # NOT chunk_dup — precedence
+    assert verdicts[21] == "unique"
+    assert [r.doc_id for r in survivors.collect()] == [21]
