@@ -214,6 +214,13 @@ HEADLINE = [
     "nb_score_calibration",
     "dsir_domain_select",
     "nb_budget_select",
+    # round 8, session 2: sparse lexical cosine near-dup (AllPairs-style
+    # rare-prefix blocking + integer-exact verify), the CCNet-style
+    # frequent-segment document filter, and int8 scalar-quantized
+    # asymmetric ANN (codes-at-rest modality next to PQ/sign-LSH).
+    "dedup_bigram_cosine",
+    "frequent_segment_filter",
+    "ann_sq8_topk",
 ]
 
 

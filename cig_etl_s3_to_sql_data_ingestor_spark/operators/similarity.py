@@ -1445,3 +1445,111 @@ def mmr_rerank(
         )
         out = out.unionByName(pick).localCheckpoint()
     return out.select("query_id", "cand_id", "mmr_score", "rank")
+
+
+SQ8_LEVELS = 255  # uint8 code range 0..255
+
+
+def sq8_stats(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """ONE-row frame of per-dimension scalar-quantization parameters:
+    ``mins`` (array of per-dim corpus minima) and ``scales``
+    ((max-min)/255 per dim). One full-corpus aggregate with 2*dim
+    partial-merged min/max accumulators — a single reduce, no shuffle of
+    the vectors themselves; the result is a few KB regardless of corpus
+    size, so downstream plans broadcast it."""
+    aggs = []
+    for d in range(1, dim + 1):
+        e = F.element_at(F.col(vec_col), d).cast("double")
+        aggs.append(F.min(e).alias(f"_mn_{d}"))
+        aggs.append(F.max(e).alias(f"_mx_{d}"))
+    row = corpus.agg(*aggs)
+    mins = F.array(*[F.col(f"_mn_{d}") for d in range(1, dim + 1)])
+    scales = F.array(
+        *[
+            (F.col(f"_mx_{d}") - F.col(f"_mn_{d}")) / float(SQ8_LEVELS)
+            for d in range(1, dim + 1)
+        ]
+    )
+    return row.select(mins.alias("mins"), scales.alias("scales"))
+
+
+def _sq8_recon_col(vec_col, mins_col, scales_col):
+    """Quantize-then-reconstruct a vector column against broadcast stats:
+    code = least(floor((v - min)/scale), 255) (0 on constant dims), and
+    the midpoint reconstruction (code + 0.5)*scale + min. Every step is
+    a deterministic IEEE double op in a FIXED order (subtract, divide,
+    floor, clamp, add half, multiply, add) mirrored verbatim by the SQL
+    oracle, so reconstructed values are bit-identical across engines."""
+    centered = F.zip_with(vec_col, mins_col, lambda v, m: v.cast("double") - m)
+    codes = F.zip_with(
+        centered,
+        scales_col,
+        lambda c, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(F.floor(c / s), F.lit(255.0)).cast("int")
+        ),
+    )
+    part = F.zip_with(codes, scales_col, lambda c, s: (c.cast("double") + 0.5) * s)
+    return F.zip_with(part, mins_col, lambda x, m: x + m)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric scalar-quantized (SQ8 / int8) top-k: candidates are
+    ranked by the cosine of the RAW query vector against the candidate's
+    quantize-then-reconstruct form — the uniform-scalar-quantizer ADC
+    (Jegou et al.'s SDC/ADC taxonomy, PAMI'11; FAISS
+    ``ScalarQuantizer(QT_8bit)``), the third code-at-rest modality next
+    to PQ (codebook product) and sign-LSH (1-bit).
+
+    At rest a 64-dim float32 vector becomes 64 uint8 codes + a shared
+    2*64-double stats row: a 4x scan reduction, which at 100 TB is 4x
+    fewer bytes off the object store for every search. This operator is
+    the brute-scan baseline over those codes (one corpus pass, per-pair
+    work = one fold against the broadcast query set); the IVF cell
+    routing in :func:`ivf_topk` composes in front of it exactly as it
+    does for PQ when the corpus outgrows a full scan.
+
+    Queries stay full-precision (asymmetric: only the corpus side pays
+    quantization error), so recall tracks the exact brute-force ranking
+    closely — pinned by tests/test_ann_recall.py.
+    """
+    stats = sq8_stats(corpus, vec_col=vec_col, dim=dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
+    )
+    c = (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("cand_id"),
+            _sq8_recon_col(F.col(vec_col), F.col("mins"), F.col("scales")).alias(
+                "recon_vec"
+            ),
+        )
+        .withColumn("recon_norm", norm(F.col("recon_vec")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_sim",
+            dot(F.col("query_vec"), F.col("recon_vec"))
+            / (F.col("query_norm") * F.col("recon_norm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sq8_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sq8_sim", "rank")
+    )

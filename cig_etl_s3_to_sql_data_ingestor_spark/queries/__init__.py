@@ -102,7 +102,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 145 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 148 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -116,6 +116,7 @@ _TAIL = [
     "ann_mmr_pq",
     "ann_mmr_topk",
     "ann_pq_topk",
+    "ann_sq8_topk",
     "approx_distinct_stats",
     "approx_quantile_envelope",
     "asof_last_click",
@@ -136,6 +137,7 @@ _TAIL = [
     "customer_order_distribution",
     "daily_event_pivot",
     "dataset_report",
+    "dedup_bigram_cosine",
     "dedup_canonical",
     "dedup_clusters",
     "dedup_incremental",
@@ -149,6 +151,7 @@ _TAIL = [
     "embedding_neardup",
     "embedding_norms",
     "events_in_windows",
+    "frequent_segment_filter",
     "fulfillment_lag_quantiles",
     "fuzzy_name_pairs",
     "gopher_quality_rules",

@@ -646,3 +646,157 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
         .limit(100)
     )
+
+
+# Sparse lexical cosine near-dup: the AllPairs-style prefix blocking +
+# integer-exact verification modality (operators.dedup
+# .token_cosine_near_duplicates). Threshold cosine >= 4/5; the keep rule
+# is the pure-integer cross-multiplication dot^2*25 >= 16*na2*nb2, so the
+# pair set is bit-identical across engines; the reported cosine double is
+# one mul + one sqrt + one div over those exact integers.
+_COS_PREFIX = 4
+_COS_DF_CAP = 100
+
+
+@register(
+    "dedup_bigram_cosine",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
+      FROM tok, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    norms AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tf GROUP BY doc_id),
+    ranked AS (
+      SELECT tf.doc_id, tf.term,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY df.df, tf.term) AS rr
+      FROM tf JOIN df USING (term) WHERE df.df <= {_COS_DF_CAP}
+    ),
+    prefix AS (SELECT doc_id, term FROM ranked WHERE rr <= {_COS_PREFIX}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b USING (term) WHERE a.doc_id < b.doc_id
+    ),
+    dots AS (
+      SELECT c.id_a, c.id_b, SUM(a.tf*b.tf) AS dot
+      FROM cand c
+      JOIN tf a ON a.doc_id = c.id_a
+      JOIN tf b ON b.doc_id = c.id_b AND b.term = a.term
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot,
+           CAST(na.n2 AS BIGINT) AS norm_sq_a,
+           CAST(nb.n2 AS BIGINT) AS norm_sq_b,
+           CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.id_a
+    JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE d.dot*d.dot*25 >= 16*na.n2*nb.n2
+    ORDER BY d.id_a, d.id_b
+    """,
+)
+def dedup_bigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-bigrams TF-cosine near-duplicate pairs (cosine >= 0.8):
+    rare-term prefix blocking generates candidates (each doc posts its
+    4 globally-rarest bigrams, df-capped), exact integer dot/norm
+    verification keeps true pairs. See the operator docstring for the
+    shuffle budget and the AllPairs lineage; on this corpus the blocking
+    keeps all 25 true pairs while generating 10x fewer candidates than
+    the plain inverted-index join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.token_cosine_near_duplicates(
+        d, ngram=2, rare_prefix=_COS_PREFIX, max_term_df=_COS_DF_CAP,
+        threshold_num=4, threshold_den=5,
+    ).orderBy("id_a", "id_b")
+
+
+# CCNet/C4-style frequent-segment document filter: a doc dominated by
+# corpus-frequent k-token tiles is boilerplate/duplication, not fresh
+# text. Tile unit = operators.dedup.fixed_tile_profile (non-overlapping
+# 8-token tiles); a tile is "shared" when its hash occurs in more than
+# one DISTINCT document; the keep rule is the integer comparison
+# 2*n_shared_tiles <= n_tiles (shared fraction <= 1/2).
+_TILE_K = 8
+
+
+@register(
+    "frequent_segment_filter",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    tiles AS (
+      SELECT doc_id,
+             md5(array_to_string(t[(i*{_TILE_K}+1):(i*{_TILE_K}+{_TILE_K})], ' ')) AS h
+      FROM tok, unnest(range(0, CAST(floor(len(t)/{_TILE_K}) AS BIGINT))) AS u(i)
+      WHERE len(t) >= {_TILE_K}
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM tiles GROUP BY h),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+             CAST(COUNT(*) FILTER (WHERE f.ndocs > 1) AS BIGINT) AS n_shared_tiles
+      FROM tiles JOIN freq f USING (h) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tiles, 0) AS n_tiles,
+           COALESCE(p.n_shared_tiles, 0) AS n_shared_tiles,
+           CASE WHEN COALESCE(p.n_tiles, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_shared_tiles AS DOUBLE) / CAST(p.n_tiles AS DOUBLE)
+           END AS shared_frac,
+           COALESCE(2*p.n_shared_tiles <= p.n_tiles, TRUE) AS keep
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def frequent_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop on corpus-frequent segment dominance — the
+    CCNet paragraph-frequency dedup stage with fixed 8-token tiles as
+    the segment unit (this corpus has no newlines/sentences). A doc is
+    dropped when MORE THAN HALF its tiles occur in another document
+    (integer comparison, no float in the decision); docs too short to
+    tile (< 8 tokens) keep with zero counts. Shuffles: one by tile hash
+    (doc-frequency), one by doc (per-doc fold), one left join back to
+    the corpus keyed by doc — all linear in tile count. At sf0.01 the
+    decision drops 47 of 500 docs (the generator's near-verbatim
+    copies); both branches are exercised at every test scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tiles = D.fixed_tile_profile(d, k=_TILE_K)
+    freq = tiles.groupBy("tile_hash").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    perdoc = (
+        tiles.join(freq, "tile_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tiles"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared_tiles"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tiles", F.lit(0)).alias("n_tiles"),
+            F.coalesce("n_shared_tiles", F.lit(0)).alias("n_shared_tiles"),
+            F.when(F.coalesce("n_tiles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_shared_tiles").cast("double")
+                / F.col("n_tiles").cast("double")
+            )
+            .alias("shared_frac"),
+            F.coalesce(
+                2 * F.col("n_shared_tiles") <= F.col("n_tiles"), F.lit(True)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

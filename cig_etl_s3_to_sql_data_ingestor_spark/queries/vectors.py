@@ -954,3 +954,61 @@ def ann_mmr_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(
         e, queries, k=5, lam=MMR_LAM, shortlist_df=short
     ).orderBy("query_id", "rank")
+
+
+_SQ8_DIM = 64
+_SQ8_CODE = (
+    "CASE WHEN scales[i] = 0 THEN 0 ELSE "
+    "CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) / scales[i]),"
+    " 255.0) AS BIGINT) END"
+)
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {_SQ8_DIM})) AS i),
+    stats AS (
+      SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+             (max(CAST(embedding[i] AS DOUBLE))
+              - min(CAST(embedding[i] AS DOUBLE))) / 255.0 AS sc
+      FROM embeddings, dims GROUP BY i
+    ),
+    packed AS (
+      SELECT list(mn ORDER BY i) AS mins, list(sc ORDER BY i) AS scales
+      FROM stats
+    ),
+    recon AS (
+      SELECT vec_id AS cand_id,
+             list_transform(generate_series(1, {_SQ8_DIM}),
+               i -> (CAST(({_SQ8_CODE}) AS DOUBLE) + 0.5) * scales[i] + mins[i]
+             ) AS rv
+      FROM embeddings, packed
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, r.cand_id,
+             {_sql_dot('q.qv', 'r.rv')}
+               / (sqrt({_sql_dot('q.qv', 'q.qv')})
+                  * sqrt({_sql_dot('r.rv', 'r.rv')})) AS sq8_sim
+      FROM recon r CROSS JOIN q WHERE r.cand_id <> q.query_id
+    )
+    SELECT query_id, cand_id, sq8_sim, rank FROM (
+      SELECT query_id, cand_id, sq8_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sq8_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) asymmetric top-k: int8 codes at rest (4x
+    smaller scans than float32), raw queries, midpoint reconstruction.
+    Every quantization step is a fixed-order IEEE double op mirrored by
+    the oracle, so ranks are bit-identical across engines. See
+    operators.similarity.sq8_topk for the at-rest framing and the IVF
+    composition that replaces the full scan at corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.sq8_topk(e, queries, k=10).orderBy("query_id", "rank")

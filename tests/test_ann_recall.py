@@ -260,3 +260,12 @@ def test_packed_search_identical_to_join_path(ground_truth):
 
     for df in (subs, cb, codes, packed, centroids, assigned, packed_cells):
         df.unpersist()
+
+
+def test_sq8_recall_floor(ground_truth):
+    """Asymmetric int8 scalar quantization keeps near-exact ranking:
+    255 levels per dim is ~0.2% step error, so top-10 recall on the
+    fixture is 319/320. Floor pinned just below the measured constant."""
+    e, q, gt = ground_truth
+    recall = _recall(gt, S.sq8_topk(e, q, k=K))
+    assert recall >= 0.99, f"SQ8 recall@{K} fell to {recall:.3f}"

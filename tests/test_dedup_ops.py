@@ -444,3 +444,111 @@ def test_jaccard_strategies_and_callers_agree(spark):
         jaccard_overlap_pairs(
             sets, "key", "item", hot_items=sets.select("item"), strategy="grouped"
         )
+
+
+def _py_bigram_tf(text: str) -> dict[str, int]:
+    toks = re.split(r"\s+", text.strip().lower())
+    tf: dict[str, int] = {}
+    if len(toks) < 2:
+        return tf
+    for i in range(len(toks) - 1):
+        g = f"{toks[i]} {toks[i + 1]}"
+        tf[g] = tf.get(g, 0) + 1
+    return tf
+
+
+def test_token_cosine_matches_python_model(spark, sf_dir):
+    """The blocked operator's surviving pairs must carry the exact
+    integer dot/norms a pure-Python recomputation produces, and must
+    include EVERY pair the unblocked quadratic verification finds at the
+    threshold — on this fixture the rare-prefix blocking is lossless
+    (measured, which is the point of pinning it)."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(120).collect()
+    }
+    tfs = {d: _py_bigram_tf(t) for d, t in docs.items()}
+    norms = {d: sum(v * v for v in tf.values()) for d, tf in tfs.items()}
+    exact = {}
+    ids = sorted(tfs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(tfs[a]) & set(tfs[b])
+            if not shared:
+                continue
+            dot = sum(tfs[a][t] * tfs[b][t] for t in shared)
+            if dot * dot * 25 >= 16 * norms[a] * norms[b]:
+                exact[(a, b)] = dot
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["norm_sq_a"], r["norm_sq_b"])
+        for r in D.token_cosine_near_duplicates(sdf).collect()
+    }
+    assert set(got) == set(exact), (
+        f"pair set diverged: only_spark={set(got) - set(exact)} "
+        f"only_python={set(exact) - set(got)}"
+    )
+    assert exact, "fixture slice produced no near-dup pairs — test is vacuous"
+    for (a, b), (dot, na2, nb2) in got.items():
+        assert dot == exact[(a, b)]
+        assert na2 == norms[a] and nb2 == norms[b]
+
+
+def test_token_cosine_prefix_bounds_index(spark):
+    """Each doc posts at most ``rare_prefix`` terms and df-capped terms
+    never enter the index: a term shared by every doc (df > cap) must
+    not create candidates on its own."""
+    rows = [(i, f"unique{i}a unique{i}b common common common") for i in range(8)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    # Every doc shares the 'common common' bigram; with the cap BELOW the
+    # corpus df that term is blocked and no doc pair shares a rare term,
+    # so no candidates -> no pairs (even though true cosine is high).
+    out = D.token_cosine_near_duplicates(
+        sdf, rare_prefix=4, max_term_df=4, threshold_num=1, threshold_den=2
+    ).collect()
+    assert out == []
+    # With the cap lifted the shared term generates the candidates and
+    # verification keeps the genuinely similar pairs.
+    out2 = D.token_cosine_near_duplicates(
+        sdf, rare_prefix=4, max_term_df=100, threshold_num=1, threshold_den=2
+    ).collect()
+    assert len(out2) > 0
+
+
+def _py_tiles(text: str, k: int = 8) -> list[str]:
+    toks = re.split(r"\s+", text.strip().lower())
+    return [
+        hashlib.md5(" ".join(toks[i * k : i * k + k]).encode()).hexdigest()
+        for i in range(len(toks) // k)
+    ]
+
+
+def test_fixed_tile_profile_matches_python(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(50).collect()
+    }
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got: dict[int, list[str]] = {}
+    for r in D.fixed_tile_profile(sdf).collect():
+        got.setdefault(r["doc_id"], []).append((r["tile_idx"], r["tile_hash"]))
+    for d, text in docs.items():
+        expect = _py_tiles(text)
+        tiles = [h for _, h in sorted(got.get(d, []))]
+        assert tiles == expect, f"doc {d}: tile mismatch"
+
+
+def test_fixed_tile_profile_short_and_remainder(spark):
+    """Docs under k tokens emit nothing; a trailing partial window is
+    not a tile (unequal-length content must not be hash-compared)."""
+    sdf = spark.createDataFrame(
+        [(1, "a b c"), (2, "t1 t2 t3 t4 t5 t6 t7 t8 tail1 tail2")],
+        "doc_id long, text string",
+    )
+    rows = D.fixed_tile_profile(sdf, k=8).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert len(rows) == 1 and rows[0]["tile_idx"] == 1
