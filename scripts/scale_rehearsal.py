@@ -63,6 +63,12 @@ TOP = [
     "nb_score_calibration",
     "training_shard_plan",
     "nb_budget_select",
+    # r8 session-2 additions: prefix-blocked lexical cosine (inverted
+    # index + pair-agg — the shape whose fan-out blows up first), the
+    # tile-frequency filter, and SQ8 brute scan.
+    "dedup_bigram_cosine",
+    "frequent_segment_filter",
+    "ann_sq8_topk",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
