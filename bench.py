@@ -221,6 +221,8 @@ HEADLINE = [
     "dedup_bigram_cosine",
     "frequent_segment_filter",
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
+    "frequent_segment_removal",
 ]
 
 

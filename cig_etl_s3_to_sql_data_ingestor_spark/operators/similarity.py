@@ -1553,3 +1553,78 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "sq8_sim", "rank")
     )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    kmeans_sample_mod: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + SQ8 composed: inverted-file cells bound the WORK (only
+    probed cells are scored), int8 scalar quantization bounds the BYTES
+    (codes at rest are 4x smaller than float32) — the same build/search
+    split as :func:`ivf_pq_topk` with the simpler uniform scalar
+    quantizer in place of codebooks.
+
+    Build (offline, full precision): train centroids, assign every
+    corpus vector to its nearest cell, store SQ8 codes per vector.
+    Search: probe ``n_probe`` cells per query, score ONLY those cells'
+    candidates with the asymmetric reconstructed-cosine
+    (:func:`sq8_topk`'s metric). Assignment uses the raw vectors — the
+    build pass sees them anyway — so cell routing is exact and only the
+    scoring pays quantization error.
+    """
+    if n_probe > n_cells:
+        raise ValueError(f"n_probe={n_probe} exceeds n_cells={n_cells}")
+    centroids = kmeans_centroids(
+        corpus,
+        n_cells=n_cells,
+        n_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_mod=kmeans_sample_mod,
+    ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    from .dedup import _persist
+
+    centroids = _persist(centroids)
+    stats = sq8_stats(corpus, vec_col=vec_col, dim=dim)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
+    coded = (
+        assigned.crossJoin(F.broadcast(stats))
+        .select(
+            "cand_id",
+            "cell_id",
+            _sq8_recon_col(F.col("cand_vec"), F.col("mins"), F.col("scales")).alias(
+                "recon_vec"
+            ),
+        )
+        .withColumn("recon_norm", norm(F.col("recon_vec")))
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("cand_id").alias("query_id"),
+        F.col("cand_vec").alias("query_vec"),
+        F.col("cand_norm").alias("query_norm"),
+        "cell_id",
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_sim",
+            dot(F.col("query_vec"), F.col("recon_vec"))
+            / (F.col("query_norm") * F.col("recon_norm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sq8_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sq8_sim", "rank")
+    )

@@ -102,7 +102,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 148 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 150 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -116,6 +116,7 @@ _TAIL = [
     "ann_mmr_pq",
     "ann_mmr_topk",
     "ann_pq_topk",
+    "ann_ivf_sq8_topk",
     "ann_sq8_topk",
     "approx_distinct_stats",
     "approx_quantile_envelope",
@@ -152,6 +153,7 @@ _TAIL = [
     "embedding_norms",
     "events_in_windows",
     "frequent_segment_filter",
+    "frequent_segment_removal",
     "fulfillment_lag_quantiles",
     "fuzzy_name_pairs",
     "gopher_quality_rules",

@@ -800,3 +800,147 @@ def frequent_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "frequent_segment_removal",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    tiles AS (
+      SELECT doc_id, i,
+             array_to_string(t[(i*{_TILE_K}+1):(i*{_TILE_K}+{_TILE_K})], ' ') AS txt,
+             md5(array_to_string(t[(i*{_TILE_K}+1):(i*{_TILE_K}+{_TILE_K})], ' ')) AS h
+      FROM tok, unnest(range(0, CAST(floor(len(t)/{_TILE_K}) AS BIGINT))) AS u(i)
+      WHERE len(t) >= {_TILE_K}
+    ),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM tiles GROUP BY h),
+    kept AS (
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE f.ndocs = 1) AS BIGINT) AS n_kept_tiles,
+             CAST(COUNT(*) FILTER (WHERE f.ndocs > 1) AS BIGINT) AS n_removed_tiles,
+             list(txt ORDER BY i) FILTER (WHERE f.ndocs = 1) AS kept_txts
+      FROM tiles JOIN freq f USING (h) GROUP BY doc_id
+    ),
+    rem AS (
+      SELECT doc_id,
+             CASE WHEN len(t) % {_TILE_K} = 0 THEN []
+                  ELSE [array_to_string(
+                    t[(CAST(floor(len(t)/{_TILE_K}) AS BIGINT)*{_TILE_K}+1):len(t)],
+                    ' ')]
+             END AS rem_part
+      FROM tok
+    )
+    SELECT d.doc_id,
+           COALESCE(k.n_kept_tiles, 0) AS n_kept_tiles,
+           COALESCE(k.n_removed_tiles, 0) AS n_removed_tiles,
+           COALESCE(array_to_string(
+             list_concat(COALESCE(k.kept_txts, []), r.rem_part), ' '
+           ), '') AS clean_text
+    FROM documents d
+    LEFT JOIN kept k USING (doc_id)
+    JOIN rem r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def frequent_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL counterpart of frequent_segment_filter — rebuild each
+    document with its corpus-frequent tiles cut out (the
+    deduplicate-text-datasets / C4 span-removal action, at tile
+    granularity): kept tiles in original order + the untiled remainder,
+    re-joined in the normalized (lowercased, single-space) token
+    space. A doc too short to tile passes through whole; a fully-shared
+    doc collapses to its remainder. Per-doc reassembly is a bounded
+    grouped fold (docs are bounded by the corpus's enforced
+    chunked-input discipline — see winnowing's max_text_chars), sorted
+    by tile index inside the aggregation buffer, never a global window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = D.tokens_col("text")
+    base = d.select(
+        "doc_id", toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    t = F.col("_t")
+    k = _TILE_K
+    tile_structs = F.transform(
+        F.sequence(F.lit(0), (F.col("_n") / k).cast("long") - 1),
+        lambda i: F.struct(
+            i.alias("i"), F.array_join(F.slice(t, i * k + 1, k), " ").alias("txt")
+        ),
+    )
+    tiles = (
+        base.filter(F.col("_n") >= k)
+        .select("doc_id", F.explode(tile_structs).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.i").alias("i"),
+            F.col("_s.txt").alias("txt"),
+            F.md5(F.col("_s.txt")).alias("h"),
+        )
+    )
+    freq = tiles.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    kept = (
+        tiles.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("ndocs") == 1).cast("long")).alias("n_kept_tiles"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_removed_tiles"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("ndocs") == 1,
+                        F.struct(F.col("i"), F.col("txt")),
+                    )
+                )
+            ).alias("_kept_structs"),
+        )
+        .select(
+            "doc_id",
+            "n_kept_tiles",
+            "n_removed_tiles",
+            F.transform(F.col("_kept_structs"), lambda s: s["txt"]).alias(
+                "kept_txts"
+            ),
+        )
+    )
+    rem = base.select(
+        "doc_id",
+        F.when(
+            F.col("_n") % k == 0, F.array().cast("array<string>")
+        )
+        .otherwise(
+            F.array(
+                F.array_join(
+                    F.slice(
+                        t,
+                        (F.col("_n") / k).cast("long") * k + 1,
+                        F.col("_n") % k,
+                    ),
+                    " ",
+                )
+            )
+        )
+        .alias("rem_part"),
+    )
+    return (
+        d.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .join(rem, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_tiles", F.lit(0)).alias("n_kept_tiles"),
+            F.coalesce("n_removed_tiles", F.lit(0)).alias("n_removed_tiles"),
+            F.array_join(
+                F.concat(
+                    F.coalesce(
+                        F.col("kept_txts"), F.array().cast("array<string>")
+                    ),
+                    F.col("rem_part"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

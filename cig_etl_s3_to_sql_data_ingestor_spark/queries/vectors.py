@@ -957,17 +957,13 @@ def ann_mmr_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQ8_DIM = 64
-_SQ8_CODE = (
-    "CASE WHEN scales[i] = 0 THEN 0 ELSE "
-    "CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) / scales[i]),"
-    " 255.0) AS BIGINT) END"
-)
 
-
-@register(
-    "ann_sq8_topk",
-    oracle=f"""
-    WITH dims AS (SELECT unnest(generate_series(1, {_SQ8_DIM})) AS i),
+# Shared SQ8 oracle pieces: the stats CTEs (per-dim min + (max-min)/255
+# packed into two list columns) and the quantize-then-reconstruct
+# expression — ONE spelling for the brute and IVF-composed mirrors so
+# the fixed op order (subtract, divide, floor, clamp, add half,
+# multiply, add) cannot drift between them.
+_SQ8_STATS_CTES = f"""dims AS (SELECT unnest(generate_series(1, {_SQ8_DIM})) AS i),
     stats AS (
       SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
              (max(CAST(embedding[i] AS DOUBLE))
@@ -977,12 +973,29 @@ _SQ8_CODE = (
     packed AS (
       SELECT list(mn ORDER BY i) AS mins, list(sc ORDER BY i) AS scales
       FROM stats
-    ),
+    )"""
+
+
+def _sql_sq8_recon(src: str) -> str:
+    """Midpoint reconstruction of ``src``'s SQ8 codes against the
+    ``packed`` stats row (mirrors operators.similarity._sq8_recon_col)."""
+    code = (
+        f"CASE WHEN scales[i] = 0 THEN 0 ELSE "
+        f"CAST(least(floor((CAST({src}[i] AS DOUBLE) - mins[i]) / scales[i]),"
+        f" 255.0) AS BIGINT) END"
+    )
+    return (
+        f"list_transform(generate_series(1, {_SQ8_DIM}),"
+        f" i -> (CAST(({code}) AS DOUBLE) + 0.5) * scales[i] + mins[i])"
+    )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=f"""
+    WITH {_SQ8_STATS_CTES},
     recon AS (
-      SELECT vec_id AS cand_id,
-             list_transform(generate_series(1, {_SQ8_DIM}),
-               i -> (CAST(({_SQ8_CODE}) AS DOUBLE) + 0.5) * scales[i] + mins[i]
-             ) AS rv
+      SELECT vec_id AS cand_id, {_sql_sq8_recon('embedding')} AS rv
       FROM embeddings, packed
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1007,8 +1020,68 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller scans than float32), raw queries, midpoint reconstruction.
     Every quantization step is a fixed-order IEEE double op mirrored by
     the oracle, so ranks are bit-identical across engines. See
-    operators.similarity.sq8_topk for the at-rest framing and the IVF
-    composition that replaces the full scan at corpus scale."""
+    operators.similarity.sq8_topk for the at-rest framing and
+    ann_ivf_sq8_topk for the composition that replaces the full scan at
+    corpus scale."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return S.sq8_topk(e, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_ivf_sq8_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    {_SQ8_STATS_CTES},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT cand_id, cell_id, {_sql_sq8_recon('cand_vec')} AS rv
+      FROM assigned, packed
+    ),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.query_id, q.query_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 12
+    ),
+    scored AS (
+      SELECT p.query_id, r.cand_id,
+             {_sql_dot('p.query_vec', 'r.rv')}
+               / (sqrt({_sql_dot('p.query_vec', 'p.query_vec')})
+                  * sqrt({_sql_dot('r.rv', 'r.rv')})) AS sq8_sim
+      FROM recon r JOIN probes p USING (cell_id)
+      WHERE r.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, sq8_sim, rank FROM (
+      SELECT query_id, cand_id, sq8_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sq8_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed: probed cells bound the work, int8 codes bound
+    the bytes — the deployment shape for scalar-quantized search at
+    corpus scale (ann_ivf_topk's cells + ann_sq8_topk's asymmetric
+    metric; same training sample, probes and tie-breaks as the IVF-flat
+    query, so the three mirrors share every constant)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return S.ivf_sq8_topk(
+        e, queries, k=5, n_cells=16, n_probe=12, kmeans_sample_mod=4
+    ).orderBy("query_id", "rank")

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # 1-row corpus token totals (N_T, N_S)
     "dsir_domain_select",       # same 1-row DSIR totals frame
     "ann_sq8_topk",             # 1-row SQ8 stats frame + broadcast query set
+    "ann_ivf_sq8_topk",         # same 1-row stats + broadcast centroid frame
     "nb_quality_classifier",  # 1-row train-doc total for the priors
     "curation_pipeline_learned",  # same NB 1-row priors total
     "nb_score_calibration",       # same NB 1-row priors total

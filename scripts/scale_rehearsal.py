@@ -69,6 +69,8 @@ TOP = [
     "dedup_bigram_cosine",
     "frequent_segment_filter",
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
+    "frequent_segment_removal",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -269,3 +269,20 @@ def test_sq8_recall_floor(ground_truth):
     e, q, gt = ground_truth
     recall = _recall(gt, S.sq8_topk(e, q, k=K))
     assert recall >= 0.99, f"SQ8 recall@{K} fell to {recall:.3f}"
+
+
+def test_ivf_sq8_composed_recall(ground_truth):
+    """IVF + SQ8 composed: with 255 levels the scalar quantizer is
+    near-exact, so the composition's recall matches IVF-flat on the
+    fixture (0.9625 both — cell routing, not quantization, is the
+    recall bound). Floor pinned below the measured constant; the
+    second assertion pins 'quantization costs (almost) nothing' so a
+    future change that degrades the SQ8 metric shows up here, not just
+    in the absolute floor."""
+    e, q, gt = ground_truth
+    ivf = _recall(gt, S.ivf_topk(e, q, k=K, n_cells=16, n_probe=12))
+    comp = _recall(gt, S.ivf_sq8_topk(e, q, k=K, n_cells=16, n_probe=12))
+    assert comp >= 0.95, f"IVF+SQ8 recall@{K} fell to {comp:.3f}"
+    assert comp >= ivf - 0.02, (
+        f"SQ8 quantization cost {ivf - comp:.3f} recall inside IVF cells"
+    )

@@ -552,3 +552,36 @@ def test_fixed_tile_profile_short_and_remainder(spark):
     rows = D.fixed_tile_profile(sdf, k=8).collect()
     assert {r["doc_id"] for r in rows} == {2}
     assert len(rows) == 1 and rows[0]["tile_idx"] == 1
+
+
+def test_frequent_segment_removal_reconstruction(spark):
+    """The removal query's clean_text is exactly the kept tiles +
+    remainder in the normalized token space: unique docs pass through
+    whole, verbatim copies lose their shared tiles (both keep their
+    sub-tile remainder), and short docs are untouched."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.dedup import (
+        frequent_segment_removal,
+    )
+
+    import tempfile
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 x0 x1 x2 x3 x4 x5 x6 x7"
+    rows = [
+        (1, base + " tail1 tail2"),      # duplicated tiles + remainder
+        (2, base + " other trailing"),    # same tiles, different remainder
+        (3, "u0 u1 u2 u3 u4 u5 u6 u7 solo"),  # unique tiles + remainder
+        (4, "short doc"),                 # below k: passes through whole
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{td}/documents.parquet"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in frequent_segment_removal(spark, td).collect()
+        }
+    assert out[1]["n_removed_tiles"] == 2 and out[1]["clean_text"] == "tail1 tail2"
+    assert out[2]["n_removed_tiles"] == 2 and out[2]["clean_text"] == "other trailing"
+    assert out[3]["n_removed_tiles"] == 0
+    assert out[3]["clean_text"] == "u0 u1 u2 u3 u4 u5 u6 u7 solo"
+    assert out[4]["n_kept_tiles"] == 0 and out[4]["clean_text"] == "short doc"
