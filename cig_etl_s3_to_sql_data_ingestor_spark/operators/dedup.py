@@ -1019,9 +1019,15 @@ def token_cosine_near_duplicates(
        norms come from the same tf frame. The keep rule is the pure
        integer cross-multiplication
        ``dot^2 * den^2 >= num^2 * norm_sq_a * norm_sq_b``
-       (cosine >= num/den with zero float rounding on either engine;
-       BIGINT-safe while per-doc total term count stays under ~1.9e8 —
-       far past the 8192-char winnowing-scale bound). The reported
+       (cosine >= num/den with zero float rounding on either engine).
+       BIGINT range: with num=4/den=5 the worst case is
+       16 * norm_sq^2 <= 16 * L^4 for a DEGENERATE doc of one token
+       repeated L times, safe to L ~ 24k tokens; for natural docs
+       (bounded tf) norm_sq ~ L and the bound is astronomically larger.
+       Either way the corpus's chunked-input discipline (winnowing's
+       8192-char mandate ~ 4k tokens) keeps real inputs far inside it,
+       and Spark 4's default ANSI mode raises LOUDLY on a 64-bit
+       overflow instead of wrapping. The reported
        ``cosine_sim`` double is derived from those exact integers with
        one mul / one sqrt / one div, bit-identical across engines.
 

@@ -585,3 +585,133 @@ def test_frequent_segment_removal_reconstruction(spark):
     assert out[3]["n_removed_tiles"] == 0
     assert out[3]["clean_text"] == "u0 u1 u2 u3 u4 u5 u6 u7 solo"
     assert out[4]["n_kept_tiles"] == 0 and out[4]["clean_text"] == "short doc"
+
+
+def _py_bigram_cosine_pipeline(
+    docs: dict[int, str],
+    rare_prefix: int = 4,
+    max_term_df: int = 100,
+    num: int = 4,
+    den: int = 5,
+) -> dict[tuple[int, int], int]:
+    """Full pure-Python transcription of token_cosine_near_duplicates —
+    INCLUDING the rare-prefix blocking — so the whole candidate-generation
+    semantics is pinned, not just the verification arithmetic."""
+    tfs = {d: _py_bigram_tf(t) for d, t in docs.items()}
+    tfs = {d: tf for d, tf in tfs.items() if tf}
+    norms = {d: sum(v * v for v in tf.values()) for d, tf in tfs.items()}
+    df: dict[str, int] = {}
+    for tf in tfs.values():
+        for t in tf:
+            df[t] = df.get(t, 0) + 1
+    prefix: dict[int, set] = {}
+    for d, tf in tfs.items():
+        ranked = sorted(
+            (t for t in tf if df[t] <= max_term_df), key=lambda t: (df[t], t)
+        )
+        prefix[d] = set(ranked[:rare_prefix])
+    cand = set()
+    ids = sorted(tfs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if prefix[a] & prefix[b]:
+                cand.add((a, b))
+    out = {}
+    for a, b in cand:
+        shared = set(tfs[a]) & set(tfs[b])
+        dot = sum(tfs[a][t] * tfs[b][t] for t in shared)
+        if shared and dot * dot * den * den >= num * num * norms[a] * norms[b]:
+            out[(a, b)] = dot
+    return out
+
+
+def test_token_cosine_full_pipeline_on_adversarial_corpus(spark):
+    """Generated adversarial corpus (tiny alphabet -> heavy term
+    collisions and df-cap hits; exact copies; shuffled copies; prefix
+    edits; empty/short docs): the operator's (pair -> dot) map equals the
+    full-pipeline Python model, and the result is invariant to shuffle
+    partitioning."""
+    import random
+
+    rng = random.Random(42)
+    words = [f"w{i}" for i in range(12)]
+    docs: dict[int, str] = {}
+    for d in range(40):
+        docs[d] = " ".join(rng.choice(words) for _ in range(rng.randint(5, 40)))
+    docs[100] = docs[0]                                  # exact copy
+    docs[101] = docs[1] + " " + docs[1].split(" ", 1)[1]  # self-extended
+    toks2 = docs[2].split()
+    rng.shuffle(toks2)
+    docs[102] = " ".join(toks2)                          # bag-equal, order-shuffled
+    docs[103] = "zz " + docs[3]                          # prefix edit
+    docs[104] = ""                                       # empty
+    docs[105] = "solo"                                   # sub-bigram
+    expect = _py_bigram_cosine_pipeline(docs)
+    sdf = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in D.token_cosine_near_duplicates(sdf).collect()
+    }
+    assert got == expect, (
+        f"only_spark={set(got) - set(expect)} only_python={set(expect) - set(got)}"
+    )
+    assert expect, "adversarial corpus produced no pairs — test is vacuous"
+    for parts in (2, 16):
+        redo = {
+            (r["id_a"], r["id_b"]): r["dot"]
+            for r in D.token_cosine_near_duplicates(
+                sdf.repartition(parts)
+            ).collect()
+        }
+        assert redo == expect, f"partitioning {parts} changed the pair set"
+
+
+def test_frequent_segment_removal_matches_python_on_generated_corpus(
+    spark, tmp_path
+):
+    """Generated corpus with verbatim copies, partial tile sharing and
+    ragged remainders: clean_text equals the Python transcription of
+    tiles -> doc-frequency -> kept-tiles + remainder for every doc."""
+    import random
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.dedup import (
+        _TILE_K,
+        frequent_segment_removal,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    docs: dict[int, str] = {}
+    for d in range(30):
+        docs[d] = " ".join(rng.choice(words) for _ in range(rng.randint(3, 60)))
+    docs[200] = docs[0]                               # verbatim copy
+    shared_block = " ".join(rng.choice(words) for _ in range(_TILE_K * 2))
+    docs[201] = shared_block + " " + docs[1]          # shares 2 tiles with 202
+    docs[202] = shared_block + " unique tail here"
+    k = _TILE_K
+    toks = {d: t.strip().lower().split() for d, t in docs.items()}
+    tiles = {
+        d: [" ".join(ts[i * k : i * k + k]) for i in range(len(ts) // k)]
+        for d, ts in toks.items()
+    }
+    freq: dict[str, set] = {}
+    for d, tl in tiles.items():
+        for t in tl:
+            freq.setdefault(t, set()).add(d)
+    expect = {}
+    for d, ts in toks.items():
+        kept = [t for t in tiles[d] if len(freq[t]) == 1]
+        rem = ts[(len(ts) // k) * k :]
+        expect[d] = " ".join(kept + ([" ".join(rem)] if rem else []))
+    spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in frequent_segment_removal(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    removed = [d for d in expect if expect[d] != " ".join(toks[d])]
+    assert removed, "no doc was edited — generated corpus is vacuous"
