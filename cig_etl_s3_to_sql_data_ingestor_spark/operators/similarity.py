@@ -1475,23 +1475,39 @@ def sq8_stats(
     return row.select(mins.alias("mins"), scales.alias("scales"))
 
 
-def _sq8_recon_col(vec_col, mins_col, scales_col):
-    """Quantize-then-reconstruct a vector column against broadcast stats:
-    code = least(floor((v - min)/scale), 255) (0 on constant dims), and
-    the midpoint reconstruction (code + 0.5)*scale + min. Every step is
-    a deterministic IEEE double op in a FIXED order (subtract, divide,
-    floor, clamp, add half, multiply, add) mirrored verbatim by the SQL
-    oracle, so reconstructed values are bit-identical across engines."""
+def sq8_codes_col(vec_col, mins_col, scales_col):
+    """SQ8 encode: code = least(floor((v - min)/scale), 255) per dim
+    (0 on constant dims) — the int8 at-rest form of a vector."""
     centered = F.zip_with(vec_col, mins_col, lambda v, m: v.cast("double") - m)
-    codes = F.zip_with(
+    return F.zip_with(
         centered,
         scales_col,
         lambda c, s: F.when(s == 0.0, F.lit(0)).otherwise(
             F.least(F.floor(c / s), F.lit(255.0)).cast("int")
         ),
     )
-    part = F.zip_with(codes, scales_col, lambda c, s: (c.cast("double") + 0.5) * s)
+
+
+def sq8_reconstruct_col(codes_col, mins_col, scales_col):
+    """SQ8 decode: the midpoint reconstruction (code + 0.5)*scale + min
+    per dim. Both halves are deterministic IEEE double ops in a FIXED
+    order (subtract, divide, floor, clamp / add half, multiply, add)
+    mirrored verbatim by the SQL oracle, so reconstructed values are
+    bit-identical across engines."""
+    part = F.zip_with(
+        codes_col, scales_col, lambda c, s: (c.cast("double") + 0.5) * s
+    )
     return F.zip_with(part, mins_col, lambda x, m: x + m)
+
+
+def _sq8_recon_col(vec_col, mins_col, scales_col):
+    """Quantize-then-reconstruct (encode immediately decoded) — the
+    search-time form when raw vectors are still in hand; stores that
+    keep codes at rest encode once and decode with
+    :func:`sq8_reconstruct_col`."""
+    return sq8_reconstruct_col(
+        sq8_codes_col(vec_col, mins_col, scales_col), mins_col, scales_col
+    )
 
 
 def sq8_topk(

@@ -33,6 +33,16 @@ index (or an earlier same-batch row) already holds one within
 straddling a cell boundary is admitted — the standard recall/cost
 trade of cell-blocked near-dup, documented rather than hidden.
 
+SQ8 code-at-rest mode (``sq8_stats_path``): with quantization stats
+frozen at bootstrap alongside the centroids, the store keeps int8
+CODES instead of double vectors — 4x smaller at rest, which at index
+scale is 4x fewer bytes off the object store for every search and
+every gate probe. Gate and search both score the raw incoming/query
+vector against the midpoint reconstruction (asymmetric ADC, the
+``operators.similarity.ivf_sq8_topk`` semantics); search results are
+bit-identical to running that operator's scoring over the same
+members, pinned by ``test_vector_ingest_sq8_*``.
+
 Within-batch policy (precisely): a vector is admitted iff NO
 lower-id same-cell near-duplicate exists in the batch — admitted OR
 rejected. The batch's admitted set is the set of LOCAL MINIMA of the
@@ -58,10 +68,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vectors import dot, norm
-from ..operators.similarity import ivf_assign
+from ..operators.similarity import (
+    ivf_assign,
+    sq8_codes_col,
+    sq8_reconstruct_col,
+    sq8_stats,
+)
 
 
-def _index_schema(id_col: str = "vec_id", vec_col: str = "embedding") -> T.StructType:
+def _index_schema(
+    id_col: str = "vec_id", vec_col: str = "embedding", quantized: bool = False
+) -> T.StructType:
+    """Raw store: (id, cell, vector, norm). Quantized (SQ8) store: the
+    vector column is replaced BY its int8 codes — the 4x-smaller at-rest
+    form — plus the reconstructed-vector norm precomputed at ingest so
+    search never re-folds it."""
+    if quantized:
+        return T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("cell_id", T.LongType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+                T.StructField("code_norm", T.DoubleType()),
+            ]
+        )
     return T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -78,6 +108,7 @@ def read_index_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_epoch: int | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """The accumulated index, or an empty frame when it does not exist
     yet (see streaming._store.read_epoch_store for the shared
@@ -85,7 +116,20 @@ def read_index_store(
     from ._store import read_epoch_store
 
     return read_epoch_store(
-        spark, path, _index_schema(id_col, vec_col), exclude_epoch
+        spark, path, _index_schema(id_col, vec_col, quantized), exclude_epoch
+    )
+
+
+def bootstrap_sq8_stats(
+    corpus: DataFrame, path: str, vec_col: str = "embedding", dim: int = 64
+) -> None:
+    """Train and freeze the SQ8 quantization stats (per-dim mins +
+    scales) on a bootstrap corpus — the scalar-quantizer twin of the
+    frozen-centroid bootstrap: like the centroids, stats must never
+    move after vectors are encoded (re-deriving them per batch would
+    re-key every stored code)."""
+    sq8_stats(corpus, vec_col=vec_col, dim=dim).write.mode("overwrite").parquet(
+        path
     )
 
 
@@ -101,6 +145,73 @@ class VectorIngest:
     id_col: str = "vec_id"
     vec_col: str = "embedding"
     dup_threshold: float = 0.995
+    # Optional SQ8 code-at-rest mode: path to the frozen quantization
+    # stats (see bootstrap_sq8_stats). When set, the store keeps int8
+    # CODES instead of double vectors (4x smaller at rest) and both the
+    # near-dup gate and search score the RAW new/query vector against
+    # the midpoint reconstruction — the asymmetric-ADC semantics of
+    # operators.similarity.ivf_sq8_topk, applied to ``dup_threshold``
+    # too (documented, not hidden: a stored near-duplicate is detected
+    # through its reconstruction). A store is either raw or quantized
+    # for its whole life; opening a raw-layout store in quantized mode
+    # raises per-row (null codes) instead of silently scoring nothing.
+    sq8_stats_path: str | None = None
+
+    def _stats(self) -> DataFrame:
+        """The frozen 1-row (mins, scales) stats frame."""
+        return self.spark.read.parquet(self.sq8_stats_path)
+
+    def _index_members(self, exclude_epoch: int | None = None) -> DataFrame:
+        """The accumulated index as (id, cell_id, _ivec, _inorm) — the
+        one shape the gate and search both score against, regardless of
+        the at-rest layout (raw vectors, or SQ8 codes reconstructed
+        against the broadcast stats row)."""
+        if self.sq8_stats_path is None:
+            return read_index_store(
+                self.spark,
+                self.store_path,
+                self.id_col,
+                self.vec_col,
+                exclude_epoch=exclude_epoch,
+            ).select(
+                self.id_col,
+                "cell_id",
+                F.col(self.vec_col).alias("_ivec"),
+                F.col("vec_norm").alias("_inorm"),
+            )
+        index = read_index_store(
+            self.spark,
+            self.store_path,
+            self.id_col,
+            self.vec_col,
+            exclude_epoch=exclude_epoch,
+            quantized=True,
+        )
+        guarded = F.when(
+            F.col("codes").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("vector index store "),
+                    F.lit(self.store_path),
+                    F.lit(": row "),
+                    F.col(self.id_col).cast("string"),
+                    F.lit(
+                        " has no SQ8 codes — this store was written in "
+                        "raw-vector layout; open it without "
+                        "sq8_stats_path (a store is raw or quantized "
+                        "for its whole life)"
+                    ),
+                )
+            ).cast("array<int>"),
+        ).otherwise(F.col("codes"))
+        return index.crossJoin(F.broadcast(self._stats())).select(
+            self.id_col,
+            "cell_id",
+            sq8_reconstruct_col(guarded, F.col("mins"), F.col("scales")).alias(
+                "_ivec"
+            ),
+            F.col("code_norm").alias("_inorm"),
+        )
 
     def _centroids(self) -> DataFrame:
         """Frozen centroids as (cell_id-as-id, vector) — the shape
@@ -131,18 +242,10 @@ class VectorIngest:
             F.col("cand_vec").alias(self.vec_col),
             F.col("cand_norm").alias("vec_norm"),
         )
-        index = read_index_store(
-            self.spark,
-            self.store_path,
-            self.id_col,
-            self.vec_col,
-            exclude_epoch=exclude_epoch,
-        )
-        # Gate 1: near-dup vs the existing index, same cell only.
-        idx = index.select(
-            "cell_id",
-            F.col(self.vec_col).alias("_ivec"),
-            F.col("vec_norm").alias("_inorm"),
+        # Gate 1: near-dup vs the existing index, same cell only (raw
+        # batch vector vs the stored form — reconstructed in SQ8 mode).
+        idx = self._index_members(exclude_epoch).select(
+            "cell_id", "_ivec", "_inorm"
         )
         dup_vs_index = (
             assigned.join(idx, "cell_id")
@@ -180,8 +283,29 @@ class VectorIngest:
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         admitted = self._admit(batch_df, exclude_epoch=epoch_id)
+        quantized = self.sq8_stats_path is not None
+        if quantized:
+            # Encode ONCE at ingest: the raw vector never reaches the
+            # store. code_norm is the reconstructed vector's norm so
+            # search scores without re-folding it per pair.
+            admitted = admitted.crossJoin(F.broadcast(self._stats())).withColumn(
+                "codes",
+                sq8_codes_col(
+                    F.col(self.vec_col), F.col("mins"), F.col("scales")
+                ),
+            ).withColumn(
+                "code_norm",
+                norm(
+                    sq8_reconstruct_col(
+                        F.col("codes"), F.col("mins"), F.col("scales")
+                    )
+                ),
+            )
         admitted.select(
-            [f.name for f in _index_schema(self.id_col, self.vec_col).fields]
+            [
+                f.name
+                for f in _index_schema(self.id_col, self.vec_col, quantized).fields
+            ]
         ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
 
     def start(
@@ -222,16 +346,14 @@ class VectorIngest:
             F.col("cand_norm").alias("query_norm"),
             "cell_id",
         )
-        index = read_index_store(
-            self.spark, self.store_path, self.id_col, self.vec_col
-        )
+        index = self._index_members()
         scored = (
             index.join(F.broadcast(probes), "cell_id")
             .filter(F.col(self.id_col) != F.col("query_id"))
             .withColumn(
                 "cosine_sim",
-                dot(F.col("query_vec"), F.col(self.vec_col))
-                / (F.col("query_norm") * F.col("vec_norm")),
+                dot(F.col("query_vec"), F.col("_ivec"))
+                / (F.col("query_norm") * F.col("_inorm")),
             )
         )
         w = W.partitionBy("query_id").orderBy(

@@ -2040,3 +2040,180 @@ def test_dedup_ingest_chunk_gate_precedence(spark, tmp_path):
     assert verdicts[20] == "exact_dup"  # NOT chunk_dup — precedence
     assert verdicts[21] == "unique"
     assert [r.doc_id for r in survivors.collect()] == [21]
+
+
+def _sq8_bootstrap(spark, tmp_path, sf_dir, n_cells=4):
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        bootstrap_sq8_stats,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    boot = e.filter(F.col("vec_id") < 100)
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(boot, n_cells=n_cells).write.parquet(cents_path)
+    stats_path = str(tmp_path / "sq8_stats")
+    bootstrap_sq8_stats(boot, stats_path)
+    return e, cents_path, stats_path
+
+
+def _py_sq8(vec, mins, scales):
+    """Independent Python transcription of encode + midpoint decode."""
+    codes, recon = [], []
+    for v, m, s in zip(vec, mins, scales):
+        c = 0 if s == 0.0 else int(min((v - m) / s // 1, 255.0))
+        codes.append(c)
+        recon.append((c + 0.5) * s + m)
+    return codes, recon
+
+
+def test_vector_ingest_sq8_codes_at_rest_and_search_parity(
+    spark, tmp_path, sf_dir
+):
+    """SQ8 store mode: the store holds int8 codes (no vector column),
+    the codes equal an independent Python quantization of the raw
+    vectors against the frozen stats, and search reproduces the
+    asymmetric-ADC ranking computed from those Python reconstructions
+    bit-for-bit (same left-to-right fold)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = tmp_path / "vecs"
+    src.mkdir()
+    e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140)).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(180)
+
+    store = read_index_store(
+        spark, str(tmp_path / "index"), quantized=True
+    )
+    assert set(store.columns) == {"vec_id", "cell_id", "codes", "code_norm"}
+    stats = spark.read.parquet(stats_path).collect()[0]
+    mins, scales = list(stats["mins"]), list(stats["scales"])
+    raw = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 140)
+        ).collect()
+    }
+    stored = {r["vec_id"]: list(r["codes"]) for r in store.collect()}
+    assert set(stored) == set(raw)  # fixture vectors distinct: all admitted
+    recons = {}
+    for vid, vec in raw.items():
+        codes, recon = _py_sq8(vec, mins, scales)
+        assert stored[vid] == codes, f"codes diverge for {vid}"
+        recons[vid] = recon
+
+    queries = e.filter(F.col("vec_id") < 3)
+    got = [
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in ingest.search(queries, k=3, n_probe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    # Expected from the Python reconstructions: asymmetric cosine with
+    # the same sequential fold, all cells probed, (sim DESC, id) ties.
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    expect = []
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in queries.collect()}
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        qn = math.sqrt(fold_dot(qv, qv))
+        scored = []
+        for vid, rv in recons.items():
+            if vid == qid:
+                continue
+            rn = math.sqrt(fold_dot(rv, rv))
+            scored.append((fold_dot(qv, rv) / (qn * rn), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, vid) in enumerate(scored[:3], start=1):
+            expect.append((qid, vid, rank, sim))
+    assert got == expect
+
+
+def test_vector_ingest_sq8_gate_rejects_redelivery_via_reconstruction(
+    spark, tmp_path, sf_dir
+):
+    """The quantized gate detects a re-delivered vector THROUGH its
+    stored reconstruction: recon cosine vs the raw original is ~0.9999
+    (255 levels), above the 0.995 dup threshold."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    batch = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    ingest._process_batch(batch, 0)
+    assert (
+        read_index_store(spark, str(tmp_path / "index"), quantized=True).count()
+        == 10
+    )
+    # Crash replay: the epoch must not self-reject against its own rows.
+    assert ingest._admit(batch, exclude_epoch=0).count() == 10
+    # A later epoch rejects the exact re-arrivals via reconstruction.
+    assert ingest._admit(batch, exclude_epoch=1).count() == 0
+
+
+def test_vector_ingest_sq8_raw_layout_guard(spark, tmp_path, sf_dir):
+    """Opening a raw-layout store in quantized mode fails LOUDLY (null
+    codes raise per row) instead of silently scoring nothing."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    raw_ingest = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    raw_ingest._process_batch(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)), 0
+    )
+    quant = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        sq8_stats_path=stats_path,
+    )
+    with pytest.raises(Exception, match="raw-vector layout"):
+        quant.search(e.filter(F.col("vec_id") < 2), k=3, n_probe=4).collect()
