@@ -223,6 +223,8 @@ HEADLINE = [
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
     "frequent_segment_removal",
+    # amortized IVF+SQ8 search twin (index built OUTSIDE the timer).
+    "ann_ivf_sq8_search",
 ]
 
 
@@ -530,6 +532,76 @@ def _phrase_from_index_prepare(spark, sf_dir):
     )
 
 
+def _ivf_sq8_search_prepare(spark, sf_dir):
+    """Build + materialize the IVF+SQ8 index OUTSIDE the timer in its
+    at-rest shape — frozen centroids, reconstructed member vectors with
+    precomputed norms (what a deployment derives from the stored int8
+    codes + the 2x64-double stats row). The thunk is pure search: probe
+    ranking against the broadcast centroids, probed-cell equi-join,
+    asymmetric reconstructed-cosine rank — exactly ann_ivf_sq8_topk's
+    tail, which still times the full build+search path."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.functions.vectors import dot, norm
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.dedup import _persist
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _persist(
+        S.kmeans_centroids(e, n_cells=16, n_iters=2, sample_mod=4).select(
+            F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding")
+        )
+    )
+    cents.count()
+    stats = S.sq8_stats(e)
+    coded = _persist(
+        S.ivf_assign(e, cents, n_probe=1)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "cand_id",
+            "cell_id",
+            S._sq8_recon_col(
+                F.col("cand_vec"), F.col("mins"), F.col("scales")
+            ).alias("recon_vec"),
+        )
+        .withColumn("recon_norm", norm(F.col("recon_vec")))
+        .coalesce(4)
+    )
+    coded.count()
+    qdf = _persist(e.filter(F.col("vec_id") < 8).coalesce(1))
+    qdf.count()
+
+    def run():
+        probes = S.ivf_assign(qdf, cents, n_probe=12).select(
+            F.col("cand_id").alias("query_id"),
+            F.col("cand_vec").alias("query_vec"),
+            F.col("cand_norm").alias("query_norm"),
+            "cell_id",
+        )
+        scored = (
+            coded.join(F.broadcast(probes), "cell_id")
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .withColumn(
+                "sq8_sim",
+                dot(F.col("query_vec"), F.col("recon_vec"))
+                / (F.col("query_norm") * F.col("recon_norm")),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("sq8_sim").desc(), F.col("cand_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "cand_id", "sq8_sim", "rank")
+        )
+
+    return run
+
+
+
 # name -> prepare(spark, sf_dir) -> thunk. The prepare step runs ONCE
 # per query, outside the timer; cache-clearing is skipped for these
 # (the persisted index is the point), and the run body creates no
@@ -540,6 +612,7 @@ BENCH_PREPARE = {
     "bm25_search_indexed": _bm25_search_indexed_prepare,
     "ann_mmr_pq_search": _mmr_pq_search_prepare,
     "phrase_search_from_index": _phrase_from_index_prepare,
+    "ann_ivf_sq8_search": _ivf_sq8_search_prepare,
 }
 
 

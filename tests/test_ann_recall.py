@@ -286,3 +286,30 @@ def test_ivf_sq8_composed_recall(ground_truth):
     assert comp >= ivf - 0.02, (
         f"SQ8 quantization cost {ivf - comp:.3f} recall inside IVF cells"
     )
+
+
+def test_ivf_sq8_prepared_twin_identical_to_full_path(spark, sf_dir):
+    """The bench's amortized ann_ivf_sq8_search body (prebuilt centroids
+    + reconstructed members, probes inside the timer) must return
+    BIT-IDENTICAL rows to ann_ivf_sq8_topk — amortization is a caching
+    decision, never a semantics change."""
+    import importlib.util
+    import os
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    thunk = bench._ivf_sq8_search_prepare(spark, sf_dir)
+    got = sorted(
+        (r.query_id, r.cand_id, r.rank, r.sq8_sim) for r in thunk().collect()
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.rank, r.sq8_sim)
+        for r in QUERIES["ann_ivf_sq8_topk"](spark, sf_dir).collect()
+    )
+    assert got == want

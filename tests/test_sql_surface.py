@@ -93,6 +93,7 @@ def test_every_registered_query_is_benched():
         "ann_mmr_pq_search",
         "phrase_search_from_index",
         "corpus_shards_write",
+        "ann_ivf_sq8_search",
     }, extras
     # Bench-only entries must have a timed body (prepare or override).
     for name in extras:
