@@ -153,20 +153,88 @@ class VectorIngest:
     # operators.similarity.ivf_sq8_topk, applied to ``dup_threshold``
     # too (documented, not hidden: a stored near-duplicate is detected
     # through its reconstruction). A store is either raw or quantized
-    # for its whole life; opening a raw-layout store in quantized mode
-    # raises per-row (null codes) instead of silently scoring nothing.
+    # for its whole life; every open runs an eager footer-schema layout
+    # check (_check_layout) that raises on a raw store opened quantized
+    # or vice versa, instead of silently scoring nothing / re-admitting
+    # duplicates.
     sq8_stats_path: str | None = None
 
     def _stats(self) -> DataFrame:
         """The frozen 1-row (mins, scales) stats frame."""
         return self.spark.read.parquet(self.sq8_stats_path)
 
+    def _check_layout(self) -> None:
+        """Eager layout check at every store open: raise when a raw
+        store is opened quantized or vice versa. This must be a
+        DRIVER-SIDE footer-schema check, not (only) a per-row guard:
+        the gate's null-intolerant cosine filter lets Catalyst infer
+        IsNotNull on the vector/codes column and push it to the scan,
+        which would prune the mislayouted (all-null) rows BEFORE any
+        in-plan raise_error evaluates — silently re-admitting every
+        duplicate. Footer schemas cannot be optimized away. A store
+        holding BOTH layouts' columns is corrupt either way."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            cols = set(self.spark.read.parquet(self.store_path).columns)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" in str(ex):
+                return  # store not created yet — first epoch defines it
+            raise
+        quantized = self.sq8_stats_path is not None
+        has_codes, has_raw = "codes" in cols, self.vec_col in cols
+        if has_codes and has_raw:
+            raise ValueError(
+                f"vector index store {self.store_path} holds BOTH raw "
+                "and SQ8 columns — mixed layout; a store is raw or "
+                "quantized for its whole life"
+            )
+        if quantized and has_raw:
+            raise ValueError(
+                f"vector index store {self.store_path} was written in "
+                "raw-vector layout; open it without sq8_stats_path "
+                "(a store is raw or quantized for its whole life)"
+            )
+        if not quantized and has_codes:
+            raise ValueError(
+                f"vector index store {self.store_path} was written in "
+                "SQ8 code layout; open it WITH sq8_stats_path "
+                "(a store is raw or quantized for its whole life)"
+            )
+
     def _index_members(self, exclude_epoch: int | None = None) -> DataFrame:
         """The accumulated index as (id, cell_id, _ivec, _inorm) — the
         one shape the gate and search both score against, regardless of
         the at-rest layout (raw vectors, or SQ8 codes reconstructed
-        against the broadcast stats row)."""
+        against the broadcast stats row). Opens start with the eager
+        footer-schema layout check (see _check_layout); the in-plan
+        null guards below are defense-in-depth for rows a footer check
+        cannot see (e.g. a hand-edited store)."""
+        self._check_layout()
         if self.sq8_stats_path is None:
+            # Symmetric layout guard: a QUANTIZED store read in raw mode
+            # yields null vectors; the gate's NULL cosine comparison
+            # would then filter to nothing and silently RE-ADMIT every
+            # duplicate (and append raw rows into a quantized store).
+            # Raise per row instead — admitted rows are never null, so
+            # a null vector can only mean the wrong layout.
+            guarded = F.when(
+                F.col(self.vec_col).isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("vector index store "),
+                        F.lit(self.store_path),
+                        F.lit(": row "),
+                        F.col(self.id_col).cast("string"),
+                        F.lit(
+                            " has no raw vector — this store was written "
+                            "in SQ8 code layout; open it WITH "
+                            "sq8_stats_path (a store is raw or quantized "
+                            "for its whole life)"
+                        ),
+                    )
+                ).cast("array<double>"),
+            ).otherwise(F.col(self.vec_col))
             return read_index_store(
                 self.spark,
                 self.store_path,
@@ -176,7 +244,7 @@ class VectorIngest:
             ).select(
                 self.id_col,
                 "cell_id",
-                F.col(self.vec_col).alias("_ivec"),
+                guarded.alias("_ivec"),
                 F.col("vec_norm").alias("_inorm"),
             )
         index = read_index_store(

@@ -2217,3 +2217,38 @@ def test_vector_ingest_sq8_raw_layout_guard(spark, tmp_path, sf_dir):
     )
     with pytest.raises(Exception, match="raw-vector layout"):
         quant.search(e.filter(F.col("vec_id") < 2), k=3, n_probe=4).collect()
+
+
+def test_vector_ingest_quantized_layout_guard_in_raw_mode(
+    spark, tmp_path, sf_dir
+):
+    """The INVERSE layout mistake is also loud: a quantized store opened
+    raw reads null vectors — without the guard the gate's NULL cosine
+    would silently RE-ADMIT every duplicate and append raw rows into the
+    quantized store. Both the search and the gate paths must raise."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    quant = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    batch = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    quant._process_batch(batch, 0)
+    raw = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception, match="SQ8 code layout"):
+        raw.search(e.filter(F.col("vec_id") < 2), k=3, n_probe=4).collect()
+    with pytest.raises(Exception, match="SQ8 code layout"):
+        raw._admit(batch, exclude_epoch=1).count()
