@@ -223,6 +223,8 @@ HEADLINE = [
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
     "frequent_segment_removal",
+    "dedup_cosine_incremental",
+    "cluster_balanced_sample",
     # amortized IVF+SQ8 search twin (index built OUTSIDE the timer).
     "ann_ivf_sq8_search",
 ]

@@ -976,6 +976,28 @@ def cdc_chunks(
     )
 
 
+def _term_frequencies(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, term, tf) bag-of-n-grams term frequencies (duplicates
+    counted); documents shorter than ``ngram`` tokens emit nothing."""
+    toks = tokens_col(text_col)
+    grams = df.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") >= ngram)
+    return (
+        fan_out(grams)
+        .select(
+            F.col(id_col),
+            F.explode(token_kgrams_col(F.col("_t"), F.col("_n"), ngram)).alias(
+                "term"
+            ),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def token_cosine_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1034,21 +1056,7 @@ def token_cosine_near_duplicates(
     Returns (id_a, id_b, dot, norm_sq_a, norm_sq_b, cosine_sim) for
     pairs at or above the threshold, id_a < id_b.
     """
-    toks = tokens_col(text_col)
-    grams = df.select(
-        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
-    ).filter(F.col("_n") >= ngram)
-    tf = _persist(
-        fan_out(grams)
-        .select(
-            F.col(id_col),
-            F.explode(token_kgrams_col(F.col("_t"), F.col("_n"), ngram)).alias(
-                "term"
-            ),
-        )
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = _persist(_term_frequencies(df, id_col, text_col, ngram))
     norms = tf.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
     )
@@ -1152,5 +1160,137 @@ def fixed_tile_profile(
             F.col(id_col),
             (F.col("idx") + 1).cast("long").alias("tile_idx"),
             "tile_hash",
+        )
+    )
+
+
+def incremental_token_cosine_status(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    rare_prefix: int = 4,
+    max_term_df: int = 100,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Crawl-increment classification with the sparse lexical-cosine
+    modality — the :func:`token_cosine_near_duplicates` counterpart of
+    :func:`incremental_dedup_status`: classify each batch document as
+    ``cosine_dup_corpus`` (>= threshold cosine vs some accepted-corpus
+    doc), ``cosine_dup_batch`` (vs a LOWER-id batch doc — the min-id
+    keeper convention the minhash incremental path uses), or
+    ``unique``.
+
+    The deployment shape decides the statistics: term doc-frequencies
+    come from the CORPUS ONLY (the persisted index stat — a streaming
+    gate cannot re-derive global df per batch), and batch-only terms
+    rank as df=0, i.e. maximally rare, which is exactly right for
+    blocking (a term the corpus has never seen is the strongest
+    within-batch signal and can never match a corpus posting anyway).
+    Blocking and verification otherwise mirror the batch operator:
+    rare-term prefixes generate candidates, the pure-integer
+    cross-multiplication verifies exact cosine on full tf vectors.
+    """
+    tf_c = _persist(_term_frequencies(corpus, id_col, text_col, ngram))
+    tf_b = _persist(_term_frequencies(batch, id_col, text_col, ngram))
+    norms_c = tf_c.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    )
+    norms_b = tf_b.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    )
+    df_c = tf_c.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy(id_col).orderBy("df", "term")
+    prefix_c = (
+        tf_c.join(df_c, "term")
+        .filter(F.col("df") <= max_term_df)
+        .withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") <= rare_prefix)
+        .select(F.col(id_col), "term")
+    )
+    wb = W.partitionBy(id_col).orderBy("df", "term")
+    prefix_b = (
+        tf_b.join(df_c, "term", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .filter(F.col("df") <= max_term_df)
+        .withColumn("rr", F.row_number().over(wb))
+        .filter(F.col("rr") <= rare_prefix)
+        .select(F.col(id_col), "term")
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def _verified(cand, tf_a_side, tf_b_side, na_side, nb_side):
+        dots = (
+            cand.join(
+                tf_a_side.alias("ta"), F.col(f"ta.{id_col}") == F.col("id_a")
+            )
+            .join(
+                tf_b_side.alias("tb"),
+                (F.col(f"tb.{id_col}") == F.col("id_b"))
+                & (F.col("tb.term") == F.col("ta.term")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("ta.tf") * F.col("tb.tf")).alias("dot"))
+        )
+        na = na_side.select(
+            F.col(id_col).alias("id_a"), F.col("norm_sq").alias("na2")
+        )
+        nb = nb_side.select(
+            F.col(id_col).alias("id_b"), F.col("norm_sq").alias("nb2")
+        )
+        return (
+            dots.join(na, "id_a")
+            .join(nb, "id_b")
+            .filter(
+                F.col("dot") * F.col("dot") * F.lit(den2)
+                >= F.lit(num2) * F.col("na2") * F.col("nb2")
+            )
+        )
+
+    cross_cand = (
+        prefix_b.alias("pb")
+        .join(prefix_c.alias("pc"), F.col("pb.term") == F.col("pc.term"))
+        .select(
+            F.col(f"pb.{id_col}").alias("id_a"),
+            F.col(f"pc.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    dup_corpus = (
+        _verified(cross_cand, tf_b, tf_c, norms_b, norms_c)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    batch_cand = (
+        prefix_b.alias("pa")
+        .join(
+            prefix_b.alias("pb2"),
+            (F.col("pa.term") == F.col("pb2.term"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb2.{id_col}")),
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb2.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    dup_batch = (
+        _verified(batch_cand, tf_b, tf_b, norms_b, norms_b)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(dup_corpus.withColumn("_dc", F.lit(True)), id_col, "left")
+        .join(dup_batch.withColumn("_db", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_dc"), "cosine_dup_corpus")
+            .when(F.col("_db"), "cosine_dup_batch")
+            .otherwise("unique")
+            .alias("verdict"),
         )
     )

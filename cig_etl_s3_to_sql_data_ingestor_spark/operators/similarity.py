@@ -1644,3 +1644,67 @@ def ivf_sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "sq8_sim", "rank")
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    rate_num: int = 1,
+    rate_den: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    kmeans_sample_mod: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced coreset selection: per KMeans cell, keep the
+    ceil(rate * cell_size) members ranked by a deterministic md5 key —
+    the DataComp/DCLM-style diversity-preserving sample (a global random
+    sample over-represents dense regions and can drop small clusters
+    entirely; sampling WITHIN cells guarantees every region of the
+    embedding space keeps ceil-proportional representation).
+
+    Determinism: the per-cell order is md5(id) (engine-reproducible,
+    effectively uniform, id tie-break), and the keep rule is the pure
+    integer comparison ``rank * rate_den <= cell_size * rate_num +
+    rate_den - 1`` (== rank <= ceil(cell_size * num/den), no float).
+    Any engine, partitioning, or rerun picks the identical set.
+
+    Scale: one broadcast-centroid assign pass over the corpus (map-side,
+    no corpus shuffle), then one window partitioned BY CELL — never a
+    global window; per-cell state is a counter. Cells should scale
+    ~sqrt(n) like the other cell-blocked operators.
+    """
+    if not (0 < rate_num <= rate_den):
+        raise ValueError(f"rate {rate_num}/{rate_den} must be in (0, 1]")
+    centroids = kmeans_centroids(
+        corpus,
+        n_cells=n_cells,
+        n_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_mod=kmeans_sample_mod,
+    ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    from .dedup import _persist
+
+    centroids = _persist(centroids)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col("cand_id").alias(id_col), "cell_id"
+    )
+    per_cell = W.partitionBy("cell_id")
+    ranked = per_cell.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("cell_size", F.count("*").over(per_cell))
+        .withColumn("pick_rank", F.row_number().over(ranked))
+        .filter(
+            F.col("pick_rank") * rate_den
+            <= F.col("cell_size") * rate_num + (rate_den - 1)
+        )
+        .select(
+            id_col,
+            "cell_id",
+            F.col("cell_size").cast("long").alias("cell_size"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
+    )

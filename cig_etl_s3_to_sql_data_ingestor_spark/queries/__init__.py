@@ -102,7 +102,7 @@ _HEAD = [
     "verification_query",
     "weekday_event_chi2",
 ]
-# 150 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# 152 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
@@ -130,6 +130,7 @@ _TAIL = [
     "char_lm_surprisal",
     "cheapest_supplier_per_part",
     "chunk_documents",
+    "cluster_balanced_sample",
     "collocation_pmi",
     "config_enrich_join",
     "contamination_check",
@@ -139,6 +140,7 @@ _TAIL = [
     "daily_event_pivot",
     "dataset_report",
     "dedup_bigram_cosine",
+    "dedup_cosine_incremental",
     "dedup_canonical",
     "dedup_clusters",
     "dedup_incremental",

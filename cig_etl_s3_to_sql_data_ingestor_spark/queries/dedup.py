@@ -944,3 +944,83 @@ def frequent_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cosine_incremental",
+    oracle=rf"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tokc AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus),
+    tokb AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM batch),
+    bgc AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
+            FROM tokc, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+    bgb AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS term
+            FROM tokb, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM bgc GROUP BY doc_id, term),
+    tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM bgb GROUP BY doc_id, term),
+    nc AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfc GROUP BY doc_id),
+    nb AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfb GROUP BY doc_id),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    pc AS (SELECT doc_id, term FROM (
+        SELECT tfc.doc_id, tfc.term,
+               ROW_NUMBER() OVER (PARTITION BY tfc.doc_id
+                                  ORDER BY dfc.df, tfc.term) AS rr
+        FROM tfc JOIN dfc USING (term) WHERE dfc.df <= {_COS_DF_CAP}
+      ) WHERE rr <= {_COS_PREFIX}),
+    pb AS (SELECT doc_id, term FROM (
+        SELECT tfb.doc_id, tfb.term,
+               ROW_NUMBER() OVER (PARTITION BY tfb.doc_id
+                                  ORDER BY COALESCE(dfc.df, 0), tfb.term) AS rr
+        FROM tfb LEFT JOIN dfc USING (term)
+        WHERE COALESCE(dfc.df, 0) <= {_COS_DF_CAP}
+      ) WHERE rr <= {_COS_PREFIX}),
+    ccand AS (SELECT DISTINCT pb.doc_id AS id_a, pc.doc_id AS id_b
+              FROM pb JOIN pc USING (term)),
+    cdots AS (SELECT c.id_a, c.id_b, SUM(a.tf*b.tf) AS dot FROM ccand c
+              JOIN tfb a ON a.doc_id = c.id_a
+              JOIN tfc b ON b.doc_id = c.id_b AND b.term = a.term
+              GROUP BY c.id_a, c.id_b),
+    dupc AS (SELECT DISTINCT d.id_a AS doc_id FROM cdots d
+             JOIN nb ON nb.doc_id = d.id_a JOIN nc ON nc.doc_id = d.id_b
+             WHERE d.dot*d.dot*25 >= 16*nb.n2*nc.n2),
+    bcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pb a JOIN pb b USING (term) WHERE a.doc_id < b.doc_id),
+    bdots AS (SELECT c.id_a, c.id_b, SUM(a.tf*b.tf) AS dot FROM bcand c
+              JOIN tfb a ON a.doc_id = c.id_a
+              JOIN tfb b ON b.doc_id = c.id_b AND b.term = a.term
+              GROUP BY c.id_a, c.id_b),
+    dupb AS (SELECT DISTINCT d.id_b AS doc_id FROM bdots d
+             JOIN nb na ON na.doc_id = d.id_a JOIN nb ON nb.doc_id = d.id_b
+             WHERE d.dot*d.dot*25 >= 16*na.n2*nb.n2)
+    SELECT b.doc_id,
+           CASE WHEN dc.doc_id IS NOT NULL THEN 'cosine_dup_corpus'
+                WHEN db.doc_id IS NOT NULL THEN 'cosine_dup_batch'
+                ELSE 'unique' END AS verdict
+    FROM batch b
+    LEFT JOIN dupc dc ON dc.doc_id = b.doc_id
+    LEFT JOIN dupb db ON db.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-increment classification with the lexical-cosine modality
+    (operators.dedup.incremental_token_cosine_status): even-id docs are
+    the accepted corpus, odd-id docs the arriving batch — a split that
+    populates ALL THREE verdicts (cosine_dup_corpus / cosine_dup_batch /
+    unique) at both test scales. Term doc-frequencies come from the
+    CORPUS ONLY (the persisted index stat of a deployment — a gate
+    cannot re-derive global df per batch); batch-only terms rank as
+    df=0, maximally rare."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_token_cosine_status(
+        corpus,
+        batch,
+        ngram=2,
+        rare_prefix=_COS_PREFIX,
+        max_term_df=_COS_DF_CAP,
+        threshold_num=4,
+        threshold_den=5,
+    ).orderBy("doc_id")

@@ -1085,3 +1085,47 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_sq8_topk(
         e, queries, k=5, n_cells=16, n_probe=12, kmeans_sample_mod=4
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    assigned AS (
+      SELECT cand_id, cell_id FROM (
+        SELECT c.cand_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    sized AS (
+      SELECT cand_id, cell_id,
+             COUNT(*) OVER (PARTITION BY cell_id) AS cell_size,
+             ROW_NUMBER() OVER (PARTITION BY cell_id
+                                ORDER BY md5(CAST(cand_id AS VARCHAR)),
+                                         cand_id) AS pick_rank
+      FROM assigned
+    )
+    SELECT cand_id AS vec_id, cell_id,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM sized
+    WHERE pick_rank * 5 <= cell_size * 1 + 4
+    ORDER BY cell_id, pick_rank
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced 20% coreset: per trained-KMeans cell, keep the
+    ceil(cell_size/5) members ranked by md5(id) — diversity-preserving
+    selection (every embedding-space region keeps ceil-proportional
+    representation; a global random sample would over-draw dense cells
+    and can drop small ones entirely). Same training sample and
+    tie-breaks as the IVF family; integer keep rule, no float, no RNG —
+    any engine/partitioning/rerun picks the identical set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cluster_balanced_sample(
+        e, rate_num=1, rate_den=5, n_cells=16, kmeans_sample_mod=4
+    ).orderBy("cell_id", "pick_rank")

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "dsir_domain_select",       # same 1-row DSIR totals frame
     "ann_sq8_topk",             # 1-row SQ8 stats frame + broadcast query set
     "ann_ivf_sq8_topk",         # same 1-row stats + broadcast centroid frame
+    "cluster_balanced_sample",  # broadcast trained-centroid frame (bounded cells)
     "nb_quality_classifier",  # 1-row train-doc total for the priors
     "curation_pipeline_learned",  # same NB 1-row priors total
     "nb_score_calibration",       # same NB 1-row priors total

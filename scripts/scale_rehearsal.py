@@ -71,6 +71,8 @@ TOP = [
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
     "frequent_segment_removal",
+    "dedup_cosine_incremental",
+    "cluster_balanced_sample",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -313,3 +313,47 @@ def test_ivf_sq8_prepared_twin_identical_to_full_path(spark, sf_dir):
         for r in QUERIES["ann_ivf_sq8_topk"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_cluster_balanced_sample_properties(spark, sf_dir):
+    """Per-cell keep count is exactly ceil(cell_size/5), picks are
+    dense ranks 1..k within each cell, and the selected set is
+    invariant to input partitioning (md5 order, no RNG)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.cluster_balanced_sample(
+        e, rate_num=1, rate_den=5, n_cells=16, kmeans_sample_mod=4
+    )
+    rows = out.collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    assert by_cell, "no cells sampled"
+    for cell, members in by_cell.items():
+        size = members[0]["cell_size"]
+        assert all(m["cell_size"] == size for m in members)
+        assert len(members) == math.ceil(size / 5), f"cell {cell}"
+        assert sorted(m["pick_rank"] for m in members) == list(
+            range(1, len(members) + 1)
+        )
+    total = e.count()
+    assert sum(m[0]["cell_size"] for m in by_cell.values()) <= total
+    redo = {
+        (r["vec_id"], r["cell_id"])
+        for r in S.cluster_balanced_sample(
+            e.repartition(13), rate_num=1, rate_den=5, n_cells=16,
+            kmeans_sample_mod=4,
+        ).collect()
+    }
+    assert redo == {(r["vec_id"], r["cell_id"]) for r in rows}
+
+
+def test_cluster_balanced_sample_rate_validation(spark, sf_dir):
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="rate"):
+        S.cluster_balanced_sample(e, rate_num=6, rate_den=5)
+    with pytest.raises(ValueError, match="rate"):
+        S.cluster_balanced_sample(e, rate_num=0, rate_den=5)

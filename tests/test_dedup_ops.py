@@ -715,3 +715,94 @@ def test_frequent_segment_removal_matches_python_on_generated_corpus(
     assert got == expect
     removed = [d for d in expect if expect[d] != " ".join(toks[d])]
     assert removed, "no doc was edited — generated corpus is vacuous"
+
+
+def _py_incremental_cosine(
+    corpus: dict[int, str],
+    batch: dict[int, str],
+    rare_prefix: int = 4,
+    max_term_df: int = 100,
+    num: int = 4,
+    den: int = 5,
+) -> dict[int, str]:
+    """Full pure-Python transcription of incremental_token_cosine_status:
+    corpus-only df, batch-only terms rank as df=0, prefix blocking on
+    both sides, exact integer verification, verdict precedence
+    corpus > batch > unique."""
+    tfc = {d: tf for d, tf in ((d, _py_bigram_tf(t)) for d, t in corpus.items()) if tf}
+    tfb = {d: tf for d, tf in ((d, _py_bigram_tf(t)) for d, t in batch.items()) if tf}
+    nc = {d: sum(v * v for v in tf.values()) for d, tf in tfc.items()}
+    nb = {d: sum(v * v for v in tf.values()) for d, tf in tfb.items()}
+    df: dict[str, int] = {}
+    for tf in tfc.values():
+        for t in tf:
+            df[t] = df.get(t, 0) + 1
+
+    def prefix(tf, dfl):
+        ranked = sorted(
+            (t for t in tf if dfl(t) <= max_term_df), key=lambda t: (dfl(t), t)
+        )
+        return set(ranked[:rare_prefix])
+
+    pc = {d: prefix(tf, lambda t: df.get(t, 10**9)) for d, tf in tfc.items()}
+    pb = {d: prefix(tf, lambda t: df.get(t, 0)) for d, tf in tfb.items()}
+
+    def hit(tfa, tfb_, na, nb_):
+        shared = set(tfa) & set(tfb_)
+        dot = sum(tfa[t] * tfb_[t] for t in shared)
+        return shared and dot * dot * den * den >= num * num * na * nb_
+
+    verdicts = {}
+    for b in batch:
+        v = "unique"
+        if b in tfb:
+            if any(
+                pb[b] & pc[c] and hit(tfb[b], tfc[c], nb[b], nc[c])
+                for c in tfc
+            ):
+                v = "cosine_dup_corpus"
+            elif any(
+                a < b and pb[a] & pb[b] and hit(tfb[a], tfb[b], nb[a], nb[b])
+                for a in tfb
+            ):
+                v = "cosine_dup_batch"
+        verdicts[b] = v
+    return verdicts
+
+
+def test_incremental_cosine_matches_python_model(spark):
+    """Generated adversarial corpus/batch: verdicts equal the full
+    pure-Python transcription (corpus-only df, df=0 batch-only terms,
+    prefix blocking, min-id batch convention, precedence)."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(12)]
+
+    def doc():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(5, 40)))
+
+    corpus = {2 * i: doc() for i in range(25)}
+    batch = {2 * i + 1: doc() for i in range(25)}
+    batch[101] = corpus[0]              # verbatim corpus re-delivery
+    batch[103] = batch[1]               # within-batch copy (101<103 rule n/a: different text)
+    batch[105] = batch[1]               # copy of a batch doc -> dup_batch
+    batch[107] = "nv1 nv2 nv3 nv4"      # corpus-unseen vocabulary
+    batch[109] = "nv1 nv2 nv3 nv4"      # its twin -> dup_batch via df=0 terms
+    batch[111] = ""                     # empty -> unique
+    expect = _py_incremental_cosine(corpus, batch)
+    rows = [(d, t) for d, t in corpus.items()] + [
+        (d, t) for d, t in batch.items()
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in D.incremental_token_cosine_status(
+            sdf.filter(F.col("doc_id") % 2 == 0),
+            sdf.filter(F.col("doc_id") % 2 == 1),
+        ).collect()
+    }
+    assert got == expect
+    assert "cosine_dup_corpus" in got.values()
+    assert "cosine_dup_batch" in got.values()
+    assert got[111] == "unique"
