@@ -1476,14 +1476,22 @@ def sq8_stats(
 
 
 def sq8_codes_col(vec_col, mins_col, scales_col):
-    """SQ8 encode: code = least(floor((v - min)/scale), 255) per dim
-    (0 on constant dims) — the int8 at-rest form of a vector."""
+    """SQ8 encode: code = greatest(0, least(floor((v - min)/scale), 255))
+    per dim (0 on constant dims) — the uint8 at-rest form of a vector.
+    BOTH clamps matter: with full-corpus stats every value is inside
+    [min, max] and the lower clamp is a no-op, but a store whose stats
+    were FROZEN on a bootstrap corpus (streaming/vector_ingest) later
+    encodes values outside the bootstrap range — without the clamps a
+    below-min value would produce a NEGATIVE code, silently breaking
+    the uint8 0..255 contract any byte-packed deployment relies on."""
     centered = F.zip_with(vec_col, mins_col, lambda v, m: v.cast("double") - m)
     return F.zip_with(
         centered,
         scales_col,
         lambda c, s: F.when(s == 0.0, F.lit(0)).otherwise(
-            F.least(F.floor(c / s), F.lit(255.0)).cast("int")
+            F.greatest(F.least(F.floor(c / s), F.lit(255.0)), F.lit(0.0)).cast(
+                "int"
+            )
         ),
     )
 

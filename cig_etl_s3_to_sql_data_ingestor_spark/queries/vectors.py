@@ -981,8 +981,8 @@ def _sql_sq8_recon(src: str) -> str:
     ``packed`` stats row (mirrors operators.similarity._sq8_recon_col)."""
     code = (
         f"CASE WHEN scales[i] = 0 THEN 0 ELSE "
-        f"CAST(least(floor((CAST({src}[i] AS DOUBLE) - mins[i]) / scales[i]),"
-        f" 255.0) AS BIGINT) END"
+        f"CAST(greatest(least(floor((CAST({src}[i] AS DOUBLE) - mins[i])"
+        f" / scales[i]), 255.0), 0.0) AS BIGINT) END"
     )
     return (
         f"list_transform(generate_series(1, {_SQ8_DIM}),"
