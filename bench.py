@@ -166,6 +166,7 @@ HEADLINE = [
     # quadratic-by-semantics queries the 10x scaling sweep flagged.
     "embedding_neardup_cells",
     "knn_label_eval_ann",
+    "ann_incremental_cells",
     # round 6 additions: BM25 retrieval + SemDeDup decisions, plus the
     # amortized indexed-search variant (index built OUTSIDE the timer —
     # the build-once/search-many deployment shape, like ann_pq_search).
@@ -259,6 +260,37 @@ def _neardup_cells_bench(spark, sf_dir):
     )
 
 
+def _ann_incremental_cells_bench(spark, sf_dir):
+    """ann_incremental at n_cells ~ sqrt(corpus) (n_probe fixed at 12)
+    — the scale path for the registered query, whose ORACLE pins 16
+    cells / 12 probes and is therefore O(batch x corpus / 16) =
+    quadratic by semantics (the 10x rehearsal measures it ~11-13x; this
+    path probes 12 of sqrt(n) cells, so per-query work is
+    O(12 * corpus / sqrt(corpus)) and total batch cost O(n^1.5)).
+    Benched so a regression in the path a deployment should actually
+    run is visible per-round."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.functions.hashing import md5_bucket
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = md5_bucket(F.col("vec_id"), 16)
+    corpus = e.filter(bucket != 0)
+    batch = e.filter(bucket == 0)
+    n_cells = max(16, math.isqrt(corpus.count()))
+    cent = S.kmeans_centroids(
+        corpus, n_cells=n_cells, n_iters=2, sample_mod=4
+    ).select(F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding"))
+    return S.ivf_topk(
+        corpus, batch, k=5, n_cells=n_cells, n_probe=12, centroids=cent
+    ).orderBy("query_id", "rank")
+
+
+
 def _knn_label_eval_ann_bench(spark, sf_dir):
     """ANN-based label eval over a FIXED-size query sample — the scale
     path for the registered knn_label_eval, whose corpus-proportional
@@ -343,6 +375,7 @@ def _corpus_shards_write_bench(spark, sf_dir):
 # name -> callable overriding (or, for bench-only entries like
 # embedding_neardup_cells, supplying) the timed body.
 BENCH_OVERRIDES = {
+    "ann_incremental_cells": _ann_incremental_cells_bench,
     "profile_table": _profile_default_mode,
     "embedding_neardup_cells": _neardup_cells_bench,
     "knn_label_eval_ann": _knn_label_eval_ann_bench,

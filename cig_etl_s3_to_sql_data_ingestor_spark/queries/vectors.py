@@ -379,7 +379,15 @@ def ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index table (here retrained deterministically because the
     fixture has no cross-run storage), each arriving batch is assigned
     map-side against the broadcast centroids, probed against its
-    n_probe best cells, and only those cells' members are re-ranked."""
+    n_probe best cells, and only those cells' members are re-ranked.
+
+    Scale note: the ORACLE pins 16 cells / 12 probes, so this scored
+    form is O(batch x corpus / 16) — quadratic by semantics with both
+    sides growing (the 10x rehearsal measures ~11-13x wall across
+    sweeps, same class as embedding_neardup / knn_label_eval). The
+    deployment dial is n_cells ~ sqrt(corpus) with n_probe fixed —
+    coded and benched per-round as `ann_incremental_cells` (bench.py;
+    measured 2.3x at 10x rows, scaling_sweep.json `scale_paths`)."""
     from ..functions.hashing import md5_bucket
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -89,6 +89,7 @@ def test_every_registered_query_is_benched():
         "ann_ivf_pq_search",
         "embedding_neardup_cells",
         "knn_label_eval_ann",
+        "ann_incremental_cells",
         "bm25_search_indexed",
         "ann_mmr_pq_search",
         "phrase_search_from_index",
