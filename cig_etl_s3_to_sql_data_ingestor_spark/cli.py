@@ -308,6 +308,8 @@ def main_corpus(argv: list[str] | None = None) -> int:
             "text_col",
             "canonical_by_quality",
             "token_budget",
+            "frequent_segment_max",
+            "segment_k",
         )
         if k in cfg_json
     }

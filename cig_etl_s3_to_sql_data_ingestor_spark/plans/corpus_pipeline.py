@@ -9,6 +9,10 @@ through its ``queries()`` entry):
 2. **near dedup** — MinHash+LSH candidate pairs, exact-Jaccard verify,
    connected components, keep each cluster's canonical (lowest-id) doc
    (minhash_near_duplicates + connected_components);
+2b. **frequent-segment dedup** (optional, ``frequent_segment_max``) —
+   drop docs dominated by corpus-frequent k-token tiles, the CCNet
+   segment-frequency stage (dedup.fixed_tile_profile) — catches heavy
+   verbatim reuse below the minhash Jaccard threshold;
 3. **quality filter** — heuristic score floor (operators.text.quality_scores);
 4. **decontamination** — drop docs whose shingle overlap with a held-out
    benchmark corpus exceeds a threshold (corpus_prep.contamination_overlap);
@@ -56,6 +60,14 @@ class CorpusPrepConfig:
     # Optional final cap: keep the best-scored survivors until their
     # cumulative token count reaches this budget (None = no cap).
     token_budget: int | None = None
+    # Optional CCNet-style frequent-segment stage (None = off): drop a
+    # doc when MORE THAN this fraction of its non-overlapping
+    # ``segment_k``-token tiles occur in another document — catches
+    # heavy verbatim reuse that sits BELOW the minhash Jaccard
+    # threshold (a short doc quoting a long one shares few shingles
+    # relative to the union but may be mostly borrowed tiles itself).
+    frequent_segment_max: float | None = None
+    segment_k: int = 8
 
 
 def _exact_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
@@ -98,6 +110,31 @@ def _neardup_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
         comps.join(q, cfg.id_col)
         .withColumn("_rn", F.row_number().over(ranked))
         .filter(F.col("_rn") > 1)
+        .select(cfg.id_col)
+    )
+
+
+def _frequent_segment_drops(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
+    """ids of docs dominated by corpus-frequent tiles (shared fraction
+    strictly above ``frequent_segment_max``) — the CCNet segment-
+    frequency dedup stage, tile unit = dedup.fixed_tile_profile (the
+    same machinery Q:`frequent_segment_filter` oracle-checks). Docs too
+    short to tile never appear in the tile frame and are kept."""
+    tiles = dd.fixed_tile_profile(docs, cfg.id_col, cfg.text_col, k=cfg.segment_k)
+    freq = tiles.groupBy("tile_hash").agg(
+        F.countDistinct(cfg.id_col).alias("_ndocs")
+    )
+    return (
+        tiles.join(freq, "tile_hash")
+        .groupBy(cfg.id_col)
+        .agg(
+            F.count("*").alias("_n_tiles"),
+            F.sum((F.col("_ndocs") > 1).cast("long")).alias("_n_shared"),
+        )
+        .filter(
+            F.col("_n_shared").cast("double")
+            > F.lit(float(cfg.frequent_segment_max)) * F.col("_n_tiles")
+        )
         .select(cfg.id_col)
     )
 
@@ -154,8 +191,16 @@ def prepare_corpus(
     if with_stats:
         stats["after_near_dedup"] = stage2.count()
 
-    stage3 = stage2.join(
-        _low_quality_drops(stage2, cfg), cfg.id_col, "left_anti"
+    stage2b = stage2
+    if cfg.frequent_segment_max is not None:
+        stage2b = stage2.join(
+            _frequent_segment_drops(stage2, cfg), cfg.id_col, "left_anti"
+        )
+        if with_stats:
+            stats["after_segment_dedup"] = stage2b.count()
+
+    stage3 = stage2b.join(
+        _low_quality_drops(stage2b, cfg), cfg.id_col, "left_anti"
     )
     if with_stats:
         stats["after_quality"] = stage3.count()

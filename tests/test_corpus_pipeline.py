@@ -269,3 +269,45 @@ def test_write_training_shards_empty_corpus_is_clean_noop(spark, tmp_path):
         assert out == {"written_shards": 0, "skipped_shards": 0, "rows": 0}
     finally:
         unpersist_all()
+
+
+def test_pipeline_frequent_segment_stage_catches_sub_jaccard_reuse(spark):
+    """The optional CCNet segment stage drops a doc that is MOSTLY
+    borrowed tiles even when minhash misses the pair (a short doc
+    quoting a long one shares few shingles relative to the union but
+    is itself dominated by shared tiles). Off by default."""
+    import random
+
+    rng = random.Random(3)
+    shared = " ".join(f"s{i}" for i in range(16))           # 2 full tiles
+    quoter = shared + " q1 q2 q3 q4 q5 q6 q7 q8"            # 2/3 tiles shared
+    source_doc = shared + " " + " ".join(
+        f"u{i}" for i in range(48)                          # long host doc
+    )
+    filler = [
+        (
+            i,
+            " ".join(
+                rng.choice([f"w{j}" for j in range(40)]) for _ in range(30)
+            ),
+            "s",
+        )
+        for i in range(10, 16)
+    ]
+    rows = [(1, quoter, "s"), (2, source_doc, "s")] + filler
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = CorpusPrepConfig(quality_floor=0.0)
+    try:
+        chunks_off, _ = prepare_corpus(docs, cfg=base)
+        ids_off = {r.doc_id for r in chunks_off.select("doc_id").distinct().collect()}
+        # minhash alone keeps BOTH (Jaccard below threshold) — the gap
+        # the segment stage exists to close.
+        assert {1, 2} <= ids_off
+        seg = CorpusPrepConfig(quality_floor=0.0, frequent_segment_max=0.5)
+        chunks_on, stats = prepare_corpus(docs, cfg=seg, with_stats=True)
+        ids_on = {r.doc_id for r in chunks_on.select("doc_id").distinct().collect()}
+        assert 1 not in ids_on      # 2/3 of its tiles are borrowed
+        assert 2 in ids_on          # host doc: 2/8 tiles shared -> kept
+        assert stats["after_segment_dedup"] == stats["after_near_dedup"] - 1
+    finally:
+        unpersist_all()
