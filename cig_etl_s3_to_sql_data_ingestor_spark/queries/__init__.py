@@ -34,113 +34,33 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 8 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py): (1) the six NEW round-8 queries
-    # (CDC reuse gate — the streaming chunk gate's classification rule
-    # as a batch oracle; NB score calibration; the learned curation
-    # pipeline; the training-shard plan; DSIR domain select; NB-margin
-    # token-budget select), (2) r8-touched queries (the
-    # winnowing family gained the enforced max_text_chars bound;
-    # curation_pipeline sits on winnowing_matches) — winnowing_sites,
-    # winnowing_groups, nb_quality_classifier and
-    # dsir_importance_weights (oracle text refactors, semantics
-    # identical) are also touched but displaced by the new queries;
-    # ALL were re-verified in-repo at sf0.001+sf0.01 this round
-    # (NOTES.md), (3) the 43 queries whose newest driver
-    # row is round 5 (the r7 verdict's #1 task: oldest evidence
-    # first — the multimodal six, the BPE and sketch pairs, the
-    # event-analytics trio, pagerank, the dedup pair, knn_label_eval,
-    # the CDC-snapshot pair, and the core-surface rows).
-    "cdc_reuse_gate",
-    "nb_score_calibration",
-    "curation_pipeline_learned",
-    "training_shard_plan",
-    "dsir_domain_select",
-    "nb_budget_select",
-    "winnowing_matches",
-    "audio_features",
-    "audio_fingerprint_groups",
-    "bloom_decontamination",
-    "bpe_corpus_compression",
-    "bpe_merge_steps",
-    "budget_select",
-    "cdc_snapshot",
-    "char_entropy",
-    "cms_word_frequency",
-    "cohort_retention",
-    "conversion_funnel",
-    "curation_decisions",
-    "customer_activity_setops",
-    "dedup_exact",
-    "dedup_minhash",
-    "deterministic_split",
-    "discount_band_revenue",
-    "embedding_clusters",
-    "env_derivation",
-    "event_transition_matrix",
-    "exact_substring_overlap",
-    "heavy_hitter_keys",
-    "image_ahash_groups",
-    "incremental_agg_merge",
-    "json_props_stats",
-    "knn_label_eval",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "ordered_projection",
-    "part_copurchase_pagerank",
-    "price_quantity_stats",
-    "priority_sample",
-    "repetition_stats",
-    "sessionize",
-    "small_quantity_revenue",
-    "source_mixture_plan",
-    "source_token_divergence",
-    "timestamp_truncation",
-    "topk_per_group",
-    "verification_query",
-    "weekday_event_chi2",
-]
-# 152 queries, 50 scored slots; tests/test_sql_surface.py asserts the
-# unscored set is EXACTLY the declared tail, so any change to what goes
-# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
-# is scored); kept sorted for diff stability.
-_TAIL = [
-    "above_brand_average",
-    "ann_cosine_topk",
-    "ann_incremental",
-    "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_mmr_pq",
-    "ann_mmr_topk",
-    "ann_pq_topk",
+    # ---- round 9 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py), per the r8 verdict's #1 task and
+    # scripts/rotation_plan.py: (1) the SEVEN queries that have never
+    # received a driver CORRECTNESS row (all landed after the r8 head
+    # was declared: the SQ8 ANN pair, bigram-cosine and incremental
+    # lexical-cosine dedup, the frequent-segment pair, and the
+    # cluster-balanced coreset sample — each judge-verified at sf0.01
+    # in r8 but the hard gate is a driver row), then (2) 43 queries
+    # whose newest driver evidence is round 6 — the oldest cohort.
+    # After this rotation no green query's evidence is older than r7.
     "ann_ivf_sq8_topk",
     "ann_sq8_topk",
-    "approx_distinct_stats",
-    "approx_quantile_envelope",
+    "cluster_balanced_sample",
+    "dedup_bigram_cosine",
+    "dedup_cosine_incremental",
+    "frequent_segment_filter",
+    "frequent_segment_removal",
+    "above_brand_average",
+    "ann_ivf_pq_topk",
+    "ann_pq_topk",
     "asof_last_click",
     "bm25_incremental",
     "bm25_search",
-    "boilerplate_prefix_groups",
     "brand_supplier_counts",
-    "cdc_chunk_dedup",
-    "cdc_chunks",
-    "char_lm_surprisal",
-    "cheapest_supplier_per_part",
-    "chunk_documents",
-    "cluster_balanced_sample",
     "collocation_pmi",
-    "config_enrich_join",
     "contamination_check",
-    "cross_source_overlap",
-    "curation_pipeline",
-    "customer_order_distribution",
     "daily_event_pivot",
-    "dataset_report",
-    "dedup_bigram_cosine",
-    "dedup_cosine_incremental",
     "dedup_canonical",
     "dedup_clusters",
     "dedup_incremental",
@@ -148,65 +68,138 @@ _TAIL = [
     "dedup_simhash",
     "disjunctive_revenue",
     "distinct_keys",
-    "doc_fingerprint",
     "dominant_part_suppliers",
-    "dsir_importance_weights",
-    "embedding_neardup",
-    "embedding_norms",
     "events_in_windows",
-    "frequent_segment_filter",
-    "frequent_segment_removal",
-    "fulfillment_lag_quantiles",
     "fuzzy_name_pairs",
-    "gopher_quality_rules",
     "idle_customers",
     "integrity_audit",
-    "interleave_sources",
-    "lang_id",
-    "lang_id_confusion",
     "large_volume_orders",
     "latest_per_group",
     "length_histogram",
     "marker_antijoin",
-    "market_share_by_year",
     "median_order_value",
-    "nation_quarterly_growth",
     "nation_trade_volume",
-    "nb_quality_classifier",
-    "ngram_diversity",
-    "order_cube",
     "order_priority_count",
     "order_rollup",
+    "price_deciles",
+    "pricing_summary",
+    "promo_revenue_share",
+    "quality_score",
+    "region_nation_revenue",
+    "rolling_daily_revenue",
+    "scd2_user_state",
+    "sentinel_cleaning",
+    "shipping_priority",
+    "sole_return_supplier",
+    "staleness_tiered",
+    "token_count",
+    "top_returned_customers",
+]
+# 152 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
+# is scored); kept sorted for diff stability.
+_TAIL = [
+    "ann_cosine_topk",
+    "ann_incremental",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_mmr_pq",
+    "ann_mmr_topk",
+    "approx_distinct_stats",
+    "approx_quantile_envelope",
+    "audio_features",
+    "audio_fingerprint_groups",
+    "bloom_decontamination",
+    "boilerplate_prefix_groups",
+    "bpe_corpus_compression",
+    "bpe_merge_steps",
+    "budget_select",
+    "cdc_chunk_dedup",
+    "cdc_chunks",
+    "cdc_reuse_gate",
+    "cdc_snapshot",
+    "char_entropy",
+    "char_lm_surprisal",
+    "cheapest_supplier_per_part",
+    "chunk_documents",
+    "cms_word_frequency",
+    "cohort_retention",
+    "config_enrich_join",
+    "conversion_funnel",
+    "cross_source_overlap",
+    "curation_decisions",
+    "curation_pipeline",
+    "curation_pipeline_learned",
+    "customer_activity_setops",
+    "customer_order_distribution",
+    "dataset_report",
+    "dedup_exact",
+    "dedup_minhash",
+    "deterministic_split",
+    "discount_band_revenue",
+    "doc_fingerprint",
+    "dsir_domain_select",
+    "dsir_importance_weights",
+    "embedding_clusters",
+    "embedding_neardup",
+    "embedding_norms",
+    "env_derivation",
+    "event_transition_matrix",
+    "exact_substring_overlap",
+    "fulfillment_lag_quantiles",
+    "gopher_quality_rules",
+    "heavy_hitter_keys",
+    "image_ahash_groups",
+    "incremental_agg_merge",
+    "interleave_sources",
+    "json_props_stats",
+    "knn_label_eval",
+    "lang_id",
+    "lang_id_confusion",
+    "market_share_by_year",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "nation_quarterly_growth",
+    "nb_budget_select",
+    "nb_quality_classifier",
+    "nb_score_calibration",
+    "ngram_diversity",
+    "order_cube",
+    "ordered_projection",
     "pack_sequences",
+    "part_copurchase_pagerank",
     "partition_prune_counts",
     "phrase_search",
     "phrase_search_indexed",
     "pii_redaction",
-    "price_deciles",
-    "pricing_summary",
+    "price_quantity_stats",
+    "priority_sample",
     "profile_table",
-    "promo_revenue_share",
-    "quality_score",
     "quarterly_top_supplier",
-    "region_nation_revenue",
-    "rolling_daily_revenue",
-    "scd2_user_state",
+    "repetition_stats",
     "semdedup_keep",
-    "sentinel_cleaning",
-    "shipping_priority",
-    "sole_return_supplier",
+    "sessionize",
+    "small_quantity_revenue",
+    "source_mixture_plan",
     "source_quality_funnel",
-    "staleness_tiered",
+    "source_token_divergence",
     "stratified_sample",
     "text_normalize_stats",
     "tfidf_top_terms",
-    "token_count",
-    "top_returned_customers",
+    "timestamp_truncation",
+    "topk_per_group",
+    "training_shard_plan",
+    "verification_query",
     "vocab_stats",
+    "weekday_event_chi2",
     "weekly_range_revenue",
     "weighted_sample",
     "windowed_events",
     "winnowing_groups",
+    "winnowing_matches",
     "winnowing_sites",
     "worklist_semi_join",
 ]
