@@ -531,8 +531,12 @@ def _mmr_pq_search_prepare(spark, sf_dir):
         short = S.pq_search_packed(
             rerank, q_rows, cb_rows, packed, k=20
         ).select("query_id", "cand_id", "cosine_sim")
-        return S.mmr_rerank(
-            rerank, queries, k=5, lam=MMR_LAM, shortlist_df=short
+        # Driver-side MMR: bit-identical to the distributed rounds on
+        # the same shortlist (pinned), one job instead of k-1
+        # checkpointed rounds — the interactive deployment shape this
+        # prepared entry exists to measure.
+        return S.mmr_rerank_local(
+            rerank, short, k=5, lam=MMR_LAM
         ).orderBy("query_id", "rank")
 
     return thunk

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import dot, norm
 from ..partitioning import fan_out
@@ -1445,6 +1446,98 @@ def mmr_rerank(
         )
         out = out.unionByName(pick).localCheckpoint()
     return out.select("query_id", "cand_id", "mmr_score", "rank")
+
+
+def mmr_rerank_local(
+    corpus: DataFrame,
+    shortlist_df: DataFrame,
+    k: int = 5,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-side MMR over an index-backed shortlist — the interactive
+    latency twin of :func:`mmr_rerank`, the same relationship
+    :func:`pq_search_packed` has to the join-based PQ search. The
+    distributed form pays k-1 eagerly-checkpointed Spark rounds (each a
+    join + window job) over a frame that is |Q| x shortlist rows — at
+    interactive batch sizes that is a dozen task-scheduling round-trips
+    to diversify a few hundred rows. Here ONE job joins the shortlist
+    to its vectors and collects it (query-bounded by construction —
+    enforced below), the greedy recurrence runs in pure Python with the
+    SAME left-to-right IEEE fold as ``functions.vectors.dot`` and the
+    same ``lam * rel - (1 - lam) * max_sim`` / (mmr DESC, id ASC)
+    selection, and the result returns as one literal frame —
+    bit-identical to mmr_rerank on the same shortlist (pinned by
+    tests/test_ann_recall.py::test_mmr_local_identical_to_distributed).
+    Bulk offline diversification (unbounded query sets) belongs on
+    :func:`mmr_rerank`, which scales with partitions; the 65,536-row
+    budget raises rather than letting a driver collect grow unbounded.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    rows = (
+        shortlist_df.select("query_id", "cand_id", "cosine_sim")
+        .join(vecs, "cand_id")
+        .select("query_id", "cand_id", "cosine_sim", "cand_vec", "cand_norm")
+        .collect()
+    )
+    if len(rows) > 65_536:
+        raise ValueError(
+            f"mmr_rerank_local collected {len(rows)} shortlist rows "
+            "(budget 65536) — it is the interactive-batch path; use "
+            "mmr_rerank for bulk offline diversification"
+        )
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r[0], []).append(
+            (r[1], float(r[2]), [float(v) for v in r[3]], float(r[4]))
+        )
+    out_rows = []
+    one_minus = 1.0 - lam  # computed ONCE in Python, as mmr_rerank's
+    # F.lit(1.0 - lam) literal is — bit-identical by construction
+    for qid, cands in by_q.items():
+        if k < 1:
+            continue
+        first = min(cands, key=lambda c: (-c[1], c[0]))
+        picked = [first]
+        out_rows.append((qid, first[0], first[1], 1))
+        remaining = [c for c in cands if c[0] != first[0]]
+        for step in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for c in remaining:
+                max_sim = max(
+                    _fold_dot(c[2], p[2]) / (c[3] * p[3]) for p in picked
+                )
+                mmr = lam * c[1] - one_minus * max_sim
+                if best is None or (-mmr, c[0]) < (-best[1], best[0]):
+                    best = (c[0], mmr, c)
+            picked.append(best[2])
+            out_rows.append((qid, best[0], best[1], step))
+            remaining = [c for c in remaining if c[0] != best[0]]
+    spark = shortlist_df.sparkSession
+    fields = {f.name: f for f in shortlist_df.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("query_id", fields["query_id"].dataType),
+            T.StructField("cand_id", fields["cand_id"].dataType),
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
 
 
 SQ8_LEVELS = 255  # uint8 code range 0..255

@@ -482,3 +482,57 @@ def test_phrase_queries_are_canonicalized(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="empty/whitespace-only.*1"):
         phrase_topk(docs, blank)
+
+
+def test_mmr_local_identical_to_distributed(spark, sf_dir):
+    """mmr_rerank_local (the driver-side interactive latency twin) is
+    BIT-IDENTICAL to the distributed mmr_rerank on the same shortlist:
+    the Python greedy loop mirrors the left-to-right IEEE dot fold, the
+    lam/(1-lam) literal arithmetic, and the (mmr DESC, cand_id ASC)
+    tie-break exactly — same contract pq_search_packed holds vs the
+    join path. Compared as exact tuples, no tolerance."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+        mmr_rerank_local,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 6)
+    short = brute_force_topk(e, q, k=15).select(
+        "query_id", "cand_id", "cosine_sim"
+    )
+    dist = sorted(
+        map(tuple, mmr_rerank(e, q, k=4, shortlist_df=short).collect())
+    )
+    local = sorted(map(tuple, mmr_rerank_local(e, short, k=4).collect()))
+    assert dist == local and dist
+
+
+def test_mmr_local_budget_enforced(spark, sf_dir):
+    """The 65,536-row collect budget is a loud ValueError naming the
+    distributed path, not a silent driver stall."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        mmr_rerank_local,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # A synthetic over-budget shortlist: cross every corpus id with
+    # enough query ids to exceed the budget without collecting vectors.
+    n = e.count()
+    import math
+
+    n_q = math.ceil(65_537 / n)
+    short = (
+        e.selectExpr("vec_id AS cand_id", "0.5 AS cosine_sim")
+        .crossJoin(
+            spark.range(n_q).selectExpr("id AS query_id")
+        )
+        .select("query_id", "cand_id", "cosine_sim")
+    )
+    with pytest.raises(ValueError, match="mmr_rerank_local.*budget"):
+        mmr_rerank_local(e, short, k=4)
