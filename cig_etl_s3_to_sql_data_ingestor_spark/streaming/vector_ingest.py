@@ -177,15 +177,40 @@ class VectorIngest:
         which would prune the mislayouted (all-null) rows BEFORE any
         in-plan raise_error evaluates — silently re-admitting every
         duplicate. Footer schemas cannot be optimized away. A store
-        holding BOTH layouts' columns is corrupt either way."""
-        from pyspark.errors import AnalysisException
+        holding BOTH layouts' columns is corrupt either way.
+
+        This check must be no STRICTER than the pinned-schema
+        read_epoch_store it guards, or checkpoint replay wedges in a
+        crash loop where the reader alone would recover: a store dir
+        whose first epoch write crashed before any part file committed
+        (only ``_temporary`` inside) infers no schema — that is 'store
+        not created yet', not an error — and a legacy mixed
+        flat/partitioned layout defeats tree-wide partition discovery
+        but each epoch dir is internally consistent, so the column set
+        is derived per epoch dir instead (the same fallback
+        read_epoch_store uses for reading)."""
+        from ._store import list_epoch_dirs
 
         try:
             cols = set(self.spark.read.parquet(self.store_path).columns)
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" in str(ex):
+        except Exception as ex:  # noqa: BLE001 — dispatched by error class
+            msg = str(ex)
+            if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
                 return  # store not created yet — first epoch defines it
-            raise
+            if "CONFLICTING_PARTITION_COLUMN_NAMES" not in msg:
+                raise
+            cols = set()
+            for _e, p in list_epoch_dirs(self.spark, self.store_path):
+                try:
+                    cols |= set(self.spark.read.parquet(p).columns)
+                except Exception as ex2:  # noqa: BLE001
+                    m2 = str(ex2)
+                    if "UNABLE_TO_INFER_SCHEMA" not in m2 and (
+                        "PATH_NOT_FOUND" not in m2
+                    ):
+                        raise
+            if not cols:
+                return
         quantized = self.sq8_stats_path is not None
         has_codes, has_raw = "codes" in cols, self.vec_col in cols
         if has_codes and has_raw:
@@ -361,10 +386,37 @@ class VectorIngest:
             # Encode ONCE at ingest: the raw vector never reaches the
             # store. code_norm is the reconstructed vector's norm so
             # search scores without re-folding it per pair.
+            #
+            # Dimension guard BEFORE quantizing: zip_with pads the
+            # shorter array with nulls, so a vector whose length
+            # differs from the frozen stats would encode to codes with
+            # null ELEMENTS — the whole-array null layout guard never
+            # fires, the gate's cosine goes null (filtered out,
+            # duplicates silently re-admitted) and search sims go null,
+            # all without any error. Raise per row instead; this
+            # evaluates on every admitted row because `codes` is part
+            # of the written output (no filter can prune it).
             admitted = admitted.crossJoin(F.broadcast(self._stats())).withColumn(
                 "codes",
-                sq8_codes_col(
-                    F.col(self.vec_col), F.col("mins"), F.col("scales")
+                F.when(
+                    F.size(F.col(self.vec_col)) == F.size(F.col("mins")),
+                    sq8_codes_col(
+                        F.col(self.vec_col), F.col("mins"), F.col("scales")
+                    ),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("SQ8 encode: vector dim "),
+                            F.size(F.col(self.vec_col)).cast("string"),
+                            F.lit(" != frozen stats dim "),
+                            F.size(F.col("mins")).cast("string"),
+                            F.lit(
+                                " — this store quantizes against "
+                                "bootstrap-frozen per-dim stats; fix the "
+                                "source or re-bootstrap"
+                            ),
+                        )
+                    )
                 ),
             ).withColumn(
                 "code_norm",

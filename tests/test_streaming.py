@@ -2311,3 +2311,101 @@ def test_sq8_codes_clamped_for_out_of_bootstrap_range_values(spark):
     assert row["codes"][0] == 0      # below bootstrap min -> clamp, not negative
     assert row["codes"][1] == 255    # above bootstrap max
     assert 0 <= row["codes"][2] <= 255
+
+
+def test_vector_ingest_layout_check_tolerates_uncommitted_store(
+    spark, tmp_path, sf_dir
+):
+    """The eager layout check must be no STRICTER than the pinned-schema
+    reader it guards: a store dir whose first epoch write crashed before
+    any part file committed (only _temporary inside — no footer to infer
+    a schema from) is 'store not created yet', and checkpoint replay
+    must proceed rather than wedge in a crash loop on
+    UNABLE_TO_INFER_SCHEMA."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    store = tmp_path / "index"
+    (store / "epoch=0" / "_temporary" / "0").mkdir(parents=True)
+    (store / "epoch=0" / "_temporary" / "0" / "task_junk").write_bytes(b"x")
+    for mode_stats, ckpt in ((stats_path, "ckpt_q"), (None, "ckpt_r")):
+        ingest = VectorIngest(
+            spark,
+            centroids_path=cents_path,
+            store_path=str(store),
+            checkpoint_path=str(tmp_path / ckpt),
+            sq8_stats_path=mode_stats,
+        )
+        ingest._check_layout()  # must not raise
+    quant = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(store),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    quant._process_batch(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)), 0
+    )
+    got = read_index_store(spark, str(store), quantized=True).count()
+    assert got == 10, "recovered store must hold the replayed epoch"
+
+
+def test_vector_ingest_layout_check_survives_foreign_partition_dir(
+    spark, tmp_path, sf_dir
+):
+    """A sibling dir with a DIFFERENT partition column name (a foreign
+    tool's leftovers) defeats Spark's tree-wide partition discovery with
+    CONFLICTING_PARTITION_COLUMN_NAMES — but each epoch dir is
+    internally consistent, so the layout check derives the column set
+    per epoch dir (the reader's own fallback) instead of re-raising
+    where the reader would recover."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    quant = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    quant._process_batch(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)), 0
+    )
+    # Manufacture the conflicting sibling: a parquet dir under a
+    # different partition key at the store root.
+    spark.range(1).write.parquet(str(tmp_path / "index" / "bucket=0"))
+    quant._check_layout()  # must fall back to per-epoch-dir columns
+
+
+def test_vector_ingest_sq8_dim_mismatch_raises(spark, tmp_path, sf_dir):
+    """A vector whose length differs from the frozen SQ8 stats must
+    raise AT ENCODE time: zip_with would otherwise pad with nulls and
+    produce codes with null ELEMENTS — the whole-array layout guard
+    never fires, the gate's cosine goes null (duplicates silently
+    re-admitted), and search sims go null, all without any error."""
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    e, cents_path, stats_path = _sq8_bootstrap(spark, tmp_path, sf_dir)
+    quant = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    short = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        "vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding")
+    )
+    with pytest.raises(Exception, match="SQ8 encode: vector dim"):
+        quant._process_batch(short, 0)
