@@ -37,6 +37,31 @@ from ..partitioning import fan_out
 # fixed is the cached JVM partitions, not the handles.
 _PERSISTED: list[DataFrame] = []
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def cosine_safe_norm_bound(threshold_num: int, threshold_den: int) -> int:
+    """Largest per-doc squared norm the pure-integer cosine keep rule
+    ``dot^2 * den^2 >= num^2 * na2 * nb2`` can evaluate without 64-bit
+    overflow. With both operands' docs bounded by B = isqrt(LONG_MAX /
+    max(num^2, den^2)): Cauchy-Schwarz gives dot <= sqrt(na2 * nb2)
+    <= B, so dot^2 * den^2 <= B^2 * den^2 <= LONG_MAX, and
+    num^2 * na2 * nb2 <= num^2 * B^2 <= LONG_MAX. Docs past the bound
+    (>= ~24.6k repeated copies of ONE token at the default 4/5
+    threshold — far outside the corpus discipline winnowing's 8192-char
+    chunk mandate enforces, but reachable by one adversarial blob)
+    cannot be certified by the integer rule at all: under ANSI the
+    whole query would abort on them, and under a non-ANSI session the
+    products would silently wrap and corrupt the pair set. The cosine
+    operators therefore EXCLUDE such docs from verification (they
+    surface as no-pair / 'unique'), with this bound mirrored verbatim
+    in the SQL oracles."""
+    import math
+
+    return math.isqrt(
+        _LONG_MAX // max(threshold_num * threshold_num, threshold_den * threshold_den)
+    )
+
 
 def _persist(df: DataFrame) -> DataFrame:
     """persist() + registration for deferred release (``unpersist_all``)."""
@@ -1042,14 +1067,15 @@ def token_cosine_near_duplicates(
        integer cross-multiplication
        ``dot^2 * den^2 >= num^2 * norm_sq_a * norm_sq_b``
        (cosine >= num/den with zero float rounding on either engine).
-       BIGINT range: with num=4/den=5 the worst case is
-       16 * norm_sq^2 <= 16 * L^4 for a DEGENERATE doc of one token
-       repeated L times, safe to L ~ 24k tokens; for natural docs
-       (bounded tf) norm_sq ~ L and the bound is astronomically larger.
-       Either way the corpus's chunked-input discipline (winnowing's
-       8192-char mandate ~ 4k tokens) keeps real inputs far inside it,
-       and Spark 4's default ANSI mode raises LOUDLY on a 64-bit
-       overflow instead of wrapping. The reported
+       BIGINT range is ENFORCED, not just documented: docs whose
+       squared norm exceeds :func:`cosine_safe_norm_bound` (>= ~24.6k
+       repeated copies of one token at 4/5 — only an adversarial blob;
+       natural docs under the corpus's 8192-char chunk discipline have
+       norm_sq ~ L, astronomically inside it) are excluded from
+       verification BEFORE the keep rule, so one pathological document
+       can neither abort the whole query under ANSI nor silently wrap
+       under a non-ANSI session; the same bound appears verbatim in
+       the SQL oracle. The reported
        ``cosine_sim`` double is derived from those exact integers with
        one mul / one sqrt / one div, bit-identical across engines.
 
@@ -1057,9 +1083,15 @@ def token_cosine_near_duplicates(
     pairs at or above the threshold, id_a < id_b.
     """
     tf = _persist(_term_frequencies(df, id_col, text_col, ngram))
+    # Overflow fence: the keep-rule filter below only evaluates on rows
+    # surviving the inner joins against these norms, so bounding them
+    # here keeps every integer product in 64-bit range (see
+    # cosine_safe_norm_bound; the dot aggregation itself is safe by
+    # Cauchy-Schwarz for any doc a 2 GB string column can hold).
+    safe = cosine_safe_norm_bound(threshold_num, threshold_den)
     norms = tf.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
-    )
+    ).filter(F.col("norm_sq") <= safe)
     term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = W.partitionBy(id_col).orderBy("df", "term")
     prefix = (
@@ -1195,12 +1227,17 @@ def incremental_token_cosine_status(
     """
     tf_c = _persist(_term_frequencies(corpus, id_col, text_col, ngram))
     tf_b = _persist(_term_frequencies(batch, id_col, text_col, ngram))
+    # Same overflow fence as token_cosine_near_duplicates: docs past
+    # the 64-bit-safe norm bound are excluded from verification (they
+    # classify as 'unique' — the integer rule cannot certify them), so
+    # one adversarial blob cannot abort or corrupt the whole batch.
+    safe = cosine_safe_norm_bound(threshold_num, threshold_den)
     norms_c = tf_c.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
-    )
+    ).filter(F.col("norm_sq") <= safe)
     norms_b = tf_b.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
-    )
+    ).filter(F.col("norm_sq") <= safe)
     df_c = tf_c.groupBy("term").agg(F.count("*").alias("df"))
     w = W.partitionBy(id_col).orderBy("df", "term")
     prefix_c = (

@@ -656,6 +656,12 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one mul + one sqrt + one div over those exact integers.
 _COS_PREFIX = 4
 _COS_DF_CAP = 100
+# The 64-bit overflow fence on the integer keep rule (see
+# operators.dedup.cosine_safe_norm_bound): docs past this squared-norm
+# bound are excluded from verification on BOTH engines. A no-op on any
+# natural corpus (the bound is ~6.07e8 at 4/5); it exists so one
+# adversarial blob cannot abort (ANSI) or corrupt (wrapping) the query.
+_COS_NORM_BOUND = D.cosine_safe_norm_bound(4, 5)
 
 
 @register(
@@ -671,7 +677,8 @@ _COS_DF_CAP = 100
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bg GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    norms AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tf GROUP BY doc_id),
+    norms AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tf GROUP BY doc_id
+              HAVING SUM(tf*tf) <= {_COS_NORM_BOUND}),
     ranked AS (
       SELECT tf.doc_id, tf.term,
              ROW_NUMBER() OVER (PARTITION BY tf.doc_id
@@ -959,8 +966,10 @@ def frequent_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tokb, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
     tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM bgc GROUP BY doc_id, term),
     tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM bgb GROUP BY doc_id, term),
-    nc AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfc GROUP BY doc_id),
-    nb AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfb GROUP BY doc_id),
+    nc AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfc GROUP BY doc_id
+           HAVING SUM(tf*tf) <= {_COS_NORM_BOUND}),
+    nb AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM tfb GROUP BY doc_id
+           HAVING SUM(tf*tf) <= {_COS_NORM_BOUND}),
     dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
     pc AS (SELECT doc_id, term FROM (
         SELECT tfc.doc_id, tfc.term,

@@ -816,3 +816,39 @@ def test_incremental_cosine_matches_python_model(spark):
     assert "cosine_dup_corpus" in got.values()
     assert "cosine_dup_batch" in got.values()
     assert got[111] == "unique"
+
+
+def test_token_cosine_overflow_fence_excludes_adversarial_blob(spark):
+    """One degenerate doc (a single token repeated past ~24.6k copies)
+    pushes the integer keep rule dot^2*den^2 past BIGINT — under ANSI
+    the whole query would abort on it; under a non-ANSI session it
+    would silently wrap and corrupt the pair set. The overflow fence
+    (cosine_safe_norm_bound) must exclude exactly those docs from
+    verification while the rest of the batch proceeds: the two
+    adversarial twins produce NO pair, the two natural near-dups still
+    match, and the incremental classifier reports the adversarial
+    batch doc as 'unique' instead of aborting."""
+    blob = "x " * 25_000  # bigram 'x x' tf=24_999 -> norm_sq ~ 6.25e8
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and often"
+    bound = D.cosine_safe_norm_bound(4, 5)
+    assert 24_999 * 24_999 > bound  # the blob IS past the fence
+    sdf = spark.createDataFrame(
+        [(1, blob), (2, blob), (3, base), (4, near)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.token_cosine_near_duplicates(sdf).collect()
+    }
+    assert pairs == {(3, 4)}, (
+        "natural near-dups must survive; adversarial twins must be "
+        f"fenced out, got {pairs}"
+    )
+
+    corpus = spark.createDataFrame([(1, blob), (3, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(2, blob), (4, near)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in D.incremental_token_cosine_status(corpus, batch).collect()
+    }
+    assert got == {2: "unique", 4: "cosine_dup_corpus"}
