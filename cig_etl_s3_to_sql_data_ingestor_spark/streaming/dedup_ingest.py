@@ -45,6 +45,35 @@ its hash — exactly the robustness the batch ``cdc_chunks`` operator is
 test-pinned for, now enforced at ingest. The CDC store follows the same
 epoch protocol (idempotent overwrite, current-epoch exclusion) and is
 one unit with the others.
+
+Optional lexical-cosine gate (``cosine_store_path``): the fourth net,
+for re-deliveries that are lexically close but fall below the LSH
+shingle-Jaccard threshold AND share no chunk-aligned verbatim run (a
+tf-heavy document with a rewritten tail, a template instantiated with
+fresh separators). The store persists, per admitted doc, its
+bag-of-n-gram TF postings, squared norm, and per-epoch partial term
+doc-frequencies — the persisted-index-stat convention the batch
+``incremental_token_cosine_status`` operator was designed for: term df
+comes from the CORPUS ONLY (summed across epoch partials; a streaming
+gate cannot re-derive global df per batch), batch-only terms rank
+df=0. Terms live in the store as 12-hex md5 DIGESTS (text-free like
+the shingle store — dot products and norms are invariant under
+digesting up to negligible collisions; prefix ranking ties break on
+digest rather than raw term, a documented divergence from the batch
+operator's raw-term tie-break). Verification is the oracle-backed
+pure-integer cross-multiplication of ``token_cosine_near_duplicates``,
+with its 64-bit overflow fence. Candidate generation differs from the
+batch operator in ONE deliberate way: the cross-corpus prefix ranks
+only terms the corpus has SEEN (df >= 1) — a batch-novel term can
+never match a corpus posting, so spending prefix slots on df=0 terms
+(the batch operator's convention) lets a re-delivery hide behind a few
+fresh separator tokens; the within-batch prefix keeps the batch
+operator's novel-first ranking verbatim. Cross-corpus candidates join
+the batch prefix terms straight against the postings store — fan-out
+is bounded by rare_prefix x |batch| x max_term_df, never store-sized.
+At real scale, bucket the postings and df stores by term exactly as
+the BM25 term store does. Same epoch protocol; one unit with the
+checkpoint.
 """
 
 from __future__ import annotations
@@ -52,10 +81,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import dedup as D
+from ._store import read_epoch_store
 
 
 def _store_schema(num_hashes: int, id_col: str = "doc_id") -> T.StructType:
@@ -129,10 +160,38 @@ def read_cdc_store(
         raise
 
 
+def _cos_postings_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+
+
+def _cos_norms_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("norm_sq", T.LongType()),
+        ]
+    )
+
+
+_COS_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+    ]
+)
+
+
 @dataclass
 class DedupIngest:
     """availableNow-drained streaming ingest with an LSH dedup gate and
-    an optional CDC chunk-reuse gate (``cdc_store_path``)."""
+    optional CDC chunk-reuse (``cdc_store_path``) and lexical-cosine
+    (``cosine_store_path``) gates."""
 
     spark: SparkSession
     store_path: str
@@ -153,6 +212,18 @@ class DedupIngest:
     cdc_k: int = 8
     cdc_divisor: int = 32
     cdc_min_chunks: int = 3
+    # Lexical-cosine gate: None disables. A batch doc whose bag-of-
+    # n-gram TF cosine against some stored doc reaches
+    # cosine_num/cosine_den (verified by the oracle-backed integer
+    # rule) is cosine_dup_corpus; against a lower-id doc in the same
+    # batch, cosine_dup_batch. See the module docstring for the store
+    # layout and the cross-corpus prefix convention.
+    cosine_store_path: str | None = None
+    cosine_ngram: int = 2
+    cosine_rare_prefix: int = 4
+    cosine_max_term_df: int = 100
+    cosine_num: int = 4
+    cosine_den: int = 5
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -208,12 +279,176 @@ class DedupIngest:
                 .otherwise(F.col("verdict"))
                 .alias("verdict"),
             )
+        if self.cosine_store_path is not None:
+            # Cosine gate, the LAST net (precedence: exact > near-dup >
+            # chunk_dup > cosine_dup_* — a doc a cheaper gate already
+            # killed keeps its verdict).
+            dup_c, dup_b = self._cosine_dups(batch_df, exclude_epoch)
+            status = (
+                status.join(
+                    dup_c.withColumn("_cos_c", F.lit(True)), self.id_col, "left"
+                )
+                .join(
+                    dup_b.withColumn("_cos_b", F.lit(True)), self.id_col, "left"
+                )
+                .select(
+                    self.id_col,
+                    F.when(
+                        (F.col("verdict") == "unique") & F.col("_cos_c"),
+                        F.lit("cosine_dup_corpus"),
+                    )
+                    .when(
+                        (F.col("verdict") == "unique") & F.col("_cos_b"),
+                        F.lit("cosine_dup_batch"),
+                    )
+                    .otherwise(F.col("verdict"))
+                    .alias("verdict"),
+                )
+            )
         survivors = batch_df.join(
             status.filter(F.col("verdict") == "unique").select(self.id_col),
             self.id_col,
             "left_semi",
         )
         return status, survivors
+
+    def _cosine_tf(self, df: DataFrame) -> DataFrame:
+        """(id, term, tf) with the term as its 12-hex md5 digest — the
+        store's text-free term space; batch and store sides always meet
+        in digest space so dot products and norms are unchanged."""
+        return D._term_frequencies(
+            df, self.id_col, self.text_col, self.cosine_ngram
+        ).withColumn("term", F.substring(F.md5(F.col("term")), 1, 12))
+
+    def _cosine_dups(
+        self, batch_df: DataFrame, exclude_epoch: int | None
+    ) -> tuple[DataFrame, DataFrame]:
+        """(dup-vs-corpus ids, dup-vs-lower-batch-id ids) under the
+        integer cosine rule. All joins are batch- or candidate-bounded;
+        the postings store appears once in the candidate equi-join
+        (fan-out <= rare_prefix x |batch| x max_term_df) and once in
+        the dot-product join restricted to candidate ids."""
+        sp = self.cosine_store_path
+        idc = self.id_col
+        tf_b = D._persist(self._cosine_tf(batch_df))
+        safe = D.cosine_safe_norm_bound(self.cosine_num, self.cosine_den)
+        # Norms carry the operator family's 64-bit overflow fence: docs
+        # past the bound cannot be certified by the integer rule (they
+        # classify unique), and the fence is applied at READ time on
+        # the store side too, so a pathological doc admitted earlier
+        # can never push the keep rule past BIGINT.
+        norms_b = D._persist(
+            tf_b.groupBy(idc)
+            .agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+            .filter(F.col("norm_sq") <= safe)
+        )
+        store_tf = read_epoch_store(
+            self.spark, f"{sp}/postings", _cos_postings_schema(idc),
+            exclude_epoch=exclude_epoch,
+        )
+        store_norms = read_epoch_store(
+            self.spark, f"{sp}/norms", _cos_norms_schema(idc),
+            exclude_epoch=exclude_epoch,
+        ).filter(F.col("norm_sq") <= safe)
+        # Corpus df for the batch's vocabulary only: epoch partials are
+        # summed AFTER the batch-vocab semi-join, so the shuffle is
+        # bounded by the batch's distinct terms.
+        df_c = D._persist(
+            read_epoch_store(
+                self.spark, f"{sp}/df", _COS_DF_SCHEMA,
+                exclude_epoch=exclude_epoch,
+            )
+            .join(tf_b.select("term").distinct(), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        ranked = tf_b.join(df_c, "term", "left").withColumn(
+            "df", F.coalesce("df", F.lit(0))
+        )
+        # Cross-corpus prefix: the rarest CORPUS-SEEN terms (df >= 1,
+        # <= max_term_df). A df=0 term can never match a posting, so
+        # novel separators must not consume prefix slots here (they DO
+        # in the within-batch prefix below, matching the batch
+        # operator's convention).
+        wx = W.partitionBy(idc).orderBy("df", "term")
+        prefix_cross = (
+            ranked.filter(
+                (F.col("df") >= 1) & (F.col("df") <= self.cosine_max_term_df)
+            )
+            .withColumn("rr", F.row_number().over(wx))
+            .filter(F.col("rr") <= self.cosine_rare_prefix)
+            .select(F.col(idc), "term")
+        )
+        prefix_batch = (
+            ranked.filter(F.col("df") <= self.cosine_max_term_df)
+            .withColumn("rr", F.row_number().over(wx))
+            .filter(F.col("rr") <= self.cosine_rare_prefix)
+            .select(F.col(idc), "term")
+        )
+
+        def _verified(cand, tf_a_side, tf_b_side, na_side, nb_side):
+            dots = (
+                cand.join(
+                    tf_a_side.alias("ta"), F.col(f"ta.{idc}") == F.col("id_a")
+                )
+                .join(
+                    tf_b_side.alias("tb"),
+                    (F.col(f"tb.{idc}") == F.col("id_b"))
+                    & (F.col("tb.term") == F.col("ta.term")),
+                )
+                .groupBy("id_a", "id_b")
+                .agg(F.sum(F.col("ta.tf") * F.col("tb.tf")).alias("dot"))
+            )
+            na = na_side.select(
+                F.col(idc).alias("id_a"), F.col("norm_sq").alias("na2")
+            )
+            nb = nb_side.select(
+                F.col(idc).alias("id_b"), F.col("norm_sq").alias("nb2")
+            )
+            num2 = self.cosine_num * self.cosine_num
+            den2 = self.cosine_den * self.cosine_den
+            return (
+                dots.join(na, "id_a")
+                .join(nb, "id_b")
+                .filter(
+                    F.col("dot") * F.col("dot") * F.lit(den2)
+                    >= F.lit(num2) * F.col("na2") * F.col("nb2")
+                )
+            )
+
+        cross_cand = (
+            prefix_cross.alias("pb")
+            .join(store_tf.alias("pc"), F.col("pb.term") == F.col("pc.term"))
+            .select(
+                F.col(f"pb.{idc}").alias("id_a"),
+                F.col(f"pc.{idc}").alias("id_b"),
+            )
+            .distinct()
+        )
+        dup_corpus = (
+            _verified(cross_cand, tf_b, store_tf, norms_b, store_norms)
+            .select(F.col("id_a").alias(idc))
+            .distinct()
+        )
+        batch_cand = (
+            prefix_batch.alias("pa")
+            .join(
+                prefix_batch.alias("pb2"),
+                (F.col("pa.term") == F.col("pb2.term"))
+                & (F.col(f"pa.{idc}") < F.col(f"pb2.{idc}")),
+            )
+            .select(
+                F.col(f"pa.{idc}").alias("id_a"),
+                F.col(f"pb2.{idc}").alias("id_b"),
+            )
+            .distinct()
+        )
+        dup_batch = (
+            _verified(batch_cand, tf_b, tf_b, norms_b, norms_b)
+            .select(F.col("id_b").alias(idc))
+            .distinct()
+        )
+        return dup_corpus, dup_batch
 
     def _batch_chunks(self, df: DataFrame) -> DataFrame:
         return D.cdc_chunks(
@@ -267,6 +502,27 @@ class DedupIngest:
             ).distinct().write.mode("overwrite").parquet(
                 f"{self.cdc_store_path}/epoch={epoch_id}"
             )
+        if self.cosine_store_path is not None:
+            # Grow the cosine store from the survivors: TF postings,
+            # squared norms (UNfenced at write — the fence is a read-
+            # time verification bound, and norm_sq fits BIGINT for any
+            # doc a string column can hold), and this epoch's partial
+            # term doc-frequencies (summed across epochs at read time —
+            # df partials are associative, so the store never rewrites
+            # history). Same idempotent epoch-dir overwrite: a replay
+            # classifies against the store minus this epoch and
+            # rewrites identical content.
+            sp = self.cosine_store_path
+            tf_s = D._persist(self._cosine_tf(survivors))
+            tf_s.select(self.id_col, "term", "tf").write.mode(
+                "overwrite"
+            ).parquet(f"{sp}/postings/epoch={epoch_id}")
+            tf_s.groupBy(self.id_col).agg(
+                F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+            ).write.mode("overwrite").parquet(f"{sp}/norms/epoch={epoch_id}")
+            tf_s.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+                "overwrite"
+            ).parquet(f"{sp}/df/epoch={epoch_id}")
         D.unpersist_all()
 
     def start(

@@ -2409,3 +2409,143 @@ def test_vector_ingest_sq8_dim_mismatch_raises(spark, tmp_path, sf_dir):
     )
     with pytest.raises(Exception, match="SQ8 encode: vector dim"):
         quant._process_batch(short, 0)
+
+
+def _cos_gate_ingest(spark, tmp_path, **over):
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    kw = dict(
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+        cosine_store_path=str(tmp_path / "cosine"),
+    )
+    kw.update(over)
+    return DedupIngest(spark, **kw)
+
+
+def test_dedup_ingest_cosine_gate_rejects_lexically_close_redelivery(
+    spark, tmp_path
+):
+    """The fourth net: a re-delivery that is lexically close (bag-of-
+    bigram cosine >= 0.8) but BELOW the LSH shingle-Jaccard threshold
+    and WITHOUT chunk-aligned verbatim reuse must be rejected across
+    batches via the persisted cosine store. The verdict string proves
+    the other gates missed it — precedence means exact/near-dup/
+    chunk_dup would have claimed the doc first. Constructions:
+
+    - doc 20 vs stored doc 1: same tf-heavy 'x y' skeleton, but fresh
+      one-token separators every 4 pairs kill the 3-gram shingle set
+      (J ~ 0.03) and break every >=96-char verbatim run (CDC gate is
+      ON and does not fire), while the bigram TF vectors stay at
+      cosine ~ 0.94 — caught only through the corpus df store (the
+      separators are batch-novel, so the cross-corpus prefix ranks the
+      corpus-seen 'x y'/'y x' terms instead of wasting slots on them).
+    - docs 30/31 within one batch: same 'm n' skeleton at different
+      repetition counts with disjoint tails (J ~ 0.09, cosine ~ 0.99);
+      min-id wins, 31 is cosine_dup_batch (prefix overlap on the
+      digest-ranked 'm n' term is deterministic — verified offline)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming._store import (
+        read_epoch_store,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        _cos_postings_schema,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ingest = _cos_gate_ingest(spark, tmp_path)
+
+    a_text = "x y " * 40 + "alpha beta gamma delta epsilon"
+    batch1 = spark.createDataFrame(
+        [(1, a_text), (2, "the quick brown fox jumps over the lazy dog")],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2]
+
+    b_text = "".join(f"x y x y sep{i} " for i in range(20))
+    e_text = "m n " * 40 + "zeta yotta zulu zebra xylem xenon yarrow yucca zephyr zinnia"
+    e2_text = "m n " * 30 + "quartz quince quill quorum quest quiver quail quake qualm quartzite"
+    batch2 = spark.createDataFrame(
+        [
+            (20, b_text),
+            (30, e_text),
+            (31, e2_text),
+            (40, "a genuinely novel document about streaming ingest gates"),
+        ],
+        schema,
+    )
+    status, _ = ingest._classify(batch2, exclude_epoch=1)
+    got = {r.doc_id: r.verdict for r in status.collect()}
+    D.unpersist_all()
+    assert got == {
+        20: "cosine_dup_corpus",
+        30: "unique",
+        31: "cosine_dup_batch",
+        40: "unique",
+    }, got
+
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 30, 40]
+    # The cosine store grew by exactly the admitted docs.
+    postings = read_epoch_store(
+        spark, str(tmp_path / "cosine" / "postings"), _cos_postings_schema("doc_id")
+    )
+    assert sorted(
+        r.doc_id for r in postings.select("doc_id").distinct().collect()
+    ) == [1, 2, 30, 40]
+
+
+def test_dedup_ingest_cosine_replay_excludes_own_epoch(spark, tmp_path):
+    """Crash-replay drill for the cosine store: when epoch 0's cosine
+    store writes survived a crash but the checkpoint commit did not,
+    the replay must EXCLUDE epoch 0's own postings/norms/df rows — or
+    the batch's docs would match their own TF vectors at cosine 1.0 and
+    the replay would overwrite the epoch dirs with empty frames. A
+    LATER epoch must then see them."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ingest = _cos_gate_ingest(spark, tmp_path, cdc_store_path=None)
+    a_text = "x y " * 40 + "alpha beta gamma delta epsilon"
+    batch = spark.createDataFrame([(1, a_text)], schema)
+    # Materialize ONLY what epoch 0 wrote to the cosine store before the
+    # crash (sink/signature writes happen first; excluding them isolates
+    # the cosine gate's replay behavior).
+    sp = str(tmp_path / "cosine")
+    tf = ingest._cosine_tf(batch)
+    tf.select("doc_id", "term", "tf").write.parquet(f"{sp}/postings/epoch=0")
+    tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    ).write.parquet(f"{sp}/norms/epoch=0")
+    tf.groupBy("term").agg(F.count("*").alias("df")).write.parquet(
+        f"{sp}/df/epoch=0"
+    )
+    D.unpersist_all()
+
+    # Replay of epoch 0: its own rows must not count as corpus.
+    status_replay, survivors = ingest._classify(batch, exclude_epoch=0)
+    assert [r.verdict for r in status_replay.collect()] == ["unique"]
+    assert survivors.count() == 1
+    D.unpersist_all()
+    # A later epoch re-delivering the same text under a new id must be
+    # caught THROUGH THE COSINE STORE ALONE (the signature store is
+    # empty here, so the exact-digest gate cannot claim it).
+    redelivery = spark.createDataFrame([(10, a_text)], schema)
+    status_next, _ = ingest._classify(redelivery, exclude_epoch=1)
+    assert [r.verdict for r in status_next.collect()] == ["cosine_dup_corpus"]
+    D.unpersist_all()
