@@ -161,9 +161,10 @@ HEADLINE = [
     "json_props_stats",
     "ordered_projection",
     "timestamp_truncation",
-    # round 6: bench-only scale-path entries (see _neardup_cells_bench /
-    # _knn_label_eval_ann_bench) — the linear counterparts to the two
-    # quadratic-by-semantics queries the 10x scaling sweep flagged.
+    # round 6 (bench-only) -> round 9 (registered + oracle-backed):
+    # the scale-path twins of the quadratic-by-semantics queries the
+    # 10x sweep flagged — now full queries() entries in
+    # queries/vectors.py, benched like any registered query.
     "embedding_neardup_cells",
     "knn_label_eval_ann",
     "ann_incremental_cells",
@@ -244,102 +245,6 @@ def _profile_default_mode(spark, sf_dir):
     return profile_columns(li, _PROFILE_COLS).orderBy("col_name")
 
 
-def _neardup_cells_bench(spark, sf_dir):
-    """Cell-blocked near-dup at sqrt(n) cells — the scale path for the
-    label-blocked embedding_neardup query (whose fixed-cardinality
-    blocking is quadratic by semantics: the 10x rehearsal measured it at
-    ~13x wall, this at ~2x; scaling_sweep.json `scale_paths`). Benched
-    so a regression in the path users should actually run at scale is
-    visible per-round."""
-    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
-    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.cell_blocked_near_duplicates(e, n_cells=45, threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
-
-
-def _ann_incremental_cells_bench(spark, sf_dir):
-    """ann_incremental at n_cells ~ sqrt(corpus) (n_probe fixed at 12)
-    — the scale path for the registered query, whose ORACLE pins 16
-    cells / 12 probes and is therefore O(batch x corpus / 16) =
-    quadratic by semantics (the 10x rehearsal measures it ~11-13x; this
-    path probes 12 of sqrt(n) cells, so per-query work is
-    O(12 * corpus / sqrt(corpus)) and total batch cost O(n^1.5)).
-    Benched so a regression in the path a deployment should actually
-    run is visible per-round."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    from cig_etl_s3_to_sql_data_ingestor_spark.functions.hashing import md5_bucket
-    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
-    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
-
-    e = load_table(spark, sf_dir, "embeddings")
-    bucket = md5_bucket(F.col("vec_id"), 16)
-    corpus = e.filter(bucket != 0)
-    batch = e.filter(bucket == 0)
-    n_cells = max(16, math.isqrt(corpus.count()))
-    cent = S.kmeans_centroids(
-        corpus, n_cells=n_cells, n_iters=2, sample_mod=4
-    ).select(F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding"))
-    return S.ivf_topk(
-        corpus, batch, k=5, n_cells=n_cells, n_probe=12, centroids=cent
-    ).orderBy("query_id", "rank")
-
-
-
-def _knn_label_eval_ann_bench(spark, sf_dir):
-    """ANN-based label eval over a FIXED-size query sample — the scale
-    path for the registered knn_label_eval, whose corpus-proportional
-    sample x brute-force kernel is quadratic by construction (24x wall
-    at 10x rows in the scaling sweep; its own docstring names this
-    swap). ivf_topk replaces brute_force_topk (accuracy degrades by
-    exactly the pinned recall gap, tests/test_ann_recall.py) and the
-    sample is capped at 400 queries regardless of corpus size. The
-    vote/accuracy tail mirrors the registered query."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
-    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
-
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(400)
-    topk = S.ivf_topk(e, q, k=10, n_cells=16, n_probe=12, kmeans_sample_mod=4)
-    labels = e.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
-    )
-    truth = q.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
-    )
-    votes = (
-        topk.join(labels, "cand_id")
-        .join(F.broadcast(truth), "query_id")
-        .groupBy("query_id", "true_label", "cand_label")
-        .agg(F.count(F.lit(1)).alias("n_votes"))
-    )
-    wv = W.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("cand_label")
-    )
-    pred = (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
-        .select("query_id", "true_label", F.col("cand_label").alias("predicted"))
-    )
-    correct = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
-    return (
-        pred.groupBy(F.col("true_label").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n_queries"),
-            F.sum(correct).alias("n_correct"),
-        )
-        .orderBy("label")
-    )
-
-
 def _corpus_shards_write_bench(spark, sf_dir):
     """The composed terminal pipeline, timed END-TO-END including the
     actual sharded parquet publish (the only bench entry that writes —
@@ -375,10 +280,7 @@ def _corpus_shards_write_bench(spark, sf_dir):
 # name -> callable overriding (or, for bench-only entries like
 # embedding_neardup_cells, supplying) the timed body.
 BENCH_OVERRIDES = {
-    "ann_incremental_cells": _ann_incremental_cells_bench,
     "profile_table": _profile_default_mode,
-    "embedding_neardup_cells": _neardup_cells_bench,
-    "knn_label_eval_ann": _knn_label_eval_ann_bench,
     "corpus_shards_write": _corpus_shards_write_bench,
 }
 

@@ -42,8 +42,11 @@ _HEAD = [
     # lexical-cosine dedup, the frequent-segment pair, and the
     # cluster-balanced coreset sample — each judge-verified at sf0.01
     # in r8 but the hard gate is a driver row), then (2) 43 queries
-    # whose newest driver evidence is round 6 — the oldest cohort.
-    # After this rotation no green query's evidence is older than r7.
+    # whose newest driver evidence is round 6 — the oldest cohort
+    # (three of the 46 r6-evidence queries are displaced to next round
+    # by (3) the three NEW r9 oracle-backed scale-path twins
+    # (knn_label_eval_ann / embedding_neardup_cells /
+    # ann_incremental_cells), registered this round per verdict #5.
     "ann_ivf_sq8_topk",
     "ann_sq8_topk",
     "cluster_balanced_sample",
@@ -51,6 +54,9 @@ _HEAD = [
     "dedup_cosine_incremental",
     "frequent_segment_filter",
     "frequent_segment_removal",
+    "knn_label_eval_ann",
+    "embedding_neardup_cells",
+    "ann_incremental_cells",
     "above_brand_average",
     "ann_ivf_pq_topk",
     "ann_pq_topk",
@@ -91,9 +97,6 @@ _HEAD = [
     "sentinel_cleaning",
     "shipping_priority",
     "sole_return_supplier",
-    "staleness_tiered",
-    "token_count",
-    "top_returned_customers",
 ]
 # 152 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
@@ -186,10 +189,13 @@ _TAIL = [
     "source_mixture_plan",
     "source_quality_funnel",
     "source_token_divergence",
+    "staleness_tiered",
     "stratified_sample",
     "text_normalize_stats",
     "tfidf_top_terms",
     "timestamp_truncation",
+    "token_count",
+    "top_returned_customers",
     "topk_per_group",
     "training_shard_plan",
     "verification_query",

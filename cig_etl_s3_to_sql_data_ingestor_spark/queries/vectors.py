@@ -143,7 +143,7 @@ def _sql_hash_bucket(id_expr: str, mod: int) -> str:
 
 
 def _sql_kmeans_ctes(
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_iters: int = 2,
     quant: int = 1_000_000,
     sample_mod: int | None = None,
@@ -163,6 +163,12 @@ def _sql_kmeans_ctes(
     apply the identical selection to the identical subset."""
     train = "c"
     ctes = [
+        # n_cells may be a parenthesized scalar subquery (DuckDB allows
+        # LIMIT (SELECT ...)) for corpus-derived cell counts — the
+        # n_cells ~ sqrt(corpus) deployment dial the *_cells scale
+        # paths use; the Spark side computes the identical value via
+        # isqrt on the exact count (a correctly-rounded double sqrt of
+        # an exact integer floors to the same value).
         f"cent0 AS (SELECT vec_id AS cell_id, embedding AS cell_vec "
         f"FROM {init_from} ORDER BY vec_id LIMIT {n_cells})"
     ]
@@ -206,12 +212,33 @@ def _sql_kmeans_ctes(
     return ",\n    ".join(ctes)
 
 
-def _sql_ivf_search(n_probe: int = 12, k: int = 5) -> str:
+def _sql_ivf_search(
+    n_probe: int = 12, k: int = 5, as_cte: str | None = None
+) -> str:
     """IVF search tail shared by every IVF-family oracle: nearest-cell
     corpus assignment, n_probe query probes, probed-cell scoring, and the
     (cosine DESC, cand_id) top-k rank — one spelling of the tie-breaks
     and constants, so the mirrors cannot diverge. Expects CTEs ``c``
-    (cand_id, cand_vec), ``q`` (query_id, query_vec) and ``cent``."""
+    (cand_id, cand_vec), ``q`` (query_id, query_vec) and ``cent``.
+    With ``as_cte`` the top-k becomes a named CTE (no ORDER BY) so a
+    caller can hang its own tail — e.g. the kNN vote/accuracy chain —
+    off the identical search text."""
+    ranked = f"""SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored"""
+    if as_cte is not None:
+        tail = f""",
+    {as_cte} AS (
+      SELECT query_id, cand_id, cosine_sim, rank FROM (
+      {ranked}
+      ) WHERE rank <= {k}
+    )"""
+    else:
+        tail = f"""
+    SELECT query_id, cand_id, cosine_sim, rank FROM (
+      {ranked}
+    ) WHERE rank <= {k} ORDER BY query_id, rank"""
     return f"""assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
@@ -235,13 +262,7 @@ def _sql_ivf_search(n_probe: int = 12, k: int = 5) -> str:
              {_sql_cosine('p.query_vec', 'a.cand_vec')} AS cosine_sim
       FROM assigned a JOIN probes p USING (cell_id)
       WHERE a.cand_id <> p.query_id
-    )
-    SELECT query_id, cand_id, cosine_sim, rank FROM (
-      SELECT query_id, cand_id, cosine_sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine_sim DESC, cand_id) AS rank
-      FROM scored
-    ) WHERE rank <= {k} ORDER BY query_id, rank"""
+    ){tail}"""
 
 
 @register(
@@ -1137,3 +1158,180 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cluster_balanced_sample(
         e, rate_num=1, rate_den=5, n_cells=16, kmeans_sample_mod=4
     ).orderBy("cell_id", "pick_rank")
+
+
+# ---------------------------------------------------------------------------
+# Scale-path twins, oracle-backed (round-9 verdict #5): the three queries
+# whose registered forms are quadratic BY DECLARED SEMANTICS each have a
+# coded 100 TB-shape path (sqrt-cells blocking / fixed query sample);
+# these register those paths with full DuckDB oracles so the driver
+# correctness-pins the code users should actually run at scale, not just
+# its recall/bench numbers.
+
+
+@register(
+    "knn_label_eval_ann",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 400),
+    {_sql_ivf_search(n_probe=12, k=10, as_cte="topk")},
+    lab AS (
+      SELECT t.query_id, eq.label AS true_label, ec.label AS cand_label
+      FROM topk t
+      JOIN embeddings eq ON eq.vec_id = t.query_id
+      JOIN embeddings ec ON ec.vec_id = t.cand_id
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, COUNT(*) AS n_votes
+      FROM lab GROUP BY query_id, true_label, cand_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, cand_label AS predicted FROM (
+        SELECT query_id, true_label, cand_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, cand_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY label
+    """,
+)
+def knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``knn_label_eval``: ANN (IVF 16/12) top-k over
+    a FIXED-size query sample (400, capped regardless of corpus size)
+    replaces the corpus-proportional sample x brute-force kernel that
+    makes the registered form quadratic (its own docstring names this
+    swap; 1.99x vs 24x wall at 10x rows, scaling_sweep.json
+    ``scale_paths``). Accuracy degrades by exactly the pinned IVF recall
+    gap (tests/test_ann_recall.py). Vote/accuracy tail identical to
+    knn_label_eval; majority ties break on the smaller label."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).orderBy("vec_id").limit(400)
+    topk = S.ivf_topk(e, q, k=10, n_cells=16, n_probe=12, kmeans_sample_mod=4)
+    labels = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(labels, "cand_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("predicted"))
+    )
+    correct = F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_queries")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_neardup_cells",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(n_cells=45, sample_mod=2)},
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    )
+    SELECT a.cand_id AS id_a, b.cand_id AS id_b,
+           {_sql_cosine('a.cand_vec', 'b.cand_vec')} AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell_id = b.cell_id AND a.cand_id < b.cand_id
+    WHERE {_sql_cosine('a.cand_vec', 'b.cand_vec')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``embedding_neardup``: near-dup pairs blocked
+    by TRAINED KMeans cells (45 here ~ sqrt(2000)) instead of the
+    fixed-cardinality label attribute whose block sizes grow linearly
+    with the corpus (2.07x vs 16x wall at 10x rows at sqrt-scaled
+    cells, scaling_sweep.json ``scale_paths``). Same recall caveat as
+    any single-probe blocking: pairs straddling a cell boundary are
+    missed — the dial is n_cells/n_iters, or the LSH verifier family
+    for guarantees. Same 0.4 threshold as embedding_neardup (the
+    synthetic embeddings are near-uniform)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cell_blocked_near_duplicates(e, n_cells=45, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SQRT_CELLS = "(SELECT GREATEST(16, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM c)"
+
+
+@register(
+    "ann_incremental_cells",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding, {_B16} AS b FROM embeddings),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec
+          FROM base WHERE b <> 0),
+    {_sql_kmeans_ctes(n_cells=_SQRT_CELLS, sample_mod=4, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM base WHERE b = 0),
+    {_sql_ivf_search(n_probe=12, k=5)}
+    """,
+)
+def ann_incremental_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``ann_incremental``: the same incremental
+    batch-vs-corpus ANN join with the deployment dial applied —
+    n_cells = max(16, isqrt(corpus)) with n_probe fixed at 12, so
+    per-query work is O(12 * corpus / sqrt(corpus)) and total batch
+    cost O(n^1.5) instead of the 16-cell form's O(batch x corpus / 16)
+    (2.32x vs 13.4x wall at 10x rows, scaling_sweep.json
+    ``scale_paths``). The oracle computes the identical cell count via
+    a scalar subquery in the init LIMIT; isqrt on the exact count and
+    floor(sqrt(double)) agree for any corpus a LIMIT can see."""
+    import math
+
+    from ..functions.hashing import md5_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = md5_bucket(F.col("vec_id"), 16)
+    corpus = e.filter(bucket != 0)
+    batch = e.filter(bucket == 0)
+    n_cells = max(16, math.isqrt(corpus.count()))
+    cent = S.kmeans_centroids(
+        corpus, n_cells=n_cells, n_iters=2, sample_mod=4
+    ).select(F.col("cell_id").alias("vec_id"), F.col("cell_vec").alias("embedding"))
+    return S.ivf_topk(
+        corpus, batch, k=5, n_cells=n_cells, n_probe=12, centroids=cent
+    ).orderBy("query_id", "rank")

@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "nb_score_calibration",       # same NB 1-row priors total
     "nb_budget_select",           # same NB priors + budget_select's 1-row-per-partition totals
     "ann_incremental",
+    "ann_incremental_cells",    # same broadcast centroid frame, sqrt-cells dial
+    "knn_label_eval_ann",       # broadcast capped query sample + centroid frame
+    "embedding_neardup_cells",  # broadcast trained-centroid frame (bounded cells)
     "embedding_clusters",
     "ann_ivf_topk",
     "ann_pq_topk",

@@ -53,7 +53,7 @@ def test_registry_rotation_invariants():
     head, and the unscored set EXACTLY the declared tail — any edit that
     silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 152
+    assert len(names) == len(set(names)) == 155
     # Round 4: every query carries a DuckDB oracle (the HLL sketch query
     # now emits an exact anchor + deterministic envelope boolean).
     assert set(ORACLES) == set(QUERIES)
@@ -87,9 +87,6 @@ def test_every_registered_query_is_benched():
     assert extras == {
         "ann_pq_search",
         "ann_ivf_pq_search",
-        "embedding_neardup_cells",
-        "knn_label_eval_ann",
-        "ann_incremental_cells",
         "bm25_search_indexed",
         "ann_mmr_pq_search",
         "phrase_search_from_index",
