@@ -262,6 +262,176 @@ def main_optimize(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_stream(argv: list[str] | None = None) -> int:
+    """Streaming-gate entry: drain a parquet source directory through one
+    of the streaming ingest gates per a JSON run config.
+
+    ``mode: "dedup"`` — text dedup-at-ingest (``DedupIngest``): the LSH
+    signature gate plus the optional CDC chunk (``cdc_store_path``) and
+    lexical-cosine (``cosine_store_path``) gates.
+
+    ``mode: "vector"`` — IVF vector-index ingest (``VectorIngest``),
+    optionally in SQ8 code-at-rest mode (``sq8_stats_path``). With
+    ``bootstrap_input`` set, a MISSING centroids file (and, in SQ8 mode,
+    a missing stats file) is trained from that parquet once — existing
+    artifacts are never retrained, because frozen centroids/stats must
+    not move after vectors are gated/encoded against them; a re-run of
+    the same config is therefore a no-op bootstrap plus an incremental
+    drain. ``search_queries`` (a parquet of query vectors) runs a
+    search after the drain and prints its rows as JSON lines — the
+    round-trip a deployment smoke-checks with.
+
+    All other keys default to the dataclass defaults; unknown keys are
+    rejected loudly (a typo'd gate path silently disabling a gate would
+    re-admit duplicates)."""
+    import json as _json
+
+    parser = argparse.ArgumentParser(
+        description="Run a streaming ingest gate per a JSON run config."
+    )
+    parser.add_argument(
+        "--stream_config_filename",
+        default="stream_config.json",
+        help='Run-config JSON path (default "stream_config.json")',
+    )
+    args = parser.parse_args(argv)
+    with open(args.stream_config_filename) as fh:
+        cfg = _json.load(fh)
+
+    from .session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark(
+        app_name="cig-etl-stream"
+    )
+    mode = cfg.get("mode")
+    mft = cfg.get("max_files_per_trigger")
+    if mode == "dedup":
+        from pyspark.sql import types as T
+
+        from .operators.dedup import unpersist_all
+        from .streaming.dedup_ingest import DedupIngest
+
+        allowed = {
+            "mode", "source_glob", "max_files_per_trigger",
+            "store_path", "sink_path", "checkpoint_path", "id_col",
+            "text_col", "num_hashes", "band_size", "threshold",
+            "shingle_n", "cdc_store_path", "cdc_k", "cdc_divisor",
+            "cdc_min_chunks", "cosine_store_path", "cosine_ngram",
+            "cosine_rare_prefix", "cosine_max_term_df", "cosine_num",
+            "cosine_den",
+        }
+        unknown = set(cfg) - allowed
+        if unknown:
+            raise ValueError(f"unknown dedup stream-config keys: {sorted(unknown)}")
+        ingest = DedupIngest(
+            spark,
+            **{k: v for k, v in cfg.items()
+               if k not in ("mode", "source_glob", "max_files_per_trigger")},
+        )
+        schema = T.StructType(
+            [
+                T.StructField(ingest.id_col, T.LongType()),
+                T.StructField(ingest.text_col, T.StringType()),
+            ]
+        )
+        ingest.start(
+            cfg["source_glob"], schema, max_files_per_trigger=mft
+        ).awaitTermination()
+        unpersist_all()
+        n = spark.read.parquet(ingest.sink_path).count()
+        print(_json.dumps({"mode": "dedup", "accepted_rows": n}))
+        return 0
+    if mode == "vector":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from .fsutil import hadoop_fs
+        from .operators.similarity import kmeans_centroids
+        from .streaming.vector_ingest import (
+            VectorIngest,
+            bootstrap_sq8_stats,
+            read_index_store,
+        )
+
+        allowed = {
+            "mode", "source_glob", "max_files_per_trigger",
+            "centroids_path", "store_path", "checkpoint_path", "id_col",
+            "vec_col", "dup_threshold", "sq8_stats_path",
+            "bootstrap_input", "n_cells", "dim", "search_queries",
+            "search_k", "search_n_probe",
+        }
+        unknown = set(cfg) - allowed
+        if unknown:
+            raise ValueError(f"unknown vector stream-config keys: {sorted(unknown)}")
+
+        def _missing(path: str) -> bool:
+            fs, jvm = hadoop_fs(spark, path)
+            return not fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+        id_col = cfg.get("id_col", "vec_id")
+        vec_col = cfg.get("vec_col", "embedding")
+        dim = int(cfg.get("dim", 64))
+        boot_src = cfg.get("bootstrap_input")
+        if boot_src:
+            boot = spark.read.parquet(boot_src).select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            )
+            if _missing(cfg["centroids_path"]):
+                kmeans_centroids(
+                    boot,
+                    n_cells=int(cfg.get("n_cells", 16)),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                ).write.parquet(cfg["centroids_path"])
+            if cfg.get("sq8_stats_path") and _missing(cfg["sq8_stats_path"]):
+                bootstrap_sq8_stats(
+                    boot, cfg["sq8_stats_path"], vec_col=vec_col, dim=dim
+                )
+        ingest = VectorIngest(
+            spark,
+            centroids_path=cfg["centroids_path"],
+            store_path=cfg["store_path"],
+            checkpoint_path=cfg["checkpoint_path"],
+            id_col=id_col,
+            vec_col=vec_col,
+            dup_threshold=float(cfg.get("dup_threshold", 0.995)),
+            sq8_stats_path=cfg.get("sq8_stats_path"),
+        )
+        schema = T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            ]
+        )
+        ingest.start(
+            cfg["source_glob"], schema, max_files_per_trigger=mft
+        ).awaitTermination()
+        n = read_index_store(
+            spark,
+            cfg["store_path"],
+            id_col=id_col,
+            vec_col=vec_col,
+            quantized=cfg.get("sq8_stats_path") is not None,
+        ).count()
+        out = {"mode": "vector", "index_rows": n,
+               "quantized": cfg.get("sq8_stats_path") is not None}
+        if cfg.get("search_queries"):
+            queries = spark.read.parquet(cfg["search_queries"])
+            hits = ingest.search(
+                queries,
+                k=int(cfg.get("search_k", 5)),
+                n_probe=int(cfg.get("search_n_probe", 4)),
+            ).orderBy("query_id", "rank")
+            out["search"] = [
+                {"query_id": r["query_id"], "cand_id": r["cand_id"],
+                 "rank": r["rank"], "cosine_sim": r["cosine_sim"]}
+                for r in hits.collect()
+            ]
+        print(_json.dumps(out))
+        return 0
+    raise ValueError(f"stream config mode must be 'dedup' or 'vector', got {mode!r}")
+
+
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(main_hosting())
 

@@ -277,3 +277,161 @@ def test_cli_corpus_sharded_mode(spark, sf_dir, tmp_path):
     again = json.loads(buf2.getvalue().strip().splitlines()[-1])["shards"]
     assert again["written_shards"] == 0
     assert again["skipped_shards"] == report["written_shards"]
+
+
+def test_cli_stream_vector_sq8_bootstrap_ingest_search(spark, sf_dir, tmp_path):
+    """cig-etl-stream vector mode, SQ8 code-at-rest: one config drives
+    bootstrap (centroids + frozen stats trained from the bootstrap
+    parquet ONLY when missing), the quantized drain, and a post-drain
+    search round-trip; the printed search rows match a direct
+    VectorIngest.search on the same store. A config re-run must not
+    retrain the frozen artifacts (their mtimes are the witness)."""
+    import contextlib
+    import io as _io
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    boot_path = tmp_path / "boot.parquet"
+    e.filter(F.col("vec_id") < 100).coalesce(1).write.parquet(str(boot_path))
+    src = tmp_path / "vecs"
+    src.mkdir()
+    e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 140)).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    qpath = tmp_path / "queries.parquet"
+    e.filter(F.col("vec_id") < 3).coalesce(1).write.parquet(str(qpath))
+
+    cfg = {
+        "mode": "vector",
+        "source_glob": f"{src}/*",
+        "centroids_path": str(tmp_path / "centroids"),
+        "store_path": str(tmp_path / "index"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "sq8_stats_path": str(tmp_path / "sq8_stats"),
+        "bootstrap_input": str(boot_path),
+        "n_cells": 4,
+        "search_queries": str(qpath),
+        "search_k": 3,
+        "search_n_probe": 4,
+    }
+    cfg_path = tmp_path / "stream_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main_stream(["--stream_config_filename", str(cfg_path)])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["quantized"] is True
+    assert out["index_rows"] == 40  # fixture vectors distinct: all admitted
+    assert len(out["search"]) == 9  # 3 queries x k=3
+    # Parity vs a direct open of the same store.
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    direct = VectorIngest(
+        spark,
+        centroids_path=cfg["centroids_path"],
+        store_path=cfg["store_path"],
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        sq8_stats_path=cfg["sq8_stats_path"],
+    )
+    want = [
+        (r["query_id"], r["cand_id"], r["rank"], r["cosine_sim"])
+        for r in direct.search(
+            spark.read.parquet(str(qpath)), k=3, n_probe=4
+        ).orderBy("query_id", "rank").collect()
+    ]
+    got = [
+        (s["query_id"], s["cand_id"], s["rank"], s["cosine_sim"])
+        for s in out["search"]
+    ]
+    assert got == want
+
+    def _mtimes(path):
+        return sorted(
+            (f, os.path.getmtime(os.path.join(path, f)))
+            for f in os.listdir(path)
+        )
+
+    stats_before = _mtimes(cfg["sq8_stats_path"])
+    cents_before = _mtimes(cfg["centroids_path"])
+    # Re-run: bootstrap must be a no-op (frozen artifacts untouched) and
+    # the drain incremental (no new files -> index unchanged).
+    buf2 = _io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert out2["index_rows"] == 40
+    assert _mtimes(cfg["sq8_stats_path"]) == stats_before
+    assert _mtimes(cfg["centroids_path"]) == cents_before
+
+
+def test_cli_stream_dedup_with_cosine_gate(spark, tmp_path):
+    """cig-etl-stream dedup mode with every gate configured: the JSON
+    config drives the LSH, CDC, and lexical-cosine stores; a typo'd key
+    is a loud error, not a silently-disabled gate."""
+    import contextlib
+    import io as _io
+    import json
+
+    import pytest as _pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "x y " * 40 + "alpha beta gamma delta epsilon"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # Lexically-close re-delivery of doc 1 in a LATER file (sequential
+    # epochs via maxFilesPerTrigger=1): below the LSH threshold, no
+    # chunk-aligned reuse — only the cosine gate's corpus-df blocking
+    # catches it (same construction as the streaming gate test).
+    spark.createDataFrame(
+        [(3, "".join(f"x y x y sep{i} " for i in range(20)))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    cfg = {
+        "mode": "dedup",
+        "source_glob": f"{src}/*",
+        "store_path": str(tmp_path / "store"),
+        "sink_path": str(tmp_path / "accepted"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "cdc_store_path": str(tmp_path / "cdc"),
+        "cosine_store_path": str(tmp_path / "cosine"),
+        "max_files_per_trigger": 1,
+    }
+    cfg_path = tmp_path / "stream_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # Docs 1 and 2 admitted in epoch 0; doc 3 rejected by the cosine
+    # gate against the grown store in epoch 1.
+    assert out["accepted_rows"] == 2
+    accepted = sorted(
+        r.doc_id for r in spark.read.parquet(cfg["sink_path"]).collect()
+    )
+    assert accepted == [1, 2]
+
+    bad = dict(cfg, cosine_store_pth=str(tmp_path / "oops"))
+    bad_path = tmp_path / "bad_config.json"
+    bad_path.write_text(json.dumps(bad))
+    with _pytest.raises(ValueError, match="unknown dedup stream-config keys"):
+        main_stream(["--stream_config_filename", str(bad_path)])
