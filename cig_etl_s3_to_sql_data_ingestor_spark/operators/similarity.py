@@ -1809,3 +1809,220 @@ def cluster_balanced_sample(
             F.col("pick_rank").cast("long").alias("pick_rank"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: per query, the
+    top-``k`` most cosine-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the near-miss negatives contrastive
+    training needs (random negatives are trivially separable; the
+    informative ones are the highest-similarity non-matches, the
+    standard DPR/SBERT mining recipe).
+
+    Same kernel discipline as :func:`brute_force_topk`: norms map-side,
+    the bounded query set broadcast, the corpus fanned out, one fold per
+    pair; the label mismatch is a predicate INSIDE the scored join (so
+    the window ranks only true negatives — a post-filter on a top-k
+    shortlist would under-fill whenever same-label vectors crowd the
+    head). At scale the scan side swaps to the IVF cell routing exactly
+    as for :func:`ivf_topk`; the label predicate composes unchanged."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+        F.col(label_col).alias("cand_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_label") != F.col("query_label"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cand_label").alias("neg_label"),
+            "cosine_sim",
+            "rank",
+        )
+    )
+
+
+def truncated_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-adaptive retrieval (the Matryoshka/MRL serving pattern,
+    Kusupati et al. 2022): shortlist with the cosine of the FIRST
+    ``prefix_dims`` coordinates — 4x fewer multiply-adds per pair at
+    16/64, and at rest a deployment stores the prefix columnarly for a
+    4x smaller scan — then re-rank the ``k * shortlist_factor``
+    survivors with full-dimension exact cosine. The synthetic fixture's
+    embeddings are NOT MRL-trained, so recall tracks the information in
+    a random prefix rather than a front-loaded one; the measured floor
+    lives in tests/test_ann_recall.py next to the other ANN families.
+    Same deterministic fold/tie-break discipline; both stages are the
+    proven brute-force kernel shapes, and the truncation is one
+    ``slice`` — no second copy of the vectors at rest."""
+    if prefix_dims < 1:
+        raise ValueError("prefix_dims must be >= 1")
+    pre = F.slice(F.col(vec_col), 1, prefix_dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("query_norm"),
+        pre.alias("query_pre"),
+        norm(pre).alias("query_pre_norm"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        norm(F.col(vec_col)).alias("cand_norm"),
+        pre.alias("cand_pre"),
+        norm(pre).alias("cand_pre_norm"),
+    )
+    pre_scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "pre_sim",
+            dot(F.col("query_pre"), F.col("cand_pre"))
+            / (F.col("query_pre_norm") * F.col("cand_pre_norm")),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("cand_id")
+    )
+    short = (
+        pre_scored.withColumn("prerank", F.row_number().over(wp))
+        .filter(F.col("prerank") <= k * shortlist_factor)
+    )
+    rescored = short.withColumn(
+        "cosine_sim",
+        dot(F.col("query_vec"), F.col("cand_vec"))
+        / (F.col("query_norm") * F.col("cand_norm")),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics over a ranked list —
+    precision@k, MRR, and binary-relevance nDCG@k — the evaluation
+    harness a retrieval stack runs against every index/fusion variant
+    (the ranking-quality complement of :func:`knn_label_eval`'s label
+    accuracy).
+
+    ``ranked`` is any (query_id, cand_id, rank) top-k frame (the whole
+    ANN family, ``bm25_topk``, ``rrf_fuse``); ``relevant`` is the full
+    binary relevance POOL (query_id, cand_id) — the pool and not just
+    the retrieved hits, because IDCG normalizes against the best
+    achievable list: idcg = sum of the first min(k, |pool|) discounts.
+
+    Cross-engine determinism: the 1/log2(r+1) discounts and their
+    prefix sums enter BOTH plans as Python-computed double literals
+    (no engine evaluates a transcendental), DCG folds the per-hit
+    gains in rank order via a sorted-array aggregate (the list_reduce
+    mirror), MRR is one exact division, and precision@k is an exact
+    dyadic-or-terminating ratio of small integers. Queries with an
+    empty pool report zero metrics (idcg lookup at 0), not NULL."""
+    import math
+
+    disc = [0.0] + [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    prefix = [0.0]
+    for r in range(1, k + 1):
+        prefix.append(prefix[-1] + disc[r])
+    # gain literal per rank (binary relevance: disc at the hit's rank)
+    gain = F.element_at(F.array(*[F.lit(d) for d in disc[1:]]), F.col("rank"))
+    pool = relevant.select("query_id", "cand_id").distinct()
+    pool_sizes = pool.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_relevant_pool")
+    )
+    hits = ranked.join(pool, ["query_id", "cand_id"]).select(
+        "query_id", "rank", gain.alias("gain")
+    )
+    per_q = (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("hits_at_k"),
+            F.min("rank").alias("_first"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rank", "gain"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["gain"],
+            ).alias("dcg"),
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(p) for p in prefix]),
+        (F.least(F.lit(k).cast("long"), F.col("n_relevant_pool")) + 1).cast(
+            "int"
+        ),
+    )
+    queries = ranked.select("query_id").distinct()
+    return (
+        queries.join(pool_sizes, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant_pool", F.lit(0).cast("long")).alias(
+                "n_relevant_pool"
+            ),
+            F.coalesce("hits_at_k", F.lit(0).cast("long")).alias("hits_at_k"),
+            (
+                F.coalesce("hits_at_k", F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k))
+            ).alias("precision_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("_first").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        )
+        .withColumn(
+            "idcg",
+            F.when(F.col("n_relevant_pool") > 0, idcg).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg") > 0.0, F.col("dcg") / F.col("idcg")
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -1088,3 +1088,66 @@ def winnowing_matches(
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "cand_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    two ranked retrieval lists — the standard hybrid-retrieval combiner
+    (BM25 lexical + embedding ANN being the canonical pair): per
+    (query, candidate), ``score = 1/(k0 + rank_a) + 1/(k0 + rank_b)``
+    with a missing list contributing 0, then top-``k`` by (score DESC,
+    id ASC).
+
+    Inputs are (query_id, <id_col>, rank) frames — any provider whose
+    rank is a dense 1-based integer (``bm25_topk``, the ANN top-k
+    family, ``mmr_rerank``) plugs in. Rank-based fusion needs NO score
+    calibration between modalities, which is exactly why RRF is the
+    default hybrid combiner in production search stacks. The full-outer
+    join is keyed by (query_id, candidate) and both sides are top-k
+    lists, so the shuffle is bounded by |Q| x (k_a + k_b) rows — never
+    corpus-sized; the corpus was only touched by the providers.
+
+    Determinism for the oracle: each reciprocal term is ONE IEEE double
+    division of exact integers (1.0 / (k0 + rank)), the fused score is
+    the fixed-order two-term sum a-then-b, and equal scores (common —
+    symmetric rank pairs fuse identically) break on the candidate id,
+    so both engines produce the identical list."""
+    a = ranked_a.select(
+        "query_id", F.col(id_col).alias("_cid"), F.col("rank").alias("_ra")
+    )
+    b = ranked_b.select(
+        "query_id", F.col(id_col).alias("_cid"), F.col("rank").alias("_rb")
+    )
+    fused = (
+        a.join(b, ["query_id", "_cid"], "full_outer")
+        .select(
+            "query_id",
+            F.col("_cid").alias(id_col),
+            F.col("_ra").alias("rank_a"),
+            F.col("_rb").alias("rank_b"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("_ra")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("_rb")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "rank_a", "rank_b", "rrf_score", "rank"
+        )
+    )

@@ -109,6 +109,7 @@ _TAIL = [
     "ann_lsh_bucketed",
     "ann_mmr_pq",
     "ann_mmr_topk",
+    "ann_truncated_rerank",
     "approx_distinct_stats",
     "approx_quantile_envelope",
     "audio_features",
@@ -152,7 +153,9 @@ _TAIL = [
     "exact_substring_overlap",
     "fulfillment_lag_quantiles",
     "gopher_quality_rules",
+    "hard_negative_mining",
     "heavy_hitter_keys",
+    "hybrid_rrf_search",
     "image_ahash_groups",
     "incremental_agg_merge",
     "interleave_sources",
@@ -183,6 +186,7 @@ _TAIL = [
     "profile_table",
     "quarterly_top_supplier",
     "repetition_stats",
+    "retrieval_quality_metrics",
     "semdedup_keep",
     "sessionize",
     "small_quantity_revenue",

@@ -997,12 +997,16 @@ _SQL_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
 # the incremental query (split -> build -> merge -> search), whose
 # merge-equals-recompute contract means the FULL-corpus SQL is exactly
 # its expected answer.
-_SQL_BM25_ORACLE = f"""
-    WITH qt AS (
+# The BM25 scoring chain as reusable CTE text: `_SQL_BM25_CTES` ends with
+# every frame the final ranked select needs, `_SQL_BM25_RANKED(k)` is that
+# select (rank <= k, no ORDER BY) — so composers (the RRF hybrid below)
+# can hang fusion logic off `bm25rank` while the direct oracles keep the
+# single spelling of every constant and tie-break.
+_SQL_BM25_CTES = f"""qt AS (
       SELECT CAST(query_id AS BIGINT) AS query_id, term
       FROM (VALUES {_SQL_BM25_VALUES}) AS v(query_id, term)
     ),
-    tok AS (
+tok AS (
       SELECT doc_id,
              CAST(len({_SQL_TOK}) AS BIGINT) AS dl,
              unnest({_SQL_TOK}) AS term
@@ -1040,8 +1044,11 @@ _SQL_BM25_ORACLE = f"""
     scores AS (
       SELECT query_id, doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q
       FROM contrib GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, score_q,
+    )"""
+
+
+def _sql_bm25_ranked(k: int = 10) -> str:
+    return f"""SELECT query_id, doc_id, score_q,
            CAST(score_q AS DOUBLE) / 1000000 AS score, rank
     FROM (
       SELECT query_id, doc_id, score_q,
@@ -1049,7 +1056,12 @@ _SQL_BM25_ORACLE = f"""
                                      ORDER BY score_q DESC, doc_id)
                   AS BIGINT) AS rank
       FROM scores
-    ) WHERE rank <= 10 ORDER BY query_id, rank
+    ) WHERE rank <= {k}"""
+
+
+_SQL_BM25_ORACLE = f"""
+    WITH {_SQL_BM25_CTES}
+    {_sql_bm25_ranked(10)} ORDER BY query_id, rank
     """
 
 
@@ -1303,3 +1315,89 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The build call IS this query, so its lengths are store-recorded
     # metadata here — pass them through instead of re-deriving.
     return _psi(postings, pq, k=10, stored_lengths=(2, 3))
+
+
+# Hybrid retrieval: RRF fusion of the BM25 lexical list and the embedding
+# ANN list — the production search-stack combiner (operators.text.rrf_fuse;
+# Cormack et al. SIGIR'09). Query ids are shared between BM25_QUERY_TERMS
+# and the embeddings table (vec_id == doc_id in the fixture, as a real
+# hybrid deployment keys both indexes by the same document id). ANN side
+# at k=20 so all three fusion branches (both-lists / bm25-only /
+# ann-only) are populated at every test scale.
+_RRF_K0 = 60
+_RRF_ANN_K = 20
+
+
+def _sql_rrf_hybrid() -> str:
+    from .vectors import _sql_cosine
+
+    return f"""
+    WITH {_SQL_BM25_CTES},
+    bm25rank AS ({_sql_bm25_ranked(10)}),
+    qv AS (
+      SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+      WHERE vec_id IN (SELECT DISTINCT query_id FROM qt)
+    ),
+    annrank AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT qv.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY qv.query_id
+                                  ORDER BY {_sql_cosine('qv.query_vec', 'c.embedding')} DESC,
+                                           c.vec_id) AS rank
+        FROM embeddings c CROSS JOIN qv WHERE c.vec_id <> qv.query_id
+      ) WHERE rank <= {_RRF_ANN_K}
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+             COALESCE(b.doc_id, a.cand_id) AS cand_id,
+             b.rank AS rank_a, a.rank AS rank_b,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + b.rank), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + a.rank), 0.0)
+               AS rrf_score
+      FROM bm25rank b FULL OUTER JOIN annrank a
+        ON b.query_id = a.query_id AND b.doc_id = a.cand_id
+    )
+    SELECT query_id, cand_id, CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b, rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@register("hybrid_rrf_search", oracle=_sql_rrf_hybrid())
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion: BM25
+    top-10 over the documents and brute-force-cosine top-20 over the
+    aligned embeddings fuse as 1/(60+rank_a) + 1/(60+rank_b), missing
+    lists contributing 0, final top-10 per query by (score DESC, id).
+    Rank-based fusion needs no cross-modality score calibration — the
+    reason RRF is the default hybrid combiner in production stacks.
+    Both providers are the oracle-exact kernels (integer BM25 scoring,
+    fold-exact cosine), the fused score is a fixed-order two-term IEEE
+    sum of exact-integer reciprocals, and symmetric-rank ties break on
+    the candidate id — hash-stable across engines. At 100 TB the ANN
+    side swaps to the IVF/PQ family (same (query_id, cand_id, rank)
+    contract) and the BM25 side to the bucketed streaming store; the
+    fusion join stays |Q| x (k_a + k_b) regardless."""
+    from ..operators.text import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+    from ..operators.similarity import brute_force_topk
+
+    bm25 = bm25_topk(d, terms, k=10).select(
+        "query_id", F.col("doc_id").alias("cand_id"), "rank"
+    )
+    ann = brute_force_topk(e, queries, k=_RRF_ANN_K).select(
+        "query_id", "cand_id", "rank"
+    )
+    return rrf_fuse(bm25, ann, k=10, k0=_RRF_K0).orderBy("query_id", "rank")

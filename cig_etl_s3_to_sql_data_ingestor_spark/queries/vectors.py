@@ -1335,3 +1335,190 @@ def ann_incremental_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         corpus, batch, k=5, n_cells=n_cells, n_probe=12, centroids=cent
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.label AS neg_label,
+             {_sql_cosine('q.query_vec', 'c.embedding')} AS cosine_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.label <> q.query_label
+    )
+    SELECT query_id, cand_id, CAST(neg_label AS INTEGER) AS neg_label,
+           cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, cand_id, neg_label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    query vector, the 10 most-similar corpus vectors of a DIFFERENT
+    label — the near-miss negatives contrastive embedding training
+    feeds (DPR/SBERT recipe; random negatives are trivially separable).
+    The label predicate sits inside the scored join so the rank is over
+    true negatives only — a post-filtered shortlist would under-fill
+    when same-label vectors crowd the head."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return S.hard_negatives(e, q, k=10).orderBy("query_id", "rank")
+
+
+_TRUNC_DIMS = 16
+_TRUNC_FACTOR = 4
+
+
+@register(
+    "ann_truncated_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec,
+                      embedding[1:{_TRUNC_DIMS}] AS query_pre
+               FROM embeddings WHERE vec_id < 8),
+    pre_scored AS (
+      SELECT q.query_id, q.query_vec, c.vec_id AS cand_id, c.embedding AS cand_vec,
+             {_sql_cosine('q.query_pre', f'c.embedding[1:{_TRUNC_DIMS}]')} AS pre_sim
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, query_vec, cand_id, cand_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pre_sim DESC, cand_id) AS prerank
+        FROM pre_scored
+      ) WHERE prerank <= {10 * _TRUNC_FACTOR}
+    )
+    SELECT query_id, cand_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, cand_id,
+             {_sql_cosine('query_vec', 'cand_vec')} AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_sql_cosine('query_vec', 'cand_vec')} DESC,
+                                         cand_id) AS rank
+      FROM short
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ann_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-adaptive retrieval (the Matryoshka serving pattern):
+    shortlist on the first 16 of 64 dims (4x fewer multiply-adds per
+    pair; a deployment stores the prefix columnarly for a 4x smaller
+    scan), exact full-dim re-rank on the 40-candidate shortlist. See
+    operators.similarity.truncated_rerank_topk; recall floor pinned in
+    tests/test_ann_recall.py (the fixture is not MRL-trained, so the
+    prefix carries a random 25% of the information, not a front-loaded
+    share — the floor documents exactly that)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return S.truncated_rerank_topk(
+        e, q, k=10, prefix_dims=_TRUNC_DIMS, shortlist_factor=_TRUNC_FACTOR
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ranking_metrics() -> str:
+    """Oracle text for retrieval_quality_metrics, with the 1/log2(r+1)
+    discount table and its prefix sums computed ONCE in Python and
+    embedded as double literals in BOTH plans — no engine evaluates a
+    transcendental, so the metrics are bit-identical."""
+    import math
+
+    k = 10
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    prefix = [0.0]
+    for d in disc:
+        prefix.append(prefix[-1] + d)
+    # The e0 suffix matters: DuckDB parses a bare decimal literal as
+    # DECIMAL first (17 fractional digits overflow DECIMAL(18,x) and a
+    # later CAST AS DOUBLE keeps the decimal-rounded value, one ulp off
+    # Python's repr round-trip — observed on 1/log2(6)); an exponent
+    # makes the literal parse DIRECTLY as DOUBLE, bit-exact both ways.
+    disc_lit = ", ".join(f"{d!r}e0" for d in disc)
+    prefix_lit = ", ".join(f"{p!r}e0" for p in prefix)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec, label AS qlabel
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             {_sql_cosine('q.query_vec', 'c.embedding')} AS cosine_sim
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM scored
+      ) WHERE rank <= {k}
+    ),
+    pool AS (
+      SELECT q.query_id, c.vec_id AS cand_id
+      FROM embeddings c JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id
+    ),
+    pool_sizes AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant_pool
+      FROM pool GROUP BY query_id
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank, [{disc_lit}][r.rank] AS gain
+      FROM ranked r JOIN pool p USING (query_id, cand_id)
+    ),
+    per_q AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+             MIN(rank) AS first_rank,
+             list_reduce(list(gain ORDER BY rank), (x, y) -> x + y) AS dcg
+      FROM hits GROUP BY query_id
+    )
+    SELECT qq.query_id,
+           COALESCE(ps.n_relevant_pool, 0) AS n_relevant_pool,
+           COALESCE(pq.hits_at_k, 0) AS hits_at_k,
+           CAST(COALESCE(pq.hits_at_k, 0) AS DOUBLE) / CAST({float(k)!r} AS DOUBLE)
+             AS precision_at_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(pq.first_rank AS DOUBLE), 0.0)
+             AS mrr,
+           COALESCE(pq.dcg, 0.0) AS dcg,
+           CASE WHEN COALESCE(ps.n_relevant_pool, 0) > 0
+                THEN [{prefix_lit}][CAST(LEAST({k}, ps.n_relevant_pool) + 1 AS INTEGER)]
+                ELSE 0.0 END AS idcg,
+           CASE WHEN COALESCE(ps.n_relevant_pool, 0) > 0
+                 AND [{prefix_lit}][CAST(LEAST({k}, ps.n_relevant_pool) + 1 AS INTEGER)] > 0.0
+                THEN COALESCE(pq.dcg, 0.0)
+                     / [{prefix_lit}][CAST(LEAST({k}, ps.n_relevant_pool) + 1 AS INTEGER)]
+                ELSE 0.0 END AS ndcg
+    FROM (SELECT DISTINCT query_id FROM ranked) qq
+    LEFT JOIN pool_sizes ps USING (query_id)
+    LEFT JOIN per_q pq USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@register("retrieval_quality_metrics", oracle=_sql_ranking_metrics())
+def retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the exact-cosine retriever against
+    the same-label relevance pool: per query, precision@10, MRR, and
+    binary nDCG@10 (operators.similarity.ranking_metrics) — the metric
+    harness every index/fusion variant in the ANN family can be scored
+    with (hand it any (query_id, cand_id, rank) frame). Discounts and
+    their prefix sums are Python-computed double literals in both
+    engines; DCG folds gains in rank order; the relevance pool (not
+    just retrieved hits) normalizes IDCG."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    ranked = S.brute_force_topk(e, q, k=10).select(
+        "query_id", "cand_id", "rank"
+    )
+    ql = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    cl = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel"))
+    relevant = (
+        ql.crossJoin(cl)
+        .filter(
+            (F.col("qlabel") == F.col("clabel"))
+            & (F.col("cand_id") != F.col("query_id"))
+        )
+        .select("query_id", "cand_id")
+    )
+    return S.ranking_metrics(ranked, relevant, k=10).orderBy("query_id")

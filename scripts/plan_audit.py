@@ -87,6 +87,10 @@ BNLJ_ALLOWED = {
     "bm25_search",            # 1-row corpus stats (N, total_len)
     "bm25_incremental",       # same 1-row merged stats frame
     "ann_mmr_topk",           # broadcast query set (bounded by caller)
+    "hybrid_rrf_search",      # broadcast 4-query set (ANN side) + 1-row BM25 stats
+    "hard_negative_mining",   # broadcast query set (bounded by caller)
+    "ann_truncated_rerank",   # broadcast query set (bounded by caller)
+    "retrieval_quality_metrics",  # broadcast 8-query set (ranked + pool sides)
     "collocation_pmi",        # two 1-row corpus totals (T, B)
     "semdedup_keep",          # 16-row broadcast centroid frame
 }

@@ -357,3 +357,58 @@ def test_cluster_balanced_sample_rate_validation(spark, sf_dir):
         S.cluster_balanced_sample(e, rate_num=6, rate_den=5)
     with pytest.raises(ValueError, match="rate"):
         S.cluster_balanced_sample(e, rate_num=0, rate_den=5)
+
+
+def test_truncated_rerank_recall_floor_and_factor_curve(ground_truth):
+    """Dimension-adaptive retrieval: recall@10 vs exact brute force on
+    the fixture. The synthetic embeddings are NOT MRL-trained — a
+    16/64 prefix carries a random 25% of the information, so recall is
+    far from the ~0.95+ an MRL-trained model shows at the same ratio;
+    the floors pin exactly that documented behavior (deterministic
+    pipeline -> recall is a constant: measured 0.434 at factor 4,
+    0.613 at factor 8 on this fixture). Widening the shortlist factor
+    must monotonically recover recall (the exact-rerank property)."""
+    e, q, gt = ground_truth
+    total = gt.count()
+    r = {}
+    for factor in (4, 8):
+        tr = S.truncated_rerank_topk(
+            e, q, k=K, prefix_dims=16, shortlist_factor=factor
+        )
+        hits = gt.join(
+            tr.select("query_id", "cand_id"), ["query_id", "cand_id"]
+        ).count()
+        r[factor] = hits / total
+    assert r[4] >= 0.42, r
+    assert r[8] >= 0.59, r
+    assert r[8] >= r[4], r
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    """Every mined negative's label differs from its query's, ranks are
+    dense 1..k, and the top negative is the best cross-label candidate
+    (cross-checked against brute_force_topk with a post-filter on a
+    full-corpus ranking)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = S.hard_negatives(e, q, k=10)
+    labels = {r["vec_id"]: r["label"] for r in q.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert len(rows) == 8 * 10
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"], r["cosine_sim"]))
+    full = S.brute_force_topk(e, q, k=e.count()).collect()
+    cand_label = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for qid, got in by_q.items():
+        got.sort()
+        assert [g[0] for g in got] == list(range(1, 11))
+        want = [
+            (r["cand_id"], r["cosine_sim"])
+            for r in sorted(full, key=lambda r: (r["query_id"], r["rank"]))
+            if r["query_id"] == qid and cand_label[r["cand_id"]] != labels[qid]
+        ][:10]
+        assert [(c, s) for _, c, s in got] == want

@@ -214,3 +214,54 @@ def test_repetition_stats_is_projection_only(spark, sf_dir):
     assert not re.search(r"\(\d+\) \w*HashAggregate", plan), plan
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) <= 1, plan
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    """rrf_fuse vs a direct Python transcription on handcrafted lists
+    covering all three branches (both-lists, a-only, b-only), the
+    symmetric-rank tie (equal fused scores break on cand_id), and the
+    top-k cut."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import rrf_fuse
+
+    a_rows = [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)]
+    b_rows = [(0, 11, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)]
+    a = spark.createDataFrame(a_rows, "query_id long, cand_id long, rank long")
+    b = spark.createDataFrame(b_rows, "query_id long, cand_id long, rank long")
+    got = [
+        (r.query_id, r.cand_id, r.rank_a, r.rank_b, r.rrf_score, r.rank)
+        for r in rrf_fuse(a, b, k=3, k0=60).orderBy("query_id", "rank").collect()
+    ]
+
+    da = {(q, c): r for q, c, r in a_rows}
+    db = {(q, c): r for q, c, r in b_rows}
+    expect = []
+    for q in (0, 1):
+        cands = {c for qq, c, _ in a_rows + b_rows if qq == q}
+        scored = []
+        for c in cands:
+            ra, rb = da.get((q, c)), db.get((q, c))
+            s = (1.0 / (60 + ra) if ra else 0.0) + (1.0 / (60 + rb) if rb else 0.0)
+            scored.append((c, ra, rb, s))
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        for rank, (c, ra, rb, s) in enumerate(scored[:3], start=1):
+            expect.append((q, c, ra, rb, s, rank))
+    assert got == expect
+    # Branch coverage in the fixture itself: (0,11) fused from both,
+    # (0,10) a-only, (0,13) b-only; (1,20) fuses both ranks so it beats
+    # (1,21)'s single b-rank-1 strictly.
+    by_pair = {(q, c): (ra, rb) for q, c, ra, rb, _, _ in got}
+    assert by_pair[(0, 11)] == (2, 1)
+    assert by_pair[(0, 10)] == (1, None)
+    assert by_pair[(0, 13)] == (None, 2)
+    r1 = [t for t in got if t[0] == 1]
+    assert (r1[0][1], r1[1][1]) == (20, 21) and r1[0][4] > r1[1][4]
+    # Symmetric-rank tie: an a-only rank-1 and a b-only rank-1 fuse to
+    # the identical double; the smaller cand_id must win the window.
+    ta = spark.createDataFrame([(0, 7, 1)], "query_id long, cand_id long, rank long")
+    tb = spark.createDataFrame([(0, 5, 1)], "query_id long, cand_id long, rank long")
+    tied = [
+        (r.cand_id, r.rrf_score, r.rank)
+        for r in rrf_fuse(ta, tb, k=2, k0=60).orderBy("rank").collect()
+    ]
+    assert tied[0][0] == 5 and tied[1][0] == 7
+    assert tied[0][1] == tied[1][1] == 1.0 / 61
