@@ -229,6 +229,13 @@ HEADLINE = [
     "cluster_balanced_sample",
     # amortized IVF+SQ8 search twin (index built OUTSIDE the timer).
     "ann_ivf_sq8_search",
+    # round 9: retrieval-stack completions — RRF hybrid fusion,
+    # hard-negative mining, Matryoshka-style truncated rerank, and the
+    # ranking-metrics evaluation harness.
+    "hybrid_rrf_search",
+    "hard_negative_mining",
+    "ann_truncated_rerank",
+    "retrieval_quality_metrics",
 ]
 
 
