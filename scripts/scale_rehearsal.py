@@ -73,6 +73,17 @@ TOP = [
     "frequent_segment_removal",
     "dedup_cosine_incremental",
     "cluster_balanced_sample",
+    # r9 additions: the registered scale twins (previously bench-only)
+    # and the retrieval-stack completions — the RRF fusion join, the
+    # label-filtered brute kernel, the prefix-shortlist rerank, and
+    # the metrics harness's pool join.
+    "knn_label_eval_ann",
+    "embedding_neardup_cells",
+    "ann_incremental_cells",
+    "hybrid_rrf_search",
+    "hard_negative_mining",
+    "ann_truncated_rerank",
+    "retrieval_quality_metrics",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
