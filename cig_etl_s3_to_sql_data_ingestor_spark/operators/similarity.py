@@ -1969,8 +1969,12 @@ def ranking_metrics(
     prefix = [0.0]
     for r in range(1, k + 1):
         prefix.append(prefix[-1] + disc[r])
-    # gain literal per rank (binary relevance: disc at the hit's rank)
-    gain = F.element_at(F.array(*[F.lit(d) for d in disc[1:]]), F.col("rank"))
+    # gain literal per rank (binary relevance: disc at the hit's rank);
+    # rank cast to int — element_at's index type — so any provider's
+    # rank column (row_number int, rrf_fuse's long) plugs in.
+    gain = F.element_at(
+        F.array(*[F.lit(d) for d in disc[1:]]), F.col("rank").cast("int")
+    )
     pool = relevant.select("query_id", "cand_id").distinct()
     pool_sizes = pool.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_relevant_pool")

@@ -536,3 +536,66 @@ def test_mmr_local_budget_enforced(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="mmr_rerank_local.*budget"):
         mmr_rerank_local(e, short, k=4)
+
+
+def test_ranking_metrics_composes_with_rrf_and_empty_pool(spark, sf_dir):
+    """ranking_metrics accepts any (query_id, cand_id, rank) provider —
+    here the RRF-fused hybrid list — and a query with an EMPTY
+    relevance pool reports zero metrics, not NULLs (the left-join +
+    idcg-gate path)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        ranking_metrics,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+    fused = rrf_fuse(
+        bm25_topk(d, terms, k=10).select(
+            "query_id", F.col("doc_id").alias("cand_id"), "rank"
+        ),
+        brute_force_topk(e, queries, k=10).select(
+            "query_id", "cand_id", "rank"
+        ),
+        k=10,
+    ).select("query_id", "cand_id", "rank")
+    # Relevance pool: same-label pairs for queries 0-2; query 3 gets an
+    # EMPTY pool on purpose.
+    ql = queries.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    cl = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"))
+    pool = (
+        ql.crossJoin(cl)
+        .filter((F.col("ql") == F.col("cl")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id")
+    )
+    out = {r["query_id"]: r for r in ranking_metrics(fused, pool, k=10).collect()}
+    assert set(out) == set(qids)
+    empty = out[3]
+    assert (
+        empty["n_relevant_pool"],
+        empty["hits_at_k"],
+        empty["mrr"],
+        empty["dcg"],
+        empty["idcg"],
+        empty["ndcg"],
+    ) == (0, 0, 0.0, 0.0, 0.0, 0.0)
+    for qid in (0, 1, 2):
+        r = out[qid]
+        assert r["n_relevant_pool"] > 0
+        assert 0.0 <= r["ndcg"] <= 1.0
+        assert r["precision_at_k"] == r["hits_at_k"] / 10.0
