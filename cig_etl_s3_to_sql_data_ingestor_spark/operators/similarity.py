@@ -397,14 +397,21 @@ def ivf_topk(
         F.col("cand_norm").alias("query_norm"),
         "cell_id",
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("query_vec"), F.col("cand_vec"))
-            / (F.col("query_norm") * F.col("cand_norm")),
+    # fan_out on the PAIR frame, not the inputs: the broadcast join
+    # inherits `assigned`'s partitioning, and assigned is a small
+    # aggregate AQE coalesces to 1-2 partitions — so the per-pair
+    # cosine fold (the expensive stage: |Q| x probed-cells rows x dim
+    # lambda evals) would run on 1-2 cores no matter the machine. Same
+    # lesson cosine_near_duplicates documents; a no-op on well-split
+    # pair frames at scale.
+    scored = fan_out(
+        assigned.join(F.broadcast(probes), "cell_id").filter(
+            F.col("cand_id") != F.col("query_id")
         )
+    ).withColumn(
+        "cosine_sim",
+        dot(F.col("query_vec"), F.col("cand_vec"))
+        / (F.col("query_norm") * F.col("cand_norm")),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("cand_id"))
     return (
