@@ -1737,14 +1737,17 @@ def ivf_sq8_topk(
         F.col("cand_norm").alias("query_norm"),
         "cell_id",
     )
-    scored = (
-        coded.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_sim",
-            dot(F.col("query_vec"), F.col("recon_vec"))
-            / (F.col("query_norm") * F.col("recon_norm")),
+    # Same pair-frame fan_out as ivf_topk: the broadcast probe join
+    # inherits `coded`'s (scan-sized, often 1-2 partition) layout, so
+    # the asymmetric-ADC fold would run on 1-2 cores without it.
+    scored = fan_out(
+        coded.join(F.broadcast(probes), "cell_id").filter(
+            F.col("cand_id") != F.col("query_id")
         )
+    ).withColumn(
+        "sq8_sim",
+        dot(F.col("query_vec"), F.col("recon_vec"))
+        / (F.col("query_norm") * F.col("recon_norm")),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sq8_sim").desc(), F.col("cand_id"))
     return (
