@@ -88,7 +88,22 @@ vector_sets = st.lists(
     st.lists(components, min_size=4, max_size=4), min_size=2, max_size=12
 )
 
-VECTOR_QUERIES_UNDER_TEST = ("semdedup_keep", "ann_mmr_topk")
+VECTOR_QUERIES_UNDER_TEST = (
+    "semdedup_keep",
+    "ann_mmr_topk",
+    # r9 retrieval completions. Generated sets are 4-dim / 2-12 vectors,
+    # which stresses shapes the 64-dim fixtures never reach:
+    # truncated_rerank's 16-dim prefix CLAMPS to the whole vector on
+    # both engines (slice past the end), hard negatives run with 1-11
+    # candidates and i%3 labels, the metrics harness hits empty and
+    # tiny relevance pools, and the RRF hybrid fuses the generated
+    # embeddings against the symlinked sf0.001 documents (ids need not
+    # align — rank fusion is id-agnostic).
+    "hard_negative_mining",
+    "ann_truncated_rerank",
+    "retrieval_quality_metrics",
+    "hybrid_rrf_search",
+)
 
 
 def _materialize_vectors(vectors: list[list[float]]) -> str:
