@@ -45,6 +45,10 @@ QUERIES_UNDER_TEST = (
     # the direct path) on every generated corpus shape, not just the
     # fixtures — empty docs, sub-phrase-length docs, all-identical docs.
     "collocation_pmi",
+    # r9: the hybrid's BM25 arm over adversarial generated corpora
+    # (empty docs, all-identical docs, sub-k docs) fused with the
+    # symlinked fixture embeddings — the flip side of the vector sweep.
+    "hybrid_rrf_search",
 )
 
 
