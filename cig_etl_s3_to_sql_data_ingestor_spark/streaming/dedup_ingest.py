@@ -161,11 +161,15 @@ def read_cdc_store(
 
 
 def _cos_postings_schema(id_col: str) -> T.StructType:
+    # `bucket` is the at-rest term-bucket partition column (see
+    # DedupIngest.cosine_n_buckets); legacy unbucketed epochs read it
+    # as NULL and are scanned rather than pruned.
     return T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("term", T.StringType()),
             T.StructField("tf", T.LongType()),
+            T.StructField("bucket", T.LongType()),
         ]
     )
 
@@ -183,6 +187,7 @@ _COS_DF_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("df", T.LongType()),
+        T.StructField("bucket", T.LongType()),
     ]
 )
 
@@ -224,6 +229,15 @@ class DedupIngest:
     cosine_max_term_df: int = 100
     cosine_num: int = 4
     cosine_den: int = 5
+    # Term-bucket fan-out of the cosine postings/df at-rest layout —
+    # the same crc32(term) % n_buckets discipline as the BM25 store
+    # (shared hash spelling, recorded in a marker on first write and
+    # cross-checked on every open): a batch's gate reads prune to the
+    # batch-vocabulary's buckets, so a small steady-state micro-batch
+    # scans 1/n of the store instead of all of it. Legacy (unbucketed)
+    # epochs read with bucket NULL and are scanned, never pruned away.
+    # The norms store stays id-keyed (it is joined by id, not term).
+    cosine_n_buckets: int = 16
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -328,8 +342,11 @@ class DedupIngest:
         the postings store appears once in the candidate equi-join
         (fan-out <= rare_prefix x |batch| x max_term_df) and once in
         the dot-product join restricted to candidate ids."""
+        from .bm25_ingest import term_bucket_col
+
         sp = self.cosine_store_path
         idc = self.id_col
+        self._check_cosine_n_buckets(create=False)
         tf_b = D._persist(self._cosine_tf(batch_df))
         safe = D.cosine_safe_norm_bound(self.cosine_num, self.cosine_den)
         # Norms carry the operator family's 64-bit overflow fence: docs
@@ -342,22 +359,40 @@ class DedupIngest:
             .agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
             .filter(F.col("norm_sq") <= safe)
         )
+        # Static bucket pruning: the batch's DISTINCT bucket ids are at
+        # most cosine_n_buckets values (one tiny collect), and every
+        # term-keyed store read filters to them — a small steady-state
+        # micro-batch scans 1/n of the postings/df stores. NULL buckets
+        # (legacy unbucketed epochs) are scanned, never pruned away
+        # (the bm25 store's migration rule).
+        batch_buckets = sorted(
+            r[0]
+            for r in tf_b.select(
+                term_bucket_col(F.col("term"), self.cosine_n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        prune = F.col("bucket").isin(batch_buckets) | F.col("bucket").isNull()
         store_tf = read_epoch_store(
             self.spark, f"{sp}/postings", _cos_postings_schema(idc),
             exclude_epoch=exclude_epoch,
-        )
+        ).filter(prune).drop("bucket")
         store_norms = read_epoch_store(
             self.spark, f"{sp}/norms", _cos_norms_schema(idc),
             exclude_epoch=exclude_epoch,
         ).filter(F.col("norm_sq") <= safe)
-        # Corpus df for the batch's vocabulary only: epoch partials are
-        # summed AFTER the batch-vocab semi-join, so the shuffle is
-        # bounded by the batch's distinct terms.
+        # Corpus df for the batch's vocabulary only: bucket pruning at
+        # the scan, then epoch partials are summed AFTER the batch-vocab
+        # semi-join, so the shuffle is bounded by the batch's distinct
+        # terms.
         df_c = D._persist(
             read_epoch_store(
                 self.spark, f"{sp}/df", _COS_DF_SCHEMA,
                 exclude_epoch=exclude_epoch,
             )
+            .filter(prune)
+            .drop("bucket")
             .join(tf_b.select("term").distinct(), "term", "left_semi")
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
@@ -509,21 +544,67 @@ class DedupIngest:
             # doc a string column can hold), and this epoch's partial
             # term doc-frequencies (summed across epochs at read time —
             # df partials are associative, so the store never rewrites
-            # history). Same idempotent epoch-dir overwrite: a replay
+            # history). Postings and df land under bucket= partition
+            # dirs (crc32(term) % cosine_n_buckets, modulus stamped in
+            # a marker) so gate reads prune to the batch's vocabulary
+            # buckets. Same idempotent epoch-dir overwrite: a replay
             # classifies against the store minus this epoch and
             # rewrites identical content.
+            from .bm25_ingest import term_bucket_col
+
+            self._check_cosine_n_buckets(create=True)
             sp = self.cosine_store_path
             tf_s = D._persist(self._cosine_tf(survivors))
-            tf_s.select(self.id_col, "term", "tf").write.mode(
-                "overwrite"
-            ).parquet(f"{sp}/postings/epoch={epoch_id}")
+            bucket = term_bucket_col(F.col("term"), self.cosine_n_buckets)
+            tf_s.select(
+                self.id_col, "term", "tf", bucket.alias("bucket")
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{sp}/postings/epoch={epoch_id}"
+            )
             tf_s.groupBy(self.id_col).agg(
                 F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
             ).write.mode("overwrite").parquet(f"{sp}/norms/epoch={epoch_id}")
-            tf_s.groupBy("term").agg(F.count("*").alias("df")).write.mode(
-                "overwrite"
-            ).parquet(f"{sp}/df/epoch={epoch_id}")
+            tf_s.groupBy("term").agg(F.count("*").alias("df")).select(
+                "term", "df", bucket.alias("bucket")
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{sp}/df/epoch={epoch_id}"
+            )
         D.unpersist_all()
+
+    def _check_cosine_n_buckets(self, create: bool) -> None:
+        """Stamp/cross-check the cosine store's bucket modulus (the
+        bm25 store's rule): a reader configured with a different
+        modulus would prune the WRONG buckets — silently re-admitting
+        duplicates — so mismatch is a loud ValueError. Only a WRITE may
+        stamp it; a pre-bucket store with no marker is read unbucketed
+        (NULL buckets scan)."""
+        from ..fsutil import hadoop_fs
+
+        root = f"{self.cosine_store_path}/postings"
+        fs, jvm = hadoop_fs(self.spark, root)
+        Path = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(Path(root)):
+            found = [
+                st.getPath().getName()
+                for st in fs.listStatus(Path(root))
+                if st.getPath().getName().startswith(".n_buckets=")
+            ]
+            if found:
+                stored = int(found[0].split("=", 1)[1])
+                if stored != self.cosine_n_buckets:
+                    raise ValueError(
+                        f"cosine store {self.cosine_store_path!r} was "
+                        f"written with n_buckets={stored}, this ingest "
+                        f"is configured with {self.cosine_n_buckets} — "
+                        "a mismatched modulus would prune the wrong "
+                        "buckets (silently re-admitting duplicates); "
+                        "open it with the recorded value"
+                    )
+                return
+            if not create:
+                return
+        if create:
+            fs.mkdirs(Path(f"{root}/.n_buckets={self.cosine_n_buckets}"))
 
     def start(
         self,

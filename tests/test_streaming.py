@@ -2549,3 +2549,91 @@ def test_dedup_ingest_cosine_replay_excludes_own_epoch(spark, tmp_path):
     status_next, _ = ingest._classify(redelivery, exclude_epoch=1)
     assert [r.verdict for r in status_next.collect()] == ["cosine_dup_corpus"]
     D.unpersist_all()
+
+
+def test_dedup_ingest_cosine_store_bucket_pruning_and_modulus_guard(
+    spark, tmp_path
+):
+    """The cosine postings/df stores are term-bucketed: (1) gate reads
+    prune to the batch-vocabulary buckets — pinned by DELETING every
+    other bucket dir and verifying a re-delivery is still caught
+    (exactly the bm25 store's pruning pin); (2) a reader configured
+    with a different modulus raises loudly instead of pruning the wrong
+    buckets; (3) a legacy FLAT epoch (no bucket dirs) is scanned via
+    NULL-bucket tolerance alongside bucketed epochs."""
+    import shutil
+
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        term_bucket,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ingest = _cos_gate_ingest(spark, tmp_path, cdc_store_path=None)
+    a_text = "x y " * 40 + "alpha beta gamma delta epsilon"
+    # A high-vocabulary filler doc makes the store span (nearly) all 16
+    # buckets while the re-delivery's vocabulary (ONE repeated
+    # separator -> ~5 distinct bigrams) needs only a few — so deleting
+    # the non-needed buckets is a real pruning pin, not a no-op.
+    filler = " ".join(f"filler{i}" for i in range(60))
+    ingest._process_batch(
+        spark.createDataFrame([(1, a_text), (5, filler)], schema), 0
+    )
+    redelivery = spark.createDataFrame(
+        [(10, "x y x y s " * 20)], schema
+    )
+    # Compute which buckets the re-delivery's vocabulary needs, then
+    # delete every OTHER bucket dir from both term-keyed stores. If the
+    # gate read anything outside the batch's buckets, the deletion
+    # would be visible; it is not.
+    tf = ingest._cosine_tf(redelivery)
+    need = {
+        term_bucket(r["term"], ingest.cosine_n_buckets)
+        for r in tf.select("term").distinct().collect()
+    }
+    D.unpersist_all()
+    removed = 0
+    for sub in ("postings", "df"):
+        epoch_dir = tmp_path / "cosine" / sub / "epoch=0"
+        for d in epoch_dir.iterdir():
+            if d.name.startswith("bucket="):
+                if int(d.name.split("=", 1)[1]) not in need:
+                    shutil.rmtree(d)
+                    removed += 1
+    assert removed > 0, "fixture must actually exercise pruning"
+    status, _ = ingest._classify(redelivery, exclude_epoch=1)
+    assert [r.verdict for r in status.collect()] == ["cosine_dup_corpus"]
+    D.unpersist_all()
+
+    # Modulus mismatch is loud.
+    bad = _cos_gate_ingest(
+        spark, tmp_path, cdc_store_path=None, cosine_n_buckets=8
+    )
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        bad._classify(redelivery, exclude_epoch=1)
+    D.unpersist_all()
+
+    # Legacy flat epoch alongside the bucketed one: manufacture epoch=1
+    # in the pre-bucket layout for a SECOND base doc, then verify a
+    # re-delivery of THAT doc is caught through the mixed-layout store.
+    b_text = "p q " * 40 + "omega psi chi phi upsilon"
+    sp = str(tmp_path / "cosine")
+    tf1 = ingest._cosine_tf(spark.createDataFrame([(2, b_text)], schema))
+    tf1.select("doc_id", "term", "tf").write.parquet(f"{sp}/postings/epoch=1")
+    tf1.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    ).write.parquet(f"{sp}/norms/epoch=1")
+    tf1.groupBy("term").agg(F.count("*").alias("df")).write.parquet(
+        f"{sp}/df/epoch=1"
+    )
+    D.unpersist_all()
+    re2 = spark.createDataFrame(
+        [(20, "".join(f"p q p q sep{i} " for i in range(20)))], schema
+    )
+    status2, _ = ingest._classify(re2, exclude_epoch=2)
+    assert [r.verdict for r in status2.collect()] == ["cosine_dup_corpus"]
+    D.unpersist_all()
