@@ -71,9 +71,12 @@ fresh separator tokens; the within-batch prefix keeps the batch
 operator's novel-first ranking verbatim. Cross-corpus candidates join
 the batch prefix terms straight against the postings store — fan-out
 is bounded by rare_prefix x |batch| x max_term_df, never store-sized.
-At real scale, bucket the postings and df stores by term exactly as
-the BM25 term store does. Same epoch protocol; one unit with the
-checkpoint.
+The postings and df stores are term-BUCKETED at rest
+(crc32(term) % cosine_n_buckets, the BM25 store's discipline with the
+shared hash spelling and modulus marker), and gate reads prune to the
+batch-vocabulary's buckets — lossless by construction, since dot
+products only count terms shared with the batch. Same epoch protocol;
+one unit with the checkpoint.
 """
 
 from __future__ import annotations
