@@ -2637,3 +2637,90 @@ def test_dedup_ingest_cosine_store_bucket_pruning_and_modulus_guard(
     status2, _ = ingest._classify(re2, exclude_epoch=2)
     assert [r.verdict for r in status2.collect()] == ["cosine_dup_corpus"]
     D.unpersist_all()
+
+
+def test_dedup_ingest_all_gates_torn_cosine_write_recovery(spark, tmp_path):
+    """Crash INSIDE the multi-store write window: epoch 1 commits its
+    sink + signature + CDC writes, then the driver dies BEFORE the
+    cosine-store writes (injected at the bucket-marker check, the first
+    step of the cosine block). The replay classifies with its own epoch
+    excluded from EVERY store — partial epoch-1 artifacts included — so
+    it rewrites all four consistently; a later cosine-catchable
+    re-delivery then proves the recovered cosine store gates correctly."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming._store import (
+        read_epoch_store,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+        _cos_postings_schema,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    a_text = "x y " * 40 + "alpha beta gamma delta epsilon"
+    batches = [
+        [(1, a_text)],
+        # novel doc + exact dup of epoch 0's doc
+        [(2, "pack my box with five dozen liquor jugs today"), (10, a_text)],
+        # cosine-catchable re-delivery of doc 1 (below LSH, no chunk
+        # alignment) + a novel doc
+        [(20, "".join(f"x y x y sep{i} " for i in range(20))),
+         (3, "sphinx of black quartz judge my vow tonight")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    paths = dict(
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+        cosine_store_path=str(tmp_path / "cosine"),
+    )
+
+    class TornCrash(DedupIngest):
+        """Dies at epoch 1's cosine write (after the other three
+        stores' epoch dirs landed)."""
+
+        def _check_cosine_n_buckets(self, create: bool) -> None:
+            if create and getattr(self, "_armed", False):
+                self._armed = False
+                raise RuntimeError("injected death before cosine write")
+            super()._check_cosine_n_buckets(create)
+
+        def _process_batch(self, batch_df, epoch_id):
+            self._armed = epoch_id == 1
+            super()._process_batch(batch_df, epoch_id)
+
+    crashing = TornCrash(spark, **paths)
+    died = None
+    try:
+        crashing.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    except Exception as ex:
+        died = ex
+    assert died is not None and "injected death" in str(died)
+    # The torn window is real: epoch 1's sink + signature dirs landed,
+    # its cosine dirs did not.
+    assert (tmp_path / "accepted" / "epoch=1").exists()
+    assert (tmp_path / "store" / "epoch=1").exists()
+    assert not (tmp_path / "cosine" / "postings" / "epoch=1").exists()
+
+    recovered = DedupIngest(spark, **paths)
+    recovered.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    # 10 rejected (exact dup), 20 rejected (cosine) — through the
+    # crash-recovered store.
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3]
+    postings = read_epoch_store(
+        spark, f"{tmp_path}/cosine/postings", _cos_postings_schema("doc_id")
+    )
+    assert sorted(
+        r.doc_id for r in postings.select("doc_id").distinct().collect()
+    ) == [1, 2, 3]
+    assert len(glob.glob(f"{tmp_path}/cosine/postings/epoch=*")) == 3
