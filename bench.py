@@ -236,6 +236,7 @@ HEADLINE = [
     "hard_negative_mining",
     "ann_truncated_rerank",
     "retrieval_quality_metrics",
+    "contrastive_triplets",
 ]
 
 

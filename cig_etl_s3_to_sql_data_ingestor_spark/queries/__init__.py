@@ -130,6 +130,7 @@ _TAIL = [
     "cms_word_frequency",
     "cohort_retention",
     "config_enrich_join",
+    "contrastive_triplets",
     "conversion_funnel",
     "cross_source_overlap",
     "curation_decisions",

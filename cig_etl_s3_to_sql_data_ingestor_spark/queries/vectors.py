@@ -1522,3 +1522,104 @@ def retrieval_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
     )
     return S.ranking_metrics(ranked, relevant, k=10).orderBy("query_id")
+
+
+@register(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+               FROM embeddings WHERE vec_id < 32),
+    pos AS (
+      SELECT anchor_id, cand_id AS pos_id, cosine_sim AS pos_sim FROM (
+        SELECT a.anchor_id, c.vec_id AS cand_id,
+               {_sql_cosine('a.avec', 'c.embedding')} AS cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                                  ORDER BY {_sql_cosine('a.avec', 'c.embedding')} DESC,
+                                           c.vec_id) AS rn
+        FROM embeddings c CROSS JOIN a
+        WHERE c.label = a.albl AND c.vec_id <> a.anchor_id
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cosine_sim AS neg_sim FROM (
+        SELECT a.anchor_id, c.vec_id AS cand_id,
+               {_sql_cosine('a.avec', 'c.embedding')} AS cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                                  ORDER BY {_sql_cosine('a.avec', 'c.embedding')} DESC,
+                                           c.vec_id) AS rn
+        FROM embeddings c CROSS JOIN a
+        WHERE c.label <> a.albl
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           p.pos_sim - n.neg_sim AS margin,
+           CASE WHEN p.pos_sim - n.neg_sim > 0.0 THEN 'satisfied'
+                ELSE 'violating' END AS difficulty
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triplet mining with a margin audit (the FaceNet /
+    SBERT training-pair export): per anchor, the hardest in-class
+    positive (top same-label cosine) and the hardest cross-class
+    negative (top different-label cosine — the rank-1 row of
+    operators.similarity.hard_negatives), plus the triplet margin
+    pos_sim - neg_sim and its satisfied/violating classification —
+    'violating' triplets (negative closer than the positive) are
+    exactly the ones a contrastive trainer should sample first. Anchors
+    whose label has no other member drop out (no in-class positive
+    exists). One fixed-order IEEE subtraction on the shared cosine
+    folds keeps the margin bit-identical across engines; at 100 TB
+    both sides swap to the ANN family (same (query, cand, rank)
+    contract)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 32)
+    al = anchors.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("avec"),
+        F.col("label").alias("albl"),
+    )
+    cl = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("label").alias("clbl"),
+    )
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import cosine
+
+    scored = (
+        cl.crossJoin(F.broadcast(al))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("avec"), F.col("cvec")))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.filter(F.col("clbl") == F.col("albl"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("cand_id").alias("pos_id"),
+            F.col("cosine_sim").alias("pos_sim"),
+        )
+    )
+    neg = S.hard_negatives(e, anchors, k=1).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("cand_id").alias("neg_id"),
+        F.col("cosine_sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .withColumn("margin", F.col("pos_sim") - F.col("neg_sim"))
+        .withColumn(
+            "difficulty",
+            F.when(F.col("margin") > 0.0, F.lit("satisfied")).otherwise(
+                F.lit("violating")
+            ),
+        )
+        .orderBy("anchor_id")
+    )

@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "hard_negative_mining",   # broadcast query set (bounded by caller)
     "ann_truncated_rerank",   # broadcast query set (bounded by caller)
     "retrieval_quality_metrics",  # broadcast 8-query set (ranked + pool sides)
+    "contrastive_triplets",   # broadcast 32-anchor set (both mining sides)
     "collocation_pmi",        # two 1-row corpus totals (T, B)
     "semdedup_keep",          # 16-row broadcast centroid frame
 }

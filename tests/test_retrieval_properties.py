@@ -49,6 +49,9 @@ QUERIES_UNDER_TEST = (
     # (empty docs, all-identical docs, sub-k docs) fused with the
     # symlinked fixture embeddings — the flip side of the vector sweep.
     "hybrid_rrf_search",
+    # r9: triplet mining — tiny sets exercise label-singleton anchors
+    # (no in-class positive -> anchor drops) and all-violating margins.
+    "contrastive_triplets",
 )
 
 
