@@ -338,7 +338,17 @@ def main_stream(argv: list[str] | None = None) -> int:
             cfg["source_glob"], schema, max_files_per_trigger=mft
         ).awaitTermination()
         unpersist_all()
-        n = spark.read.parquet(ingest.sink_path).count()
+        # An empty backlog (source glob matched no files) never runs a
+        # micro-batch, so the sink dir may not exist — a valid run that
+        # accepted 0 rows, not an error.
+        from pyspark.errors import AnalysisException
+
+        try:
+            n = spark.read.parquet(ingest.sink_path).count()
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            n = 0
         print(_json.dumps({"mode": "dedup", "accepted_rows": n}))
         return 0
     if mode == "vector":

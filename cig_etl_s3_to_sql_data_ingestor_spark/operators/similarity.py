@@ -1469,9 +1469,10 @@ def mmr_rerank_local(
     distributed form pays k-1 eagerly-checkpointed Spark rounds (each a
     join + window job) over a frame that is |Q| x shortlist rows — at
     interactive batch sizes that is a dozen task-scheduling round-trips
-    to diversify a few hundred rows. Here ONE job joins the shortlist
-    to its vectors and collects it (query-bounded by construction —
-    enforced below), the greedy recurrence runs in pure Python with the
+    to diversify a few hundred rows. Here a cheap ids-only count job
+    enforces the 65,536-row budget BEFORE any vector reaches the
+    driver, one job then joins the shortlist to its vectors and
+    collects it, the greedy recurrence runs in pure Python with the
     SAME left-to-right IEEE fold as ``functions.vectors.dot`` and the
     same ``lam * rel - (1 - lam) * max_sim`` / (mmr DESC, id ASC)
     selection, and the result returns as one literal frame —
@@ -1486,18 +1487,23 @@ def mmr_rerank_local(
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cand_norm"),
     )
-    rows = (
+    joined = (
         shortlist_df.select("query_id", "cand_id", "cosine_sim")
         .join(vecs, "cand_id")
         .select("query_id", "cand_id", "cosine_sim", "cand_vec", "cand_norm")
-        .collect()
     )
-    if len(rows) > 65_536:
+    # Enforce the budget BEFORE materializing vectors on the driver: a
+    # limit(budget+1).count() over the ids-only projection costs one
+    # cheap job and guarantees the raise fires before an over-budget
+    # collect can OOM the driver (the guard the docstring promises).
+    probe = joined.select("query_id", "cand_id").limit(65_537).count()
+    if probe > 65_536:
         raise ValueError(
-            f"mmr_rerank_local collected {len(rows)} shortlist rows "
+            f"mmr_rerank_local shortlist exceeds {probe - 1}+ rows "
             "(budget 65536) — it is the interactive-batch path; use "
             "mmr_rerank for bulk offline diversification"
         )
+    rows = joined.collect()
 
     def _fold_dot(a, b):
         acc = 0.0
@@ -1953,6 +1959,7 @@ def ranking_metrics(
     ranked: DataFrame,
     relevant: DataFrame,
     k: int = 10,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query retrieval-quality metrics over a ranked list —
     precision@k, MRR, and binary-relevance nDCG@k — the evaluation
@@ -1961,10 +1968,19 @@ def ranking_metrics(
     accuracy).
 
     ``ranked`` is any (query_id, cand_id, rank) top-k frame (the whole
-    ANN family, ``bm25_topk``, ``rrf_fuse``); ``relevant`` is the full
-    binary relevance POOL (query_id, cand_id) — the pool and not just
-    the retrieved hits, because IDCG normalizes against the best
-    achievable list: idcg = sum of the first min(k, |pool|) discounts.
+    ANN family, ``bm25_topk``, ``rrf_fuse``) — rows past rank k are
+    clamped off at entry, so a deeper provider list (e.g. a k=20 ANN
+    shortlist evaluated at k=10) yields correct metrics@k rather than
+    an out-of-range gain lookup (ANSI abort) or precision@k > 1.
+    ``relevant`` is the full binary relevance POOL (query_id, cand_id)
+    — the pool and not just the retrieved hits, because IDCG
+    normalizes against the best achievable list: idcg = sum of the
+    first min(k, |pool|) discounts. ``queries``, when given, is the
+    evaluation universe (a query_id frame): queries the provider
+    returned ZERO rows for then surface as all-zero metric rows
+    instead of silently vanishing (which would inflate averages for a
+    retriever that fails to retrieve). Default keeps the historical
+    behavior of deriving the universe from ``ranked`` itself.
 
     Cross-engine determinism: the 1/log2(r+1) discounts and their
     prefix sums enter BOTH plans as Python-computed double literals
@@ -1974,6 +1990,8 @@ def ranking_metrics(
     dyadic-or-terminating ratio of small integers. Queries with an
     empty pool report zero metrics (idcg lookup at 0), not NULL."""
     import math
+
+    ranked = ranked.filter(F.col("rank") <= k)
 
     disc = [0.0] + [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
     prefix = [0.0]
@@ -2010,7 +2028,10 @@ def ranking_metrics(
             "int"
         ),
     )
-    queries = ranked.select("query_id").distinct()
+    if queries is None:
+        queries = ranked.select("query_id").distinct()
+    else:
+        queries = queries.select("query_id").distinct()
     return (
         queries.join(pool_sizes, "query_id", "left")
         .join(per_q, "query_id", "left")

@@ -435,3 +435,31 @@ def test_cli_stream_dedup_with_cosine_gate(spark, tmp_path):
     bad_path.write_text(json.dumps(bad))
     with _pytest.raises(ValueError, match="unknown dedup stream-config keys"):
         main_stream(["--stream_config_filename", str(bad_path)])
+
+
+def test_cli_stream_dedup_empty_backlog(spark, tmp_path):
+    """A valid run whose source glob matches no files runs zero
+    micro-batches — the sink dir never exists — and must report
+    accepted_rows: 0, not crash with PATH_NOT_FOUND."""
+    import contextlib
+    import io as _io
+    import json
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()  # exists but empty: glob matches nothing
+    cfg = {
+        "mode": "dedup",
+        "source_glob": f"{src}/*",
+        "store_path": str(tmp_path / "store"),
+        "sink_path": str(tmp_path / "accepted"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+    }
+    cfg_path = tmp_path / "stream_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == {"mode": "dedup", "accepted_rows": 0}

@@ -599,3 +599,61 @@ def test_ranking_metrics_composes_with_rrf_and_empty_pool(spark, sf_dir):
         assert r["n_relevant_pool"] > 0
         assert 0.0 <= r["ndcg"] <= 1.0
         assert r["precision_at_k"] == r["hits_at_k"] / 10.0
+
+
+def test_ranking_metrics_clamps_deep_provider_and_explicit_queries(
+    spark, sf_dir
+):
+    """A provider list DEEPER than k (a k=20 ANN shortlist evaluated at
+    k=10) is clamped at entry: no out-of-range gain lookup (ANSI
+    abort), precision@k never exceeds 1, and the result is identical to
+    handing in the pre-truncated top-10. An explicit ``queries`` frame
+    surfaces zero-result queries as all-zero rows instead of dropping
+    them from the evaluation."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        ranking_metrics,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    deep = brute_force_topk(e, q, k=20).select("query_id", "cand_id", "rank")
+    ql = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+    cl = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"))
+    pool = (
+        ql.crossJoin(cl)
+        .filter((F.col("ql") == F.col("cl")) & (F.col("cand_id") != F.col("query_id")))
+        .select("query_id", "cand_id")
+    )
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(deep, pool, k=10).collect()
+    }
+    want = {
+        r["query_id"]: r
+        for r in ranking_metrics(
+            deep.filter(F.col("rank") <= 10), pool, k=10
+        ).collect()
+    }
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for qid, r in got.items():
+        assert 0.0 <= r["precision_at_k"] <= 1.0
+        assert r == want[qid]
+
+    # Zero-result query: universe says {0..4}, provider returned rows
+    # only for {0..3} — query 4 must appear with all-zero metrics.
+    universe = spark.range(5).selectExpr("id AS query_id")
+    out = {
+        r["query_id"]: r
+        for r in ranking_metrics(deep, pool, k=10, queries=universe).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    ghost = out[4]
+    assert (
+        ghost["hits_at_k"],
+        ghost["precision_at_k"],
+        ghost["mrr"],
+        ghost["dcg"],
+        ghost["ndcg"],
+    ) == (0, 0.0, 0.0, 0.0, 0.0)
