@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vectors import dot, norm
-from ..partitioning import fan_out
+from ..partitioning import fan_out, fan_out_by_stats
 
 
 def brute_force_topk(
@@ -399,15 +399,20 @@ def ivf_topk(
     )
     # fan_out on the PAIR frame, not the inputs: the broadcast join
     # inherits `assigned`'s partitioning, and assigned is a small
-    # aggregate AQE coalesces to 1-2 partitions — so the per-pair
-    # cosine fold (the expensive stage: |Q| x probed-cells rows x dim
-    # lambda evals) would run on 1-2 cores no matter the machine. Same
-    # lesson cosine_near_duplicates documents; a no-op on well-split
-    # pair frames at scale.
-    scored = fan_out(
+    # aggregate AQE coalesces below cluster parallelism — so the
+    # per-pair cosine fold (the expensive stage: |Q| x probed-cells
+    # rows x dim lambda evals) would run on a few cores no matter the
+    # machine. Decided from the CORPUS scan's optimizer stats, never
+    # by probing the join output: a `.rdd` partition probe on a plan
+    # with exchanges materializes upstream stages under AQE as real
+    # jobs the final query then recomputes (r10 A/B: probe 4.63 s vs
+    # stats 4.14 s min-of-3 on ann_ivf_topk at sf0.1); at scale the
+    # stats clear the bound and no shuffle is added.
+    scored = fan_out_by_stats(
         assigned.join(F.broadcast(probes), "cell_id").filter(
             F.col("cand_id") != F.col("query_id")
-        )
+        ),
+        corpus,
     ).withColumn(
         "cosine_sim",
         dot(F.col("query_vec"), F.col("cand_vec"))
@@ -1743,13 +1748,16 @@ def ivf_sq8_topk(
         F.col("cand_norm").alias("query_norm"),
         "cell_id",
     )
-    # Same pair-frame fan_out as ivf_topk: the broadcast probe join
-    # inherits `coded`'s (scan-sized, often 1-2 partition) layout, so
-    # the asymmetric-ADC fold would run on 1-2 cores without it.
-    scored = fan_out(
+    # Same pair-frame rebalance as ivf_topk: the broadcast probe join
+    # inherits `coded`'s (scan-sized, often few-partition) layout, so
+    # the asymmetric-ADC fold would run on a few cores without it.
+    # Stats-decided from the corpus scan, not probed from the join
+    # output (see fan_out_by_stats; r10 A/B 6.95 -> 5.60 s at sf0.1).
+    scored = fan_out_by_stats(
         coded.join(F.broadcast(probes), "cell_id").filter(
             F.col("cand_id") != F.col("query_id")
-        )
+        ),
+        corpus,
     ).withColumn(
         "sq8_sim",
         dot(F.col("query_vec"), F.col("recon_vec"))

@@ -71,3 +71,44 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_fan_out_by_stats_small_reference_repartitions(spark, sf_dir):
+    """A small scan-rooted reference (the sf0.001 embeddings file is
+    far under target*64MB) triggers the round-robin repartition of the
+    pair frame — and the decision itself runs ZERO Spark jobs (it reads
+    optimizer statistics, never `.rdd`, which under AQE would
+    materialize upstream stages the real query then recomputes)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.partitioning import (
+        fan_out_by_stats,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.selectExpr("vec_id AS a", "label").join(
+        e.selectExpr("vec_id AS b", "label"), "label"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = fan_out_by_stats(pairs, e, target=8)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "stats decision must not run Spark jobs"
+    assert out is not pairs  # small reference => repartition applied
+    assert out.count() == pairs.count()
+
+
+def test_fan_out_by_stats_large_reference_noop(spark, sf_dir):
+    """A reference estimated at/above target*bytes_per_core leaves the
+    frame untouched — at 100 TB the call is free (no probe job, no
+    added shuffle)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.partitioning import (
+        fan_out_by_stats,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.selectExpr("vec_id AS a", "label").join(
+        e.selectExpr("vec_id AS b", "label"), "label"
+    )
+    # bytes_per_core=1 makes any non-empty scan clear the bound.
+    assert fan_out_by_stats(pairs, e, target=8, bytes_per_core=1) is pairs
