@@ -173,6 +173,7 @@ HEADLINE = [
     # the build-once/search-many deployment shape, like ann_pq_search).
     "bm25_search",
     "semdedup_keep",
+    "semdedup_keep_cells",
     "bm25_search_indexed",
     "bm25_incremental",
     "ann_mmr_topk",

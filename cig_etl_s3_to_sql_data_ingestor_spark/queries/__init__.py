@@ -189,6 +189,7 @@ _TAIL = [
     "repetition_stats",
     "retrieval_quality_metrics",
     "semdedup_keep",
+    "semdedup_keep_cells",
     "sessionize",
     "small_quantity_revenue",
     "source_mixture_plan",

@@ -1257,11 +1257,14 @@ def knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQRT_CELLS = "(SELECT GREATEST(16, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM c)"
+
+
 @register(
     "embedding_neardup_cells",
     oracle=f"""
     WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
-    {_sql_kmeans_ctes(n_cells=45, sample_mod=2)},
+    {_sql_kmeans_ctes(n_cells=_SQRT_CELLS, sample_mod=2)},
     assigned AS (
       SELECT cand_id, cand_vec, cell_id FROM (
         SELECT c.cand_id, c.cand_vec, cent.cell_id,
@@ -1281,21 +1284,23 @@ def knn_label_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for ``embedding_neardup``: near-dup pairs blocked
-    by TRAINED KMeans cells (45 here ~ sqrt(2000)) instead of the
-    fixed-cardinality label attribute whose block sizes grow linearly
-    with the corpus (2.07x vs 16x wall at 10x rows at sqrt-scaled
-    cells, scaling_sweep.json ``scale_paths``). Same recall caveat as
-    any single-probe blocking: pairs straddling a cell boundary are
-    missed — the dial is n_cells/n_iters, or the LSH verifier family
-    for guarantees. Same 0.4 threshold as embedding_neardup (the
-    synthetic embeddings are near-uniform)."""
+    by TRAINED KMeans cells with the n_cells = max(16, isqrt(n))
+    deployment dial (r10: was a pinned 45 ~ sqrt(2000) — sized for
+    sf0.1 and quadratic past it; the 10x sweep read 3.18x and rising)
+    instead of the fixed-cardinality label attribute whose block sizes
+    grow linearly with the corpus. Same recall caveat as any
+    single-probe blocking: pairs straddling a cell boundary are missed
+    — the dial is n_cells/n_iters, or the LSH verifier family for
+    guarantees. Same 0.4 threshold as embedding_neardup (the synthetic
+    embeddings are near-uniform). The oracle computes the identical
+    cell count via the `_SQRT_CELLS` scalar-subquery init LIMIT."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cell_blocked_near_duplicates(e, n_cells=45, threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
-
-
-_SQRT_CELLS = "(SELECT GREATEST(16, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM c)"
+    n_cells = max(16, math.isqrt(e.count()))
+    return S.cell_blocked_near_duplicates(
+        e, n_cells=n_cells, threshold=0.4
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1335,6 +1340,73 @@ def ann_incremental_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         corpus, batch, k=5, n_cells=n_cells, n_probe=12, centroids=cent
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "semdedup_keep_cells",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(n_cells=_SQRT_CELLS, sample_mod=2)},
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    sims AS (
+      SELECT a.cand_id, a.cand_vec, a.cell_id,
+             {_sql_cosine('a.cand_vec', 'cent.cell_vec')} AS centroid_sim
+      FROM assigned a JOIN cent ON a.cell_id = cent.cell_id
+    ),
+    pairs AS (
+      SELECT b.cand_id AS id_b, a.cand_id AS id_a, a.centroid_sim AS sim_a
+      FROM sims a JOIN sims b ON a.cell_id = b.cell_id
+       AND (a.centroid_sim > b.centroid_sim
+            OR (a.centroid_sim = b.centroid_sim AND a.cand_id < b.cand_id))
+      WHERE {_sql_cosine('a.cand_vec', 'b.cand_vec')} >= {SEMDEDUP_THRESHOLD}
+    ),
+    killers AS (
+      SELECT id_b, id_a AS dup_of FROM (
+        SELECT id_b, id_a,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY sim_a DESC, id_a ASC) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT s.cand_id AS vec_id, s.cell_id, s.centroid_sim,
+           CAST(CASE WHEN k.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           k.dup_of
+    FROM sims s LEFT JOIN killers k ON s.cand_id = k.id_b
+    ORDER BY vec_id
+    """,
+)
+def semdedup_keep_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for ``semdedup_keep``: identical SemDeDup
+    keep/drop semantics with the deployment dial applied — n_cells =
+    max(16, isqrt(n)) instead of the registered form's oracle-pinned
+    16 cells, so per-cell membership is ~sqrt(n) and the within-cell
+    pair count stays O(n) as the corpus grows (the 16-cell form's
+    pairs grow n^2/16 by declared semantics — 3.25x wall at 10x rows,
+    scaling_sweep.json). Same recall caveat as every single-probe
+    blocking: semantic duplicates straddling a cell boundary are not
+    compared. The oracle computes the identical cell count via the
+    scalar-subquery init LIMIT (`_SQRT_CELLS`); isqrt on the exact
+    count and floor(sqrt(double)) agree for any corpus a LIMIT can
+    see (the ann_incremental_cells precedent)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(16, math.isqrt(e.count()))
+    return S.semdedup_decisions(
+        e,
+        n_cells=n_cells,
+        n_iters=2,
+        threshold=SEMDEDUP_THRESHOLD,
+        sample_mod=2,
+    ).orderBy("vec_id")
 
 
 @register(

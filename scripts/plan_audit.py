@@ -94,6 +94,7 @@ BNLJ_ALLOWED = {
     "contrastive_triplets",   # broadcast 32-anchor set (both mining sides)
     "collocation_pmi",        # two 1-row corpus totals (T, B)
     "semdedup_keep",          # 16-row broadcast centroid frame
+    "semdedup_keep_cells",    # isqrt(n)-row broadcast centroid frame
 }
 
 # Queries whose single unpartitioned window runs over a BOUNDED frame

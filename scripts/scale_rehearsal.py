@@ -84,6 +84,11 @@ TOP = [
     "hard_negative_mining",
     "ann_truncated_rerank",
     "retrieval_quality_metrics",
+    # r10 additions: the SemDeDup sqrt-cells scale twin and the
+    # contrastive-triplets miner (landed in the r9 snapshot commit
+    # after the sweep ran — first measured r10).
+    "semdedup_keep_cells",
+    "contrastive_triplets",
 ]
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
