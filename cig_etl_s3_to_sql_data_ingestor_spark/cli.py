@@ -281,6 +281,14 @@ def main_stream(argv: list[str] | None = None) -> int:
     search after the drain and prints its rows as JSON lines — the
     round-trip a deployment smoke-checks with.
 
+    ``mode: "hybrid"`` — SEARCH-ONLY over two already-ingested stores:
+    the BM25 inverted index (``bm25_store_path``) and the IVF vector
+    index (``vector_store_path`` + ``centroids_path``), fused by
+    reciprocal-rank fusion (``streaming.hybrid_search``).
+    ``search_terms`` and ``search_queries`` are parquet query frames
+    sharing a query_id space; no micro-batch runs and neither
+    checkpoint is touched.
+
     All other keys default to the dataclass defaults; unknown keys are
     rejected loudly (a typo'd gate path silently disabling a gate would
     re-admit duplicates)."""
@@ -439,7 +447,64 @@ def main_stream(argv: list[str] | None = None) -> int:
             ]
         print(_json.dumps(out))
         return 0
-    raise ValueError(f"stream config mode must be 'dedup' or 'vector', got {mode!r}")
+    if mode == "hybrid":
+        from .streaming.bm25_ingest import Bm25IndexIngest
+        from .streaming.hybrid_search import hybrid_search_from_stores
+        from .streaming.vector_ingest import VectorIngest
+
+        allowed = {
+            "mode", "bm25_store_path", "vector_store_path",
+            "centroids_path", "sq8_stats_path", "search_terms",
+            "search_queries", "search_k", "search_bm25_k",
+            "search_ann_k", "search_n_probe", "rrf_k0", "id_col",
+            "vec_col", "bm25_n_buckets",
+        }
+        unknown = set(cfg) - allowed
+        if unknown:
+            raise ValueError(f"unknown hybrid stream-config keys: {sorted(unknown)}")
+        bm25 = Bm25IndexIngest(
+            spark,
+            store_path=cfg["bm25_store_path"],
+            # search-only open: no micro-batch runs, the checkpoint is
+            # never touched (and never created).
+            checkpoint_path=f"{cfg['bm25_store_path']}/_unused_ckpt",
+            n_buckets=int(cfg.get("bm25_n_buckets", 16)),
+        )
+        vec = VectorIngest(
+            spark,
+            centroids_path=cfg["centroids_path"],
+            store_path=cfg["vector_store_path"],
+            checkpoint_path=f"{cfg['vector_store_path']}/_unused_ckpt",
+            id_col=cfg.get("id_col", "vec_id"),
+            vec_col=cfg.get("vec_col", "embedding"),
+            sq8_stats_path=cfg.get("sq8_stats_path"),
+        )
+        terms = spark.read.parquet(cfg["search_terms"])
+        queries = spark.read.parquet(cfg["search_queries"])
+        fused = hybrid_search_from_stores(
+            bm25,
+            vec,
+            terms,
+            queries,
+            k=int(cfg.get("search_k", 10)),
+            k0=int(cfg.get("rrf_k0", 60)),
+            bm25_k=int(cfg.get("search_bm25_k", 10)),
+            ann_k=int(cfg.get("search_ann_k", 20)),
+            n_probe=int(cfg.get("search_n_probe", 4)),
+        ).orderBy("query_id", "rank")
+        out = {
+            "mode": "hybrid",
+            "search": [
+                {"query_id": r["query_id"], "cand_id": r["cand_id"],
+                 "rank": r["rank"], "rrf_score": r["rrf_score"]}
+                for r in fused.collect()
+            ],
+        }
+        print(_json.dumps(out))
+        return 0
+    raise ValueError(
+        f"stream config mode must be 'dedup', 'vector' or 'hybrid', got {mode!r}"
+    )
 
 
 if __name__ == "__main__":  # pragma: no cover

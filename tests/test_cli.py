@@ -463,3 +463,93 @@ def test_cli_stream_dedup_empty_backlog(spark, tmp_path):
         assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out == {"mode": "dedup", "accepted_rows": 0}
+
+
+def test_cli_stream_hybrid_search_round_trip(spark, sf_dir, tmp_path):
+    """cig-etl-stream hybrid mode: search-only over two already-built
+    stores — the JSON config names both store paths and the two query
+    parquets, the printed rows equal hybrid_search_from_stores on the
+    same stores, and a typo'd key is a loud error."""
+    import contextlib
+    import io as _io
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.hybrid_search import (
+        hybrid_search_from_stores,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(e, n_cells=8).write.parquet(cents_path)
+    bm25 = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "bm25_ckpt"),
+    )
+    vec = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "vec_index"),
+        checkpoint_path=str(tmp_path / "vec_ckpt"),
+    )
+    bm25._process_batch(docs, 0)
+    vec._process_batch(e, 0)
+
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+    terms.write.parquet(str(tmp_path / "terms"))
+    queries.write.parquet(str(tmp_path / "queries"))
+
+    cfg = {
+        "mode": "hybrid",
+        "bm25_store_path": str(tmp_path / "bm25_index"),
+        "vector_store_path": str(tmp_path / "vec_index"),
+        "centroids_path": cents_path,
+        "search_terms": str(tmp_path / "terms"),
+        "search_queries": str(tmp_path / "queries"),
+        "search_k": 5,
+        "search_ann_k": 20,
+        "search_n_probe": 4,
+    }
+    cfg_path = tmp_path / "hybrid_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "hybrid"
+    want = [
+        {"query_id": r["query_id"], "cand_id": r["cand_id"],
+         "rank": r["rank"], "rrf_score": r["rrf_score"]}
+        for r in hybrid_search_from_stores(
+            bm25, vec, terms, queries, k=5, ann_k=20, n_probe=4
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert out["search"] == want and want
+
+    bad = dict(cfg, search_termz=str(tmp_path / "terms"))
+    bad_path = tmp_path / "bad_hybrid.json"
+    bad_path.write_text(json.dumps(bad))
+    with _pytest.raises(ValueError, match="unknown hybrid stream-config keys"):
+        main_stream(["--stream_config_filename", str(bad_path)])

@@ -92,6 +92,7 @@ def test_every_registered_query_is_benched():
         "phrase_search_from_index",
         "corpus_shards_write",
         "ann_ivf_sq8_search",
+        "hybrid_search_stores",
     }, extras
     # Bench-only entries must have a timed body (prepare or override).
     for name in extras:

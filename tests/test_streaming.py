@@ -2724,3 +2724,82 @@ def test_dedup_ingest_all_gates_torn_cosine_write_recovery(spark, tmp_path):
         r.doc_id for r in postings.select("doc_id").distinct().collect()
     ) == [1, 2, 3]
     assert len(glob.glob(f"{tmp_path}/cosine/postings/epoch=*")) == 3
+
+
+def test_hybrid_search_from_stores_matches_batch_hybrid(spark, tmp_path, sf_dir):
+    """The production hybrid-search shape end-to-end: both persisted
+    stores (term-bucketed BM25 inverted index + IVF vector index) are
+    built by their streaming ingests over two epochs, then ONE fused
+    search over the stores must equal the batch composition — rrf_fuse
+    of the batch BM25 top-k and brute-force cosine top-k over the same
+    admitted corpus (all cells probed, so IVF equals brute force; both
+    provider parities are pinned by their own tests, the fusion rule by
+    the oracle-backed hybrid_rrf_search)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.hybrid_search import (
+        hybrid_search_from_stores,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(e, n_cells=8).write.parquet(cents_path)
+
+    bm25 = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "bm25_ckpt"),
+    )
+    vec = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "vec_index"),
+        checkpoint_path=str(tmp_path / "vec_ckpt"),
+    )
+    # Two epochs each (the foreachBatch bodies directly — the streaming
+    # wrapper's exactly-once tracking has its own tests).
+    bm25._process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    bm25._process_batch(docs.filter(F.col("doc_id") % 2 != 0), 1)
+    vec._process_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+    vec._process_batch(e.filter(F.col("vec_id") % 2 != 0), 1)
+
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+
+    fused = hybrid_search_from_stores(
+        bm25, vec, terms, queries, k=10, bm25_k=10, ann_k=20, n_probe=8
+    ).orderBy("query_id", "rank")
+
+    admitted = read_index_store(spark, str(tmp_path / "vec_index")).select(
+        "vec_id", "embedding"
+    )
+    lex = bm25_topk(docs, terms, k=10).select(
+        "query_id", F.col("doc_id").alias("cand_id"), "rank"
+    )
+    sem = S.brute_force_topk(admitted, queries, k=20).select(
+        "query_id", "cand_id", "rank"
+    )
+    want = rrf_fuse(lex, sem, k=10).orderBy("query_id", "rank")
+    got_rows = [tuple(r) for r in fused.collect()]
+    want_rows = [tuple(r) for r in want.collect()]
+    assert got_rows == want_rows and got_rows
