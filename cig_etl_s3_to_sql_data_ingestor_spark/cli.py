@@ -326,7 +326,8 @@ def main_stream(argv: list[str] | None = None) -> int:
             "shingle_n", "cdc_store_path", "cdc_k", "cdc_divisor",
             "cdc_min_chunks", "cosine_store_path", "cosine_ngram",
             "cosine_rare_prefix", "cosine_max_term_df", "cosine_num",
-            "cosine_den", "cosine_n_buckets",
+            "cosine_den", "cosine_n_buckets", "tile_store_path",
+            "tile_k",
         }
         unknown = set(cfg) - allowed
         if unknown:

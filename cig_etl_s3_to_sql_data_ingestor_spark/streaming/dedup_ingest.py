@@ -77,6 +77,20 @@ shared hash spelling and modulus marker), and gate reads prune to the
 batch-vocabulary's buckets — lossless by construction, since dot
 products only count terms shared with the batch. Same epoch protocol;
 one unit with the checkpoint.
+
+Optional frequent-segment tile gate (``tile_store_path``): the FIFTH
+net, for documents ASSEMBLED from many admitted docs' spans — the one
+re-delivery shape the other four all miss (fresh content digest, low
+whole-doc Jaccard with any single stored doc, per-source runs shorter
+than the CDC chunk threshold, mixed n-gram vector below the cosine rule
+against every single stored doc). Admitted docs' non-overlapping
+``tile_k``-token tile digests (operators.dedup.fixed_tile_profile — the
+machinery the oracle-backed ``frequent_segment_filter`` pins) persist
+per epoch; a batch doc is ``tile_dup`` when strictly more than half its
+tile positions carry a store-present digest — the same integer
+2*n <= N keep rule as the batch stage, with "shared with another doc"
+tightened to "borrowed from the corpus". Text-free (md5 digests),
+existence-only, same epoch protocol; one unit with the checkpoint.
 """
 
 from __future__ import annotations
@@ -142,6 +156,28 @@ def read_signature_store(
 
 _CDC_SCHEMA = T.StructType([T.StructField("chunk_hash", T.StringType())])
 
+_TILE_SCHEMA = T.StructType([T.StructField("tile_hash", T.StringType())])
+
+
+def read_tile_store(
+    spark: SparkSession, path: str, exclude_epoch: int | None = None
+) -> DataFrame:
+    """The accumulated tile-digest store (one ``tile_hash`` md5 column —
+    text-free like the other stores), or an empty frame when it does not
+    exist yet; same missing-path-only fallback and current-epoch
+    exclusion contract as :func:`read_signature_store`."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(_TILE_SCHEMA).parquet(path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select("tile_hash")
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return spark.createDataFrame([], _TILE_SCHEMA)
+        raise
+
 
 def read_cdc_store(
     spark: SparkSession, path: str, exclude_epoch: int | None = None
@@ -198,8 +234,9 @@ _COS_DF_SCHEMA = T.StructType(
 @dataclass
 class DedupIngest:
     """availableNow-drained streaming ingest with an LSH dedup gate and
-    optional CDC chunk-reuse (``cdc_store_path``) and lexical-cosine
-    (``cosine_store_path``) gates."""
+    optional CDC chunk-reuse (``cdc_store_path``), lexical-cosine
+    (``cosine_store_path``), and frequent-segment tile
+    (``tile_store_path``) gates."""
 
     spark: SparkSession
     store_path: str
@@ -241,6 +278,22 @@ class DedupIngest:
     # epochs read with bucket NULL and are scanned, never pruned away.
     # The norms store stays id-keyed (it is joined by id, not term).
     cosine_n_buckets: int = 16
+    # Frequent-segment (tile) gate, the FIFTH net: None disables. A
+    # batch doc is tile_dup when STRICTLY MORE THAN HALF of its
+    # non-overlapping tile_k-token tile positions carry a digest
+    # already present among ADMITTED docs' tiles — the streaming analog
+    # of the oracle-backed frequent_segment_filter keep rule
+    # (2*n_shared <= n_tiles keeps), with "shared with another doc"
+    # tightened to "borrowed from the corpus store". Catches the
+    # mostly-borrowed-tiles assembly that passes every other net: a
+    # doc stitched from many admitted docs' spans has a fresh content
+    # digest (not exact), low whole-doc Jaccard with any ONE stored doc
+    # (below LSH), spans shorter than cdc_min_chunks aligned chunks
+    # per source (no chunk_dup), and a mixed bag-of-ngrams vector far
+    # from every single stored doc (below the cosine rule). Docs with
+    # fewer than tile_k tokens emit no tiles and always keep.
+    tile_store_path: str | None = None
+    tile_k: int = 8
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -321,6 +374,45 @@ class DedupIngest:
                     .otherwise(F.col("verdict"))
                     .alias("verdict"),
                 )
+            )
+        if self.tile_store_path is not None:
+            # Tile gate, the fifth net (precedence: every cheaper gate's
+            # verdict wins; only still-unique docs can become tile_dup).
+            # Per tile POSITION (duplicate in-doc hashes count once per
+            # position, the batch operator's convention), borrowed =
+            # digest exists in the store — a left-semi join, which keeps
+            # each position row at most once however many epochs carry
+            # the hash, so the join fans out by the batch side only. At
+            # real scale bucket the store by tile_hash like the BM25
+            # term store.
+            tiles_b = D._persist(self._batch_tiles(batch_df))
+            tile_store = read_tile_store(
+                self.spark, self.tile_store_path, exclude_epoch=exclude_epoch
+            )
+            borrowed = (
+                tiles_b.join(tile_store, "tile_hash", "left_semi")
+                .groupBy(self.id_col)
+                .agg(F.count("*").alias("_n_borrowed"))
+            )
+            tile_hits = (
+                tiles_b.groupBy(self.id_col)
+                .agg(F.count("*").alias("_n_tiles"))
+                .join(borrowed, self.id_col, "left")
+                .filter(
+                    2 * F.coalesce(F.col("_n_borrowed"), F.lit(0))
+                    > F.col("_n_tiles")
+                )
+                .select(self.id_col)
+                .withColumn("_tile_dup", F.lit(True))
+            )
+            status = status.join(tile_hits, self.id_col, "left").select(
+                self.id_col,
+                F.when(
+                    (F.col("verdict") == "unique") & F.col("_tile_dup"),
+                    F.lit("tile_dup"),
+                )
+                .otherwise(F.col("verdict"))
+                .alias("verdict"),
             )
         survivors = batch_df.join(
             status.filter(F.col("verdict") == "unique").select(self.id_col),
@@ -497,6 +589,23 @@ class DedupIngest:
             divisor=self.cdc_divisor,
         ).select(self.id_col, "chunk_hash")
 
+    def _batch_tiles(self, df: DataFrame) -> DataFrame:
+        return D.fixed_tile_profile(
+            df, self.id_col, self.text_col, k=self.tile_k
+        ).select(self.id_col, "tile_hash")
+
+    def _write_tile_store(self, survivors: DataFrame, epoch_id: int) -> None:
+        """Grow the tile store from the survivors: DISTINCT tile digests
+        per epoch (existence-only, like the CDC store — a digest already
+        present from an earlier epoch just adds one row). Same
+        epoch-addressed idempotent overwrite; a method so recovery tests
+        can inject a crash exactly between the cosine and tile writes."""
+        self._batch_tiles(survivors).select(
+            "tile_hash"
+        ).distinct().write.mode("overwrite").parquet(
+            f"{self.tile_store_path}/epoch={epoch_id}"
+        )
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """One epoch: classify → write sink epoch dir → grow the store.
 
@@ -572,6 +681,8 @@ class DedupIngest:
             ).write.partitionBy("bucket").mode("overwrite").parquet(
                 f"{sp}/df/epoch={epoch_id}"
             )
+        if self.tile_store_path is not None:
+            self._write_tile_store(survivors, epoch_id)
         D.unpersist_all()
 
     def _check_cosine_n_buckets(self, create: bool) -> None:

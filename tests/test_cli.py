@@ -414,6 +414,7 @@ def test_cli_stream_dedup_with_cosine_gate(spark, tmp_path):
         "checkpoint_path": str(tmp_path / "ckpt"),
         "cdc_store_path": str(tmp_path / "cdc"),
         "cosine_store_path": str(tmp_path / "cosine"),
+        "tile_store_path": str(tmp_path / "tiles"),
         "max_files_per_trigger": 1,
     }
     cfg_path = tmp_path / "stream_config.json"
@@ -429,6 +430,10 @@ def test_cli_stream_dedup_with_cosine_gate(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(cfg["sink_path"]).collect()
     )
     assert accepted == [1, 2]
+    # The tile store grew per epoch alongside the others.
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "tiles" / "epoch=*"))
 
     bad = dict(cfg, cosine_store_pth=str(tmp_path / "oops"))
     bad_path = tmp_path / "bad_config.json"

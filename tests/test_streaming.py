@@ -2803,3 +2803,148 @@ def test_hybrid_search_from_stores_matches_batch_hybrid(spark, tmp_path, sf_dir)
     got_rows = [tuple(r) for r in fused.collect()]
     want_rows = [tuple(r) for r in want.collect()]
     assert got_rows == want_rows and got_rows
+
+
+def _tile_docs():
+    """Three 24-token corpus docs with disjoint vocabularies, an
+    assembled doc X whose four tiles are (A's middle tile, B's middle
+    tile, C's middle tile, one fresh tile) — 3 of 4 borrowed — and a
+    fully novel doc. Short tokens keep every 8-token tile under the
+    CDC divisor so chunk alignment cannot claim X first."""
+    def doc(prefix):
+        return " ".join(f"{prefix}{i}" for i in range(1, 25))
+
+    a, b, c = doc("a"), doc("b"), doc("c")
+
+    def tile(text, idx):  # 1-based tile of 8 tokens
+        t = text.split()
+        return " ".join(t[(idx - 1) * 8: idx * 8])
+
+    x = " ".join([tile(a, 2), tile(b, 2), tile(c, 2),
+                  " ".join(f"z{i}" for i in range(1, 9))])
+    novel = " ".join(f"n{i}" for i in range(1, 25))
+    return a, b, c, x, novel
+
+
+def test_dedup_ingest_tile_gate_rejects_assembled_doc(spark, tmp_path):
+    """The fifth net: a document ASSEMBLED from three admitted docs'
+    tiles (3 of its 4 tiles borrowed) must be rejected as tile_dup —
+    the verdict string proves every cheaper gate missed it (fresh
+    content digest, whole-doc Jaccard vs any one source ~0.16 < the
+    0.4 LSH threshold, sub-chunk borrowed runs, mixed bigram vector at
+    cosine ~0.3 < 0.8 vs any one source). A doc with exactly half its
+    tiles borrowed keeps (the strict >1/2 rule), as does a short
+    (<tile_k tokens) doc with zero tiles."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ingest = _cos_gate_ingest(
+        spark, tmp_path, tile_store_path=str(tmp_path / "tiles")
+    )
+    a, b, c, x, novel = _tile_docs()
+    batch1 = spark.createDataFrame([(1, a), (2, b), (3, c)], schema)
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3]
+
+    # half-borrowed: one tile from A, one fresh -> 2*1 <= 2 keeps.
+    half = " ".join([
+        " ".join(a.split()[8:16]),
+        " ".join(f"q{i}" for i in range(1, 9)),
+    ])
+    batch2 = spark.createDataFrame(
+        [(20, x), (30, novel), (40, half), (50, "too short to tile")],
+        schema,
+    )
+    status, _ = ingest._classify(batch2, exclude_epoch=1)
+    got = {r.doc_id: r.verdict for r in status.collect()}
+    D.unpersist_all()
+    assert got == {
+        20: "tile_dup",
+        30: "unique",
+        40: "unique",
+        50: "unique",
+    }, got
+
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    ingest.start(f"{src}/*", schema).awaitTermination(120)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3, 30, 40, 50]
+
+
+def test_dedup_ingest_all_gates_torn_tile_write_recovery(spark, tmp_path):
+    """Crash INSIDE the five-store write window: epoch 1 commits its
+    sink + signature + CDC + cosine writes, then the driver dies BEFORE
+    the tile-store write. The replay classifies with its own epoch
+    excluded from EVERY store — partial epoch-1 artifacts included — so
+    it rewrites all five consistently; a later tile-catchable assembled
+    doc then proves the recovered tile store gates correctly."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    a, b, c, x, novel = _tile_docs()
+    batches = [
+        [(1, a), (2, b), (3, c)],
+        # novel doc + exact dup of epoch 0's doc 1
+        [(4, novel), (10, a)],
+        # tile-catchable assembled doc + a novel doc
+        [(20, x), (5, " ".join(f"p{i}" for i in range(1, 25)))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    paths = dict(
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+        cosine_store_path=str(tmp_path / "cosine"),
+        tile_store_path=str(tmp_path / "tiles"),
+    )
+
+    class TornCrash(DedupIngest):
+        """Dies at epoch 1's tile write (after the other four stores'
+        epoch dirs landed)."""
+
+        def _write_tile_store(self, survivors, epoch_id):
+            if epoch_id == 1 and getattr(self, "_armed", True):
+                self._armed = False
+                raise RuntimeError("injected death before tile write")
+            super()._write_tile_store(survivors, epoch_id)
+
+    crashing = TornCrash(spark, **paths)
+    died = None
+    try:
+        crashing.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    except Exception as ex:
+        died = ex
+    assert died is not None and "injected death" in str(died)
+    # The torn window is real: epoch 1's other four stores landed, its
+    # tile dir did not.
+    assert (tmp_path / "accepted" / "epoch=1").exists()
+    assert (tmp_path / "store" / "epoch=1").exists()
+    assert (tmp_path / "cdc" / "epoch=1").exists()
+    assert (tmp_path / "cosine" / "norms" / "epoch=1").exists()
+    assert not (tmp_path / "tiles" / "epoch=1").exists()
+
+    recovered = DedupIngest(spark, **paths)
+    recovered.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    # 10 rejected (exact dup), 20 rejected (tile gate) — through the
+    # crash-recovered stores.
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3, 4, 5]
+    assert len(glob.glob(f"{tmp_path}/tiles/epoch=*")) == 3
