@@ -432,6 +432,7 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    stats_reference: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs within blocks (cosine >= threshold).
 
@@ -440,10 +441,16 @@ def cosine_near_duplicates(
     block sizes stay bounded.
 
     Two scale guards: norms are precomputed per vector (map-side, before
-    the pair blow-up), and the PAIR frame is fanned out before scoring —
+    the pair blow-up), and the PAIR frame is rebalanced before scoring —
     the join's output parallelism is bounded by the number of distinct
     blocks (10 labels ⇒ ≤10 busy tasks no matter the cluster size), so
-    the cosine fold must be rebalanced onto all cores."""
+    the cosine fold must be rebalanced onto all cores. The rebalance is
+    stats-decided (fan_out_by_stats — zero probe jobs; see its
+    docstring for the `.rdd`-under-AQE hazard) from ``stats_reference``
+    when given — callers passing a join-bearing ``df`` (e.g.
+    cell_blocked_near_duplicates' assigned frame, whose optimizer
+    estimate is join-inflated) hand in the scan-rooted corpus frame —
+    else from ``df`` itself."""
     a = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id_a"),
@@ -456,7 +463,10 @@ def cosine_near_duplicates(
         F.col(vec_col).alias("vec_b"),
         norm(F.col(vec_col)).alias("norm_b"),
     )
-    pairs = fan_out(a.join(b, "block").filter(F.col("id_a") < F.col("id_b")))
+    pairs = fan_out_by_stats(
+        a.join(b, "block").filter(F.col("id_a") < F.col("id_b")),
+        stats_reference if stats_reference is not None else df,
+    )
     return (
         pairs.withColumn(
             "cosine_sim",
@@ -512,6 +522,10 @@ def cell_blocked_near_duplicates(
         id_col=id_col,
         vec_col=vec_col,
         threshold=threshold,
+        # blocked is join-bearing (its optimizer estimate is inflated
+        # by the centroid cross join); size the pair rebalance from the
+        # scan-rooted corpus instead.
+        stats_reference=df,
     )
 
 
@@ -598,12 +612,15 @@ def semdedup_decisions(
     )
     # a strictly outranks b: closer to the centroid, id-ascending on ties
     # (exact double comparison is deterministic — both sides fold the
-    # same dot-product expression).
-    pairs = fan_out(
+    # same dot-product expression). Pair rebalance stats-decided from
+    # the scan-rooted corpus (sims is persisted but join-bearing; a
+    # .rdd probe here would materialize its stages — see fan_out).
+    pairs = fan_out_by_stats(
         a.join(b, "cell_id").filter(
             (F.col("sim_a") > F.col("sim_b"))
             | ((F.col("sim_a") == F.col("sim_b")) & (F.col("id_a") < F.col("id_b")))
-        )
+        ),
+        df,
     )
     killers = (
         pairs.withColumn(
