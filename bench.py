@@ -234,6 +234,7 @@ HEADLINE = [
     # hard-negative mining, Matryoshka-style truncated rerank, and the
     # ranking-metrics evaluation harness.
     "hybrid_rrf_search",
+    "hybrid_rrf_search_ivf",
     "hard_negative_mining",
     "ann_truncated_rerank",
     "retrieval_quality_metrics",

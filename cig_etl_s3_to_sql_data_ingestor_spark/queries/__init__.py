@@ -34,147 +34,146 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 9 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py), per the r8 verdict's #1 task and
-    # scripts/rotation_plan.py: (1) the SEVEN queries that have never
-    # received a driver CORRECTNESS row (all landed after the r8 head
-    # was declared: the SQ8 ANN pair, bigram-cosine and incremental
-    # lexical-cosine dedup, the frequent-segment pair, and the
-    # cluster-balanced coreset sample — each judge-verified at sf0.01
-    # in r8 but the hard gate is a driver row), then (2) 43 queries
-    # whose newest driver evidence is round 6 — the oldest cohort
-    # (three of the 46 r6-evidence queries are displaced to next round
-    # by (3) the three NEW r9 oracle-backed scale-path twins
-    # (knn_label_eval_ann / embedding_neardup_cells /
-    # ann_incremental_cells), registered this round per verdict #5.
-    "ann_ivf_sq8_topk",
-    "ann_sq8_topk",
-    "cluster_balanced_sample",
-    "dedup_bigram_cosine",
-    "dedup_cosine_incremental",
-    "frequent_segment_filter",
-    "frequent_segment_removal",
-    "knn_label_eval_ann",
+    # ---- round 10 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py), pinned as the LAST act of the round
+    # (r9 verdict #8 — zero never-scored rows at close): (1) the SEVEN
+    # queries with no driver CORRECTNESS row (the five r9 retrieval
+    # queries that landed after the r9 head was pinned, plus this
+    # round's semdedup_keep_cells and hybrid_rrf_search_ivf), then
+    # (2) the six remaining r6-evidence rows, then (3) the FIVE queries
+    # this round changed (embedding_neardup_cells re-dialed to sqrt(n)
+    # cells — semantics changed; semdedup_keep / knn_label_eval_ann /
+    # ann_incremental_cells / ann_ivf_sq8_topk — pair-frame rebalance
+    # plan change), then (4) 32 of the 49 r7-evidence rows per
+    # scripts/rotation_plan.py (the displaced 17 rotate next round).
+    "ann_truncated_rerank",
+    "contrastive_triplets",
+    "hard_negative_mining",
+    "hybrid_rrf_search",
+    "hybrid_rrf_search_ivf",
+    "retrieval_quality_metrics",
+    "semdedup_keep_cells",
+    "staleness_tiered",
+    "token_count",
+    "top_returned_customers",
+    "weekly_range_revenue",
+    "windowed_events",
+    "worklist_semi_join",
     "embedding_neardup_cells",
+    "semdedup_keep",
+    "knn_label_eval_ann",
     "ann_incremental_cells",
-    "above_brand_average",
-    "ann_ivf_pq_topk",
-    "ann_pq_topk",
-    "asof_last_click",
-    "bm25_incremental",
-    "bm25_search",
-    "brand_supplier_counts",
-    "collocation_pmi",
-    "contamination_check",
-    "daily_event_pivot",
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "disjunctive_revenue",
-    "distinct_keys",
-    "dominant_part_suppliers",
-    "events_in_windows",
-    "fuzzy_name_pairs",
-    "idle_customers",
-    "integrity_audit",
-    "large_volume_orders",
-    "latest_per_group",
-    "length_histogram",
-    "marker_antijoin",
-    "median_order_value",
-    "nation_trade_volume",
-    "order_priority_count",
-    "order_rollup",
-    "price_deciles",
-    "pricing_summary",
-    "promo_revenue_share",
-    "quality_score",
-    "region_nation_revenue",
-    "rolling_daily_revenue",
-    "scd2_user_state",
-    "sentinel_cleaning",
-    "shipping_priority",
-    "sole_return_supplier",
-]
-# 152 queries, 50 scored slots; tests/test_sql_surface.py asserts the
-# unscored set is EXACTLY the declared tail, so any change to what goes
-# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
-# is scored); kept sorted for diff stability.
-_TAIL = [
+    "ann_ivf_sq8_topk",
     "ann_cosine_topk",
     "ann_incremental",
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     "ann_mmr_pq",
     "ann_mmr_topk",
-    "ann_truncated_rerank",
     "approx_distinct_stats",
     "approx_quantile_envelope",
-    "audio_features",
-    "audio_fingerprint_groups",
-    "bloom_decontamination",
     "boilerplate_prefix_groups",
-    "bpe_corpus_compression",
-    "bpe_merge_steps",
-    "budget_select",
     "cdc_chunk_dedup",
     "cdc_chunks",
-    "cdc_reuse_gate",
-    "cdc_snapshot",
-    "char_entropy",
     "char_lm_surprisal",
     "cheapest_supplier_per_part",
     "chunk_documents",
-    "cms_word_frequency",
-    "cohort_retention",
     "config_enrich_join",
-    "contrastive_triplets",
-    "conversion_funnel",
     "cross_source_overlap",
-    "curation_decisions",
     "curation_pipeline",
-    "curation_pipeline_learned",
-    "customer_activity_setops",
     "customer_order_distribution",
     "dataset_report",
-    "dedup_exact",
-    "dedup_minhash",
-    "deterministic_split",
-    "discount_band_revenue",
     "doc_fingerprint",
-    "dsir_domain_select",
     "dsir_importance_weights",
-    "embedding_clusters",
     "embedding_neardup",
     "embedding_norms",
-    "env_derivation",
-    "event_transition_matrix",
-    "exact_substring_overlap",
     "fulfillment_lag_quantiles",
     "gopher_quality_rules",
-    "hard_negative_mining",
-    "heavy_hitter_keys",
-    "hybrid_rrf_search",
-    "image_ahash_groups",
-    "incremental_agg_merge",
     "interleave_sources",
-    "json_props_stats",
-    "knn_label_eval",
     "lang_id",
     "lang_id_confusion",
     "market_share_by_year",
+    "nation_quarterly_growth",
+    "nb_quality_classifier",
+    "ngram_diversity",
+]
+# 162 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+# unscored set is EXACTLY the declared tail, so any change to what goes
+# unscored fails loudly. Tail order is irrelevant (nothing past slot 50
+# is scored); kept sorted for diff stability.
+_TAIL = [
+    "above_brand_average",
+    "ann_ivf_pq_topk",
+    "ann_pq_topk",
+    "ann_sq8_topk",
+    "asof_last_click",
+    "audio_features",
+    "audio_fingerprint_groups",
+    "bloom_decontamination",
+    "bm25_incremental",
+    "bm25_search",
+    "bpe_corpus_compression",
+    "bpe_merge_steps",
+    "brand_supplier_counts",
+    "budget_select",
+    "cdc_reuse_gate",
+    "cdc_snapshot",
+    "char_entropy",
+    "cluster_balanced_sample",
+    "cms_word_frequency",
+    "cohort_retention",
+    "collocation_pmi",
+    "contamination_check",
+    "conversion_funnel",
+    "curation_decisions",
+    "curation_pipeline_learned",
+    "customer_activity_setops",
+    "daily_event_pivot",
+    "dedup_bigram_cosine",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_cosine_incremental",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "deterministic_split",
+    "discount_band_revenue",
+    "disjunctive_revenue",
+    "distinct_keys",
+    "dominant_part_suppliers",
+    "dsir_domain_select",
+    "embedding_clusters",
+    "env_derivation",
+    "event_transition_matrix",
+    "events_in_windows",
+    "exact_substring_overlap",
+    "frequent_segment_filter",
+    "frequent_segment_removal",
+    "fuzzy_name_pairs",
+    "heavy_hitter_keys",
+    "idle_customers",
+    "image_ahash_groups",
+    "incremental_agg_merge",
+    "integrity_audit",
+    "json_props_stats",
+    "knn_label_eval",
+    "large_volume_orders",
+    "latest_per_group",
+    "length_histogram",
+    "marker_antijoin",
+    "median_order_value",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_meta",
     "multimodal_resize",
-    "nation_quarterly_growth",
+    "nation_trade_volume",
     "nb_budget_select",
-    "nb_quality_classifier",
     "nb_score_calibration",
-    "ngram_diversity",
     "order_cube",
+    "order_priority_count",
+    "order_rollup",
     "ordered_projection",
     "pack_sequences",
     "part_copurchase_pagerank",
@@ -182,38 +181,39 @@ _TAIL = [
     "phrase_search",
     "phrase_search_indexed",
     "pii_redaction",
+    "price_deciles",
     "price_quantity_stats",
+    "pricing_summary",
     "priority_sample",
     "profile_table",
+    "promo_revenue_share",
+    "quality_score",
     "quarterly_top_supplier",
+    "region_nation_revenue",
     "repetition_stats",
-    "retrieval_quality_metrics",
-    "semdedup_keep",
-    "semdedup_keep_cells",
+    "rolling_daily_revenue",
+    "scd2_user_state",
+    "sentinel_cleaning",
     "sessionize",
+    "shipping_priority",
     "small_quantity_revenue",
+    "sole_return_supplier",
     "source_mixture_plan",
     "source_quality_funnel",
     "source_token_divergence",
-    "staleness_tiered",
     "stratified_sample",
     "text_normalize_stats",
     "tfidf_top_terms",
     "timestamp_truncation",
-    "token_count",
-    "top_returned_customers",
     "topk_per_group",
     "training_shard_plan",
     "verification_query",
     "vocab_stats",
     "weekday_event_chi2",
-    "weekly_range_revenue",
     "weighted_sample",
-    "windowed_events",
     "winnowing_groups",
     "winnowing_matches",
     "winnowing_sites",
-    "worklist_semi_join",
 ]
 
 _order = (

@@ -1368,6 +1368,70 @@ def _sql_rrf_hybrid() -> str:
     """
 
 
+def _sql_rrf_hybrid_ivf() -> str:
+    from .vectors import _sql_ivf_search, _sql_kmeans_ctes
+
+    return f"""
+    WITH {_SQL_BM25_CTES},
+    bm25rank AS ({_sql_bm25_ranked(10)}),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM embeddings),
+    {_sql_kmeans_ctes(sample_mod=4)},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+          WHERE vec_id IN (SELECT DISTINCT query_id FROM qt)),
+    {_sql_ivf_search(n_probe=12, k=_RRF_ANN_K, as_cte="annrank")},
+    fused AS (
+      SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+             COALESCE(b.doc_id, a.cand_id) AS cand_id,
+             b.rank AS rank_a, a.rank AS rank_b,
+             COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + b.rank), 0.0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K0} + a.rank), 0.0)
+               AS rrf_score
+      FROM bm25rank b FULL OUTER JOIN annrank a
+        ON b.query_id = a.query_id AND b.doc_id = a.cand_id
+    )
+    SELECT query_id, cand_id, CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b, rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@register("hybrid_rrf_search_ivf", oracle=_sql_rrf_hybrid_ivf())
+def hybrid_rrf_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid shape end-to-end oracle-backed: the same
+    RRF fusion as ``hybrid_rrf_search`` with the brute-force vector
+    provider swapped for the deployed IVF index (16 trained cells, 12
+    probes, the exact constants/tie-breaks of ``ann_ivf_topk`` so the
+    oracle reuses the pinned kmeans + ivf-search CTE chains verbatim).
+    Proves the docstring promise of the brute-force form — "at 100 TB
+    the ANN side swaps to the IVF/PQ family (same contract)" — as a
+    registered query rather than an assertion: provider swap changes
+    ONLY the annrank CTE in both engines. The streaming-store twin is
+    ``streaming.hybrid_search.hybrid_search_from_stores`` (bench:
+    hybrid_search_stores)."""
+    from ..operators.similarity import ivf_topk
+    from ..operators.text import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+    bm25 = bm25_topk(d, terms, k=10).select(
+        "query_id", F.col("doc_id").alias("cand_id"), "rank"
+    )
+    ann = ivf_topk(
+        e, queries, k=_RRF_ANN_K, n_cells=16, n_probe=12, kmeans_sample_mod=4
+    ).select("query_id", "cand_id", "rank")
+    return rrf_fuse(bm25, ann, k=10, k0=_RRF_K0).orderBy("query_id", "rank")
+
+
 @register("hybrid_rrf_search", oracle=_sql_rrf_hybrid())
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector retrieval via reciprocal-rank fusion: BM25

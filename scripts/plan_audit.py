@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "bm25_incremental",       # same 1-row merged stats frame
     "ann_mmr_topk",           # broadcast query set (bounded by caller)
     "hybrid_rrf_search",      # broadcast 4-query set (ANN side) + 1-row BM25 stats
+    "hybrid_rrf_search_ivf",  # same broadcast query set + 1-row BM25 stats (IVF provider)
     "hard_negative_mining",   # broadcast query set (bounded by caller)
     "ann_truncated_rerank",   # broadcast query set (bounded by caller)
     "retrieval_quality_metrics",  # broadcast 8-query set (ranked + pool sides)
