@@ -2948,3 +2948,71 @@ def test_dedup_ingest_all_gates_torn_tile_write_recovery(spark, tmp_path):
     # crash-recovered stores.
     assert sorted(r.doc_id for r in accepted.collect()) == [1, 2, 3, 4, 5]
     assert len(glob.glob(f"{tmp_path}/tiles/epoch=*")) == 3
+
+
+def test_hybrid_search_from_stores_sq8_vector_store(spark, tmp_path, sf_dir):
+    """The hybrid store search composes unchanged over an SQ8
+    (int8-codes-at-rest) vector store: the fused output equals
+    rrf_fuse of the two provider searches run independently — pinning
+    the column contract (doc_id -> cand_id relabel, rank passthrough)
+    in quantized mode, where the ANN list is ranked against midpoint
+    reconstructions (that search's own parity has its own tests)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.text import rrf_fuse
+    from cig_etl_s3_to_sql_data_ingestor_spark.queries.mining import (
+        BM25_QUERY_TERMS,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        Bm25IndexIngest,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.hybrid_search import (
+        hybrid_search_from_stores,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        bootstrap_sq8_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(e, n_cells=8).write.parquet(cents_path)
+    stats_path = str(tmp_path / "sq8_stats")
+    bootstrap_sq8_stats(e, stats_path)
+    bm25 = Bm25IndexIngest(
+        spark,
+        store_path=str(tmp_path / "bm25_index"),
+        checkpoint_path=str(tmp_path / "bm25_ckpt"),
+    )
+    vec = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "vec_index"),
+        checkpoint_path=str(tmp_path / "vec_ckpt"),
+        sq8_stats_path=stats_path,
+    )
+    bm25._process_batch(docs, 0)
+    vec._process_batch(e, 0)
+    terms = spark.createDataFrame(
+        list(BM25_QUERY_TERMS), "query_id long, term string"
+    )
+    qids = sorted({q for q, _ in BM25_QUERY_TERMS})
+    queries = e.filter(F.col("vec_id").isin(qids))
+
+    fused = hybrid_search_from_stores(
+        bm25, vec, terms, queries, k=5, ann_k=10, n_probe=8
+    ).orderBy("query_id", "rank")
+    lex = bm25.search(terms, k=10).select(
+        "query_id", F.col("doc_id").alias("cand_id"), "rank"
+    )
+    sem = vec.search(queries, k=10, n_probe=8).select(
+        "query_id", "cand_id", "rank"
+    )
+    want = rrf_fuse(lex, sem, k=5).orderBy("query_id", "rank")
+    got_rows = [tuple(r) for r in fused.collect()]
+    want_rows = [tuple(r) for r in want.collect()]
+    assert got_rows == want_rows and got_rows
+    assert {r[0] for r in got_rows} == set(qids)
