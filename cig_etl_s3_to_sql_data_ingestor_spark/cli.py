@@ -327,7 +327,7 @@ def main_stream(argv: list[str] | None = None) -> int:
             "cdc_min_chunks", "cosine_store_path", "cosine_ngram",
             "cosine_rare_prefix", "cosine_max_term_df", "cosine_num",
             "cosine_den", "cosine_n_buckets", "tile_store_path",
-            "tile_k",
+            "tile_k", "cdc_n_buckets", "tile_n_buckets",
         }
         unknown = set(cfg) - allowed
         if unknown:

@@ -154,49 +154,81 @@ def read_signature_store(
         raise
 
 
-_CDC_SCHEMA = T.StructType([T.StructField("chunk_hash", T.StringType())])
+# `bucket` is the at-rest hash-bucket partition column of both
+# existence stores (crc32(digest) % n_buckets — the BM25/cosine store
+# discipline); legacy unbucketed epochs read it as NULL and are always
+# scanned, never pruned away.
+_CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_hash", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
 
-_TILE_SCHEMA = T.StructType([T.StructField("tile_hash", T.StringType())])
+_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_hash", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
+
+
+def _read_existence_store(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    hash_col: str,
+    exclude_epoch: int | None,
+    buckets: list[int] | None,
+) -> DataFrame:
+    """Shared reader for the two digest-existence stores (CDC chunks,
+    tiles): an empty frame when the path does not exist yet (ONLY the
+    missing-path case — any other read error propagates), current-epoch
+    exclusion, the mixed flat+bucketed layout fallback (the shared
+    ``read_epoch_store`` machinery the bm25/cosine stores use), and
+    optional static bucket pruning with NULL-bucket (legacy unbucketed
+    epoch) tolerance — pruning is an optimization, correctness requires
+    scanning legacy rows."""
+    df = read_epoch_store(spark, path, schema, exclude_epoch=exclude_epoch)
+    if buckets is not None:
+        df = df.filter(
+            F.col("bucket").isin(buckets) | F.col("bucket").isNull()
+        )
+    return df.select(hash_col)
 
 
 def read_tile_store(
-    spark: SparkSession, path: str, exclude_epoch: int | None = None
+    spark: SparkSession,
+    path: str,
+    exclude_epoch: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """The accumulated tile-digest store (one ``tile_hash`` md5 column —
     text-free like the other stores), or an empty frame when it does not
     exist yet; same missing-path-only fallback and current-epoch
-    exclusion contract as :func:`read_signature_store`."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(_TILE_SCHEMA).parquet(path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != exclude_epoch)
-        return df.select("tile_hash")
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], _TILE_SCHEMA)
-        raise
+    exclusion contract as :func:`read_signature_store`. ``buckets``
+    prunes the scan to those hash buckets (legacy NULL-bucket rows
+    always pass)."""
+    return _read_existence_store(
+        spark, path, _TILE_SCHEMA, "tile_hash", exclude_epoch, buckets
+    )
 
 
 def read_cdc_store(
-    spark: SparkSession, path: str, exclude_epoch: int | None = None
+    spark: SparkSession,
+    path: str,
+    exclude_epoch: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame:
     """The accumulated chunk-hash store (one ``chunk_hash`` column, 32
     hex chars per row — text-free like the signature store), or an empty
     frame when it does not exist yet; same missing-path-only fallback
-    and current-epoch exclusion contract as :func:`read_signature_store`."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(_CDC_SCHEMA).parquet(path)
-        if exclude_epoch is not None and "epoch" in df.columns:
-            df = df.filter(F.col("epoch") != exclude_epoch)
-        return df.select("chunk_hash")
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex):
-            return spark.createDataFrame([], _CDC_SCHEMA)
-        raise
+    and current-epoch exclusion contract as :func:`read_signature_store`.
+    ``buckets`` prunes the scan to those hash buckets (legacy
+    NULL-bucket rows always pass)."""
+    return _read_existence_store(
+        spark, path, _CDC_SCHEMA, "chunk_hash", exclude_epoch, buckets
+    )
 
 
 def _cos_postings_schema(id_col: str) -> T.StructType:
@@ -257,6 +289,11 @@ class DedupIngest:
     cdc_k: int = 8
     cdc_divisor: int = 32
     cdc_min_chunks: int = 3
+    # Hash-bucket fan-out of the CDC store's at-rest layout (crc32
+    # % n_buckets, the BM25/cosine discipline with the shared marker
+    # protocol): gate reads prune to the batch's chunk-hash buckets.
+    # Legacy (unbucketed) epochs read bucket NULL and are scanned.
+    cdc_n_buckets: int = 16
     # Lexical-cosine gate: None disables. A batch doc whose bag-of-
     # n-gram TF cosine against some stored doc reaches
     # cosine_num/cosine_den (verified by the oracle-backed integer
@@ -294,6 +331,11 @@ class DedupIngest:
     # fewer than tile_k tokens emit no tiles and always keep.
     tile_store_path: str | None = None
     tile_k: int = 8
+    # Same hash-bucket at-rest layout for the tile store (stamped from
+    # the store's first write — it shipped bucketed, so no legacy
+    # migration path exists for tiles; NULL tolerance kept for
+    # hand-built stores).
+    tile_n_buckets: int = 16
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -328,11 +370,35 @@ class DedupIngest:
             # matched rows (not the store) size the shuffle; at real
             # scale bucket the store by chunk_hash like the BM25 term
             # store.
+            from .bm25_ingest import term_bucket_col
+
+            self._check_bucket_marker(
+                self.cdc_store_path, self.cdc_n_buckets, False, "cdc"
+            )
+            chunks_b = D._persist(self._batch_chunks(batch_df))
+            # Static bucket pruning (the cosine/bm25 discipline): the
+            # batch's DISTINCT chunk-hash buckets are at most
+            # cdc_n_buckets values (one tiny collect), and the store
+            # scan is pruned to them; legacy NULL-bucket epochs always
+            # pass the filter.
+            cdc_buckets = sorted(
+                r[0]
+                for r in chunks_b.select(
+                    term_bucket_col(
+                        F.col("chunk_hash"), self.cdc_n_buckets
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
             cdc_store = read_cdc_store(
-                self.spark, self.cdc_store_path, exclude_epoch=exclude_epoch
+                self.spark,
+                self.cdc_store_path,
+                exclude_epoch=exclude_epoch,
+                buckets=cdc_buckets,
             )
             hits = (
-                self._batch_chunks(batch_df)
+                chunks_b
                 .join(cdc_store, "chunk_hash")
                 .groupBy(self.id_col)
                 .agg(F.countDistinct("chunk_hash").alias("_n_shared"))
@@ -385,9 +451,27 @@ class DedupIngest:
             # the hash, so the join fans out by the batch side only. At
             # real scale bucket the store by tile_hash like the BM25
             # term store.
+            from .bm25_ingest import term_bucket_col
+
+            self._check_bucket_marker(
+                self.tile_store_path, self.tile_n_buckets, False, "tile"
+            )
             tiles_b = D._persist(self._batch_tiles(batch_df))
+            tile_buckets = sorted(
+                r[0]
+                for r in tiles_b.select(
+                    term_bucket_col(
+                        F.col("tile_hash"), self.tile_n_buckets
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
             tile_store = read_tile_store(
-                self.spark, self.tile_store_path, exclude_epoch=exclude_epoch
+                self.spark,
+                self.tile_store_path,
+                exclude_epoch=exclude_epoch,
+                buckets=tile_buckets,
             )
             borrowed = (
                 tiles_b.join(tile_store, "tile_hash", "left_semi")
@@ -600,9 +684,19 @@ class DedupIngest:
         present from an earlier epoch just adds one row). Same
         epoch-addressed idempotent overwrite; a method so recovery tests
         can inject a crash exactly between the cosine and tile writes."""
+        from .bm25_ingest import term_bucket_col
+
+        self._check_bucket_marker(
+            self.tile_store_path, self.tile_n_buckets, True, "tile"
+        )
         self._batch_tiles(survivors).select(
             "tile_hash"
-        ).distinct().write.mode("overwrite").parquet(
+        ).distinct().select(
+            "tile_hash",
+            term_bucket_col(
+                F.col("tile_hash"), self.tile_n_buckets
+            ).alias("bucket"),
+        ).write.partitionBy("bucket").mode("overwrite").parquet(
             f"{self.tile_store_path}/epoch={epoch_id}"
         )
 
@@ -643,10 +737,23 @@ class DedupIngest:
             # Distinct per epoch keeps the store minimal; a hash already
             # present from an earlier epoch just adds one row (the gate
             # only tests existence). Same epoch-addressed idempotent
-            # overwrite as the other two writes.
+            # overwrite as the other two writes; rows land under
+            # bucket= partition dirs (crc32 % cdc_n_buckets, modulus
+            # stamped in a marker) so gate reads prune to the batch's
+            # chunk-hash buckets.
+            from .bm25_ingest import term_bucket_col
+
+            self._check_bucket_marker(
+                self.cdc_store_path, self.cdc_n_buckets, True, "cdc"
+            )
             self._batch_chunks(survivors).select(
                 "chunk_hash"
-            ).distinct().write.mode("overwrite").parquet(
+            ).distinct().select(
+                "chunk_hash",
+                term_bucket_col(
+                    F.col("chunk_hash"), self.cdc_n_buckets
+                ).alias("bucket"),
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
                 f"{self.cdc_store_path}/epoch={epoch_id}"
             )
         if self.cosine_store_path is not None:
@@ -685,8 +792,8 @@ class DedupIngest:
             self._write_tile_store(survivors, epoch_id)
         D.unpersist_all()
 
-    def _check_cosine_n_buckets(self, create: bool) -> None:
-        """Stamp/cross-check the cosine store's bucket modulus (the
+    def _check_bucket_marker(self, root: str, n: int, create: bool, what: str) -> None:
+        """Stamp/cross-check a bucketed store's modulus marker (the
         bm25 store's rule): a reader configured with a different
         modulus would prune the WRONG buckets — silently re-admitting
         duplicates — so mismatch is a loud ValueError. Only a WRITE may
@@ -694,7 +801,6 @@ class DedupIngest:
         (NULL buckets scan)."""
         from ..fsutil import hadoop_fs
 
-        root = f"{self.cosine_store_path}/postings"
         fs, jvm = hadoop_fs(self.spark, root)
         Path = jvm.org.apache.hadoop.fs.Path
         if fs.exists(Path(root)):
@@ -705,11 +811,11 @@ class DedupIngest:
             ]
             if found:
                 stored = int(found[0].split("=", 1)[1])
-                if stored != self.cosine_n_buckets:
+                if stored != n:
                     raise ValueError(
-                        f"cosine store {self.cosine_store_path!r} was "
+                        f"{what} store {root!r} was "
                         f"written with n_buckets={stored}, this ingest "
-                        f"is configured with {self.cosine_n_buckets} — "
+                        f"is configured with {n} — "
                         "a mismatched modulus would prune the wrong "
                         "buckets (silently re-admitting duplicates); "
                         "open it with the recorded value"
@@ -718,7 +824,15 @@ class DedupIngest:
             if not create:
                 return
         if create:
-            fs.mkdirs(Path(f"{root}/.n_buckets={self.cosine_n_buckets}"))
+            fs.mkdirs(Path(f"{root}/.n_buckets={n}"))
+
+    def _check_cosine_n_buckets(self, create: bool) -> None:
+        self._check_bucket_marker(
+            f"{self.cosine_store_path}/postings",
+            self.cosine_n_buckets,
+            create,
+            "cosine",
+        )
 
     def start(
         self,

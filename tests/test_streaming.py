@@ -3016,3 +3016,111 @@ def test_hybrid_search_from_stores_sq8_vector_store(spark, tmp_path, sf_dir):
     want_rows = [tuple(r) for r in want.collect()]
     assert got_rows == want_rows and got_rows
     assert {r[0] for r in got_rows} == set(qids)
+
+
+def test_dedup_ingest_existence_store_bucket_pruning_and_guards(
+    spark, tmp_path
+):
+    """The CDC and tile stores are hash-bucketed at rest: (1) gate
+    reads prune to the batch's digest buckets — pinned by DELETING
+    every other bucket dir and verifying the re-delivery is still
+    caught (the bm25/cosine pruning pin); (2) a reader configured with
+    a different modulus raises loudly; (3) a legacy FLAT epoch (no
+    bucket dirs) is scanned via NULL-bucket tolerance alongside
+    bucketed epochs."""
+    import shutil
+
+    import pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        term_bucket,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    a, b, c, x, novel = _tile_docs()
+    ingest = _cos_gate_ingest(
+        spark,
+        tmp_path,
+        cosine_store_path=None,
+        tile_store_path=str(tmp_path / "tiles"),
+    )
+    # A high-vocabulary filler doc spreads the stores over many buckets
+    # while the assembled re-delivery needs only a few — real pruning.
+    filler = " ".join(f"filler{i}" for i in range(120))
+    ingest._process_batch(
+        spark.createDataFrame([(1, a), (2, b), (3, c), (5, filler)], schema), 0
+    )
+    redelivery = spark.createDataFrame([(20, x)], schema)
+    tiles = ingest._batch_tiles(redelivery)
+    need_t = {
+        term_bucket(r["tile_hash"], ingest.tile_n_buckets)
+        for r in tiles.select("tile_hash").distinct().collect()
+    }
+    chunks = ingest._batch_chunks(redelivery)
+    need_c = {
+        term_bucket(r["chunk_hash"], ingest.cdc_n_buckets)
+        for r in chunks.select("chunk_hash").distinct().collect()
+    }
+    D.unpersist_all()
+    removed = 0
+    for store, need in (("tiles", need_t), ("cdc", need_c)):
+        epoch_dir = tmp_path / store / "epoch=0"
+        for d in epoch_dir.iterdir():
+            if d.name.startswith("bucket="):
+                if int(d.name.split("=", 1)[1]) not in need:
+                    shutil.rmtree(d)
+                    removed += 1
+    assert removed > 0, "fixture must actually exercise pruning"
+    status, _ = ingest._classify(redelivery, exclude_epoch=1)
+    assert [r.verdict for r in status.collect()] == ["tile_dup"]
+    D.unpersist_all()
+
+    # Modulus mismatch is loud — on both stores.
+    bad = _cos_gate_ingest(
+        spark,
+        tmp_path,
+        cosine_store_path=None,
+        tile_store_path=str(tmp_path / "tiles"),
+        tile_n_buckets=8,
+    )
+    with pytest.raises(ValueError, match="tile.*n_buckets=16"):
+        bad._classify(redelivery, exclude_epoch=1)
+    D.unpersist_all()
+    bad2 = _cos_gate_ingest(
+        spark,
+        tmp_path,
+        cosine_store_path=None,
+        tile_store_path=str(tmp_path / "tiles"),
+        cdc_n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="cdc.*n_buckets=16"):
+        bad2._classify(redelivery, exclude_epoch=1)
+    D.unpersist_all()
+
+    # Legacy flat epochs (pre-bucket layout, hand-built) alongside the
+    # bucketed ones: a doc known only through flat epoch=1 dirs must
+    # still gate a later assembly built from it.
+    legacy_doc = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(1, 25)))], schema
+    )
+    ingest._batch_tiles(legacy_doc).select("tile_hash").distinct().write.parquet(
+        str(tmp_path / "tiles" / "epoch=1")
+    )
+    ingest._batch_chunks(legacy_doc).select("chunk_hash").distinct().write.parquet(
+        str(tmp_path / "cdc" / "epoch=1")
+    )
+    D.unpersist_all()
+    w = " ".join(f"w{i}" for i in range(1, 25))
+    assembled = " ".join([
+        " ".join(w.split()[0:8]),
+        " ".join(w.split()[8:16]),
+        " ".join(f"v{i}" for i in range(1, 9)),
+    ])
+    status2, _ = ingest._classify(
+        spark.createDataFrame([(30, assembled)], schema), exclude_epoch=2
+    )
+    assert [r.verdict for r in status2.collect()] == ["tile_dup"]
+    D.unpersist_all()
