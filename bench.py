@@ -586,7 +586,15 @@ def _hybrid_search_stores_prepare(spark, sf_dir):
         VectorIngest,
     )
 
+    # The stores must outlive this prepare call (the timed runs read
+    # them cold), so cleanup is deferred to interpreter exit instead of
+    # a try/finally — without it every bench run leaks a full BM25 +
+    # vector index copy into /tmp.
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="hybrid_stores_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")

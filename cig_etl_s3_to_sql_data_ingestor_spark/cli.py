@@ -503,8 +503,89 @@ def main_stream(argv: list[str] | None = None) -> int:
         }
         print(_json.dumps(out))
         return 0
+    if mode == "compact":
+        # Store maintenance, not a stream: fold committed epoch dirs of
+        # one gate family's store(s) into a single base dir so the
+        # per-batch/per-search dir listing stops growing with batch
+        # count. Run it OFFLINE (no stream draining the checkpoint) —
+        # the newest epoch is never folded, so a stopped stream's
+        # replay target survives. `target` picks the family; the other
+        # keys mirror that family's ingest mode.
+        target = cfg.get("target")
+        upto = int(cfg["upto_epoch"])
+        if target == "dedup":
+            from .streaming.dedup_ingest import DedupIngest
+
+            allowed = {
+                "mode", "target", "upto_epoch", "store_path", "id_col",
+                "num_hashes", "cdc_store_path", "cdc_n_buckets",
+                "cosine_store_path", "cosine_n_buckets",
+                "tile_store_path", "tile_n_buckets",
+            }
+            unknown = set(cfg) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unknown compact/dedup config keys: {sorted(unknown)}"
+                )
+            ingest = DedupIngest(
+                spark,
+                sink_path=f"{cfg['store_path']}/_unused_sink",
+                checkpoint_path=f"{cfg['store_path']}/_unused_ckpt",
+                **{k: v for k, v in cfg.items()
+                   if k not in ("mode", "target", "upto_epoch")},
+            )
+            folded = ingest.compact(upto)
+        elif target == "vector":
+            from .streaming.vector_ingest import VectorIngest
+
+            allowed = {
+                "mode", "target", "upto_epoch", "store_path",
+                "centroids_path", "id_col", "vec_col", "sq8_stats_path",
+            }
+            unknown = set(cfg) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unknown compact/vector config keys: {sorted(unknown)}"
+                )
+            ingest = VectorIngest(
+                spark,
+                centroids_path=cfg["centroids_path"],
+                store_path=cfg["store_path"],
+                checkpoint_path=f"{cfg['store_path']}/_unused_ckpt",
+                id_col=cfg.get("id_col", "vec_id"),
+                vec_col=cfg.get("vec_col", "embedding"),
+                sq8_stats_path=cfg.get("sq8_stats_path"),
+            )
+            folded = {cfg["store_path"]: ingest.compact(upto)}
+        elif target == "bm25":
+            from .streaming.bm25_ingest import Bm25IndexIngest
+
+            allowed = {
+                "mode", "target", "upto_epoch", "store_path", "n_buckets",
+            }
+            unknown = set(cfg) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unknown compact/bm25 config keys: {sorted(unknown)}"
+                )
+            bm25 = Bm25IndexIngest(
+                spark,
+                store_path=cfg["store_path"],
+                checkpoint_path=f"{cfg['store_path']}/_unused_ckpt",
+                n_buckets=int(cfg.get("n_buckets", 16)),
+            )
+            folded = {cfg["store_path"]: bm25.compact(upto)}
+        else:
+            raise ValueError(
+                "compact config target must be 'dedup', 'vector' or "
+                f"'bm25', got {target!r}"
+            )
+        print(_json.dumps({"mode": "compact", "target": target,
+                           "upto_epoch": upto, "folded_dirs": folded}))
+        return 0
     raise ValueError(
-        f"stream config mode must be 'dedup', 'vector' or 'hybrid', got {mode!r}"
+        "stream config mode must be 'dedup', 'vector', 'hybrid' or "
+        f"'compact', got {mode!r}"
     )
 
 

@@ -1518,14 +1518,22 @@ def mmr_rerank_local(
     # limit(budget+1).count() over the ids-only projection costs one
     # cheap job and guarantees the raise fires before an over-budget
     # collect can OOM the driver (the guard the docstring promises).
-    probe = joined.select("query_id", "cand_id").limit(65_537).count()
-    if probe > 65_536:
-        raise ValueError(
-            f"mmr_rerank_local shortlist exceeds {probe - 1}+ rows "
-            "(budget 65536) — it is the interactive-batch path; use "
-            "mmr_rerank for bulk offline diversification"
-        )
-    rows = joined.collect()
+    # The join is persisted across the probe+collect pair so this hot
+    # interactive path runs the shortlist-to-vectors join ONCE, not
+    # twice; the result frame below is literal rows, so the cache is
+    # released immediately after the collect.
+    joined = joined.persist()
+    try:
+        probe = joined.select("query_id", "cand_id").limit(65_537).count()
+        if probe > 65_536:
+            raise ValueError(
+                f"mmr_rerank_local shortlist exceeds {probe - 1}+ rows "
+                "(budget 65536) — it is the interactive-batch path; use "
+                "mmr_rerank for bulk offline diversification"
+            )
+        rows = joined.collect()
+    finally:
+        joined.unpersist(blocking=True)
 
     def _fold_dot(a, b):
         acc = 0.0

@@ -18,8 +18,41 @@ under retries.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _assert_scan_rooted(df: DataFrame) -> None:
+    """Test-only tripwire (enabled by SPARK_GRAFT_ASSERT_FANOUT=1, which
+    tests/conftest.py sets for the whole suite): refuse ``fan_out`` on an
+    exchange-bearing plan. The r9 regression happened because the
+    "scan-rooted frames only" rule lived in code review, not code — a new
+    call site that probes a join/agg output silently pays one hidden
+    extra execution of the upstream stages per call (see fan_out's
+    docstring). The probe below is driver-only (plan analysis, zero
+    jobs); it is OFF outside tests so production calls add no analysis
+    pass, and any private-API failure degrades to "no check"."""
+    if os.environ.get("SPARK_GRAFT_ASSERT_FANOUT") != "1":
+        return
+    try:
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+    except Exception:  # noqa: BLE001 — a check, never a failure mode
+        return
+    markers = ("Join", "Aggregate", "Window")
+    hit = [
+        m
+        for m in markers
+        if any(ln.lstrip(" +-:").startswith(m) for ln in plan.splitlines())
+    ]
+    if hit:
+        raise AssertionError(
+            f"fan_out called on an exchange-bearing plan ({'/'.join(hit)} "
+            "node present): the .rdd partition probe would materialize "
+            "the upstream stages as real unreused jobs under AQE — use "
+            "fan_out_by_stats(df, scan_rooted_reference) instead"
+        )
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -35,7 +68,9 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     such probe pays one hidden extra execution of the upstream
     scan+shuffle (measured round 10: the r9 pair-frame probes cost
     0.7-0.9 s per IVF query at sf0.1, and the cost grows with data).
-    Use :func:`fan_out_by_stats` for join/agg outputs instead."""
+    Use :func:`fan_out_by_stats` for join/agg outputs instead (the
+    test suite enforces this mechanically — see _assert_scan_rooted)."""
+    _assert_scan_rooted(df)
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -66,12 +101,22 @@ def fan_out_by_stats(
     bound and the call is a true no-op — no probe job, no shuffle.
     Round-10 A/B (min-of-3, interleaved): vs the probe this is
     ann_ivf_topk 4.63→4.14 s, ann_ivf_sq8_topk 6.95→5.60 s,
-    knn_label_eval_ann 8.89→7.32 s at sf0.1."""
+    knn_label_eval_ann 8.89→7.32 s at sf0.1.
+
+    The stats probe reaches through ``_jdf`` — a private JVM handle that
+    Spark Connect does not expose and minor versions may move. Any
+    failure there degrades to "repartition unconditionally": correct
+    either way (round-robin repartition preserves rows), at worst one
+    extra shuffle of an input the estimate would have cleared — a slow
+    plan, never a crash."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    est = int(
-        reference._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    try:
+        est = int(
+            reference._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — private-API probe; see docstring
+        return df.repartition(target)
     if est >= target * bytes_per_core:
         return df
     return df.repartition(target)

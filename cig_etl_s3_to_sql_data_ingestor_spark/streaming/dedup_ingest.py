@@ -706,12 +706,32 @@ class DedupIngest:
         A method (not a closure) so recovery tests can wrap it with fault
         injection at the exact crash window the design targets — after
         both writes, before the checkpoint commit."""
+        # A compaction that crashed in its delete->rename window leaves
+        # the folded history only in its tmp dir; promote it BEFORE this
+        # batch reads any store, or the gates classify against a store
+        # missing all compacted admissions and re-admit their duplicates
+        # (the frequency monitor's read-side rule).
+        from .frequency_monitor import recover_pending_compactions
+
+        for _root in self._store_roots():
+            recover_pending_compactions(self.spark, _root)
         # Excluding the current epoch makes a crash-replay of this
         # epoch classify against exactly the store state the first
         # attempt saw — replay-identical, so the epoch-dir overwrites
         # are true no-ops instead of data loss.
         _, survivors = self._classify(batch_df, exclude_epoch=epoch_id)
         survivors.write.mode("overwrite").parquet(
+            f"{self.sink_path}/epoch={epoch_id}"
+        )
+        # READ BACK the survivors from the sink dir just written (the
+        # frequency monitor's delta pattern) instead of carrying the
+        # classification-join lineage into every store write below:
+        # classification is the batch's expensive stage and must run
+        # once, and the read-back frame is SCAN-ROOTED, so the signature
+        # stage's fan_out probes file splits instead of materializing
+        # the gate joins as a hidden extra job (the r9 .rdd-under-AQE
+        # hazard, caught here by the suite-armed tripwire).
+        survivors = self.spark.read.schema(batch_df.schema).parquet(
             f"{self.sink_path}/epoch={epoch_id}"
         )
         # minhash_signatures projects down to (id, shingles, sig_*);
@@ -833,6 +853,189 @@ class DedupIngest:
             create,
             "cosine",
         )
+
+    def _store_roots(self) -> list[str]:
+        """Every configured store root holding ``epoch=N`` dirs — the
+        unit recovery and compaction iterate over. The cosine store is
+        three sibling epoch stores under one path."""
+        roots = [self.store_path]
+        if self.cdc_store_path is not None:
+            roots.append(self.cdc_store_path)
+        if self.cosine_store_path is not None:
+            roots += [
+                f"{self.cosine_store_path}/postings",
+                f"{self.cosine_store_path}/norms",
+                f"{self.cosine_store_path}/df",
+            ]
+        if self.tile_store_path is not None:
+            roots.append(self.tile_store_path)
+        return roots
+
+    def compact(self, upto_epoch: int) -> dict[str, int]:
+        """Fold every committed epoch dir ``<= upto_epoch`` of every
+        configured store into one dir each — gating verdicts are
+        IDENTICAL pre/post (pinned by tests/test_streaming.py): the
+        signature/postings/norms rows are per-admitted-doc and epochs
+        are disjoint, so their fold is concatenation; the CDC/tile
+        existence sets fold to DISTINCT digests (the gates only test
+        membership); the cosine df partials SUM per term (exactly the
+        read side's merge aggregate). Without this, every micro-batch
+        adds an ``epoch=N`` dir (x bucket subdirs) forever and the
+        per-batch store listing grows with batch count — the same
+        unbounded-metadata growth :meth:`Bm25IndexIngest.compact`
+        closes for the BM25 store, and the assumption
+        ``_store.read_epoch_dirs_union`` documents ("compaction keeps
+        the dir list short") now holds for these stores too.
+
+        Returns {store root: folded dir count}. The newest epoch of
+        each store is never foldable (it may be an uncommitted batch's
+        replay target — enforced by the shared helper); a TORN newest
+        epoch (a crash between two stores' writes) is additionally
+        rejected up front by the cross-store validation below, so a
+        partially-written batch can never be folded into the committed
+        base of one store while missing from a sibling: replay it
+        first, then compact. Crash-safe via the shared
+        ``.compact_tmp`` + ``_SUCCESS`` + delete + rename sequence;
+        interrupted compactions are finished (or discarded) by
+        ``recover_pending_compactions``, which every batch's read side
+        runs first."""
+        from .bm25_ingest import term_bucket_col
+        from .frequency_monitor import (
+            _compact_epoch_store,
+            recover_pending_compactions,
+        )
+        from ._store import list_epoch_dirs
+
+        roots = self._store_roots()
+        for r in roots:
+            recover_pending_compactions(self.spark, r)
+        # Cross-store validation BEFORE any fold: every configured
+        # store must see upto_epoch strictly below ITS newest epoch.
+        # This both surfaces a torn newest epoch (one store's newest is
+        # behind its siblings') and keeps a failing compact from
+        # half-applying — each store would raise the same error inside
+        # the helper, but only after earlier stores already folded.
+        for r in roots:
+            epochs = [e for e, _ in list_epoch_dirs(self.spark, r)]
+            if epochs and upto_epoch >= max(epochs):
+                raise ValueError(
+                    f"compact upto_epoch={upto_epoch} >= newest epoch "
+                    f"{max(epochs)} of store {r!r} — the newest epoch "
+                    "may be an uncommitted (possibly torn) batch's "
+                    "replay target; replay it, then compact below it"
+                )
+        out: dict[str, int] = {}
+
+        def fold_concat(df: DataFrame) -> DataFrame:
+            return df
+
+        out[self.store_path] = _compact_epoch_store(
+            self.spark,
+            self.store_path,
+            upto_epoch,
+            fold_concat,
+            schema=_store_schema(self.num_hashes, self.id_col),
+        )
+
+        def _compact_existence(
+            path: str, schema: T.StructType, hash_col: str, n: int, what: str
+        ) -> int:
+            # Compaction is a WRITE: it stamps the modulus marker on a
+            # legacy (pre-bucket) store it is about to bucket, and
+            # raises loudly on a mismatched modulus — the gate-read
+            # rule. The fold re-derives every bucket from the digest
+            # (bit-equal for rows already bucketed, marker-checked;
+            # MIGRATES legacy NULL-bucket rows), so one compaction
+            # upgrades a mixed store to fully-bucketed and read-side
+            # pruning applies everywhere after.
+            self._check_bucket_marker(path, n, True, what)
+
+            def fold(df: DataFrame) -> DataFrame:
+                return (
+                    df.select(hash_col)
+                    .distinct()
+                    .select(
+                        hash_col,
+                        term_bucket_col(F.col(hash_col), n).alias("bucket"),
+                    )
+                    .repartition(F.col("bucket"))
+                )
+
+            return _compact_epoch_store(
+                self.spark,
+                path,
+                upto_epoch,
+                fold,
+                partition_by=["bucket"],
+                schema=schema,
+            )
+
+        if self.cdc_store_path is not None:
+            out[self.cdc_store_path] = _compact_existence(
+                self.cdc_store_path,
+                _CDC_SCHEMA,
+                "chunk_hash",
+                self.cdc_n_buckets,
+                "cdc",
+            )
+        if self.tile_store_path is not None:
+            out[self.tile_store_path] = _compact_existence(
+                self.tile_store_path,
+                _TILE_SCHEMA,
+                "tile_hash",
+                self.tile_n_buckets,
+                "tile",
+            )
+        if self.cosine_store_path is not None:
+            sp = self.cosine_store_path
+            self._check_cosine_n_buckets(create=True)
+            bucket = term_bucket_col(F.col("term"), self.cosine_n_buckets)
+
+            def fold_postings(df: DataFrame) -> DataFrame:
+                # Per-(doc, term) rows, disjoint across epochs: concat,
+                # with the bm25-style legacy bucket migration.
+                return df.select(
+                    self.id_col,
+                    "term",
+                    "tf",
+                    F.coalesce(F.col("bucket"), bucket).alias("bucket"),
+                ).repartition(F.col("bucket"))
+
+            def fold_df(df: DataFrame) -> DataFrame:
+                # df partials are associative — the fold IS the read
+                # side's merge aggregate, so merged df values (and the
+                # rank order they induce) are unchanged.
+                return (
+                    df.groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .select("term", "df", bucket.alias("bucket"))
+                    .repartition(F.col("bucket"))
+                )
+
+            out[f"{sp}/postings"] = _compact_epoch_store(
+                self.spark,
+                f"{sp}/postings",
+                upto_epoch,
+                fold_postings,
+                partition_by=["bucket"],
+                schema=_cos_postings_schema(self.id_col),
+            )
+            out[f"{sp}/norms"] = _compact_epoch_store(
+                self.spark,
+                f"{sp}/norms",
+                upto_epoch,
+                fold_concat,
+                schema=_cos_norms_schema(self.id_col),
+            )
+            out[f"{sp}/df"] = _compact_epoch_store(
+                self.spark,
+                f"{sp}/df",
+                upto_epoch,
+                fold_df,
+                partition_by=["bucket"],
+                schema=_COS_DF_SCHEMA,
+            )
+        return out
 
     def start(
         self,

@@ -379,7 +379,41 @@ class VectorIngest:
         )
         return fresh.join(dup_in_batch, self.id_col, "left_anti")
 
+    def compact(self, upto_epoch: int) -> int:
+        """Fold every committed epoch dir ``<= upto_epoch`` into ONE —
+        index rows are per-admitted-vector and epochs are disjoint, so
+        the fold is concatenation and both the near-dup gate and search
+        score the identical member set pre/post (pinned by
+        tests/test_streaming.py). Closes the last unbounded-metadata
+        path of the streaming family: without it a year of micro-batches
+        is a year of ``epoch=N`` dirs listed on every search. The newest
+        epoch is never foldable (it may be an uncommitted batch's replay
+        target); crash-safe via the shared tmp/_SUCCESS/rename sequence,
+        recovered by the read side of every batch and search."""
+        from .frequency_monitor import (
+            _compact_epoch_store,
+            recover_pending_compactions,
+        )
+
+        recover_pending_compactions(self.spark, self.store_path)
+        self._check_layout()
+        return _compact_epoch_store(
+            self.spark,
+            self.store_path,
+            upto_epoch,
+            lambda df: df,
+            schema=_index_schema(
+                self.id_col, self.vec_col, self.sq8_stats_path is not None
+            ),
+        )
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # Promote any crashed compaction BEFORE the gate reads the
+        # store — a store missing its folded history would silently
+        # re-admit every compacted near-duplicate.
+        from .frequency_monitor import recover_pending_compactions
+
+        recover_pending_compactions(self.spark, self.store_path)
         admitted = self._admit(batch_df, exclude_epoch=epoch_id)
         quantized = self.sq8_stats_path is not None
         if quantized:
@@ -457,6 +491,9 @@ class VectorIngest:
         frozen broadcast centroids, equi-join on probed cell ids, exact
         cosine re-rank — the stored norms make scoring one fold per
         candidate pair."""
+        from .frequency_monitor import recover_pending_compactions
+
+        recover_pending_compactions(self.spark, self.store_path)
         probes = ivf_assign(
             queries.select(
                 F.col(self.id_col), F.col(self.vec_col).cast("array<double>")

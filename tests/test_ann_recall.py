@@ -412,3 +412,55 @@ def test_hard_negatives_exclude_query_label(spark, sf_dir):
             if r["query_id"] == qid and cand_label[r["cand_id"]] != labels[qid]
         ][:10]
         assert [(c, s) for _, c, s in got] == want
+
+
+def test_vector_store_search_partial_probe_recall_floor(spark, sf_dir, tmp_path):
+    """r10 verdict #8: the PERSISTED store's search path gets the same
+    recall discipline as the batch operators. Batch ANN has pinned
+    floors above; the streaming store's search was asserted only at
+    all-cells-probed equality — this pins recall@k at the DEFAULT
+    partial probe (n_probe=4 of 16 cells) against brute force over the
+    admitted members, plus the monotone probe curve up to exactness.
+    Deterministic (sorted KMeans init on a fixed fixture), so the floor
+    is a tight constant, not a flaky statistic."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        read_index_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(e, n_cells=16, sample_mod=4).write.parquet(cents_path)
+    vec = VectorIngest(
+        spark,
+        centroids_path=cents_path,
+        store_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    vec._process_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+    vec._process_batch(e.filter(F.col("vec_id") % 2 != 0), 1)
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    admitted = read_index_store(spark, vec.store_path).select(
+        "vec_id", "embedding"
+    )
+    gt = S.brute_force_topk(admitted, queries, k=K).select(
+        "query_id", "cand_id"
+    )
+    curve = {
+        n: _recall(gt, vec.search(queries, k=K, n_probe=n))
+        for n in (4, 12, 16)
+    }
+    # Measured constant on the fixture: {4: 0.5625, 12: 0.934, 16: 1.0}.
+    # The synthetic embeddings are near-uniform — true neighbors spread
+    # almost evenly across cells, so 4/16 probes bounds recall near
+    # 4/16-ish plus the query-cell concentration; clustered real
+    # corpora sit far above this. The floor pins the shipped default
+    # against regression, not against the fixture's geometry.
+    assert curve[4] >= 0.55, (
+        f"store search recall@{K} at default n_probe=4 fell to "
+        f"{curve[4]:.3f}: {curve}"
+    )
+    assert curve[4] <= curve[12] <= curve[16]
+    assert curve[16] == pytest.approx(1.0), curve

@@ -558,3 +558,85 @@ def test_cli_stream_hybrid_search_round_trip(spark, sf_dir, tmp_path):
     bad_path.write_text(json.dumps(bad))
     with _pytest.raises(ValueError, match="unknown hybrid stream-config keys"):
         main_stream(["--stream_config_filename", str(bad_path)])
+
+
+def test_cli_stream_compact_mode(spark, tmp_path):
+    """cig-etl-stream ``compact`` mode: offline store maintenance folds
+    a dedup gate family's committed epoch dirs via the JSON config, the
+    gate still rejects a re-delivery through the folded store on the
+    next ingest run, and typo'd keys / unknown targets are loud."""
+    import contextlib
+    import glob as _glob
+    import io as _io
+    import json
+
+    import pytest as _pytest
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    texts = {
+        1: "x y " * 40 + "alpha beta gamma delta epsilon",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "pack my box with five dozen liquor jugs today",
+    }
+    for i, (doc_id, text) in enumerate(sorted(texts.items())):
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    ingest_cfg = {
+        "mode": "dedup",
+        "source_glob": f"{src}/*",
+        "store_path": str(tmp_path / "store"),
+        "sink_path": str(tmp_path / "accepted"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "cdc_store_path": str(tmp_path / "cdc"),
+        "tile_store_path": str(tmp_path / "tiles"),
+        "max_files_per_trigger": 1,
+    }
+    cfg_path = tmp_path / "stream_config.json"
+    cfg_path.write_text(json.dumps(ingest_cfg))
+    with contextlib.redirect_stdout(_io.StringIO()):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    assert len(_glob.glob(str(tmp_path / "store" / "epoch=*"))) == 3
+
+    compact_cfg = {
+        "mode": "compact",
+        "target": "dedup",
+        "upto_epoch": 1,
+        "store_path": ingest_cfg["store_path"],
+        "cdc_store_path": ingest_cfg["cdc_store_path"],
+        "tile_store_path": ingest_cfg["tile_store_path"],
+    }
+    cpath = tmp_path / "compact_config.json"
+    cpath.write_text(json.dumps(compact_cfg))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main_stream(["--stream_config_filename", str(cpath)]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "compact" and out["target"] == "dedup"
+    assert set(out["folded_dirs"].values()) == {2}
+    assert len(_glob.glob(str(tmp_path / "store" / "epoch=*"))) == 2
+
+    # The gate holds through the CLI-compacted base: a 4th delivery
+    # re-sending doc 1 admits nothing new.
+    spark.createDataFrame(
+        [(10, texts[1])], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    buf2 = _io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert out2["accepted_rows"] == 3
+
+    bad = dict(compact_cfg, tile_store_pth="oops")
+    bad_path = tmp_path / "bad_compact.json"
+    bad_path.write_text(json.dumps(bad))
+    with _pytest.raises(ValueError, match="unknown compact/dedup"):
+        main_stream(["--stream_config_filename", str(bad_path)])
+    worse = dict(compact_cfg, target="sketch")
+    worse_path = tmp_path / "worse_compact.json"
+    worse_path.write_text(json.dumps(worse))
+    with _pytest.raises(ValueError, match="compact config target"):
+        main_stream(["--stream_config_filename", str(worse_path)])

@@ -112,3 +112,47 @@ def test_fan_out_by_stats_large_reference_noop(spark, sf_dir):
     )
     # bytes_per_core=1 makes any non-empty scan clear the bound.
     assert fan_out_by_stats(pairs, e, target=8, bytes_per_core=1) is pairs
+
+
+def test_fan_out_refuses_exchange_bearing_plan(spark):
+    """The suite arms SPARK_GRAFT_ASSERT_FANOUT (conftest), so a new
+    call site that hands fan_out a join/agg output — the r9 regression,
+    where the .rdd probe silently ran the upstream stages as unreused
+    jobs under AQE — fails loudly HERE instead of shipping. The message
+    names the correct API."""
+    import pytest
+
+    joined = spark.range(10).join(spark.range(10), "id")
+    with pytest.raises(AssertionError, match="fan_out_by_stats"):
+        fan_out(joined, target=8)
+    agged = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+    with pytest.raises(AssertionError, match="exchange-bearing"):
+        fan_out(agged, target=8)
+    # Scan-rooted frames (incl. narrow projections) stay allowed.
+    assert fan_out(spark.range(10).select("id"), target=2).count() == 10
+
+
+def test_fan_out_by_stats_survives_missing_private_handle(spark, sf_dir):
+    """The stats decision reads the private ``_jdf`` JVM handle, which
+    Spark Connect does not expose and minor versions may move. When the
+    probe fails, the call must degrade to an unconditional repartition
+    (correct, at worst one extra shuffle on a small input) — never an
+    AttributeError crashing every IVF/pair-frame operator at once."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.partitioning import (
+        fan_out_by_stats,
+    )
+
+    class _ConnectLikeReference:
+        """Stands in for a DataFrame whose private JVM handle is gone."""
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.selectExpr("vec_id AS a", "label").join(
+        e.selectExpr("vec_id AS b", "label"), "label"
+    )
+    out = fan_out_by_stats(pairs, _ConnectLikeReference(), target=8)
+    assert out is not pairs, "fallback must repartition, not crash or no-op"
+    assert out.count() == pairs.count()

@@ -68,6 +68,31 @@ def test_registry_rotation_invariants():
     assert not set(_HEAD) & set(_TAIL)
 
 
+def test_doc_counts_match_registry():
+    """README.md and COVERAGE.md state the registry size in prose; both
+    counts drifted once each in rounds 9-10 (manual edits). Tie them to
+    ``len(QUERIES)`` mechanically so a registration without the doc sync
+    fails here by file name — no manual count edits ever again."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    checks = [
+        ("README.md", r"(\d+) named queries"),
+        ("COVERAGE.md", r"\((\d+) entries, every one oracle-backed\)"),
+    ]
+    for fname, pat in checks:
+        with open(os.path.join(root, fname)) as f:
+            text = f.read()
+        counts = re.findall(pat, text)
+        assert counts, f"{fname}: registry-count sentence missing ({pat})"
+        for c in counts:
+            assert int(c) == len(QUERIES), (
+                f"{fname} says {c} queries, registry has {len(QUERIES)} — "
+                "sync the doc with the registration"
+            )
+
+
 def test_every_registered_query_is_benched():
     """bench.py's HEADLINE must cover the ENTIRE registry (plus the two
     amortized-search variants) — an unbenched query is one whose perf

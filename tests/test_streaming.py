@@ -3124,3 +3124,274 @@ def test_dedup_ingest_existence_store_bucket_pruning_and_guards(
     )
     assert [r.verdict for r in status2.collect()] == ["tile_dup"]
     D.unpersist_all()
+
+
+def test_dedup_all_stores_compaction_gating_identical(spark, tmp_path):
+    """r10 verdict #1: fold the five dedup-gate stores' committed epoch
+    dirs and pin that GATING DECISIONS are identical pre/post — the
+    bm25 equivalence standard. One probe batch triggers every net
+    (exact, LSH near-dup, CDC chunk, lexical cosine, tile) plus a
+    unique admit; the verdict rows must not move by a bit across the
+    fold, the dir count must drop, a second compact is a no-op, and
+    folding the newest epoch is refused (it may be an uncommitted
+    batch's replay target)."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+        cosine_store_path=str(tmp_path / "cosine"),
+        tile_store_path=str(tmp_path / "tiles"),
+    )
+    a_text = "x y " * 40 + "alpha beta gamma delta epsilon"
+    orig_cdc = (
+        "the training corpus ingestion service deduplicates documents by "
+        "minhash signatures and content digests while chunk boundaries come "
+        "from rolling hashes over eight character grams making every chunk "
+        "hash stable under prefix insertions across delivery attempts"
+    )
+    banner = (
+        "LEGAL NOTICE " * 3
+        + "this republication carries a mandatory compliance "
+        "preamble inserted by the downstream syndication proxy containing "
+        "entirely unrelated vocabulary tokens alpha bravo charlie delta echo "
+        "foxtrot golf hotel india juliet kilo lima mike november oscar papa "
+        "quebec romeo sierra tango uniform victor whiskey xray yankee zulu "
+        "one two three four five six seven eight nine ten eleven twelve "
+    )
+    lsh_base = (
+        "the quick brown fox jumps over the lazy dog near the riverbank "
+        "in the early morning light before the ferry crossing opens"
+    )
+    ta, tb, tc, x, _novel = _tile_docs()
+    epochs = [
+        [(1, a_text), (2, orig_cdc), (3, ta), (4, tb), (5, tc), (6, lsh_base)],
+        [(7, "pack my box with five dozen liquor jugs today")],
+        [(8, "sphinx of black quartz judge my vow tonight")],
+    ]
+    for e, rows in enumerate(epochs):
+        ingest._process_batch(spark.createDataFrame(rows, schema), e)
+        D.unpersist_all()
+    probe = spark.createDataFrame(
+        [
+            (101, a_text),  # exact
+            (102, lsh_base + " suddenly"),  # LSH near-dup
+            (103, banner + orig_cdc),  # CDC chunk reuse
+            (104, "".join(f"x y x y sep{i} " for i in range(20))),  # cosine
+            (105, x),  # tile assembly
+            (106, "entirely fresh vocabulary sentence about nothing much"),
+        ],
+        schema,
+    )
+
+    def verdicts() -> dict[int, str]:
+        status, _ = ingest._classify(probe, exclude_epoch=99)
+        out = {r.doc_id: r.verdict for r in status.collect()}
+        D.unpersist_all()
+        return out
+
+    before = verdicts()
+    assert before == {
+        101: "exact_dup",
+        102: "near_dup_corpus",
+        103: "chunk_dup",
+        104: "cosine_dup_corpus",
+        105: "tile_dup",
+        106: "unique",
+    }
+    dirs_before = len(glob.glob(str(tmp_path / "store" / "epoch=*")))
+    assert dirs_before == 3
+
+    folded = ingest.compact(upto_epoch=1)
+    # Every configured store folded its two committed epoch dirs.
+    assert set(folded.values()) == {2} and len(folded) == 6
+    for root in ("store", "cdc", "tiles"):
+        assert len(glob.glob(str(tmp_path / root / "epoch=*"))) == 2
+    for sub in ("postings", "norms", "df"):
+        assert len(glob.glob(str(tmp_path / "cosine" / sub / "epoch=*"))) == 2
+    # The bucketed at-rest layout survived the fold (pruning still works).
+    assert glob.glob(str(tmp_path / "tiles" / "epoch=1" / "bucket=*"))
+    assert glob.glob(str(tmp_path / "cdc" / "epoch=1" / "bucket=*"))
+
+    assert verdicts() == before, "compaction changed a gating verdict"
+    # Idempotent: nothing left to fold below the newest epoch.
+    assert set(ingest.compact(upto_epoch=1).values()) == {0}
+    # The newest epoch is never foldable.
+    with pytest.raises(ValueError, match="newest epoch"):
+        ingest.compact(upto_epoch=2)
+    # Post-compaction ingest continues on the folded base: re-delivery
+    # of a compacted doc is still rejected in a real epoch.
+    ingest._process_batch(
+        spark.createDataFrame([(200, a_text), (201, "brand new words entirely")], schema), 3
+    )
+    D.unpersist_all()
+    sink = spark.read.parquet(str(tmp_path / "accepted" / "epoch=3"))
+    assert [r.doc_id for r in sink.collect()] == [201]
+
+
+def test_dedup_compaction_crash_recovered_on_next_batch(spark, tmp_path):
+    """Crash drill for the dedup-store compaction: a death inside the
+    delete->rename window leaves the folded tile history ONLY in
+    ``.compact_tmp_upto=K`` with the source epoch dirs already gone.
+    The next batch's read side must promote it BEFORE classifying — a
+    tile-catchable assembly is still rejected through the recovered
+    store, and the tmp dir is gone after."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.bm25_ingest import (
+        term_bucket_col,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+        _TILE_SCHEMA,
+        read_tile_store,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    tiles = tmp_path / "tiles"
+    ingest = DedupIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        tile_store_path=str(tiles),
+    )
+    ta, tb, tc, x, novel = _tile_docs()
+    epochs = [
+        [(1, ta), (2, tb), (3, tc)],
+        [(4, novel)],
+        [(5, "sphinx of black quartz judge my vow tonight")],
+    ]
+    for e, rows in enumerate(epochs):
+        ingest._process_batch(spark.createDataFrame(rows, schema), e)
+        D.unpersist_all()
+
+    # Hand-build the mid-crash state the drill targets: the fold of
+    # epochs 0-1 committed to the tmp dir (_SUCCESS present), the
+    # source dirs already deleted, the rename never ran.
+    import shutil
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming._store import (
+        read_epoch_dirs_union,
+    )
+
+    fold_src = read_epoch_dirs_union(
+        spark, str(tiles), _TILE_SCHEMA, epochs={0, 1}
+    )
+    (
+        fold_src.select("tile_hash")
+        .distinct()
+        .select(
+            "tile_hash",
+            term_bucket_col(F.col("tile_hash"), ingest.tile_n_buckets).alias(
+                "bucket"
+            ),
+        )
+        .write.partitionBy("bucket")
+        .parquet(str(tiles / ".compact_tmp_upto=1"))
+    )
+    shutil.rmtree(str(tiles / "epoch=0"))
+    shutil.rmtree(str(tiles / "epoch=1"))
+    # Without recovery the store has LOST docs 1-3's tiles: the raw
+    # reader (no recovery hook) sees only epoch 2.
+    assert (
+        read_tile_store(spark, str(tiles))
+        .join(
+            ingest._batch_tiles(
+                spark.createDataFrame([(99, ta)], schema)
+            ).select("tile_hash"),
+            "tile_hash",
+            "left_semi",
+        )
+        .count()
+        == 0
+    )
+    D.unpersist_all()
+
+    # The next batch recovers FIRST, then classifies: the assembled doc
+    # is rejected through the promoted history.
+    ingest._process_batch(
+        spark.createDataFrame(
+            [(20, x), (6, " ".join(f"p{i}" for i in range(1, 25)))], schema
+        ),
+        3,
+    )
+    D.unpersist_all()
+    assert not (tiles / ".compact_tmp_upto=1").exists()
+    assert (tiles / "epoch=1").exists()
+    sink = spark.read.parquet(str(tmp_path / "accepted" / "epoch=3"))
+    assert [r.doc_id for r in sink.collect()] == [6]
+
+
+def test_vector_store_compaction_search_identical_and_gate_holds(
+    spark, tmp_path, sf_dir
+):
+    """VectorIngest.compact folds committed index epochs into one dir;
+    search over the folded store is bit-identical (raw AND SQ8
+    layouts), the near-dup gate still rejects a re-delivered compacted
+    vector, and the newest epoch is never foldable (shared-helper
+    guard)."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+        bootstrap_sq8_stats,
+        read_index_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_path = str(tmp_path / "centroids")
+    S.kmeans_centroids(e, n_cells=8).write.parquet(cents_path)
+    stats_path = str(tmp_path / "sq8_stats")
+    bootstrap_sq8_stats(e, stats_path)
+    queries = e.filter(F.col("vec_id") < 6)
+
+    for label, sq8 in (("raw", None), ("sq8", stats_path)):
+        vec = VectorIngest(
+            spark,
+            centroids_path=cents_path,
+            store_path=str(tmp_path / f"idx_{label}"),
+            checkpoint_path=str(tmp_path / f"ckpt_{label}"),
+            sq8_stats_path=sq8,
+        )
+        for ep in range(3):
+            vec._process_batch(e.filter(F.col("vec_id") % 3 == ep), ep)
+        before = sorted(
+            map(tuple, vec.search(queries, k=5, n_probe=8).collect())
+        )
+        n_before = read_index_store(
+            spark, vec.store_path, quantized=sq8 is not None
+        ).count()
+        assert vec.compact(upto_epoch=1) == 2
+        assert (
+            len(glob.glob(str(tmp_path / f"idx_{label}" / "epoch=*"))) == 2
+        )
+        after = sorted(
+            map(tuple, vec.search(queries, k=5, n_probe=8).collect())
+        )
+        assert after == before and after, label
+        # Gate holds on the folded base: re-delivering epoch 0's
+        # vectors admits nothing.
+        vec._process_batch(e.filter(F.col("vec_id") % 3 == 0), 3)
+        n_after = read_index_store(
+            spark, vec.store_path, quantized=sq8 is not None
+        ).count()
+        assert n_after == n_before, label
+        with pytest.raises(ValueError, match="strictly below"):
+            vec.compact(upto_epoch=3)
