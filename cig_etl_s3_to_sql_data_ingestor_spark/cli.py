@@ -328,6 +328,9 @@ def main_stream(argv: list[str] | None = None) -> int:
             "cosine_rare_prefix", "cosine_max_term_df", "cosine_num",
             "cosine_den", "cosine_n_buckets", "tile_store_path",
             "tile_k", "cdc_n_buckets", "tile_n_buckets",
+            "embedding_store_path", "embedding_centroids_path",
+            "embedding_col", "embedding_threshold",
+            "embedding_sq8_stats_path",
         }
         unknown = set(cfg) - allowed
         if unknown:
@@ -337,12 +340,19 @@ def main_stream(argv: list[str] | None = None) -> int:
             **{k: v for k, v in cfg.items()
                if k not in ("mode", "source_glob", "max_files_per_trigger")},
         )
-        schema = T.StructType(
-            [
-                T.StructField(ingest.id_col, T.LongType()),
-                T.StructField(ingest.text_col, T.StringType()),
-            ]
-        )
+        fields = [
+            T.StructField(ingest.id_col, T.LongType()),
+            T.StructField(ingest.text_col, T.StringType()),
+        ]
+        if ingest.embedding_store_path is not None:
+            # The semantic gate reads a doc-embedding column the source
+            # must supply alongside the text.
+            fields.append(
+                T.StructField(
+                    ingest.embedding_col, T.ArrayType(T.DoubleType())
+                )
+            )
+        schema = T.StructType(fields)
         ingest.start(
             cfg["source_glob"], schema, max_files_per_trigger=mft
         ).awaitTermination()
@@ -521,6 +531,8 @@ def main_stream(argv: list[str] | None = None) -> int:
                 "num_hashes", "cdc_store_path", "cdc_n_buckets",
                 "cosine_store_path", "cosine_n_buckets",
                 "tile_store_path", "tile_n_buckets",
+                "embedding_store_path", "embedding_centroids_path",
+                "embedding_col", "embedding_sq8_stats_path",
             }
             unknown = set(cfg) - allowed
             if unknown:

@@ -91,6 +91,22 @@ tile positions carry a store-present digest — the same integer
 2*n <= N keep rule as the batch stage, with "shared with another doc"
 tightened to "borrowed from the corpus". Text-free (md5 digests),
 existence-only, same epoch protocol; one unit with the checkpoint.
+
+Optional embedding near-dup gate (``embedding_store_path``): the SIXTH
+net, semantic where the other five are lexical/structural — a
+paraphrased re-delivery (fresh surface forms, same meaning) passes all
+five and is caught only by embedding cosine against the admitted
+corpus. Composes :class:`~.vector_ingest.VectorIngest` (frozen
+centroids, cell-blocked candidates, the exact cosine rule the batch
+``semdedup_keep``/``embedding_neardup`` operators pin) over a
+source-supplied doc-embedding column; the store is text-free (vectors
+or SQ8 codes + cell ids) and follows the same epoch protocol. See the
+``embedding_*`` field comments for semantics and trades.
+
+Unbounded-growth maintenance: :meth:`DedupIngest.compact` folds every
+configured store's committed epoch dirs into one (gating-identical by
+construction; crash-safe via the shared tmp/_SUCCESS/rename sequence),
+so the per-batch dir listing stops growing with batch count.
 """
 
 from __future__ import annotations
@@ -336,6 +352,31 @@ class DedupIngest:
     # migration path exists for tiles; NULL tolerance kept for
     # hand-built stores).
     tile_n_buckets: int = 16
+    # Embedding near-dup (semantic) gate, the SIXTH net: None disables.
+    # The five nets above are all lexical/structural — a PARAPHRASED
+    # re-delivery (fresh surface forms, same meaning) passes exact
+    # (new digest), LSH (no shared shingles), CDC (no verbatim runs),
+    # cosine (no shared n-grams), and tile (no borrowed tiles). This
+    # gate scores each batch doc's embedding (``embedding_col``, an
+    # array<double> the source supplies alongside the text) against the
+    # ADMITTED corpus through a composed VectorIngest store: frozen
+    # centroids at ``embedding_centroids_path``, cell-blocked candidate
+    # generation, cosine >= embedding_threshold rejects as
+    # ``embedding_dup`` — the oracle-backed semdedup_keep /
+    # embedding_neardup batch rule, applied store-incrementally with
+    # VectorIngest's exact gate math (this class owns no vector
+    # scoring). Store is text-free by construction (vectors or SQ8
+    # codes + cell ids); same epoch protocol, one unit with the
+    # checkpoint. Corpus-only like the CDC/tile nets (a same-batch
+    # semantic twin is admitted; the next batch would reject it);
+    # cell-boundary recall trade documented in vector_ingest.
+    embedding_store_path: str | None = None
+    embedding_centroids_path: str | None = None
+    embedding_col: str = "embedding"
+    embedding_threshold: float = 0.995
+    # Optional SQ8 codes-at-rest for the semantic store (4x smaller;
+    # asymmetric-ADC scoring — see VectorIngest.sq8_stats_path).
+    embedding_sq8_stats_path: str | None = None
 
     def _classify(
         self, batch_df: DataFrame, exclude_epoch: int | None = None
@@ -498,12 +539,57 @@ class DedupIngest:
                 .otherwise(F.col("verdict"))
                 .alias("verdict"),
             )
+        if self.embedding_store_path is not None:
+            # Semantic gate, the sixth net (precedence: every cheaper
+            # gate's verdict wins; only still-unique docs can become
+            # embedding_dup). Candidate generation and the cosine rule
+            # are VectorIngest's near-dup gate verbatim — composed, not
+            # reimplemented — over the doc-embedding column.
+            vi = self._embedding_ingest()
+            emb_hits = vi._near_dup_vs_index_ids(
+                vi._assign_batch(
+                    batch_df.select(self.id_col, self.embedding_col)
+                ),
+                exclude_epoch=exclude_epoch,
+            ).withColumn("_emb_dup", F.lit(True))
+            status = status.join(emb_hits, self.id_col, "left").select(
+                self.id_col,
+                F.when(
+                    (F.col("verdict") == "unique") & F.col("_emb_dup"),
+                    F.lit("embedding_dup"),
+                )
+                .otherwise(F.col("verdict"))
+                .alias("verdict"),
+            )
         survivors = batch_df.join(
             status.filter(F.col("verdict") == "unique").select(self.id_col),
             self.id_col,
             "left_semi",
         )
         return status, survivors
+
+    def _embedding_ingest(self):
+        """The composed VectorIngest over the semantic store — one
+        instance cached per DedupIngest (its centroid digest is
+        instance-cached, so the gate and the write side pay the tiny
+        digest collect once, not per epoch); its checkpoint path is
+        never used (this class's stream IS the checkpointed unit)."""
+        cached = getattr(self, "_emb_vi", None)
+        if cached is not None:
+            return cached
+        from .vector_ingest import VectorIngest
+
+        self._emb_vi = VectorIngest(
+            self.spark,
+            centroids_path=self.embedding_centroids_path,
+            store_path=self.embedding_store_path,
+            checkpoint_path=f"{self.embedding_store_path}/_unused_ckpt",
+            id_col=self.id_col,
+            vec_col=self.embedding_col,
+            dup_threshold=self.embedding_threshold,
+            sq8_stats_path=self.embedding_sq8_stats_path,
+        )
+        return self._emb_vi
 
     def _cosine_tf(self, df: DataFrame) -> DataFrame:
         """(id, term, tf) with the term as its 12-hex md5 digest — the
@@ -700,6 +786,24 @@ class DedupIngest:
             f"{self.tile_store_path}/epoch={epoch_id}"
         )
 
+    def _write_embedding_store(
+        self, survivors: DataFrame, epoch_id: int
+    ) -> None:
+        """Grow the semantic store from the survivors: assign each
+        admitted doc's embedding to its frozen cell and land
+        (id, cell_id, vector-or-codes, norm) — VectorIngest's write
+        shape verbatim. ALL survivors' vectors persist (admission was
+        decided by the six composed nets, not by VectorIngest's own
+        gate); existence of a near vector is what later batches test.
+        Same epoch-addressed idempotent overwrite; a method so recovery
+        tests can inject a crash between the tile and embedding
+        writes."""
+        vi = self._embedding_ingest()
+        vi._write_epoch(
+            vi._assign_batch(survivors.select(self.id_col, self.embedding_col)),
+            epoch_id,
+        )
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """One epoch: classify → write sink epoch dir → grow the store.
 
@@ -810,6 +914,8 @@ class DedupIngest:
             )
         if self.tile_store_path is not None:
             self._write_tile_store(survivors, epoch_id)
+        if self.embedding_store_path is not None:
+            self._write_embedding_store(survivors, epoch_id)
         D.unpersist_all()
 
     def _check_bucket_marker(self, root: str, n: int, create: bool, what: str) -> None:
@@ -869,6 +975,8 @@ class DedupIngest:
             ]
         if self.tile_store_path is not None:
             roots.append(self.tile_store_path)
+        if self.embedding_store_path is not None:
+            roots.append(self.embedding_store_path)
         return roots
 
     def compact(self, upto_epoch: int) -> dict[str, int]:
@@ -1034,6 +1142,12 @@ class DedupIngest:
                 fold_df,
                 partition_by=["bucket"],
                 schema=_COS_DF_SCHEMA,
+            )
+        if self.embedding_store_path is not None:
+            # VectorIngest owns the semantic store's layout (raw vs SQ8
+            # schema, layout check) — its compact is the one fold.
+            out[self.embedding_store_path] = self._embedding_ingest().compact(
+                upto_epoch
             )
         return out
 

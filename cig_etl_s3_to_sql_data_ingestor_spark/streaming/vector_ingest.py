@@ -168,6 +168,72 @@ class VectorIngest:
         """The frozen 1-row (mins, scales) stats frame."""
         return self.spark.read.parquet(self.sq8_stats_path)
 
+    def _centroid_digest(self) -> str:
+        """Deterministic content digest of the frozen centroid frame —
+        md5 over (cell_id, per-component IEEE hex) sorted by cell id, so
+        a byte-identical rewrite at a different path digests the same.
+        Centroids are a few KB (bounded by n_cells), so the collect is
+        one tiny job; cached per instance so repeated opens pay once."""
+        cached = getattr(self, "_centroid_digest_cache", None)
+        if cached is not None:
+            return cached
+        import hashlib
+
+        rows = sorted(
+            (int(r[0]), tuple(float(x) for x in r[1]))
+            for r in self._centroids().collect()
+        )
+        h = hashlib.md5()
+        for cid, vec in rows:
+            h.update(str(cid).encode())
+            for x in vec:
+                h.update(float(x).hex().encode())
+        digest = h.hexdigest()
+        self._centroid_digest_cache = digest
+        return digest
+
+    def _check_centroid_marker(self, create: bool) -> None:
+        """Stamp/cross-check the store's centroid-identity marker (the
+        bucketed stores' ``.n_buckets=`` discipline, applied to the
+        quantity that keys THIS store's cells): a store opened with
+        centroids other than those its vectors were assigned under
+        would probe the wrong cells — search silently returns wrong
+        neighbors and the near-dup gate silently re-admits duplicates —
+        so mismatch is a loud ValueError. Only a WRITE may stamp; a
+        pre-marker store is read unguarded (and stamped by its next
+        write)."""
+        from ..fsutil import hadoop_fs
+
+        fs, jvm = hadoop_fs(self.spark, self.store_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self.store_path)
+        if fs.exists(root):
+            found = [
+                st.getPath().getName()
+                for st in fs.listStatus(root)
+                if st.getPath().getName().startswith(".centroids_md5=")
+            ]
+            if found:
+                stored = found[0].split("=", 1)[1]
+                if stored != self._centroid_digest():
+                    raise ValueError(
+                        f"vector index store {self.store_path!r} was "
+                        f"written under centroids {stored}, but "
+                        f"{self.centroids_path!r} digests to "
+                        f"{self._centroid_digest()} — probing with "
+                        "foreign centroids searches the wrong cells "
+                        "(wrong results, silently re-admitted "
+                        "duplicates); open it with the centroids it "
+                        "was built with"
+                    )
+                return
+            if not create:
+                return
+        if create:
+            fs.mkdirs(
+                Path(f"{self.store_path}/.centroids_md5={self._centroid_digest()}")
+            )
+
     def _check_layout(self) -> None:
         """Eager layout check at every store open: raise when a raw
         store is opened quantized or vice versa. This must be a
@@ -241,6 +307,7 @@ class VectorIngest:
         null guards below are defense-in-depth for rows a footer check
         cannot see (e.g. a hand-edited store)."""
         self._check_layout()
+        self._check_centroid_marker(create=False)
         if self.sq8_stats_path is None:
             # Symmetric layout guard: a QUANTIZED store read in raw mode
             # yields null vectors; the gate's NULL cosine comparison
@@ -322,11 +389,11 @@ class VectorIngest:
             )
         )
 
-    def _admit(
-        self, batch_df: DataFrame, exclude_epoch: int | None = None
-    ) -> DataFrame:
-        """Assign, gate, and shape one batch for the store."""
-        assigned = ivf_assign(
+    def _assign_batch(self, batch_df: DataFrame) -> DataFrame:
+        """One batch assigned to its nearest frozen centroid —
+        (id, cell_id, vector, norm), the shape every gate and write
+        below consumes. Broadcast centroids, map-side pass."""
+        return ivf_assign(
             batch_df.select(
                 F.col(self.id_col), F.col(self.vec_col).cast("array<double>")
             ),
@@ -340,12 +407,21 @@ class VectorIngest:
             F.col("cand_vec").alias(self.vec_col),
             F.col("cand_norm").alias("vec_norm"),
         )
-        # Gate 1: near-dup vs the existing index, same cell only (raw
-        # batch vector vs the stored form — reconstructed in SQ8 mode).
+
+    def _near_dup_vs_index_ids(
+        self, assigned: DataFrame, exclude_epoch: int | None = None
+    ) -> DataFrame:
+        """Ids of ``assigned`` rows with a stored same-cell near-dup at
+        ``dup_threshold`` cosine (raw batch vector vs the stored form —
+        reconstructed in SQ8 mode). Candidate generation is the cell
+        equi-join, bounded by cell occupancy, never O(index). Also the
+        semantic gate dedup_ingest composes (its sixth net scores a doc
+        embedding against the admitted corpus through this exact
+        rule)."""
         idx = self._index_members(exclude_epoch).select(
             "cell_id", "_ivec", "_inorm"
         )
-        dup_vs_index = (
+        return (
             assigned.join(idx, "cell_id")
             .filter(
                 dot(F.col(self.vec_col), F.col("_ivec"))
@@ -355,6 +431,14 @@ class VectorIngest:
             .select(self.id_col)
             .distinct()
         )
+
+    def _admit(
+        self, batch_df: DataFrame, exclude_epoch: int | None = None
+    ) -> DataFrame:
+        """Assign, gate, and shape one batch for the store."""
+        assigned = self._assign_batch(batch_df)
+        # Gate 1: near-dup vs the existing index, same cell only.
+        dup_vs_index = self._near_dup_vs_index_ids(assigned, exclude_epoch)
         fresh = assigned.join(dup_vs_index, self.id_col, "left_anti")
         # Gate 2: near-dup within the batch, same cell — admit the
         # LOCAL MINIMA of the similarity graph (drop any vector with a
@@ -407,14 +491,14 @@ class VectorIngest:
             ),
         )
 
-    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        # Promote any crashed compaction BEFORE the gate reads the
-        # store — a store missing its folded history would silently
-        # re-admit every compacted near-duplicate.
-        from .frequency_monitor import recover_pending_compactions
-
-        recover_pending_compactions(self.spark, self.store_path)
-        admitted = self._admit(batch_df, exclude_epoch=epoch_id)
+    def _write_epoch(self, admitted: DataFrame, epoch_id: int) -> None:
+        """Encode (SQ8 mode) and land one epoch's admitted rows — the
+        store write shape, also reused by dedup_ingest's semantic gate
+        (which gates by its OWN composed rule and writes ALL its
+        survivors here). Stamps the centroid-identity marker: the
+        writer knows which centroids keyed the cells, so only it may
+        assert that identity for later opens."""
+        self._check_centroid_marker(create=True)
         quantized = self.sq8_stats_path is not None
         if quantized:
             # Encode ONCE at ingest: the raw vector never reaches the
@@ -466,6 +550,16 @@ class VectorIngest:
                 for f in _index_schema(self.id_col, self.vec_col, quantized).fields
             ]
         ).write.mode("overwrite").parquet(f"{self.store_path}/epoch={epoch_id}")
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # Promote any crashed compaction BEFORE the gate reads the
+        # store — a store missing its folded history would silently
+        # re-admit every compacted near-duplicate.
+        from .frequency_monitor import recover_pending_compactions
+
+        recover_pending_compactions(self.spark, self.store_path)
+        admitted = self._admit(batch_df, exclude_epoch=epoch_id)
+        self._write_epoch(admitted, epoch_id)
 
     def start(
         self,

@@ -640,3 +640,80 @@ def test_cli_stream_compact_mode(spark, tmp_path):
     worse_path.write_text(json.dumps(worse))
     with _pytest.raises(ValueError, match="compact config target"):
         main_stream(["--stream_config_filename", str(worse_path)])
+
+
+def test_cli_stream_dedup_embedding_gate(spark, tmp_path):
+    """The dedup stream config drives the sixth (semantic) net: with
+    ``embedding_store_path``/``embedding_centroids_path`` set the
+    source schema gains the embedding column, a paraphrase-with-fresh-
+    tokens re-delivery is dropped from the sink, and the compact mode
+    folds the semantic store with the rest."""
+    import contextlib
+    import glob as _glob
+    import io as _io
+    import json
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.cli import main_stream
+
+    cents = str(tmp_path / "centroids")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id long, cell_vec array<double>",
+    ).write.parquet(cents)
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema_str = "doc_id long, text string, embedding array<double>"
+    spark.createDataFrame(
+        [(1, "the committee approved the new budget for the fiscal year",
+          [1.0, 0.0, 0.0, 0.0])],
+        schema_str,
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(2, "pack my box with five dozen liquor jugs", [0.0, 1.0, 0.0, 0.0])],
+        schema_str,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(10, "finance panel green lights upcoming annual spending plan",
+          [0.9999, 0.01, 0.0, 0.0])],
+        schema_str,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    cfg = {
+        "mode": "dedup",
+        "source_glob": f"{src}/*",
+        "store_path": str(tmp_path / "store"),
+        "sink_path": str(tmp_path / "accepted"),
+        "checkpoint_path": str(tmp_path / "ckpt"),
+        "embedding_store_path": str(tmp_path / "emb"),
+        "embedding_centroids_path": cents,
+        "max_files_per_trigger": 1,
+    }
+    cfg_path = tmp_path / "stream_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main_stream(["--stream_config_filename", str(cfg_path)]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # Doc 10 is a paraphrase of doc 1 (zero token overlap, near-equal
+    # embedding): only the semantic gate rejects it.
+    assert out["accepted_rows"] == 2
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(cfg["sink_path"]).collect()
+    ) == [1, 2]
+    assert len(_glob.glob(str(tmp_path / "emb" / "epoch=*"))) == 3
+
+    compact_cfg = {
+        "mode": "compact",
+        "target": "dedup",
+        "upto_epoch": 1,
+        "store_path": cfg["store_path"],
+        "embedding_store_path": cfg["embedding_store_path"],
+        "embedding_centroids_path": cents,
+    }
+    cpath = tmp_path / "compact_config.json"
+    cpath.write_text(json.dumps(compact_cfg))
+    buf2 = _io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        assert main_stream(["--stream_config_filename", str(cpath)]) == 0
+    out2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert out2["folded_dirs"][cfg["embedding_store_path"]] == 2
+    assert len(_glob.glob(str(tmp_path / "emb" / "epoch=*"))) == 2

@@ -3395,3 +3395,267 @@ def test_vector_store_compaction_search_identical_and_gate_holds(
         assert n_after == n_before, label
         with pytest.raises(ValueError, match="strictly below"):
             vec.compact(upto_epoch=3)
+
+
+def _semantic_docs():
+    """Corpus doc A, a PARAPHRASE P (zero token overlap with A — fresh
+    digest, no shared shingles/chunks/n-grams/tiles — but a near-equal
+    embedding), and two novel docs with far embeddings. Dim-4 vectors;
+    two frozen cells ([1,0,0,0] and [0,1,0,0]) put A and P in cell 0."""
+    ta = (
+        "the committee approved the new budget for the coming fiscal "
+        "year after long deliberation over infrastructure costs"
+    )
+    tp = (
+        "finance panel green lights upcoming annual spending plan "
+        "following extended debate about transport outlays"
+    )
+    ea = [1.0, 0.0, 0.0, 0.0]
+    ep = [0.9999, 0.01, 0.0, 0.0]
+    return ta, tp, ea, ep
+
+
+def test_dedup_ingest_embedding_gate_rejects_paraphrase(spark, tmp_path):
+    """r10 verdict #3 — the SIXTH net: a paraphrase-with-fresh-tokens
+    re-delivery passes all five lexical/structural nets (verdict-string
+    proof below: a five-net ingest classifies it ``unique``) and is
+    rejected as ``embedding_dup`` only by the semantic gate. Also pins
+    that compaction folds the semantic store with the others and the
+    gate holds through the folded base."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import dedup as D
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    ta, tp, ea, ep = _semantic_docs()
+    cents = str(tmp_path / "centroids")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id long, cell_vec array<double>",
+    ).write.parquet(cents)
+
+    def paths(tag):
+        return dict(
+            store_path=str(tmp_path / tag / "store"),
+            sink_path=str(tmp_path / tag / "accepted"),
+            checkpoint_path=str(tmp_path / tag / "ckpt"),
+            cdc_store_path=str(tmp_path / tag / "cdc"),
+            cosine_store_path=str(tmp_path / tag / "cosine"),
+            tile_store_path=str(tmp_path / tag / "tiles"),
+        )
+
+    six = DedupIngest(
+        spark,
+        **paths("six"),
+        embedding_store_path=str(tmp_path / "six" / "emb"),
+        embedding_centroids_path=cents,
+    )
+    five = DedupIngest(spark, **paths("five"))
+    src = tmp_path / "incoming"
+    src.mkdir()
+    epochs = [
+        [(1, ta, ea), (2, "pack my box with five dozen liquor jugs", [0.0, 1.0, 0.0, 0.0])],
+        [(3, "sphinx of black quartz judge my vow", [0.0, 0.98, 0.2, 0.0])],
+    ]
+    for e, rows in enumerate(epochs):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{e}")
+        )
+    # Both ingests drain the same backlog through their own checkpoints
+    # (epochs 0-1) — the stores and checkpoints stay one unit, so the
+    # later stream run below continues at epoch 2.
+    for ing in (six, five):
+        ing.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+        D.unpersist_all()
+    probe = spark.createDataFrame(
+        [
+            (10, tp, ep),  # paraphrase of doc 1: semantic-only dup
+            (11, "entirely novel vocabulary about gardening tips", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        schema,
+    )
+
+    def verdicts(ing):
+        status, _ = ing._classify(probe, exclude_epoch=99)
+        out = {r.doc_id: r.verdict for r in status.collect()}
+        D.unpersist_all()
+        return out
+
+    # The five lexical/structural nets ALL miss the paraphrase — the
+    # gap the sixth net exists to close.
+    assert verdicts(five) == {10: "unique", 11: "unique"}
+    assert verdicts(six) == {10: "embedding_dup", 11: "unique"}
+
+    # End-to-end through the stream: the paraphrase is dropped from the
+    # sink, the novel doc admitted, and the semantic store grew per
+    # epoch (text-free: ids + cells + vectors only).
+    probe.coalesce(1).write.parquet(str(src / "b2"))
+    six.start(f"{src}/*", schema).awaitTermination(240)
+    D.unpersist_all()
+    accepted = spark.read.parquet(f"{six.sink_path}/epoch=2")
+    assert sorted(r.doc_id for r in accepted.collect()) == [11]
+    all_accepted = spark.read.parquet(six.sink_path)
+    assert sorted(r.doc_id for r in all_accepted.collect()) == [1, 2, 3, 11]
+    emb_store = spark.read.parquet(str(tmp_path / "six" / "emb"))
+    # Keyed by the DEDUP id column (the composed VectorIngest inherits it).
+    assert set(emb_store.columns) >= {"doc_id", "cell_id", "embedding", "vec_norm"}
+    assert "text" not in emb_store.columns
+
+    # Compaction folds the semantic store alongside the other five and
+    # the gate still rejects a second paraphrase through the folded base.
+    folded = six.compact(upto_epoch=1)
+    assert folded[str(tmp_path / "six" / "emb")] == 2
+    assert len(glob.glob(str(tmp_path / "six" / "emb" / "epoch=*"))) == 2
+    probe2 = spark.createDataFrame(
+        [(20, "reworded once more with different words", [0.99995, 0.0, 0.01, 0.0])],
+        schema,
+    )
+    status2, _ = six._classify(probe2, exclude_epoch=99)
+    assert [r.verdict for r in status2.collect()] == ["embedding_dup"]
+    D.unpersist_all()
+
+
+def test_dedup_ingest_all_gates_torn_embedding_write_recovery(spark, tmp_path):
+    """Crash INSIDE the six-store write window: epoch 1 commits its
+    sink + signature + CDC + cosine + tile writes, then the driver dies
+    BEFORE the embedding-store write. The replay classifies with its
+    own epoch excluded from EVERY store and rewrites all six
+    consistently; a later paraphrase re-delivery proves the recovered
+    semantic store gates correctly."""
+    import glob
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.dedup_ingest import (
+        DedupIngest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    ta, tp, ea, ep = _semantic_docs()
+    cents = str(tmp_path / "centroids")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id long, cell_vec array<double>",
+    ).write.parquet(cents)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batches = [
+        [(1, ta, ea)],
+        [(4, "pack my box with five dozen liquor jugs", [0.0, 1.0, 0.0, 0.0])],
+        [(20, tp, ep),  # paraphrase: only the semantic store catches it
+         (5, "sphinx of black quartz judge my vow", [0.0, 0.98, 0.2, 0.0])],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    kwargs = dict(
+        store_path=str(tmp_path / "store"),
+        sink_path=str(tmp_path / "accepted"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        cdc_store_path=str(tmp_path / "cdc"),
+        cosine_store_path=str(tmp_path / "cosine"),
+        tile_store_path=str(tmp_path / "tiles"),
+        embedding_store_path=str(tmp_path / "emb"),
+        embedding_centroids_path=cents,
+    )
+
+    class TornCrash(DedupIngest):
+        """Dies at epoch 1's embedding write (after the other five
+        stores' epoch dirs landed)."""
+
+        def _write_embedding_store(self, survivors, epoch_id):
+            if epoch_id == 1 and getattr(self, "_armed", True):
+                self._armed = False
+                raise RuntimeError("injected death before embedding write")
+            super()._write_embedding_store(survivors, epoch_id)
+
+    crashing = TornCrash(spark, **kwargs)
+    died = None
+    try:
+        crashing.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    except Exception as ex:
+        died = ex
+    assert died is not None and "injected death" in str(died)
+    # The torn window is real: epoch 1's other five stores landed, the
+    # embedding dir did not.
+    assert (tmp_path / "accepted" / "epoch=1").exists()
+    assert (tmp_path / "store" / "epoch=1").exists()
+    assert (tmp_path / "tiles" / "epoch=1").exists()
+    assert not (tmp_path / "emb" / "epoch=1").exists()
+
+    recovered = DedupIngest(spark, **kwargs)
+    recovered.start(f"{src}/*", schema, max_files_per_trigger=1).awaitTermination(240)
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    # 20 rejected (semantic paraphrase) through the crash-recovered
+    # stores; everything else admitted.
+    assert sorted(r.doc_id for r in accepted.collect()) == [1, 4, 5]
+    assert len(glob.glob(f"{tmp_path}/emb/epoch=*")) == 3
+
+
+def test_vector_store_centroid_identity_guard(spark, tmp_path, sf_dir):
+    """ADVICE r10: the vector store stamps a centroid-content digest at
+    write time and every open cross-checks it — opening a store with
+    FOREIGN centroids would probe the wrong cells and silently return
+    wrong search results / re-admit duplicates, so it is a loud
+    ValueError instead. A byte-identical centroid rewrite at a
+    different path digests the same and opens fine."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators import similarity as S
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.vector_ingest import (
+        VectorIngest,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents_a = str(tmp_path / "cents_a")
+    S.kmeans_centroids(e, n_cells=8, sample_mod=4).write.parquet(cents_a)
+    cents_b = str(tmp_path / "cents_b")
+    S.kmeans_centroids(e, n_cells=4, sample_mod=2).write.parquet(cents_b)
+
+    store = str(tmp_path / "idx")
+    vec = VectorIngest(
+        spark, centroids_path=cents_a, store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    vec._process_batch(e, 0)
+    assert (tmp_path / "idx").exists()
+    queries = e.filter(F.col("vec_id") < 4)
+    ok = vec.search(queries, k=3, n_probe=2).collect()
+    assert ok
+
+    foreign = VectorIngest(
+        spark, centroids_path=cents_b, store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        foreign.search(queries, k=3, n_probe=2).collect()
+    with pytest.raises(ValueError, match="centroids"):
+        foreign._process_batch(e.limit(5), 1)
+
+    # Content identity, not path identity: a byte-identical copy at a
+    # new path opens and searches identically.
+    import shutil
+
+    cents_copy = str(tmp_path / "cents_copy")
+    shutil.copytree(cents_a, cents_copy)
+    same = VectorIngest(
+        spark, centroids_path=cents_copy, store_path=store,
+        checkpoint_path=str(tmp_path / "ckpt3"),
+    )
+    got = same.search(queries, k=3, n_probe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ok))
