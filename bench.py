@@ -245,6 +245,9 @@ HEADLINE = [
     # bucket-pruned lexical search, the cell-probed vector search, and
     # the |Q| x (k_a+k_b) fusion join.
     "hybrid_search_stores",
+    # round 11: the sixth streaming net's batch-vs-corpus semantic gate
+    # rule (sqrt-n-cells dial, corpus-frozen centroids).
+    "embedding_gate_incremental",
 ]
 
 

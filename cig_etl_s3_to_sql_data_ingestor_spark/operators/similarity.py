@@ -529,6 +529,68 @@ def cell_blocked_near_duplicates(
     )
 
 
+def cell_blocked_gate_status(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_cells: int | None = None,
+    n_iters: int = 2,
+    threshold: float = 0.9,
+    sample_mod: int | None = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, verdict) per BATCH vector against an admitted corpus — the
+    batch form of the streaming semantic gate
+    (streaming/vector_ingest._near_dup_vs_index_ids, composed by
+    dedup_ingest's sixth net): centroids train on the CORPUS (frozen —
+    the batch must not move them, exactly as the store freezes its
+    bootstrap centroids), both sides assign to their single nearest
+    cell, and a batch vector with ANY same-cell corpus neighbor at
+    cosine >= ``threshold`` is ``embedding_dup``, else ``unique``.
+
+    Scale shape: candidate pairs are the same-cell equi-join — bounded
+    by cell occupancy (~n/n_cells per cell), never |batch| x |corpus| —
+    and the pair rebalance is stats-decided from the scan-rooted corpus
+    (the assigned frames' own estimates are join-inflated). Same
+    cell-boundary recall trade as every single-probe blocking,
+    documented in cell_blocked_near_duplicates."""
+    cent = kmeans_centroids(
+        corpus,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_mod=sample_mod,
+    ).select(F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col))
+    a_c = ivf_assign(corpus, cent, id_col, vec_col, n_probe=1).select(
+        "cell_id",
+        F.col("cand_vec").alias("_cvec"),
+        F.col("cand_norm").alias("_cnorm"),
+    )
+    a_b = ivf_assign(batch, cent, id_col, vec_col, n_probe=1)
+    pairs = fan_out_by_stats(a_b.join(a_c, "cell_id"), corpus)
+    hits = (
+        pairs.filter(
+            dot(F.col("cand_vec"), F.col("_cvec"))
+            / (F.col("cand_norm") * F.col("_cnorm"))
+            >= threshold
+        )
+        .select(F.col("cand_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(hits.withColumnRenamed("cand_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_hit"), F.lit("embedding_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
 def semdedup_decisions(
     df: DataFrame,
     n_cells: int | None = None,

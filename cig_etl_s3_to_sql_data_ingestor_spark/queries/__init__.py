@@ -145,6 +145,7 @@ _TAIL = [
     "dominant_part_suppliers",
     "dsir_domain_select",
     "embedding_clusters",
+    "embedding_gate_incremental",
     "env_derivation",
     "event_transition_matrix",
     "events_in_windows",

@@ -1695,3 +1695,69 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "embedding_gate_incremental",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding, {_B16} AS b FROM embeddings),
+    c AS (SELECT vec_id AS cand_id, embedding AS cand_vec FROM base WHERE b <> 0),
+    {_sql_kmeans_ctes(n_cells=_SQRT_CELLS, sample_mod=4, init_from="(SELECT vec_id, embedding FROM base WHERE b <> 0)")},
+    q AS (SELECT vec_id AS query_id, embedding AS query_vec
+          FROM base WHERE b = 0),
+    assigned AS (
+      SELECT cand_id, cand_vec, cell_id FROM (
+        SELECT c.cand_id, c.cand_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cand_id
+                                  ORDER BY {_sql_cosine('c.cand_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM c CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.query_id, q.query_vec, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cosine('q.query_vec', 'cent.cell_vec')} DESC,
+                                           cent.cell_id DESC) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    hits AS (
+      SELECT DISTINCT p.query_id
+      FROM assigned a JOIN probes p USING (cell_id)
+      WHERE {_sql_cosine('p.query_vec', 'a.cand_vec')} >= 0.4
+    )
+    SELECT q.query_id AS vec_id,
+           CASE WHEN h.query_id IS NOT NULL THEN 'embedding_dup'
+                ELSE 'unique' END AS verdict
+    FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_gate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 sixth streaming net's decision rule, oracle-backed at the
+    batch-vs-corpus shape the gate runs: corpus = admitted vectors
+    (deterministic 15/16 hash split), batch = the arriving 1/16;
+    centroids train on the CORPUS ONLY with the n_cells = max(16,
+    isqrt(|corpus|)) deployment dial (the `_SQRT_CELLS` scalar-subquery
+    LIMIT on the oracle side); both sides assign to their single
+    nearest cell and a batch vector with any same-cell corpus neighbor
+    at cosine >= 0.4 is `embedding_dup` (0.4 matches embedding_neardup
+    — the synthetic embeddings are near-uniform, so the store default
+    0.995 would reject nothing at test scale). Streaming parity: the
+    same rule runs store-incrementally in streaming/dedup_ingest via
+    the composed VectorIngest (tests/test_streaming.py pins the
+    paraphrase-catch the five lexical nets miss)."""
+    import math
+
+    from ..functions.hashing import md5_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = md5_bucket(F.col("vec_id"), 16)
+    corpus = e.filter(bucket != 0)
+    batch = e.filter(bucket == 0)
+    n_cells = max(16, math.isqrt(corpus.count()))
+    return S.cell_blocked_gate_status(
+        corpus, batch, n_cells=n_cells, threshold=0.4, sample_mod=4
+    ).orderBy("vec_id")

@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "ann_incremental_cells",    # same broadcast centroid frame, sqrt-cells dial
     "knn_label_eval_ann",       # broadcast capped query sample + centroid frame
     "embedding_neardup_cells",  # broadcast trained-centroid frame (bounded cells)
+    "embedding_gate_incremental",  # same broadcast centroid frame, sqrt-cells dial
     "embedding_clusters",
     "ann_ivf_topk",
     "ann_pq_topk",

@@ -53,7 +53,7 @@ def test_registry_rotation_invariants():
     head, and the unscored set EXACTLY the declared tail — any edit that
     silently moves a query out of scoring fails here by name."""
     names = list(QUERIES)
-    assert len(names) == len(set(names)) == 162
+    assert len(names) == len(set(names)) == 163
     # Round 4: every query carries a DuckDB oracle (the HLL sketch query
     # now emits an exact anchor + deterministic envelope boolean).
     assert set(ORACLES) == set(QUERIES)
