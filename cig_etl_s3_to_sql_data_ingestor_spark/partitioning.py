@@ -18,59 +18,71 @@ under retries.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assert_scan_rooted(df: DataFrame) -> None:
-    """Test-only tripwire (enabled by SPARK_GRAFT_ASSERT_FANOUT=1, which
-    tests/conftest.py sets for the whole suite): refuse ``fan_out`` on an
-    exchange-bearing plan. The r9 regression happened because the
-    "scan-rooted frames only" rule lived in code review, not code — a new
-    call site that probes a join/agg output silently pays one hidden
-    extra execution of the upstream stages per call (see fan_out's
-    docstring). The probe below is driver-only (plan analysis, zero
-    jobs); it is OFF outside tests so production calls add no analysis
-    pass, and any private-API failure degrades to "no check"."""
-    if os.environ.get("SPARK_GRAFT_ASSERT_FANOUT") != "1":
-        return
+_EXCHANGE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Intersect",
+    "Except",
+)
+
+
+def _exchange_shaped(df: DataFrame) -> bool:
+    """Driver-only lineage check: does the (already-eagerly-computed)
+    analyzed logical plan contain a node whose physical form shuffles?
+    Costs one plan-tree toString — no analysis pass (DataFrames are
+    analyzed at creation), no Spark jobs. Unknown (e.g. no ``_jdf``
+    under Spark Connect) counts as exchange-shaped: the stats path it
+    routes to degrades safely (see fan_out_by_stats)."""
     try:
-        plan = str(df._jdf.queryExecution().optimizedPlan())
-    except Exception:  # noqa: BLE001 — a check, never a failure mode
-        return
-    markers = ("Join", "Aggregate", "Window")
-    hit = [
-        m
-        for m in markers
-        if any(ln.lstrip(" +-:").startswith(m) for ln in plan.splitlines())
-    ]
-    if hit:
-        raise AssertionError(
-            f"fan_out called on an exchange-bearing plan ({'/'.join(hit)} "
-            "node present): the .rdd partition probe would materialize "
-            "the upstream stages as real unreused jobs under AQE — use "
-            "fan_out_by_stats(df, scan_rooted_reference) instead"
-        )
+        plan = str(df._jdf.queryExecution().analyzed())
+    except Exception:  # noqa: BLE001 — a probe, never a failure mode
+        return True
+    return any(
+        ln.lstrip(" +-:").startswith(_EXCHANGE_NODES)
+        for ln in plan.splitlines()
+    )
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: cluster parallelism)
-    partitions iff it currently has fewer — a no-op on well-split inputs.
+    partitions iff it is under-partitioned — a no-op on well-split
+    inputs, safe on ANY lineage.
 
-    ONLY for exchange-free plans (scans, scans + narrow projections):
-    there ``df.rdd.getNumPartitions()`` is computed from file splits
-    without running a job. On a plan containing exchanges (join, agg,
-    window) the probe MATERIALIZES the upstream query stages as real
-    Spark jobs under AQE — and that work is NOT reused by the
-    downstream action, which compiles a fresh physical plan — so every
-    such probe pays one hidden extra execution of the upstream
-    scan+shuffle (measured round 10: the r9 pair-frame probes cost
-    0.7-0.9 s per IVF query at sf0.1, and the cost grows with data).
-    Use :func:`fan_out_by_stats` for join/agg outputs instead (the
-    test suite enforces this mechanically — see _assert_scan_rooted)."""
-    _assert_scan_rooted(df)
+    Two dispatch paths, chosen by a driver-only plan-shape check:
+
+    - exchange-free plans (scans, scans + narrow projections):
+      ``df.rdd.getNumPartitions()`` is computed from file splits
+      without running a job — the exact probe, for free;
+    - exchange-bearing plans (join/agg/window/sort/distinct lineage):
+      the probe MATERIALIZES the upstream query stages as real Spark
+      jobs under AQE — and that work is NOT reused by the downstream
+      action, which compiles a fresh physical plan — so every such
+      probe pays one hidden extra execution of the upstream
+      scan+shuffle (measured round 10: 0.7-0.9 s per IVF query at
+      sf0.1, growing with data; the r11 suite tripwire then caught the
+      same hazard on the corpus-pipeline mid-stage frames). These
+      route to the :func:`fan_out_by_stats` decision on the frame's
+      OWN optimizer estimate — join-inflated estimates err UPWARD,
+      i.e. toward "large, leave alone": at scale the call is a no-op
+      (no probe job, no shuffle), at test/interactive scale small
+      frames still spread onto all cores.
+
+    The stats decision sizes the plan by the SUM OF ITS LEAF SCANS
+    (file-size statistics), not the frame's own join-inflated estimate
+    — a two-sided join of a 200 KB table estimates in the tens of GB,
+    which would freeze the spread decision at "leave alone" exactly
+    where small inputs need it. Leaf sums are the automatic form of
+    the scan-rooted reference the IVF pair sites pass to
+    :func:`fan_out_by_stats` by hand."""
+    if _exchange_shaped(df):
+        return fan_out_by_stats(df, None, target)
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -80,7 +92,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
 
 def fan_out_by_stats(
     df: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     target: int | None = None,
     bytes_per_core: int = 64 << 20,
 ) -> DataFrame:
@@ -88,7 +100,11 @@ def fan_out_by_stats(
     cannot be probed without executing it) to ``target`` partitions iff
     ``reference`` — the scan-rooted input that sizes the plan, e.g. the
     corpus frame feeding a pair join — is optimizer-estimated below
-    ``target * bytes_per_core``.
+    ``target * bytes_per_core``. ``reference=None`` sizes ``df`` by the
+    SUM OF ITS OWN LEAF SCANS instead (each leaf's stats are file-size
+    facts, immune to the multiplicative join inflation of the frame's
+    whole-plan estimate) — the automatic spelling :func:`fan_out` uses
+    when no hand-picked reference exists.
 
     The decision reads ``optimizedPlan().stats().sizeInBytes`` — a
     driver-only logical-plan statistic derived from file sizes, so it
@@ -112,9 +128,19 @@ def fan_out_by_stats(
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
-        est = int(
-            reference._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        if reference is not None:
+            est = int(
+                reference._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        else:
+            leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+            est = sum(
+                int(leaves.apply(i).stats().sizeInBytes())
+                for i in range(leaves.size())
+            )
     except Exception:  # noqa: BLE001 — private-API probe; see docstring
         return df.repartition(target)
     if est >= target * bytes_per_core:

@@ -11,12 +11,6 @@ from cig_etl_s3_to_sql_data_ingestor_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# Arm the fan_out scan-rooted tripwire for the whole suite (see
-# partitioning._assert_scan_rooted): any operator path that probes an
-# exchange-bearing plan's partition count fails its test loudly instead
-# of silently paying a hidden upstream execution in production.
-os.environ.setdefault("SPARK_GRAFT_ASSERT_FANOUT", "1")
-
 
 @pytest.fixture(scope="session")
 def spark():

@@ -114,22 +114,32 @@ def test_fan_out_by_stats_large_reference_noop(spark, sf_dir):
     assert fan_out_by_stats(pairs, e, target=8, bytes_per_core=1) is pairs
 
 
-def test_fan_out_refuses_exchange_bearing_plan(spark):
-    """The suite arms SPARK_GRAFT_ASSERT_FANOUT (conftest), so a new
-    call site that hands fan_out a join/agg output — the r9 regression,
-    where the .rdd probe silently ran the upstream stages as unreused
-    jobs under AQE — fails loudly HERE instead of shipping. The message
-    names the correct API."""
-    import pytest
+def test_fan_out_exchange_bearing_runs_zero_jobs(spark, sf_dir):
+    """The r9 regression, made structurally impossible: handing fan_out
+    a join/agg output must NOT run the `.rdd` partition probe (under
+    AQE it materializes the upstream stages as real unreused jobs) —
+    the exchange-shaped dispatch routes to the zero-job stats decision
+    instead. Asserted by job count: building the fanned-out frame runs
+    NOTHING; and the result is still correct (rows preserved, small
+    inputs spread)."""
+    from cig_etl_s3_to_sql_data_ingestor_spark.io import load_table
 
-    joined = spark.range(10).join(spark.range(10), "id")
-    with pytest.raises(AssertionError, match="fan_out_by_stats"):
-        fan_out(joined, target=8)
-    agged = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
-    with pytest.raises(AssertionError, match="exchange-bearing"):
-        fan_out(agged, target=8)
-    # Scan-rooted frames (incl. narrow projections) stay allowed.
-    assert fan_out(spark.range(10).select("id"), target=2).count() == 10
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.selectExpr("vec_id AS a", "label").join(
+        e.selectExpr("vec_id AS b", "label"), "label"
+    )
+    agged = e.groupBy("label").count()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out_pairs = fan_out(pairs, target=8)
+    out_agg = fan_out(agged, target=8)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "exchange-shaped fan_out must not run jobs"
+    # Tiny inputs still spread (their estimate is under the bound even
+    # join-inflated), and rows are preserved either way.
+    assert out_pairs is not pairs
+    assert out_pairs.count() == pairs.count()
+    assert out_agg.count() == agged.count()
 
 
 def test_fan_out_by_stats_survives_missing_private_handle(spark, sf_dir):
