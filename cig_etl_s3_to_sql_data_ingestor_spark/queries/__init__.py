@@ -34,187 +34,185 @@ for mod in (analytics, core, corpus, dedup, llmprep, mining, text, vectors):
 #   tail — queries untouched this round and green in the last round that
 #          scored them.
 _HEAD = [
-    # ---- round 10 scored window (exactly 50 names, asserted in
-    # tests/test_sql_surface.py), pinned as the LAST act of the round
-    # (r9 verdict #8 — zero never-scored rows at close): (1) the SEVEN
-    # queries with no driver CORRECTNESS row (the five r9 retrieval
-    # queries that landed after the r9 head was pinned, plus this
-    # round's semdedup_keep_cells and hybrid_rrf_search_ivf), then
-    # (2) the six remaining r6-evidence rows, then (3) the FIVE queries
-    # this round changed (embedding_neardup_cells re-dialed to sqrt(n)
-    # cells — semantics changed; semdedup_keep / knn_label_eval_ann /
-    # ann_incremental_cells / ann_ivf_sq8_topk — pair-frame rebalance
-    # plan change), then (4) 32 of the 49 r7-evidence rows per
-    # scripts/rotation_plan.py (the displaced 17 rotate next round).
-    "ann_truncated_rerank",
-    "contrastive_triplets",
-    "hard_negative_mining",
-    "hybrid_rrf_search",
-    "hybrid_rrf_search_ivf",
-    "retrieval_quality_metrics",
-    "semdedup_keep_cells",
-    "staleness_tiered",
-    "token_count",
-    "top_returned_customers",
-    "weekly_range_revenue",
-    "windowed_events",
-    "worklist_semi_join",
-    "embedding_neardup_cells",
-    "semdedup_keep",
-    "knn_label_eval_ann",
-    "ann_incremental_cells",
-    "ann_ivf_sq8_topk",
-    "ann_cosine_topk",
-    "ann_incremental",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "ann_mmr_pq",
-    "ann_mmr_topk",
-    "approx_distinct_stats",
-    "approx_quantile_envelope",
-    "boilerplate_prefix_groups",
-    "cdc_chunk_dedup",
-    "cdc_chunks",
-    "char_lm_surprisal",
-    "cheapest_supplier_per_part",
-    "chunk_documents",
-    "config_enrich_join",
-    "cross_source_overlap",
-    "curation_pipeline",
-    "customer_order_distribution",
-    "dataset_report",
-    "doc_fingerprint",
-    "dsir_importance_weights",
-    "embedding_neardup",
-    "embedding_norms",
-    "fulfillment_lag_quantiles",
-    "gopher_quality_rules",
-    "interleave_sources",
-    "lang_id",
-    "lang_id_confusion",
-    "market_share_by_year",
-    "nation_quarterly_growth",
-    "nb_quality_classifier",
-    "ngram_diversity",
+    # ---- round 11 scored window (exactly 50 names, asserted in
+    # tests/test_sql_surface.py), pinned as the LAST act of the
+    # round (the r10 protocol): (1) the one never-scored query
+    # (this round's embedding_gate_incremental), then (2) ALL 16
+    # remaining r7-evidence rows (r10 verdict #2 / What's-missing
+    # #4 verbatim -- after the r11 driver run nothing in the
+    # registry rests on evidence older than r8), then (3) the 33
+    # oldest r8-evidence rows per scripts/rotation_plan.py (the
+    # remaining r8 cohort rotates next round).
+    "embedding_gate_incremental",
+    "order_cube",
+    "pack_sequences",
+    "partition_prune_counts",
+    "phrase_search",
+    "phrase_search_indexed",
+    "pii_redaction",
+    "profile_table",
+    "quarterly_top_supplier",
+    "source_quality_funnel",
+    "stratified_sample",
+    "text_normalize_stats",
+    "tfidf_top_terms",
+    "vocab_stats",
+    "weighted_sample",
+    "winnowing_groups",
+    "winnowing_sites",
+    "audio_features",
+    "audio_fingerprint_groups",
+    "bloom_decontamination",
+    "bpe_corpus_compression",
+    "bpe_merge_steps",
+    "budget_select",
+    "cdc_reuse_gate",
+    "cdc_snapshot",
+    "char_entropy",
+    "cms_word_frequency",
+    "cohort_retention",
+    "conversion_funnel",
+    "curation_decisions",
+    "curation_pipeline_learned",
+    "customer_activity_setops",
+    "dedup_exact",
+    "dedup_minhash",
+    "deterministic_split",
+    "discount_band_revenue",
+    "dsir_domain_select",
+    "embedding_clusters",
+    "env_derivation",
+    "event_transition_matrix",
+    "exact_substring_overlap",
+    "heavy_hitter_keys",
+    "image_ahash_groups",
+    "incremental_agg_merge",
+    "json_props_stats",
+    "knn_label_eval",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
 ]
-# 162 queries, 50 scored slots; tests/test_sql_surface.py asserts the
+
+# 163 queries, 50 scored slots; tests/test_sql_surface.py asserts the
 # unscored set is EXACTLY the declared tail, so any change to what goes
 # unscored fails loudly. Tail order is irrelevant (nothing past slot 50
 # is scored); kept sorted for diff stability.
 _TAIL = [
     "above_brand_average",
+    "ann_cosine_topk",
+    "ann_incremental",
+    "ann_incremental_cells",
     "ann_ivf_pq_topk",
+    "ann_ivf_sq8_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "ann_mmr_pq",
+    "ann_mmr_topk",
     "ann_pq_topk",
     "ann_sq8_topk",
+    "ann_truncated_rerank",
+    "approx_distinct_stats",
+    "approx_quantile_envelope",
     "asof_last_click",
-    "audio_features",
-    "audio_fingerprint_groups",
-    "bloom_decontamination",
     "bm25_incremental",
     "bm25_search",
-    "bpe_corpus_compression",
-    "bpe_merge_steps",
+    "boilerplate_prefix_groups",
     "brand_supplier_counts",
-    "budget_select",
-    "cdc_reuse_gate",
-    "cdc_snapshot",
-    "char_entropy",
+    "cdc_chunk_dedup",
+    "cdc_chunks",
+    "char_lm_surprisal",
+    "cheapest_supplier_per_part",
+    "chunk_documents",
     "cluster_balanced_sample",
-    "cms_word_frequency",
-    "cohort_retention",
     "collocation_pmi",
+    "config_enrich_join",
     "contamination_check",
-    "conversion_funnel",
-    "curation_decisions",
-    "curation_pipeline_learned",
-    "customer_activity_setops",
+    "contrastive_triplets",
+    "cross_source_overlap",
+    "curation_pipeline",
+    "customer_order_distribution",
     "daily_event_pivot",
+    "dataset_report",
     "dedup_bigram_cosine",
     "dedup_canonical",
     "dedup_clusters",
     "dedup_cosine_incremental",
-    "dedup_exact",
     "dedup_incremental",
-    "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "deterministic_split",
-    "discount_band_revenue",
     "disjunctive_revenue",
     "distinct_keys",
+    "doc_fingerprint",
     "dominant_part_suppliers",
-    "dsir_domain_select",
-    "embedding_clusters",
-    "embedding_gate_incremental",
-    "env_derivation",
-    "event_transition_matrix",
+    "dsir_importance_weights",
+    "embedding_neardup",
+    "embedding_neardup_cells",
+    "embedding_norms",
     "events_in_windows",
-    "exact_substring_overlap",
     "frequent_segment_filter",
     "frequent_segment_removal",
+    "fulfillment_lag_quantiles",
     "fuzzy_name_pairs",
-    "heavy_hitter_keys",
+    "gopher_quality_rules",
+    "hard_negative_mining",
+    "hybrid_rrf_search",
+    "hybrid_rrf_search_ivf",
     "idle_customers",
-    "image_ahash_groups",
-    "incremental_agg_merge",
     "integrity_audit",
-    "json_props_stats",
-    "knn_label_eval",
+    "interleave_sources",
+    "knn_label_eval_ann",
+    "lang_id",
+    "lang_id_confusion",
     "large_volume_orders",
     "latest_per_group",
     "length_histogram",
     "marker_antijoin",
+    "market_share_by_year",
     "median_order_value",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
+    "nation_quarterly_growth",
     "nation_trade_volume",
     "nb_budget_select",
+    "nb_quality_classifier",
     "nb_score_calibration",
-    "order_cube",
+    "ngram_diversity",
     "order_priority_count",
     "order_rollup",
     "ordered_projection",
-    "pack_sequences",
     "part_copurchase_pagerank",
-    "partition_prune_counts",
-    "phrase_search",
-    "phrase_search_indexed",
-    "pii_redaction",
     "price_deciles",
     "price_quantity_stats",
     "pricing_summary",
     "priority_sample",
-    "profile_table",
     "promo_revenue_share",
     "quality_score",
-    "quarterly_top_supplier",
     "region_nation_revenue",
     "repetition_stats",
+    "retrieval_quality_metrics",
     "rolling_daily_revenue",
     "scd2_user_state",
+    "semdedup_keep",
+    "semdedup_keep_cells",
     "sentinel_cleaning",
     "sessionize",
     "shipping_priority",
     "small_quantity_revenue",
     "sole_return_supplier",
     "source_mixture_plan",
-    "source_quality_funnel",
     "source_token_divergence",
-    "stratified_sample",
-    "text_normalize_stats",
-    "tfidf_top_terms",
+    "staleness_tiered",
     "timestamp_truncation",
+    "token_count",
+    "top_returned_customers",
     "topk_per_group",
     "training_shard_plan",
     "verification_query",
-    "vocab_stats",
     "weekday_event_chi2",
-    "weighted_sample",
-    "winnowing_groups",
+    "weekly_range_revenue",
+    "windowed_events",
     "winnowing_matches",
-    "winnowing_sites",
+    "worklist_semi_join",
 ]
 
 _order = (
