@@ -587,10 +587,25 @@ def main_stream(argv: list[str] | None = None) -> int:
                 n_buckets=int(cfg.get("n_buckets", 16)),
             )
             folded = {cfg["store_path"]: bm25.compact(upto)}
+        elif target == "asset":
+            from .streaming.asset_ingest import AssetIngest
+
+            allowed = {"mode", "target", "upto_epoch", "store_path"}
+            unknown = set(cfg) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unknown compact/asset config keys: {sorted(unknown)}"
+                )
+            ingest = AssetIngest(
+                spark,
+                store_path=cfg["store_path"],
+                checkpoint_path=f"{cfg['store_path']}/_unused_ckpt",
+            )
+            folded = {cfg["store_path"]: ingest.compact(upto)}
         else:
             raise ValueError(
-                "compact config target must be 'dedup', 'vector' or "
-                f"'bm25', got {target!r}"
+                "compact config target must be 'dedup', 'vector', 'bm25' "
+                f"or 'asset', got {target!r}"
             )
         print(_json.dumps({"mode": "compact", "target": target,
                            "upto_epoch": upto, "folded_dirs": folded}))

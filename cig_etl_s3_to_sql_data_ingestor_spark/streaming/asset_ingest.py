@@ -152,7 +152,35 @@ class AssetIngest:
             .drop("_rn")
         )
 
+    def compact(self, upto_epoch: int) -> int:
+        """Fold every committed epoch dir ``<= upto_epoch`` into ONE —
+        store rows are per-admitted-asset and epochs are disjoint, so
+        the fold is concatenation and the fingerprint gate sees the
+        identical set pre/post (pinned by tests/test_streaming.py).
+        Closes this store's unbounded epoch-dir growth exactly as the
+        r11 dedup/vector compactions do; crash-safe via the shared
+        tmp/_SUCCESS/rename sequence, recovered by every batch's read
+        side."""
+        from .frequency_monitor import (
+            _compact_epoch_store,
+            recover_pending_compactions,
+        )
+
+        recover_pending_compactions(self.spark, self.store_path)
+        return _compact_epoch_store(
+            self.spark,
+            self.store_path,
+            upto_epoch,
+            lambda df: df,
+            schema=STORE_SCHEMA,
+        )
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # Promote any crashed compaction BEFORE the gate reads the
+        # store, or the batch re-admits every compacted fingerprint.
+        from .frequency_monitor import recover_pending_compactions
+
+        recover_pending_compactions(self.spark, self.store_path)
         admitted = self._admit(batch_df, exclude_epoch=epoch_id)
         admitted.select([f.name for f in STORE_SCHEMA.fields]).write.mode(
             "overwrite"

@@ -3659,3 +3659,79 @@ def test_vector_store_centroid_identity_guard(spark, tmp_path, sf_dir):
     )
     got = same.search(queries, k=3, n_probe=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ok))
+
+
+def test_asset_store_compaction_gate_identical(spark, tmp_path):
+    """AssetIngest.compact folds committed fingerprint-store epochs into
+    one dir; the exact-fingerprint gate sees the identical set pre/post
+    (a byte-different re-encode of a compacted image is still rejected),
+    dir count drops, and the newest epoch is never foldable — the r11
+    compaction discipline applied to the one epoch store without it."""
+    import datetime as dt
+    import glob
+
+    import numpy as np
+
+    from cig_etl_s3_to_sql_data_ingestor_spark.operators.multimodal import (
+        make_png_codec,
+        make_wav_codec,
+    )
+    from cig_etl_s3_to_sql_data_ingestor_spark.streaming.asset_ingest import (
+        AssetIngest,
+        read_asset_store,
+    )
+
+    encode_png, _ = make_png_codec()
+    encode_wav, _ = make_wav_codec()
+    ingest = AssetIngest(
+        spark,
+        store_path=str(tmp_path / "store"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+
+    def batch(rows):
+        ts = dt.datetime(2026, 1, 1)
+        return spark.createDataFrame(
+            [(n, ts, len(p), bytearray(p)) for n, p in rows],
+            "path string, modificationTime timestamp, length long, content binary",
+        )
+
+    px_a = ((7 * np.arange(9)[None, :] + 13 * np.arange(6)[:, None]) % 256).astype(
+        np.uint8
+    )
+    px_b = ((17 * np.arange(9)[None, :] + 3 * np.arange(6)[:, None]) % 256).astype(
+        np.uint8
+    )
+    wav = encode_wav((np.arange(400) * 997 % 65536 - 32768).astype(np.int16))
+    for e, rows in enumerate(
+        [
+            [("a.png", encode_png(px_a))],
+            [("b.png", encode_png(px_b))],
+            [("c.wav", wav)],
+        ]
+    ):
+        ingest._process_batch(batch(rows), e)
+    assert len(glob.glob(str(tmp_path / "store" / "epoch=*"))) == 3
+    before = sorted(
+        map(tuple, read_asset_store(spark, ingest.store_path).collect())
+    )
+    assert len(before) == 3
+
+    assert ingest.compact(upto_epoch=1) == 2
+    assert len(glob.glob(str(tmp_path / "store" / "epoch=*"))) == 2
+    after = sorted(
+        map(tuple, read_asset_store(spark, ingest.store_path).collect())
+    )
+    assert after == before
+
+    # Re-delivery of a COMPACTED image, re-encoded with different row
+    # filters (different bytes, same perceptual fingerprint): still
+    # rejected through the folded base — epoch 3 admits nothing.
+    redelivery = encode_png(px_a, filters=[2] * px_a.shape[0])
+    ingest._process_batch(batch([("a_copy.png", redelivery)]), 3)
+    assert read_asset_store(spark, ingest.store_path).count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly below"):
+        ingest.compact(upto_epoch=3)
