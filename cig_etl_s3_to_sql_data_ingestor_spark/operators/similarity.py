@@ -795,7 +795,7 @@ def pq_train_codebooks(
     # ivf_pq_topk) pass the persisted frame in so train + encode share
     # ONE materialization.
     if subs is None:
-        subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
+        subs = _persist(_subvectors(fan_out(corpus), n_sub, id_col, vec_col))
     # Seed ids come from the corpus frame (TakeOrdered top-k, no
     # shuffle) rather than a distinct over the exploded subvector frame.
     seed_ids = (
@@ -855,7 +855,7 @@ def pq_encode(
     from ..functions.vectors import l2sq
 
     if subs is None:
-        subs = _subvectors(corpus, n_sub, id_col, vec_col)
+        subs = _subvectors(fan_out(corpus), n_sub, id_col, vec_col)
     return (
         subs.join(F.broadcast(codebooks), "m")
         .withColumn("d2", l2sq(F.col("sub"), F.col("code_vec")))
@@ -923,7 +923,13 @@ def pq_topk(
     # corpus subvector frame then never materializes here and the call
     # is pure search: distance table + ADC join + shortlist + re-rank.
     if codebooks is None or codes is None:
-        subs = _persist(_subvectors(corpus, n_sub, id_col, vec_col))
+        # fan_out BEFORE the explode: a small corpus arrives as one
+        # parquet split, and every training/encode stage downstream of
+        # this persisted frame (the broadcast-join + argmin scoring —
+        # the PQ hot path) would otherwise run on a single core
+        # (measured: pq_train 3.0-3.5 s single-task at sf0.1). At scale
+        # the corpus is already well-split and fan_out is a no-op.
+        subs = _persist(_subvectors(fan_out(corpus), n_sub, id_col, vec_col))
         if codebooks is None:
             codebooks = pq_train_codebooks(
                 corpus,
