@@ -801,14 +801,19 @@ def gopher_rules(
     sum(len) = n_chars - (n_tokens - 1) over single-space-joined
     tokens), so no float ever decides a boolean — any engine agrees.
 
-    Scale: pure projection (map-only, no shuffle) — the 100 TB quality
-    pass pipelines with the scan and the downstream filter/write, same
-    contract as :func:`quality_scores`.
+    Scale: pure projection — on a well-split 100 TB scan ``fan_out`` is
+    a no-op and the pass pipelines with the scan and the downstream
+    filter/write, same contract as :func:`quality_scores`. On an
+    under-partitioned input (one parquet split, or a broadcast-side
+    build whose lineage is that split) the tokenizing projection is the
+    most expensive map in the curation suite, so it must not run on one
+    core (measured: 2.4-3.0 s single-task broadcast builds per gopher
+    consumer in curation_pipeline_learned at sf0.1).
     """
     toks = F.col("_toks")
     n = F.col("_n")
     staged = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col),
             *[F.col(c) for c in keep],
             F.col(text_col).alias("_text"),

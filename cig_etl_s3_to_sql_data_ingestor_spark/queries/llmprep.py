@@ -867,10 +867,15 @@ def curation_pipeline_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is winnowing_matches' bounded join strategy; decision joins
     are doc_id-keyed. Nothing exceeds the component operators' audited
     shapes."""
+    from ..operators.dedup import _persist
     from ..operators.text import gopher_rules, winnowing_matches
 
     d = load_table(spark, sf_dir, "documents")
-    gopher = gopher_rules(d).select("doc_id", "passes_gopher")
+    # Persisted: the gopher verdicts feed THREE consumers (the NB
+    # training labels, the gopher-passing prediction filter, and the
+    # final decision join's broadcast side) — without the cache each
+    # consumer re-runs the tokenizing projection over the corpus.
+    gopher = _persist(gopher_rules(d).select("doc_id", "passes_gopher"))
     labels = gopher.select("doc_id", F.col("passes_gopher").alias("label"))
     labeled = d.select("doc_id", "text").join(labels, "doc_id")
     is_test = _bucket_col(5) == 0
