@@ -1007,11 +1007,17 @@ def _term_frequencies(
     """(id, term, tf) bag-of-n-grams term frequencies (duplicates
     counted); documents shorter than ``ngram`` tokens emit nothing."""
     toks = tokens_col(text_col)
-    grams = df.select(
-        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
-    ).filter(F.col("_n") >= ngram)
+    # fan_out the RAW text, then tokenize: expressions in a projection
+    # below the round-robin exchange evaluate in the (possibly
+    # single-split) scan stage, so tokenizing first would both run on
+    # one core and shuffle token arrays instead of the lighter text.
+    grams = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") >= ngram)
+    )
     return (
-        fan_out(grams)
+        grams
         .select(
             F.col(id_col),
             F.explode(token_kgrams_col(F.col("_t"), F.col("_n"), ngram)).alias(
@@ -1183,10 +1189,9 @@ def fixed_tile_profile(
         lambda i: F.md5(F.array_join(F.slice(t, i * k + 1, k), " ")),
     )
     return (
-        fan_out(
-            df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
-            .filter(F.col("_n") >= k)
-        )
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") >= k)
         .select(F.col(id_col), F.posexplode(tiles).alias("idx", "tile_hash"))
         .select(
             F.col(id_col),

@@ -401,7 +401,12 @@ def bm25_topk(
     window partitions by query_id; for thousand-query offline sweeps
     repartition on query_id first (same boundary as pq_search_packed).
     """
-    toks = docs.select(
+    # fan_out BEFORE tokenizing: both consumers below (the corpus-stats
+    # aggregate and the exploded tf pass) re-tokenize the corpus, and on
+    # a single-split scan each would run its whole tokenize map in one
+    # task (measured: sequential 1.4-1.5 s single-task stages inside
+    # hybrid_rrf_search_ivf at sf0.1). No-op on a well-split corpus.
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     )
     stats = toks.agg(
@@ -447,7 +452,9 @@ def bm25_build_index(
     :func:`bm25_topk` on the same corpus (pinned by
     tests/test_retrieval_semdedup.py).
     """
-    toks = docs.select(
+    # Same under-partitioned-scan hazard as bm25_topk: tokenize after
+    # the fan_out so the stats and postings passes run on all cores.
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
     )
     stats = toks.agg(
