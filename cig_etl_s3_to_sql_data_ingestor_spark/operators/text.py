@@ -986,10 +986,11 @@ def winnowing_fingerprints(
             F.md5(F.substr(lower, i, F.lit(k))).alias("v"), i.alias("i")
         ),
     )
-    empty = F.array().cast("array<struct<v:string,i:int>>")
 
     def pairmin(a, b):
         # Min by hash; ties keep the LARGER position (rightmost rule).
+        # A total order on (v asc, i desc), so the fold below may visit
+        # window members in any order.
         return (
             F.when(a["v"] < b["v"], a)
             .when(b["v"] < a["v"], b)
@@ -997,35 +998,31 @@ def winnowing_fingerprints(
             .otherwise(b)
         )
 
-    def step(acc, x):
-        buf, out = acc["buf"], acc["out"]
-        full = F.size(buf) == (window - 1)
-        winmin = F.aggregate(buf, x, pairmin)
-        return F.struct(
-            F.when(full, F.concat(F.slice(buf, 2, window - 2), F.array(x)))
-            .otherwise(F.concat(buf, F.array(x)))
-            .alias("buf"),
-            F.when(full, F.concat(out, F.array(winmin)))
-            .otherwise(out)
-            .alias("out"),
-        )
-
-    def finish(acc):
-        # Hash sequence shorter than the window: one truncated window
-        # (its rightmost-min over everything buffered).
-        buf, out = acc["buf"], acc["out"]
-        allmin = F.aggregate(
-            F.slice(buf, 2, F.greatest(F.size(buf) - 1, F.lit(0))),
-            F.element_at(buf, 1),
-            pairmin,
-        )
-        return F.when(F.size(out) == 0, F.array(allmin)).otherwise(out)
-
-    sel = F.aggregate(
-        pairs, F.struct(empty.alias("buf"), empty.alias("out")), step, finish
+    # Two projections, deliberately: the (hash, pos) pair array
+    # materializes ONCE per row in the inner select (referenced three
+    # times below — CollapseProject does not inline a non-trivial alias
+    # used more than once, the norm-hoisting rule this file's docstrings
+    # keep re-learning), and each window's rightmost-min is then an
+    # O(window) fold over a slice of that materialized column. Total
+    # per-row cost O(L * window). The previous single-fold spelling
+    # carried the selected sites in its accumulator and re-copied that
+    # array once per shingle — O(sites * L) per row, quadratic in
+    # document length (its 8192-char guard exists precisely because one
+    # 20k-char row burned ~23 s; the guard and its semantics stay).
+    staged = fan_out(df).select(F.col(id_col), pairs.alias("_pairs"))
+    p = F.col("_pairs")
+    n = F.size(p)
+    full = n >= window
+    n_win = F.when(full, n - (window - 1)).otherwise(F.lit(1))
+    win_len = F.when(full, F.lit(window)).otherwise(n)
+    sel = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.aggregate(
+            F.slice(p, j + 1, win_len - 1), F.element_at(p, j), pairmin
+        ),
     )
     picked = F.col("_pick")
-    return fan_out(df).select(
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(sel)).alias("_pick")
     ).select(
         F.col(id_col),
