@@ -120,11 +120,22 @@ def fan_out_by_stats(
     knn_label_eval_ann 8.89→7.32 s at sf0.1.
 
     The stats probe reaches through ``_jdf`` — a private JVM handle that
-    Spark Connect does not expose and minor versions may move. Any
-    failure there degrades to "repartition unconditionally": correct
-    either way (round-robin repartition preserves rows), at worst one
-    extra shuffle of an input the estimate would have cleared — a slow
-    plan, never a crash."""
+    Spark Connect does not expose and minor versions may move. Failure
+    handling differs by mode, and the asymmetry is deliberate:
+
+    - ``reference`` GIVEN (a hand-picked scan-rooted frame the caller
+      asserts sizes the plan): degrade to "repartition unconditionally"
+      — the caller's intent was a size-gated spread of something it
+      knows is pair-join shaped, and rows are preserved either way; at
+      worst one extra shuffle of an input the estimate would have
+      cleared.
+    - ``reference=None`` (the automatic :func:`fan_out` dispatch, which
+      wraps EVERY exchange-shaped frame engine-wide): degrade to a
+      NO-OP. With no size information, an unconditional round-robin
+      repartition here would re-shuffle every join/agg output in the
+      engine — at 100 TB under Spark Connect that is a scale hazard,
+      not a degradation. An under-split small input merely stays slow.
+    """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
@@ -142,7 +153,7 @@ def fan_out_by_stats(
                 for i in range(leaves.size())
             )
     except Exception:  # noqa: BLE001 — private-API probe; see docstring
-        return df.repartition(target)
+        return df.repartition(target) if reference is not None else df
     if est >= target * bytes_per_core:
         return df
     return df.repartition(target)
