@@ -166,6 +166,39 @@ def axis_lsh_topk(
     )
 
 
+def _centroid_array(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Collapse a centroid frame to ONE row carrying a (cell_id,
+    cell_vec, cell_norm) struct array — the broadcast shape the in-row
+    assignment fold consumes. Sorted (by cell_id) only so the broadcast
+    payload is deterministic; the per-row (sim, cell_id) min/max/sort
+    downstream are order-independent regardless (cell ids are
+    distinct)."""
+    return centroids.select(
+        F.struct(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cell_vec"),
+            norm(F.col(vec_col)).alias("cell_norm"),
+        ).alias("_cell")
+    ).agg(F.array_sort(F.collect_list("_cell")).alias("_cells"))
+
+
+def _cell_sims(cells_arr, vec_expr, norm_expr):
+    """Per-cell (cell_sim, cell_id) struct array for one vector — each
+    element the identical zip_with/aggregate cosine fold the earlier
+    crossJoin-per-centroid spelling evaluated, so winners and
+    tie-breaks are bit-for-bit unchanged."""
+    return F.transform(
+        cells_arr,
+        lambda cell: F.struct(
+            (dot(vec_expr, cell["cell_vec"]) / (norm_expr * cell["cell_norm"]))
+            .alias("cell_sim"),
+            cell["cell_id"].alias("cell_id"),
+        ),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -176,44 +209,46 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
-    Centroids are broadcast, so assignment is one map-side pass over the
-    corpus (no corpus shuffle). For the common ``n_probe=1`` case (index
-    build, KMeans training) the winner is a ``max_by`` over the
-    (sim, cell_id) struct — a PARTIAL-aggregating reduction whose
-    map-side combine collapses the |corpus| x |centroids| scored rows to
-    one row per vector before any shuffle; only multi-probe ranking pays
-    the ``row_number`` window. Both paths break ties toward the highest
-    centroid id (bit-reproducible because the dot-product fold is
-    deterministic), so they pick identical winners.
+    The centroid frame is collapsed to ONE broadcast row carrying an
+    array of (cell_id, cell_vec, cell_norm) structs, and each corpus
+    row scores every cell with an in-row fold: ``array_max`` over the
+    (sim, cell_id) structs for ``n_probe=1`` (index build, KMeans
+    training), a sorted-slice + explode for multi-probe. Assignment is
+    therefore a pure PROJECTION over the (fan_out) corpus scan — zero
+    exchanges, zero aggregates, zero windows. The earlier spelling
+    (crossJoin the broadcast centroid ROWS, then groupBy/max_by or a
+    row_number window per vector) exploded |corpus| x |centroids| rows
+    and paid one corpus-sized hash exchange carrying the full vectors
+    per call — per KMeans ITERATION on the training path (guide §2.4:
+    remove shuffles outright; measured r12 at sf0.1: ann_ivf_topk
+    3.1→2.2 s, with every IVF/SQ8/kmeans caller compounding the win).
+
+    Exactness is unchanged: each (vector, cell) cosine is the identical
+    zip_with/aggregate fold expression the crossJoin form evaluated, and
+    ``array_max`` / the descending struct sort use the same (sim,
+    cell_id) struct ordering as the old ``max_by``/window tie-break —
+    ties still resolve toward the highest centroid id. The ``_cells``
+    array is ``array_sort``-ed (by cell_id) only so the broadcast
+    payload is deterministic; min/max/sort over the per-row (sim,
+    cell_id) structs are order-independent anyway (cell ids are
+    distinct, so the order is total).
     """
     c = fan_out(corpus).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         norm(F.col(vec_col)).alias("cand_norm"),
     )
-    cent = centroids.select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cell_vec"),
-        norm(F.col(vec_col)).alias("cell_norm"),
-    )
-    scored = c.crossJoin(F.broadcast(cent)).withColumn(
-        "cell_sim",
-        dot(F.col("cand_vec"), F.col("cell_vec"))
-        / (F.col("cand_norm") * F.col("cell_norm")),
-    )
+    # An empty centroid frame must yield an empty assignment (the old
+    # crossJoin-with-empty behavior), not one row per vector with a
+    # NULL cell — the global agg inside _centroid_array always returns
+    # one (empty-array) row, so guard on the array size.
+    joined = c.crossJoin(
+        F.broadcast(_centroid_array(centroids, id_col, vec_col))
+    ).filter(F.size("_cells") > 0)
+    sims = _cell_sims(F.col("_cells"), F.col("cand_vec"), F.col("cand_norm"))
     if n_probe == 1:
-        # max over (sim, id) structs == ORDER BY sim DESC, id DESC LIMIT 1.
-        # cand_vec/cand_norm are constant within the group (the group key
-        # is the vector's id), so any-value semantics of first() are exact.
-        # ONE winner expression serves both shapes; ``with_sim``
-        # additionally keeps the winning cell's similarity — callers that
-        # need the centroid distance (SemDeDup's rank) get it from THIS
-        # pass instead of re-joining the centroid frame, whose lazy
-        # KMeans lineage would otherwise retrain.
-        winner = scored.groupBy("cand_id").agg(
-            F.first("cand_vec").alias("cand_vec"),
-            F.first("cand_norm").alias("cand_norm"),
-            F.max(F.struct(F.col("cell_sim"), F.col("cell_id"))).alias("m"),
+        winner = joined.select(
+            "cand_id", "cand_vec", "cand_norm", F.array_max(sims).alias("m")
         )
         out_cols = [
             F.col("cand_id"),
@@ -224,17 +259,26 @@ def ivf_assign(
         if with_sim:
             out_cols.append(F.col("m.cell_sim").alias("cell_sim"))
         return winner.select(*out_cols)
-    w = W.partitionBy("cand_id").orderBy(
-        F.col("cell_sim").desc(), F.col("cell_id").desc()
+    # Multi-probe: (sim DESC, cell_id DESC) — ascending struct sort,
+    # reversed — then the first n_probe cells, exactly the old window's
+    # ORDER BY ... LIMIT n_probe per vector.
+    probed = joined.select(
+        "cand_id",
+        "cand_vec",
+        "cand_norm",
+        F.explode(F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)).alias(
+            "m"
+        ),
     )
-    cols = ["cand_id", "cand_vec", "cand_norm", "cell_id"] + (
-        ["cell_sim"] if with_sim else []
-    )
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select(*cols)
-    )
+    out_cols = [
+        F.col("cand_id"),
+        F.col("cand_vec"),
+        F.col("cand_norm"),
+        F.col("m.cell_id").alias("cell_id"),
+    ]
+    if with_sim:
+        out_cols.append(F.col("m.cell_sim").alias("cell_sim"))
+    return probed.select(*out_cols)
 
 
 KMEANS_QUANT = 1_000_000  # component quantization for exact mean sums
@@ -732,13 +776,21 @@ def l2_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") 
 PQ_DIST_QUANT = 1_000_000_000  # ADC distance-table quantization (nano-units)
 
 
-def _subvectors(df: DataFrame, n_sub: int, id_col: str, vec_col: str) -> DataFrame:
+def _subvectors(
+    df: DataFrame,
+    n_sub: int,
+    id_col: str,
+    vec_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Long-form (id, m, sub) subvector frame: one codegen projection +
     posexplode, no shuffle. Sub-length is derived per row (dim/n_sub) so
     the operator is dimension-agnostic ACROSS valid dims — a dimension
     that is not a positive multiple of ``n_sub`` fails the job loudly
     (truncated trailing dims or zero-length subvectors would otherwise
-    return plausible-looking garbage top-k)."""
+    return plausible-looking garbage top-k). ``keep`` columns ride along
+    unchanged (ivf_pq_topk keeps the row's ``cell_id`` so codes carry
+    their cell through one projection)."""
     size = F.size(F.col(vec_col))
     ok = (size >= n_sub) & (size % n_sub == 0)
     sub_len = F.when(ok, (size / n_sub).cast("int")).otherwise(
@@ -757,7 +809,41 @@ def _subvectors(df: DataFrame, n_sub: int, id_col: str, vec_col: str) -> DataFra
         ),
     )
     return df.select(
-        F.col(id_col).alias("sid"), F.posexplode(slices).alias("m", "sub")
+        F.col(id_col).alias("sid"),
+        *[F.col(c) for c in keep],
+        F.posexplode(slices).alias("m", "sub"),
+    )
+
+
+def _codebook_arrays(cb: DataFrame) -> DataFrame:
+    """Collapse a long-form (m, code_id, code_vec) codebook to one row
+    per subspace — (m, _codes: array<struct<code_id, code_vec>>) — the
+    broadcast shape :func:`_pq_best_code` folds over. The array is
+    sorted (by code_id) only for a deterministic broadcast payload; the
+    fold's struct-min is order-independent regardless."""
+    return cb.groupBy("m").agg(
+        F.array_sort(
+            F.collect_list(F.struct("code_id", "code_vec"))
+        ).alias("_codes")
+    )
+
+
+def _pq_best_code(codes_arr, sub):
+    """In-row nearest-codeword fold: ``array_min`` over (d2, code_id)
+    structs, one ``l2sq`` fold per codeword — identical doubles and the
+    identical (d2 asc, code_id asc) tie-break as the earlier exploded
+    ``min_by`` aggregation, with zero row explosion and zero exchange
+    (guide §2.4). Returns the winning struct."""
+    from ..functions.vectors import l2sq
+
+    return F.array_min(
+        F.transform(
+            codes_arr,
+            lambda c: F.struct(
+                l2sq(sub, c["code_vec"]).alias("d2"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
     )
 
 
@@ -775,7 +861,7 @@ def pq_train_codebooks(
 
     A naive PQ trainer runs n_sub independent KMeans jobs; grouping by
     (m, code) instead keys every stage by the subspace index, so each
-    Lloyd iteration is still exactly one broadcast-assign pass plus one
+    Lloyd iteration is one broadcast-assign PROJECTION plus one
     (m, code, pos)-keyed aggregate regardless of n_sub. Determinism
     mirrors ``kmeans_centroids``: the TRUE n_codes lowest-id vectors
     seed every subspace (a distributed top-k over the corpus ids, not an
@@ -783,7 +869,22 @@ def pq_train_codebooks(
     on a re-keyed corpus), assignment breaks ties toward the LOWEST code id
     under an ordered L2 fold, and mean updates sum floor(x * 1e6)
     integers (order-independent) with one double division at the end.
-    """
+
+    Assignment shape (r12, guide §2.3/§2.4): the per-subspace codebook
+    is collapsed to ONE row per ``m`` carrying an array of (code_id,
+    code_vec) structs, joined 1:1 (broadcast, on ``m``) against the
+    subvector frame, and each row picks its codeword with an in-row
+    ``array_min`` over (d2, code_id) structs — the d2 per codeword is
+    the identical ``l2sq`` fold the earlier exploded form computed, and
+    (d2, code_id) struct-min is exactly the old
+    ``min_by(code_id, struct(d2, code_id))`` tie-break. The earlier
+    spelling exploded n x n_sub x n_codes scored rows and collapsed
+    them back through a corpus-sized (sid, m) SORT-aggregate exchange
+    carrying the subvectors — per Lloyd iteration. Now the only
+    per-iteration exchange is the (m, code, pos)-keyed integer mean
+    update, whose map-side partials are bounded by
+    n_sub x n_codes x sub_len rows per partition regardless of corpus
+    size."""
     from ..functions.vectors import l2sq
     from .dedup import _persist
 
@@ -805,14 +906,12 @@ def pq_train_codebooks(
         "m", F.col("sid").alias("code_id"), F.col("sub").alias("code_vec")
     )
     for _ in range(n_iters):
-        scored = subs.join(F.broadcast(cb), "m").withColumn(
-            "d2", l2sq(F.col("sub"), F.col("code_vec"))
-        )
-        assigned = scored.groupBy("sid", "m").agg(
-            F.first("sub").alias("sub"),
-            F.min_by(
-                F.col("code_id"), F.struct(F.col("d2"), F.col("code_id"))
-            ).alias("code_id"),
+        assigned = subs.join(F.broadcast(_codebook_arrays(cb)), "m").select(
+            "m",
+            _pq_best_code(F.col("_codes"), F.col("sub"))["code_id"].alias(
+                "code_id"
+            ),
+            "sub",
         )
         q = F.transform(
             F.col("sub"), lambda x: F.floor(x * KMEANS_QUANT).cast("long")
@@ -847,25 +946,20 @@ def pq_encode(
     subs: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every vector as (id, m, code_id) — nearest codeword per
-    subspace. One broadcast join against the (n_sub x n_codes)-row
-    codebook; the per-(id, m) argmin collapses map-side (all n_codes
-    scored rows for a vector sit in its own input partition), so the
-    only shuffled payload is the 12-byte code triple itself — the PQ
-    compression, realized in the shuffle."""
-    from ..functions.vectors import l2sq
-
+    subspace. One 1:1 broadcast join against the per-subspace codebook
+    ARRAYS plus an in-row argmin fold (:func:`_pq_best_code`): a pure
+    projection over the subvector frame — no row explosion, no
+    aggregate, no exchange (the earlier exploded min_by spelling paid a
+    corpus-sized (sid, m) exchange here; guide §2.4). Values are
+    bit-identical: same l2sq folds, same (d2, code_id) tie-break."""
     if subs is None:
         subs = _subvectors(fan_out(corpus), n_sub, id_col, vec_col)
-    return (
-        subs.join(F.broadcast(codebooks), "m")
-        .withColumn("d2", l2sq(F.col("sub"), F.col("code_vec")))
-        .groupBy("sid", "m")
-        .agg(
-            F.min_by(
-                F.col("code_id"), F.struct(F.col("d2"), F.col("code_id"))
-            ).alias("code_id")
-        )
-        .select(F.col("sid").alias("cand_id"), "m", "code_id")
+    return subs.join(F.broadcast(_codebook_arrays(codebooks)), "m").select(
+        F.col("sid").alias("cand_id"),
+        "m",
+        _pq_best_code(F.col("_codes"), F.col("sub"))["code_id"].alias(
+            "code_id"
+        ),
     )
 
 
@@ -881,6 +975,7 @@ def pq_topk(
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    probe_cells: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k with exact re-rank.
 
@@ -899,10 +994,24 @@ def pq_topk(
 
     ``candidates`` — an optional (query_id, cand_id) frame — restricts
     the ADC scan to pre-generated pairs (self-pairs must already be
-    excluded); ``ivf_pq_topk`` passes its probed-cell pairs here, so
-    the quantization constants, tie-breaks, and re-rank live in exactly
-    one place (the SQL mirror has the same shape: ``_sql_pq_ctes``
-    serves both oracles through its ``candidates`` parameter).
+    excluded); so the quantization constants, tie-breaks, and re-rank
+    live in exactly one place (the SQL mirror has the same shape:
+    ``_sql_pq_ctes`` serves both oracles through its ``candidates``
+    parameter).
+
+    ``probe_cells`` — an optional (query_id, cell_id) frame, mutually
+    exclusive with ``candidates`` — is the IVF-composed form
+    ``ivf_pq_topk`` uses when it owns the index build: ``codes`` must
+    then carry a ``cell_id`` column, and the ADC scan joins the codes
+    against the BROADCAST distance-table ⨝ probes plan on
+    (cell_id, m, code_id). This scores exactly the probed-cell pairs
+    the ``candidates`` form enumerates (a vector sits in ONE cell, so a
+    (query, cand) pair matches at most once), but with zero corpus
+    shuffles: the materialized-pair form pays a corpus×corpus
+    sort-merge join of the pair frame against the codes, where this is
+    one broadcast-joined pass over the code scan — the guide §8 move
+    (every shuffle but the final partial-aggregated ADC sum operates on
+    a |Q|-bounded proxy).
 
     Defaults are MEASURED against brute-force ground truth
     (tests/test_ann_recall.py, 32 queries, k=10): 16 subspaces x 16
@@ -957,7 +1066,23 @@ def pq_topk(
             .alias("qd2"),
         )
     )
-    if candidates is None:
+    if candidates is not None and probe_cells is not None:
+        raise ValueError("pass candidates OR probe_cells, not both")
+    if probe_cells is not None:
+        # Cell-blocked ADC with zero corpus shuffles: broadcast the
+        # (query_id, cell_id, m, code_id, qd2) plan — |Q| x n_probe x
+        # n_sub x n_codes rows, bounded by the interactive query batch
+        # — against the cell-carrying code scan. Self-pairs are
+        # excluded here (the candidates form receives them
+        # pre-excluded).
+        dtabc = dtab.join(F.broadcast(probe_cells), "query_id")
+        adc = (
+            codes.join(F.broadcast(dtabc), ["cell_id", "m", "code_id"])
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.sum("qd2").alias("adc_q"))
+        )
+    elif candidates is None:
         adc = (
             codes.join(F.broadcast(dtab), ["m", "code_id"])
             .filter(F.col("cand_id") != F.col("query_id"))
@@ -1057,13 +1182,79 @@ def ivf_pq_topk(
                 F.col("cell_id").alias(id_col), F.col("cell_vec").alias(vec_col)
             )
         )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("cand_id").alias("query_id"), "cell_id"
+    )
+    if assigned is None and codes is None:
+        # Index built HERE: derive cell assignment and subvectors in ONE
+        # corpus projection (the cell winner is ivf_assign's exact fold,
+        # via the shared _cell_sims/_centroid_array helpers), persist
+        # that frame for train + encode, and hand pq_topk the
+        # cell-carrying codes plus the probe frame — the ADC then joins
+        # only broadcasts (see pq_topk's probe_cells note). The earlier
+        # shape materialized a corpus-sized (query_id, cand_id) pair
+        # frame and paid a corpus×corpus sort-merge join of it against
+        # the codes (guide §8: shuffle the proxy, not the payload —
+        # here the proxy is the |Q|-bounded probes ⨝ distance-table
+        # broadcast, and the corpus is never shuffled at all).
+        base = fan_out(corpus).select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("_vec"),
+            norm(F.col(vec_col)).alias("_norm"),
+        )
+        with_cell = (
+            base.crossJoin(
+                F.broadcast(_centroid_array(centroids, id_col, vec_col))
+            )
+            .filter(F.size("_cells") > 0)
+            .select(
+                "sid",
+                "_vec",
+                F.array_max(
+                    _cell_sims(F.col("_cells"), F.col("_vec"), F.col("_norm"))
+                )["cell_id"].alias("cell_id"),
+            )
+        )
+        subs_cells = _persist(
+            _subvectors(with_cell, n_sub, "sid", "_vec", keep=("cell_id",))
+        )
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                corpus,
+                n_sub=n_sub,
+                n_codes=n_codes,
+                id_col=id_col,
+                vec_col=vec_col,
+                subs=subs_cells,
+            )
+        codebooks = _persist(codebooks)
+        codes_cells = subs_cells.join(
+            F.broadcast(_codebook_arrays(codebooks)), "m"
+        ).select(
+            F.col("sid").alias("cand_id"),
+            "cell_id",
+            "m",
+            _pq_best_code(F.col("_codes"), F.col("sub"))["code_id"].alias(
+                "code_id"
+            ),
+        )
+        return pq_topk(
+            corpus,
+            queries,
+            k=k,
+            n_sub=n_sub,
+            n_codes=n_codes,
+            shortlist_factor=shortlist_factor,
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=codebooks,
+            codes=codes_cells,
+            probe_cells=probes,
+        )
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
             "cand_id", "cell_id"
         )
-    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
-        F.col("cand_id").alias("query_id"), "cell_id"
-    )
     cand_pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("cand_id") != F.col("query_id")
     ).select("query_id", "cand_id")
