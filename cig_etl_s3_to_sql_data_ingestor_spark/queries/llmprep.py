@@ -529,13 +529,22 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical model and identical predictions. Tie rule: greater
     label wins (Spark struct max == the oracle's score DESC, label
     DESC window)."""
+    from ..operators.dedup import _persist
     from ..operators.text import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
-    labels = gopher_rules(d).select(
-        "doc_id", F.col("passes_gopher").alias("label")
+    # ONE persisted gopher pass: keep=('text',) carries the text through
+    # the rule projection (gopher emits exactly one row per doc, so the
+    # old d ⨝ labels self-join is the identity), and the cache serves
+    # the train split, the test split, AND the confusion join — without
+    # it each consumer (including the model's broadcast build) re-runs
+    # the tokenizing rule projection over the corpus.
+    labeled = _persist(
+        gopher_rules(d, keep=("text",)).select(
+            "doc_id", "text", F.col("passes_gopher").alias("label")
+        )
     )
-    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    labels = labeled.select("doc_id", "label")
     is_test = _bucket_col(5) == 0
     train = labeled.filter(~is_test).select("label", "text")
     lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
@@ -602,13 +611,19 @@ def nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nb_scores' audited shape (one token scan, broadcast model,
     one per-(doc, class) partial-sum shuffle) plus a bounded per-bin
     aggregate."""
+    from ..operators.dedup import _persist
     from ..operators.text import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
-    labels = gopher_rules(d).select(
-        "doc_id", F.col("passes_gopher").alias("label")
+    # Same shared-gopher shape as nb_quality_classifier: one persisted
+    # rule pass serves train/test splits and the calibration join (the
+    # old d ⨝ labels join was the identity — gopher is 1:1 per doc).
+    labeled = _persist(
+        gopher_rules(d, keep=("text",)).select(
+            "doc_id", "text", F.col("passes_gopher").alias("label")
+        )
     )
-    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    labels = labeled.select("doc_id", "label")
     is_test = _bucket_col(5) == 0
     train = labeled.filter(~is_test).select("label", "text")
     lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
@@ -698,16 +713,30 @@ def nb_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nb_scores' audited shape + budget_select's distributed
     prefix sum (range-partition by rank, local running sums, one
     per-partition-totals collect — never a global window)."""
-    from ..operators.text import gopher_rules, tokens_col
+    from ..operators.dedup import _persist
+    from ..operators.text import gopher_rules
 
     d = load_table(spark, sf_dir, "documents")
-    labels = gopher_rules(d).select(
-        "doc_id", F.col("passes_gopher").alias("label")
+    # ONE persisted gopher pass (keep=('text',) — the old d ⨝ labels
+    # self-join was the identity) serves the training labels, the
+    # full-corpus scoring input, AND the token-count stats: gopher's
+    # n_tokens IS size(tokens_col(text)) cast long, so the stats side's
+    # separate tokenize pass is gone too. Four corpus tokenizations in
+    # one plan (labels, train, scores, stats) become two (the cached
+    # rule pass + nb_scores' own bucketed scan).
+    gopher = _persist(
+        gopher_rules(d, keep=("text",)).select(
+            "doc_id",
+            "text",
+            "n_tokens",
+            F.col("passes_gopher").alias("label"),
+        )
     )
-    labeled = d.select("doc_id", "text").join(labels, "doc_id")
-    train = labeled.filter(~(_bucket_col(5) == 0)).select("label", "text")
+    train = gopher.filter(~(_bucket_col(5) == 0)).select("label", "text")
     lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
-    scored = P.nb_scores(d.select("doc_id", "text"), lam, priors, n_buckets=1024)
+    scored = P.nb_scores(
+        gopher.select("doc_id", "text"), lam, priors, n_buckets=1024
+    )
     margin = scored.groupBy("doc_id").agg(
         F.sum(
             F.when(F.col("label"), F.col("score_q")).otherwise(-F.col("score_q"))
@@ -715,9 +744,7 @@ def nb_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_q")
     )
-    stats = d.select(
-        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
-    ).join(margin, "doc_id")
+    stats = gopher.select("doc_id", "n_tokens").join(margin, "doc_id")
     return (
         P.budget_select(stats, _NB_BUDGET, score_col="margin_q")
         .select("doc_id", "n_tokens", "margin_q", "cum_n_tokens")
@@ -875,9 +902,19 @@ def curation_pipeline_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training labels, the gopher-passing prediction filter, and the
     # final decision join's broadcast side) — without the cache each
     # consumer re-runs the tokenizing projection over the corpus.
-    gopher = _persist(gopher_rules(d).select("doc_id", "passes_gopher"))
+    # keep=('text',) carries the text through the rule pass so the
+    # train/predict sides read it straight from the cache (the old
+    # d ⨝ labels join was the identity — gopher is 1:1 per doc).
+    gopher_full = _persist(
+        gopher_rules(d, keep=("text",)).select(
+            "doc_id", "text", "passes_gopher"
+        )
+    )
+    gopher = gopher_full.select("doc_id", "passes_gopher")
     labels = gopher.select("doc_id", F.col("passes_gopher").alias("label"))
-    labeled = d.select("doc_id", "text").join(labels, "doc_id")
+    labeled = gopher_full.select(
+        "doc_id", "text", F.col("passes_gopher").alias("label")
+    )
     is_test = _bucket_col(5) == 0
     train = labeled.filter(~is_test).select("label", "text")
     lam, priors = P.nb_train(train, label_col="label", n_buckets=1024)
